@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver's synthetic star schema
+  * (`/root/testdata/sf*`, see TESTDATA.md / FIXTURES.md §1).
+  *
+  * All persisted data in this engine is Parquet — the reference's
+  * column-oriented `.bin` snapshots (SoA float32 arrays,
+  * `BrazilSplitTest/Output/MLSOut00007250.bin`) are the same idea; see
+  * `graft.formats` for those codecs.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Epoch milliseconds of a timestamp column. The driver tables' `[ms]`
+    * timestamps surface as TIMESTAMP_NTZ; with the session timezone pinned
+    * to UTC the NTZ→LTZ cast is epoch-preserving and matches DuckDB's
+    * `epoch_ms` on the same naive values.
+    */
+  def epochMs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_millis(c.cast(org.apache.spark.sql.types.TimestampType))
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.ts` is parquet `timestamp[ns]`, which Spark's vectorized reader
+    * rejects (`PARQUET_TYPE_ILLEGAL`). We read it as a raw nanosecond epoch
+    * long (`spark.sql.legacy.parquet.nanosAsLong`) and derive:
+    *   - `ts`      — epoch nanoseconds (long, exact; safe for ordering/compare)
+    *   - `ts_ms`   — epoch milliseconds (long, integer division — exact)
+    *   - `ts_utc`  — TimestampType at millisecond precision (for
+    *                 window()/session_window aggregations)
+    *
+    * Millisecond truncation matches DuckDB's `epoch_ms(ts)` for the oracle.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
+      .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline (north star):
+  * token statistics, language-ID heuristic, quality scoring, SimHash and
+  * chunked document fingerprints. Everything is built from codegen'd
+  * `org.apache.spark.sql.functions` (no UDFs) so the whole stage stays
+  * inside WholeStageCodegen and scales to arbitrary document counts —
+  * per-document work only, no shuffles except the SimHash aggregate.
+  */
+object TextOps {
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens that are stopwords (language-ID / quality signal). */
+  def stopwordCount(text: Column, stops: Seq[String] = DefaultStopwords): Column =
+    size(filter(tokens(text), t => t.isin(stops: _*)))
+
+  /** Deterministic n-gram-heuristic language ID: integer-arithmetic
+    * threshold on the stopword ratio (10·stops >= tokens → 'en').
+    * Integer compare keeps Spark and any SQL oracle bit-identical.
+    */
+  def langIdHeuristic(text: Column): Column =
+    when(stopwordCount(text) * 10 >= tokenCount(text), lit("en")).otherwise(lit("other"))
+
+  /** Quality score in pure integer arithmetic (no float knife-edges):
+    * rewards token mass, penalizes digit noise, rewards punctuation
+    * structure. Shape follows common LLM-corpus quality filters.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+    val nPunct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+    (least(nTok, lit(200)) * 5 - nDigit * 4 + nPunct * 2).cast("int")
+  }
+
+  /** 32-bit SimHash over whitespace tokens. Each token's md5 hex digest
+    * supplies 32 deterministic "bits" (parity of each hex char's codepoint);
+    * the fingerprint bit b is the sign of the ±1 sum over all tokens.
+    * One explode + one 32-column aggregate — a single shuffle on doc_id
+    * with map-side partial sums, so it holds at corpus scale.
+    */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums = (0 until 32).map(b =>
+      sum(expr(s"(ascii(substring(h, ${b + 1}, 1)) % 2) * 2 - 1")).as(s"s$b"))
+    val agg = toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val bits = (0 until 32).map(b => when(col(s"s$b") > 0, lit("1")).otherwise(lit("0")))
+    agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  /** Rolling/chunked document fingerprint: md5 over (length | concatenated
+    * per-64-char-chunk md5s) — a content-defined signature that localizes
+    * edits to one chunk (rolling-hash style) while staying expressible in
+    * both Spark and the SQL oracle. `textColName` must be a resolvable
+    * column name (the chunk expansion is a SQL expression over it).
+    */
+  def docFingerprint(textColName: String, chunk: Int = 64): Column = {
+    val n = s"greatest((length($textColName) + ${chunk - 1}) DIV $chunk, 1)"
+    md5(concat(
+      length(col(textColName)).cast("string"), lit("|"),
+      expr(s"aggregate(transform(sequence(1, int($n)), " +
+        s"i -> md5(substring($textColName, (i-1)*$chunk + 1, $chunk))), " +
+        "'', (acc, x) -> concat(acc, x))")))
+  }
+}

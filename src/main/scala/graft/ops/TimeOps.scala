@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series operators modeled on the reference's boundary-condition /
+  * load-curve machinery (`UniaxialCompressionTest/MLSLD00.dat`,
+  * `Output/MLSOut00E.dat`) plus the streaming extensions.
+  *
+  * Expects the `events` frame from [[graft.Tables.events]] (columns
+  * `ts` epoch-ns long, `ts_ms` epoch-ms long, `ts_utc` timestamp).
+  */
+object TimeOps {
+
+  /** J6 as-of lookup: for every event, the timestamp and value of the most
+    * recent 'signup' event of the same user (the reference's load-curve
+    * value-at-time-t lookup, `MLSLD00.dat:6-10`, held as a step function).
+    *
+    * Implemented the scalable way: union probe rows with curve rows and take
+    * `last(..., ignoreNulls)` over a user-partitioned running window — one
+    * shuffle on user_id, no per-row curve scan, no O(n·m) join. Curve rows
+    * sort before probes at equal ts so a probe sees a curve point at its own
+    * timestamp (<= semantics).
+    */
+  def asofCurveLookup(events: DataFrame, curveEventType: String = "signup"): DataFrame = {
+    val probes = events.select(
+      col("user_id"), col("event_id"), col("ts"),
+      lit(1).as("is_probe"),
+      lit(null).cast("long").as("c_ms"), lit(null).cast("double").as("c_val"))
+    val curve = events.filter(col("event_type") === curveEventType).select(
+      col("user_id"), lit(null).cast("long").as("event_id"), col("ts"),
+      lit(0).as("is_probe"),
+      col("ts_ms").as("c_ms"), col("value").as("c_val"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probes.unionByName(curve)
+      .withColumn("asof_ms", last(col("c_ms"), ignoreNulls = true).over(w))
+      .withColumn("asof_val", last(col("c_val"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("event_id"), col("asof_ms"), col("asof_val"))
+  }
+
+  /** J5 range join in time: all same-user event pairs within `bandMs`.
+    * Cell-binned exactly like [[Dedup.bandPairs]] but keyed on
+    * (user_id, time-cell) — mirrors the reference engine's `CellSize`
+    * spatial grid (`MLS00con.dat:2`). Equi-join on (user, cell); each pair
+    * found once because the build side keeps its single home cell.
+    */
+  def timeBandPairs(events: DataFrame, bandMs: Long): DataFrame = {
+    val base = events.select(col("user_id"), col("event_id"), col("ts_ms"))
+      .withColumn("cell", expr(s"ts_ms DIV $bandMs"))
+    val probes = base.withColumn(
+      "pcell", explode(array(col("cell") - 1, col("cell"), col("cell") + 1)))
+    val build = base.select(col("user_id").as("user_b"), col("event_id").as("id_b"),
+      col("ts_ms").as("ms_b"), col("cell").as("cell_b"))
+    probes.join(build,
+        col("user_id") === col("user_b") && col("pcell") === col("cell_b") &&
+        col("event_id") < col("id_b") &&
+        abs(col("ts_ms") - col("ms_b")) < bandMs)
+      .select(col("event_id").as("id_a"), col("id_b"))
+  }
+
+  /** G5 gap-based sessionization (batch twin of `session_window`): a new
+    * session starts when the gap to the previous same-user event exceeds
+    * `gapMs`. Two window passes over one user_id shuffle.
+    */
+  def sessionize(events: DataFrame, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    events
+      .withColumn("new_s",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) > gapMs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** G6 tumbling-window aggregate (batch twin of the Structured Streaming
+    * windowed agg): fixed 1-hour UTC windows via the built-in `window()`
+    * expression; value sums go through DECIMAL(18,2) so they are exact and
+    * order-independent (safe under any partitioning / AQE re-plan).
+    */
+  def tumblingAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts_utc"), width), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_val"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("cnt"), col("sum_val"))
+}

@@ -1,0 +1,432 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational query catalog — SURVEY.md §2.1-§2.8 operators, each
+  * keyed per §2.11 with a DuckDB oracle in [[CoreQueries.sql]].
+  *
+  * Oracle-parity rules (SURVEY §2.11 / FIXTURES.md):
+  *  - money/quantity aggregates go through DECIMAL(18,2) (exact, order-
+  *    independent) and are cast to DOUBLE only at the end;
+  *  - ratios of integers are emitted as numerator/denominator or exact
+  *    double division of identical operands — never ROUND on a possibly
+  *    tied decimal;
+  *  - ROUND(_,4) only on transcendental outputs (tan/cos/sqrt/ln) where a
+  *    4dp tie has measure ~0;
+  *  - timestamps are compared/emitted as epoch-millis BIGINT;
+  *  - every result is fully ORDER BY'd and every column aliased identically
+  *    in Spark and SQL.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, Q] = Map(
+    // S1/S9/P1 — scan + projection; Catalyst prunes the parquet read to the
+    // 4 referenced columns (the reference's PosItem.ini 28→4 mask).
+    "q_scan_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          Tables.epochMs(col("l_shipdate")).as("ship_ms"))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture — order by
+        // every output column so row order is deterministic across engines.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "ship_ms")
+    }),
+
+    // S2 — count-prefixed scan analogue: row counts cross-checked per table.
+    "q_count_scan" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(count(lit(1)).as("n_lineitem"))
+        .crossJoin(Tables.orders(s, d).agg(count(lit(1)).as("n_orders")))
+        .crossJoin(Tables.customer(s, d).agg(count(lit(1)).as("n_customer")))
+    }),
+
+    // P2/P5 — box-range predicate (MLSLD00.dat BC region semantics).
+    "q_range_filter" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(10, 20) &&
+          col("l_discount").between(0.02, 0.04) &&
+          Tables.epochMs(col("l_shipdate")) >= lit(820454400000L)) // 1996-01-01 UTC
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    }),
+
+    // P3 — boundary detection: any order near the price domain edges
+    // (GenerateColumnar.py:236-243 any-vertex-within-tol, as groupBy+max).
+    "q_boundary_detect" -> ((s, d) => {
+      Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(max(when(col("o_totalprice") < 5000 || col("o_totalprice") > 480000, 1)
+          .otherwise(0)).cast("int").as("is_boundary"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    }),
+
+    // DD1/F4 — exact dedup by derived key, keep lowest id.
+    "q_exact_dedup" -> ((s, d) => {
+      Dedup.exactDedupByKey(Tables.customer(s, d),
+          floor(col("c_acctbal") / 100).cast("long"), col("c_custkey"))
+        .withColumnRenamed("dedup_key", "bal_bucket")
+        .orderBy("bal_bucket")
+    }),
+
+    // DD2 — epsilon-band approximate dedup via cell-binned self-join
+    // (replaces BooleanOperation.py:85-95's O(n²) centroid scan).
+    "q_approx_dedup" -> ((s, d) => {
+      Dedup.bandPairs(Tables.customer(s, d), "c_custkey", "c_acctbal", 0.05)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // DD3 — exact document dedup by normalized-text hash (north star).
+    "q_doc_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("text_hash")
+    }),
+
+    // J1 — FK equi-join + aggregate (shuffle join; AQE may broadcast orders).
+    "q_fk_join" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // J2 — self adjacency join: distinct part pairs co-occurring in an order
+    // (GenerateColumnar.py:279-283 elements-sharing-a-node).
+    "q_self_join_pairs" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, Seq("l_orderkey"))
+        .filter(col("part_a") < col("part_b"))
+        .select(col("part_a"), col("part_b")).distinct()
+        .orderBy("part_a", "part_b")
+    }),
+
+    // J3 — broadcast dimension join (MLSMat00.dat material lookup shape).
+    "q_broadcast_join" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // J4/P4 — anti join (BooleanOperation.py remove-intersecting semantics).
+    "q_anti_join" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    // J4 — semi join (eligible-pool membership).
+    "q_semi_join" -> ((s, d) => {
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_brand"))
+        .orderBy("p_partkey")
+    }),
+
+    // A1/A2 — grouped aggregation (TPC-H Q1 shape; centroid/count analogue).
+    "q_group_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+          sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A3 — global min/max (domain-bounds checks).
+    "q_minmax" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"), max(col("l_extendedprice")).as("max_price"),
+        Tables.epochMs(min(col("l_shipdate"))).as("min_ship_ms"),
+        Tables.epochMs(max(col("l_shipdate"))).as("max_ship_ms"))
+    }),
+
+    // A4 — exact distinct counts (HLL approx variant lives in tests).
+    "q_distinct_count" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
+    // A5 — weighted aggregate (GenerateColumnar.py:182-184 expected taper).
+    "q_weighted_avg" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg((sum(dec(col("l_discount")) * dec(col("l_quantity"))).cast("double") /
+          sum(dec(col("l_quantity"))).cast("double")).as("w_avg_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A6 — histogram / bucketed aggregate (Weibull heterogeneity hook).
+    "q_histogram" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .orderBy("bucket")
+    }),
+
+    // A7 — rollup hierarchy totals (region → nation).
+    "q_rollup" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_cust"), col("sum_bal"))
+        .orderBy("region", "nation")
+    }),
+
+    // A8 — measured-series extraction (MeasurePar.dat point filter +
+    // MLSOut00E.dat series; sorted projection instead of pivot).
+    "q_measure_series" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("user_id").isin(3, 7))
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"), col("value"))
+        .orderBy("user_id", "ts_ms", "event_id")
+    }),
+
+    // W1 — cyclic lead: next vertex with wraparound
+    // (GenerateColumnar.py:318-325 facet winding).
+    "q_lead_next" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is not unique, so the window sort carries
+      // tiebreak columns; remaining ties share l_partkey, which keeps the
+      // lead/first outputs multiset-deterministic.
+      val w = Window.partitionBy("l_orderkey").orderBy(
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_quantity"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          coalesce(lead(col("l_partkey"), 1).over(w),
+            first(col("l_partkey")).over(w)).as("next_part"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "next_part")
+    }),
+
+    // W2 — running accumulation (displacement = ∫v dt; exact via DECIMAL).
+    "q_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          sum(dec(col("value"))).over(w).cast("double").as("run_val"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W3 — lag delta between consecutive snapshots of the same entity.
+    "q_lag_delta" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W4 — top-k per group (bounded greedy selection analogue).
+    "q_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // W5 — global sort + limit (TakeOrderedAndProject; no full sort at scale).
+    "q_sort_limit" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
+    // SO1 — except (layer-2 pool exclusion, GenerateColumnar.py:285-289).
+    "q_except" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    }),
+
+    // SO2 — union all (mirror augmentation, GenerateColumnar.py:80-86).
+    "q_union_all" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"), lit("cust").as("src"))
+        .unionAll(Tables.supplier(s, d)
+          .select(col("s_suppkey").as("id"), col("s_acctbal").as("bal"), lit("supp").as("src")))
+        .orderBy("src", "id")
+    }),
+
+    // SO3 — intersect (shared-node adjacency test).
+    "q_intersect" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    }),
+
+    // F1/F2/P6 — scalar math: clamp + tan(radians) taper
+    // (GenerateColumnar.py:187,199) and L2 norm (BooleanOperation.py:90).
+    "q_scalar_math" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(tan(radians(least(greatest(col("l_quantity"), lit(0.01)), lit(15.0)))), 4)
+          .as("taper"),
+        round(sqrt(col("l_discount") * col("l_discount") + col("l_tax") * col("l_tax")), 4)
+          .as("l2"),
+        round(exp(-col("l_discount")) * log(lit(1) + col("l_quantity")), 4).as("decay"))
+        .orderBy("l_orderkey", "l_linenumber", "taper", "l2", "decay")
+    }),
+
+    // F3 — affine transforms: scale-about-centroid (exact) + rotation
+    // (GenerateColumnar.py:212-218; BooleanOperation.py:199-210).
+    "q_affine" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val avgDf = c.agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+      c.crossJoin(broadcast(avgDf)).select(
+        col("c_custkey"), col("avg_bal"),
+        (col("avg_bal") + (col("c_acctbal") - col("avg_bal")) * 0.5).as("scaled"),
+        round(col("c_acctbal") * cos(lit(0.3)) - col("c_custkey") * sin(lit(0.3)), 4).as("rx"),
+        round(col("c_acctbal") * sin(lit(0.3)) + col("c_custkey") * cos(lit(0.3)), 4).as("ry"))
+        .orderBy("c_custkey")
+    }),
+
+    // F6 — string split/format (%06d-style padding, BooleanOperation.py:51).
+    "q_string_ops" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brandtype"),
+        length(col("p_name")).as("name_len"),
+        size(split(col("p_name"), " ", -1)).as("n_words"),
+        regexp_replace(col("p_type"), " ", "_").as("type_u"))
+        .orderBy("p_partkey")
+    }),
+
+    // F7 — JSON extraction from the events.props payload column.
+    "q_json_extract" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")
+    }),
+
+    // F8 — array ops over the embedding column (ragged vertex-list analogue).
+    "q_array_ops" -> ((s, d) => {
+      import graft.ops.Similarity.l2Norm
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_elem"),
+        round(l2Norm(col("embedding")), 4).as("l2_norm"),
+        round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("head_sum"))
+        .orderBy("vec_id")
+    }),
+
+    // G3 — graph degree over the order→part bipartite edge table
+    // (MLSBond.dat bond-graph analogue).
+    "q_edge_degree" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy(col("l_partkey").as("node_id"))
+        .agg(countDistinct(col("l_orderkey")).as("degree"), count(lit(1)).as("n_edges"))
+        .orderBy("node_id")
+    })
+  )
+
+  /** DuckDB oracle SQL — the driver runs these on views named after the
+    * parquet tables. Column aliases and ORDER BY must match the Spark side
+    * exactly (the compare sorts columns by name before hashing).
+    */
+  val sql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, CAST(epoch_ms(l_shipdate) AS BIGINT) AS ship_ms FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, ship_ms""",
+    "q_count_scan" ->
+      """SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitem, (SELECT COUNT(*) FROM orders) AS n_orders, (SELECT COUNT(*) FROM customer) AS n_customer""",
+    "q_range_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_discount BETWEEN 0.02 AND 0.04 AND epoch_ms(l_shipdate) >= 820454400000 ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""",
+    "q_boundary_detect" ->
+      """SELECT o_custkey, CAST(MAX(CASE WHEN o_totalprice < 5000 OR o_totalprice > 480000 THEN 1 ELSE 0 END) AS INTEGER) AS is_boundary, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_exact_dedup" ->
+      """SELECT CAST(FLOOR(c_acctbal/100) AS BIGINT) AS bal_bucket, MIN(c_custkey) AS keep_id, COUNT(*) AS dup_cnt FROM customer GROUP BY 1 ORDER BY 1""",
+    "q_approx_dedup" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey AND ABS(a.c_acctbal - b.c_acctbal) < 0.05 ORDER BY 1, 2""",
+    "q_doc_dedup" ->
+      """SELECT md5(lower(trim(text))) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_fk_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1""",
+    "q_self_join_pairs" ->
+      """SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey ORDER BY 1, 2""",
+    "q_broadcast_join" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY 1""",
+    "q_semi_join" ->
+      """SELECT p_partkey, p_brand FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey) ORDER BY 1""",
+    "q_group_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price, COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_minmax" ->
+      """SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price, CAST(epoch_ms(MIN(l_shipdate)) AS BIGINT) AS min_ship_ms, CAST(epoch_ms(MAX(l_shipdate)) AS BIGINT) AS max_ship_ms FROM lineitem""",
+    "q_distinct_count" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem""",
+    "q_weighted_avg" ->
+      """SELECT l_returnflag, CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS w_avg_disc FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice/50000) AS BIGINT) AS bucket, COUNT(*) AS cnt, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation, COUNT(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""",
+    "q_measure_series" ->
+      """SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type, value FROM events WHERE user_id IN (3, 7) ORDER BY user_id, ts_ms, event_id""",
+    "q_lead_next" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, COALESCE(LEAD(l_partkey) OVER w, FIRST_VALUE(l_partkey) OVER w) AS next_part FROM lineitem WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity) ORDER BY l_orderkey, l_linenumber, l_partkey, next_part""",
+    "q_running_sum" ->
+      """SELECT user_id, event_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_val FROM events ORDER BY user_id, event_id""",
+    "q_lag_delta" ->
+      """SELECT user_id, event_id, value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta FROM events ORDER BY user_id, event_id""",
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY 1""",
+    "q_union_all" ->
+      """SELECT c_custkey AS id, c_acctbal AS bal, 'cust' AS src FROM customer UNION ALL SELECT s_suppkey AS id, s_acctbal AS bal, 'supp' AS src FROM supplier ORDER BY src, id""",
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier ORDER BY 1""",
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber, ROUND(TAN(RADIANS(LEAST(GREATEST(l_quantity, 0.01), 15.0))), 4) AS taper, ROUND(SQRT(l_discount*l_discount + l_tax*l_tax), 4) AS l2, ROUND(EXP(-l_discount) * LN(1 + l_quantity), 4) AS decay FROM lineitem ORDER BY l_orderkey, l_linenumber, taper, l2, decay""",
+    "q_affine" ->
+      """SELECT c_custkey, a.avg_bal AS avg_bal, a.avg_bal + (c_acctbal - a.avg_bal) * 0.5 AS scaled, ROUND(c_acctbal * COS(0.3) - c_custkey * SIN(0.3), 4) AS rx, ROUND(c_acctbal * SIN(0.3) + c_custkey * COS(0.3), 4) AS ry FROM customer, (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal FROM customer) a ORDER BY c_custkey""",
+    "q_string_ops" ->
+      """SELECT p_partkey, UPPER(p_name) AS uname, LOWER(p_brand) AS lbrand, LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded, SUBSTR(p_type, 1, 5) AS type5, CONCAT(p_brand, '-', p_type) AS brandtype, CAST(LENGTH(p_name) AS INTEGER) AS name_len, CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words, REPLACE(p_type, ' ', '_') AS type_u FROM part ORDER BY p_partkey""",
+    "q_json_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_val FROM events ORDER BY event_id""",
+    "q_array_ops" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_elem, ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm, ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4) AS head_sum FROM embeddings ORDER BY vec_id""",
+    "q_edge_degree" ->
+      """SELECT l_partkey AS node_id, COUNT(DISTINCT l_orderkey) AS degree, COUNT(*) AS n_edges FROM lineitem GROUP BY 1 ORDER BY 1"""
+  )
+}

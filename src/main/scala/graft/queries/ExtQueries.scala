@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Similarity, TextOps, TimeOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extension query catalog — the training-data-pipeline operators (north
+  * star): near-dedup (MinHash/LSH, SimHash, n-gram Jaccard), similarity
+  * search, multimodal joins, text analysis, time-series/streaming batch
+  * twins. Each query has a DuckDB oracle in [[ExtQueries.sql]].
+  */
+object ExtQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // J5 — range join: same-user event pairs within 60 s, cell-binned.
+    "q_range_join" -> ((s, d) => {
+      TimeOps.timeBandPairs(Tables.events(s, d), 60000L).orderBy("id_a", "id_b")
+    }),
+
+    // J6 — as-of curve lookup (load-curve value at time t).
+    "q_asof_curve" -> ((s, d) => {
+      TimeOps.asofCurveLookup(Tables.events(s, d)).orderBy("event_id")
+    }),
+
+    // J7 — multimodal join: text table ⋈ embedding table.
+    "q_multimodal_join" -> ((s, d) => {
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+          size(col("embedding")).as("emb_dim"))
+        .orderBy("doc_id")
+    }),
+
+    // G5 — gap-based sessionization (batch twin; streaming version uses
+    // session_window, see graft.streaming).
+    "q_sessionize" -> ((s, d) => {
+      TimeOps.sessionize(Tables.events(s, d), 1800000L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // G6 — tumbling-window aggregate (batch twin of the streaming agg).
+    "q_tumbling_window" -> ((s, d) => {
+      TimeOps.tumblingAgg(Tables.events(s, d))
+        .orderBy("window_start_ms", "event_type")
+    }),
+
+    // G7 — similarity search: top-10 nearest embeddings to probe vec_id=0.
+    "q_embedding_topk" -> ((s, d) => {
+      Similarity.cosineTopK(Tables.embeddings(s, d), probeId = 0L, k = 10)
+    }),
+
+    // North star — embedding near-dup: top-3 most-similar pairs per label
+    // block (blocked candidate generation; no global cross product).
+    "q_embed_neardup" -> ((s, d) => {
+      Similarity.topPairsPerBlock(Tables.embeddings(s, d), "label", 3)
+        .select(col("block").as("label"), col("id_a"), col("id_b"), col("cos_sim"))
+        .orderBy("label", "id_a", "id_b")
+    }),
+
+    // North star — MinHash + LSH band-bucket near-dup candidates.
+    "q_minhash_lsh" -> ((s, d) => {
+      Dedup.lshCandidatePairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // North star — 32-bit SimHash document fingerprints.
+    "q_simhash" -> ((s, d) => {
+      TextOps.simhash32(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // North star — n-gram Jaccard between consecutive documents
+    // (numerator/denominator emitted as exact ints).
+    "q_ngram_jaccard" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tokens"))
+        .filter(size(col("tokens")) >= 3)
+      val sh = t.select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(tokens) - 2), i -> concat_ws(' ', slice(tokens, i, 3)))"
+      )).as("s"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("s").as("s_b"))
+      sh.join(b, col("doc_b") === col("doc_id") + 1)
+        .select(col("doc_id").as("doc_a"), col("doc_b"),
+          size(array_intersect(col("s"), col("s_b"))).as("n_inter"),
+          (size(col("s")) + size(col("s_b")) -
+            size(array_intersect(col("s"), col("s_b")))).as("n_union"))
+        .orderBy("doc_a")
+    }),
+
+    // North star — language-ID heuristic (integer-threshold stopword ratio).
+    "q_lang_id" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+        TextOps.stopwordCount(col("text")).as("n_stop"),
+        TextOps.tokenCount(col("text")).as("n_tok"),
+        TextOps.langIdHeuristic(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // North star — quality scoring (pure integer arithmetic).
+    "q_quality_score" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tok"),
+        size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).as("n_digit"),
+        size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).as("n_punct"))
+        .withColumn("quality",
+          (least(col("n_tok"), lit(200)) * 5 - col("n_digit") * 4 + col("n_punct") * 2)
+            .cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    // North star — token counting: whitespace + BPE-ish regex segmentation.
+    "q_token_count" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // North star — chunked rolling document fingerprint.
+    "q_doc_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.docFingerprint("text").as("fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val tokSql = """string_split_regex(trim(text), '\s+')"""
+
+  private val simhashSql: String = {
+    val sums = (0 until 32)
+      .map(b => s"SUM((ascii(substr(h, ${b + 1}, 1)) % 2) * 2 - 1) AS s$b")
+      .mkString(", ")
+    val bits = (0 until 32)
+      .map(b => s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"WITH t0 AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents), " +
+      s"t AS (SELECT doc_id, md5(tok) AS h FROM t0), " +
+      s"a AS (SELECT doc_id, $sums FROM t GROUP BY doc_id) " +
+      s"SELECT doc_id, $bits AS simhash FROM a ORDER BY doc_id"
+  }
+
+  val sql: Map[String, String] = Map(
+    "q_range_join" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b FROM events a JOIN events b ON a.user_id = b.user_id AND a.event_id < b.event_id AND ABS(epoch_ms(a.ts) - epoch_ms(b.ts)) < 60000 ORDER BY 1, 2""",
+    "q_asof_curve" ->
+      """SELECT e.event_id, (SELECT CAST(epoch_ms(s.ts) AS BIGINT) FROM events s WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts ORDER BY s.ts DESC LIMIT 1) AS asof_ms, (SELECT s.value FROM events s WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts ORDER BY s.ts DESC LIMIT 1) AS asof_val FROM events e ORDER BY e.event_id""",
+    "q_multimodal_join" ->
+      """SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INTEGER) AS emb_dim FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events), f AS (SELECT user_id, event_id, ms, CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000 THEN 1 ELSE 0 END AS new_s FROM e), g AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM f) SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_tumbling_window" ->
+      """SELECT CAST(FLOOR(epoch_ms(ts)/3600000)*3600000 AS BIGINT) AS window_start_ms, event_type, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_embedding_topk" ->
+      """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q_embed_neardup" ->
+      """WITH pairs AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_sim DESC, id_a, id_b) AS rn FROM pairs) SELECT label, id_a, id_b, cos_sim FROM r WHERE rn <= 3 ORDER BY label, id_a, id_b""",
+    "q_minhash_lsh" ->
+      ("""WITH tok AS (SELECT doc_id, """ + tokSql + """ AS t FROM documents), """ +
+        """sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), """ +
+        """sig AS (SELECT doc_id, MIN(md5('0|' || s)) AS mh0, MIN(md5('1|' || s)) AS mh1, MIN(md5('2|' || s)) AS mh2, MIN(md5('3|' || s)) AS mh3 FROM sh GROUP BY doc_id), """ +
+        """band AS (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM sig) """ +
+        """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b ON a.b = b.b AND a.doc_id < b.doc_id ORDER BY 1, 2"""),
+    "q_simhash" -> simhashSql,
+    "q_ngram_jaccard" ->
+      ("""WITH tok AS (SELECT doc_id, """ + tokSql + """ AS t FROM documents), """ +
+        """sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3) """ +
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS n_inter, CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS INTEGER) AS n_union FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY 1"""),
+    "q_lang_id" ->
+      ("""WITH t AS (SELECT doc_id, """ + tokSql + """ AS tk FROM documents) """ +
+        """SELECT doc_id, CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS INTEGER) AS n_stop, CAST(len(tk) AS INTEGER) AS n_tok, CASE WHEN 10 * len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) >= len(tk) THEN 'en' ELSE 'other' END AS pred_lang FROM t ORDER BY doc_id"""),
+    "q_quality_score" ->
+      ("""WITH t AS (SELECT doc_id, CAST(len(""" + tokSql + """) AS INTEGER) AS n_tok, CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digit, CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct FROM documents) """ +
+        """SELECT doc_id, n_tok, n_digit, n_punct, CAST(LEAST(n_tok, 200) * 5 - n_digit * 4 + n_punct * 2 AS INTEGER) AS quality FROM t ORDER BY doc_id"""),
+    "q_token_count" ->
+      ("""SELECT doc_id, CAST(len(""" + tokSql + """) AS INTEGER) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_ish_tokens FROM documents ORDER BY doc_id"""),
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(CAST(length(text) AS VARCHAR) || '|' || list_aggregate(list_transform(range(1, CAST(greatest((length(text) + 63) // 64, 1) AS INTEGER) + 1), i -> md5(substr(text, (i-1)*64 + 1, 64))), 'string_agg', '')) AS fp FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify output
+against the DuckDB oracle (same duckdb the driver uses) and diff.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+(Expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have run.)
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures, passes = [], []
+    for name in sorted(oracle):
+        qdir = f"{out_dir}/{name}"
+        if not os.path.isdir(qdir):
+            failures.append((name, "NO SPARK OUTPUT")); continue
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            failures.append((name, "EMPTY SPARK OUTPUT DIR")); continue
+        try:
+            got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        except Exception as e:
+            failures.append((name, f"SPARK PARQUET READ: {e}")); continue
+        try:
+            want = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            failures.append((name, f"ORACLE SQL ERROR: {str(e)[:200]}")); continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        if list(got.columns) != list(want.columns):
+            failures.append((name, f"COLS spark={list(got.columns)} oracle={list(want.columns)}")); continue
+        if len(got) != len(want):
+            failures.append((name, f"ROWS spark={len(got)} oracle={len(want)}")); continue
+        # row-order-insensitive compare (driver hashes after sorting)
+        gs = got.sort_values(by=list(got.columns), kind="mergesort").reset_index(drop=True)
+        ws = want.sort_values(by=list(want.columns), kind="mergesort").reset_index(drop=True)
+        diffs = []
+        for c in got.columns:
+            a, b = gs[c], ws[c]
+            try:
+                import pandas as pd
+                neq = ~((a == b) | (a.isna() & b.isna()))
+            except Exception:
+                neq = a.astype(str) != b.astype(str)
+            if neq.any():
+                i = neq.idxmax()
+                diffs.append(f"col {c}: {int(neq.sum())} rows differ, first at {i}: spark={a[i]!r} oracle={b[i]!r}")
+        if diffs:
+            failures.append((name, "; ".join(diffs)[:400]))
+        else:
+            passes.append((name, len(got)))
+    for n, r in passes:
+        print(f"PASS {n} ({r} rows)")
+    for n, msg in failures:
+        print(f"FAIL {n}: {msg}")
+    print(f"\n{len(passes)} passed, {len(failures)} failed")
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
