@@ -1,0 +1,205 @@
+package graft.formats
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Readers/writers for the reference's self-describing positional text deck
+  * formats (SURVEY §2.1 S1-S3, S5-S7).
+  *
+  * Design split (100 TB discipline):
+  *  - data-sized tables (particles, bonds, facets, series) parse
+  *    DISTRIBUTED via `spark.read.text` — whitespace split + casts, all
+  *    codegen'd; invalid rows are dropped, mirroring the reference's
+  *    skip-with-warning policy (`BooleanOperation.py:60-61`);
+  *  - config-sized files (materials, load curves, manifest, masks) parse
+  *    driver-side — they are broadcast-dimension sized by construction
+  *    (`MLSMat00.dat` has 1 row).
+  */
+object DeckCodec {
+
+  /** Split a line-frame's `value` into typed columns per `schema`.
+    * `try_cast` (not `cast`) keeps the reference's skip-invalid-row policy
+    * under ANSI mode: malformed fields become null and the row drops.
+    */
+  private def parseCols(lines: DataFrame, schema: StructType): DataFrame = {
+    val parts = split(trim(col("value")), "\\s+")
+    val typed = schema.fields.zipWithIndex.map { case (f, i) =>
+      try_element_at(parts, lit(i + 1)).try_cast(f.dataType).as(f.name)
+    }
+    lines
+      .filter(size(parts) >= schema.fields.length)
+      .select(typed.toIndexedSeq: _*)
+      .na.drop() // malformed numeric fields cast to null -> dropped
+  }
+
+  /** S1 — plain space-delimited coordinate rows (2- or 3-col tolerated,
+    * invalid skipped — `BooleanOperation.py:43-66`).
+    */
+  def readPoints(spark: SparkSession, path: String): DataFrame = {
+    val parts = split(trim(col("value")), "\\s+")
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0 && size(parts).between(2, 3))
+      .select(
+        element_at(parts, 1).try_cast(DoubleType).as("x"),
+        element_at(parts, 2).try_cast(DoubleType).as("y"),
+        when(size(parts) >= 3, try_element_at(parts, lit(3)).try_cast(DoubleType))
+          .otherwise(lit(0.0)).as("z"))
+      .na.drop()
+  }
+
+  /** S2 — count-prefixed particle table (`BALL3D_PSLICE.dat`). The count
+    * header is dropped by arity (27-col rows only) and cross-checked by
+    * [[checkCount]] — a cheap "Make Consistency" pass like the engine's
+    * (`DLSM Log.txt`).
+    */
+  def readParticles(spark: SparkSession, path: String): DataFrame =
+    parseCols(spark.read.text(path), Schemas.particle)
+
+  /** Declared count from a count-prefixed deck's first line (driver-side
+    * one-line read).
+    */
+  def declaredCount(path: String): Long =
+    Files.lines(Paths.get(path)).iterator().asScala
+      .find(_.trim.nonEmpty).map(_.trim.split("\\s+")(0).toLong).getOrElse(0L)
+
+  /** Engine-style consistency check: declared header count == parsed rows. */
+  def checkCount(df: DataFrame, path: String): Boolean =
+    df.count() == declaredCount(path)
+
+  /** D6 — bond edge list (`MLSBond.dat`): header flag line, then
+    * `src dst group`.
+    */
+  def readBonds(spark: SparkSession, path: String): DataFrame =
+    parseCols(spark.read.text(path), Schemas.bond)
+
+  /** S3 — sectioned joint-facet file (`MLSJDat.dat`): line 0 = set count,
+    * line 1 = N, N 9-float triangle rows, then N+1 per-facet scalars.
+    * Needs global line numbers → `zipWithIndex` over the text RDD (stable:
+    * file splits are ordered). Returns (triangles, scalars).
+    */
+  def readJointFacets(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val indexed = spark.sparkContext.textFile(path).zipWithIndex()
+      .map { case (l, i) => (i, l.trim) }
+      .filter(_._2.nonEmpty)
+    val header = indexed.filter(_._1 <= 1).collect().sortBy(_._1).map(_._2)
+    val n = header(1).split("\\s+")(0).toLong
+    val tris = indexed.filter { case (i, _) => i >= 2 && i < 2 + n }
+      .map { case (i, l) =>
+        val a = l.split("\\s+").map(_.toDouble)
+        Row.fromSeq((i - 2) +: a.take(9).toIndexedSeq)
+      }
+    val scalars = indexed.filter { case (i, _) => i >= 2 + n }
+      .map { case (i, l) => Row(i - 2 - n, l.split("\\s+")(0).toDouble) }
+    val triDf = spark.createDataFrame(tris, Schemas.jointFacet)
+    val scalDf = spark.createDataFrame(scalars, StructType(Seq(
+      StructField("scalar_idx", LongType, nullable = false),
+      StructField("aperture", DoubleType, nullable = false))))
+    (triDf, scalDf)
+  }
+
+  /** D8 — material dimension table (tiny; driver-side parse, meant to be
+    * `broadcast()`-joined). Handles both `MLSMat00.dat` (count-line header)
+    * and `MLSJMat.dat` (bare rows): header lines drop out by field count.
+    */
+  def readMaterials(spark: SparkSession, path: String): DataFrame = {
+    val lines = Files.readAllLines(Paths.get(path)).asScala
+      .map(_.trim).filter(l => l.nonEmpty && l.split("\\s+").length >= 8)
+    val rows = lines.map { l =>
+      val a = l.split("\\s+")
+      Row.fromSeq(a(0).toInt +: a.drop(1).take(8).map(_.toDouble).toIndexedSeq)
+    }
+    val n = rows.headOption.map(_.length).getOrElse(9)
+    val schema = StructType(Schemas.material.fields.take(n))
+    spark.createDataFrame(rows.toList.asJava, schema)
+  }
+
+  /** D9 — boundary condition: box range, (type, dir), piecewise-linear
+    * load curve (`MLSLD00.dat`; semantics from `SysFile.ini:73-165`:
+    * type 1=velocity, 2=force; dir 0/1/2 = X/Y/Z).
+    */
+  final case class BoundaryCondition(
+      id: Int,
+      x1: Double, x2: Double, y1: Double, y2: Double, z1: Double, z2: Double,
+      bcType: Int, dir: Int,
+      curve: Seq[(Double, Double)])
+
+  /** Parse `MLSLD00.dat` (driver-side; config-sized). Layout per BC:
+    * 3 range lines (X1 X2 / Y1 Y2 / Z1 Z2), one `type dir` line, the curve
+    * point count, then that many time lines and that many value lines.
+    */
+  def readBoundaryConditions(path: String): Seq[BoundaryCondition] = {
+    val lines = Files.readAllLines(Paths.get(path)).asScala
+      .map(_.trim).filter(_.nonEmpty).toIndexedSeq
+    val nBc = lines(0).split("\\s+")(0).toInt
+    var pos = 1
+    (0 until nBc).map { id =>
+      def nums(i: Int) = lines(i).split("\\s+").map(_.toDouble)
+      val Array(x1, x2) = nums(pos).take(2)
+      val Array(y1, y2) = nums(pos + 1).take(2)
+      val Array(z1, z2) = nums(pos + 2).take(2)
+      val td = lines(pos + 3).split("\\s+")
+      val np = lines(pos + 4).split("\\s+")(0).toInt
+      val ts = (0 until np).map(i => nums(pos + 5 + i)(0))
+      val vs = (0 until np).map(i => nums(pos + 5 + np + i)(0))
+      pos += 5 + 2 * np
+      BoundaryCondition(id, x1, x2, y1, y2, z1, z2, td(0).toInt, td(1).toInt,
+        ts.zip(vs))
+    }
+  }
+
+  /** Load-curve points of all BCs as a DataFrame (for as-of/interpolation
+    * joins, SURVEY J6).
+    */
+  def curveDf(spark: SparkSession, bcs: Seq[BoundaryCondition]): DataFrame = {
+    val rows = for (bc <- bcs; (t, v) <- bc.curve) yield Row(bc.id, t, v)
+    spark.createDataFrame(rows.toList.asJava, Schemas.curvePoint)
+  }
+
+  /** D12 — measured series (`MLSOut00E.dat`): distributed text parse. */
+  def readMeasuredSeries(spark: SparkSession, path: String): DataFrame =
+    parseCols(spark.read.text(path), Schemas.measuredSeries)
+
+  /** D14 — 6-line job manifest (`mls.c` — a manifest despite the name;
+    * the engine reads the literal filename, SURVEY D14).
+    */
+  final case class Manifest(settings: String, geometry: String, material: String,
+      boundary: String, outputPrefix: String, restart: Int)
+
+  def readManifest(path: String): Manifest = {
+    val l = Files.readAllLines(Paths.get(path)).asScala.map(_.trim).toIndexedSeq
+    Manifest(l(0), l(1), l(2), l(3), l(4), l(5).split("\\s+")(0).toInt)
+  }
+
+  /** D16 — projection mask (`PosItem.ini`): 28 0/1 flags selecting output
+    * items — the reference's projection pushdown. [[maskToColumns]] turns it
+    * into a `select()` list.
+    */
+  def readPosItemMask(path: String): Seq[Int] =
+    Files.readAllLines(Paths.get(path)).asScala.mkString(" ")
+      .trim.split("\\s+").map(_.toInt).toIndexedSeq
+
+  def maskToColumns(mask: Seq[Int], allItems: Seq[String]): Seq[String] =
+    mask.zip(allItems).collect { case (1, name) => name }
+
+  /** S6 — facet quad sink: 12 fixed-8dp floats per line, CRLF, single
+    * deterministic partition (`GenerateColumnar.py:308-332`).
+    */
+  def writeFacetQuads(df: DataFrame, cols: Seq[String], path: String): Unit = {
+    val fmt = cols.map(_ => "%.8f").mkString(" ") + "\r"
+    df.select(format_string(fmt, cols.map(col): _*).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+  }
+
+  /** S7 — vertex sink: one space-joined line per row
+    * (`BooleanOperation.py:159-172`).
+    */
+  def writeVertexLines(df: DataFrame, cols: Seq[String], path: String): Unit =
+    df.select(concat_ws(" ", cols.map(c => col(c).cast("string")): _*).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+}

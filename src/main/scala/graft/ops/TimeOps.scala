@@ -76,6 +76,42 @@ object TimeOps {
         sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** J6 full piecewise-linear load-curve interpolation (the reference's
+    * value-at-time-t between surrounding curve points,
+    * `BiaxialCompressionTest/MLSLD00.dat:33-39` 3-point force ramp).
+    * Probes and curve points union into one frame; two window passes find
+    * the bracketing knots; outside the envelope the end value holds.
+    * One shuffle on the curve key — no per-probe curve scan.
+    *
+    * @param curve  (key, t, v) knot table
+    * @param probes (key, t) lookup times
+    * @return (key, t, value)
+    */
+  def interpolateCurve(curve: DataFrame, probes: DataFrame,
+                       keyCol: String = "bc_id"): DataFrame = {
+    val c = curve.select(col(keyCol).as("k"), col("t"), lit(0).as("is_probe"),
+      col("t").as("kt"), col("v").as("kv"))
+    val p = probes.select(col(keyCol).as("k"), col("t"), lit(1).as("is_probe"),
+      lit(null).cast("double").as("kt"), lit(null).cast("double").as("kv"))
+    val wPrev = Window.partitionBy("k").orderBy(col("t"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("k").orderBy(col("t"), col("is_probe"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    c.unionByName(p)
+      .withColumn("t0", last(col("kt"), ignoreNulls = true).over(wPrev))
+      .withColumn("v0", last(col("kv"), ignoreNulls = true).over(wPrev))
+      .withColumn("t1", first(col("kt"), ignoreNulls = true).over(wNext))
+      .withColumn("v1", first(col("kv"), ignoreNulls = true).over(wNext))
+      .filter(col("is_probe") === 1)
+      .select(col("k").as(keyCol), col("t"),
+        when(col("t0").isNull, col("v1"))
+          .when(col("t1").isNull, col("v0"))
+          .when(col("t1") === col("t0"), col("v0"))
+          .otherwise(col("v0") +
+            (col("v1") - col("v0")) * (col("t") - col("t0")) / (col("t1") - col("t0")))
+          .as("value"))
+  }
+
   /** G6 tumbling-window aggregate (batch twin of the Structured Streaming
     * windowed agg): fixed 1-hour UTC windows via the built-in `window()`
     * expression; value sums go through DECIMAL(18,2) so they are exact and

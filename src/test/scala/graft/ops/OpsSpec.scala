@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Operator-level specs (SURVEY §5.2.3): binned joins vs naive oracles,
+  * dedup idempotence, deterministic hashing, session/as-of invariants.
+  */
+class OpsSpec extends SparkTestBase {
+
+  test("bandPairs == naive O(n²) pairs on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val df = (0 until 400).map(i => (i.toLong, rnd.nextDouble() * 50)).toDF("id", "v")
+    val eps = 0.7
+    val binned = Dedup.bandPairs(df, "id", "v", eps)
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = df.select($"id".as("id_a"), $"v".as("v_a"))
+    val b = df.select($"id".as("id_b"), $"v".as("v_b"))
+    val naive = a.crossJoin(b)
+      .filter($"id_a" < $"id_b" && abs($"v_a" - $"v_b") < eps)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(binned.toSeq === naive.toSeq)
+    assert(naive.nonEmpty) // the fixture actually exercises the band
+  }
+
+  test("exactDedupByKey is idempotent and keeps the min id") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0), (2L, 10.0), (3L, 20.0), (4L, 10.0)).toDF("id", "v")
+    val d1 = Dedup.exactDedupByKey(df, col("v"), col("id"))
+    assert(d1.count() === 2)
+    assert(d1.filter(col("dedup_key") === 10.0).head().getLong(1) === 1L)
+    val d2 = Dedup.exactDedupByKey(
+      d1.select(col("keep_id").as("id"), col("dedup_key").as("v")), col("v"), col("id"))
+    assert(d2.count() === 2) // dedup of deduped output changes nothing
+  }
+
+  test("minhash signatures are deterministic; identical docs collide on every band") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (3L, "a completely different sentence about spark engines here"))
+      .toDF("doc_id", "text")
+    val sig1 = Dedup.minhashSignatures(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val sig2 = Dedup.minhashSignatures(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(sig1.map(_.toSeq).toSeq === sig2.map(_.toSeq).toSeq) // deterministic
+    assert(sig1(0).toSeq.drop(1) === sig1(1).toSeq.drop(1))     // dups share sig
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("simhash: 32-bit strings, equal for dups, different for different docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark catalyst optimizer shuffles partitions"),
+      (2L, "spark catalyst optimizer shuffles partitions"),
+      (3L, "voronoi grain boundary ice mechanics simulation"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.simhash32(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(fp.forall(s => s.length === 32 && s.forall(c => c == '0' || c == '1')))
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+
+  test("timeBandPairs == naive band join at sf0.001") {
+    val e = Tables.events(spark, Sf0001)
+    val binned = TimeOps.timeBandPairs(e, 60000L)
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = e.select(col("user_id"), col("event_id").as("id_a"), col("ts_ms").as("ms_a"))
+    val b = e.select(col("user_id").as("u_b"), col("event_id").as("id_b"), col("ts_ms").as("ms_b"))
+    val naive = a.join(b, col("user_id") === col("u_b") && col("id_a") < col("id_b") &&
+        abs(col("ms_a") - col("ms_b")) < 60000)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(binned.toSeq === naive.toSeq)
+  }
+
+  test("sessionize: session count = 1 + number of over-gap jumps per user") {
+    val e = Tables.events(spark, Sf0001)
+    val sess = TimeOps.sessionize(e, 1800000L)
+    val perUser = sess.groupBy("user_id")
+      .agg(max(col("session_idx")).as("max_idx"),
+        sum(when(col("new_s") === 1, 1).otherwise(0)).as("n_jumps"))
+    assert(perUser.filter(col("max_idx") =!= col("n_jumps")).count() === 0)
+    // session indices are contiguous 0..max per user
+    val distinctCnt = sess.groupBy("user_id")
+      .agg(countDistinct("session_idx").as("n"), max("session_idx").as("m"))
+    assert(distinctCnt.filter(col("n") =!= col("m") + 1).count() === 0)
+  }
+
+  test("asofCurveLookup: null before first signup, exact at signup rows") {
+    val e = Tables.events(spark, Sf0001)
+    val asof = TimeOps.asofCurveLookup(e)
+    val joined = e.select(col("event_id"), col("user_id"), col("ts_ms"), col("event_type"))
+      .join(asof, "event_id")
+    // a signup event's as-of is itself
+    val selfRows = joined.filter(col("event_type") === "signup")
+    assert(selfRows.filter(col("asof_ms") =!= col("ts_ms")).count() === 0)
+    // as-of never points to the future
+    assert(joined.filter(col("asof_ms") > col("ts_ms")).count() === 0)
+    assert(joined.count() === e.count())
+  }
+
+  test("cosineTopK: k rows, probe excluded, scores in [-1, 1], descending") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val top = Similarity.cosineTopK(emb, 0L, 10).collect()
+    assert(top.length === 10)
+    assert(top.forall(_.getLong(0) != 0L))
+    val scores = top.map(_.getDouble(1))
+    assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("lang-id and quality: deterministic integer outputs on fixture docs") {
+    val docs = Tables.documents(spark, Sf0001)
+    val out = docs.select(col("doc_id"),
+      TextOps.stopwordCount(col("text")).as("n_stop"),
+      TextOps.tokenCount(col("text")).as("n_tok"),
+      TextOps.qualityScore(col("text")).as("q"))
+    assert(out.filter(col("n_stop") > col("n_tok")).count() === 0)
+    assert(out.filter(col("n_tok") <= 0).count() === 0)
+    val fp = docs.select(col("doc_id"), TextOps.docFingerprint("text").as("fp"))
+    // all fixture texts are distinct -> all fingerprints distinct
+    assert(fp.select(countDistinct("fp")).head().getLong(0) === docs.count())
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming twins vs batch twins (SURVEY G5/G6): feed the sf0.001 events
+  * through a MemoryStream and compare the windowed aggregates with the
+  * batch operators the oracle already verified.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def streamEvents() = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("ts_ms"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .collect()
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    mem.addData(rows.toIndexedSeq)
+    val df = mem.toDF().toDF("event_id", "ts_ms", "user_id", "event_type", "value")
+      .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
+    (mem, df)
+  }
+
+  test("streaming tumbling agg == batch tumbling agg (complete mode)") {
+    val (_, stream) = streamEvents()
+    val agg = StreamOps.tumblingAgg(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out")
+        .orderBy("window_start_ms", "event_type").collect()
+      val want = graft.ops.TimeOps.tumblingAgg(Tables.events(spark, Sf0001))
+        .orderBy("window_start_ms", "event_type").collect()
+      assert(got.length === want.length)
+      assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming session_window: per-user session counts match batch totals") {
+    val (_, stream) = streamEvents()
+    val agg = StreamOps.sessionAgg(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("session_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("session_out")
+      val batch = graft.ops.TimeOps.sessionize(Tables.events(spark, Sf0001), 1800000L)
+      // same number of sessions and events per user
+      val gotPerUser = got.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+        .orderBy("user_id").collect()
+      val batchPerUser = batch.groupBy("user_id")
+        .agg((max("session_idx") + 1).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id").collect()
+      assert(gotPerUser.map(_.toSeq).toSeq === batchPerUser.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+}
