@@ -12,36 +12,28 @@ object Dev {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.formats._
-    val base = "/root/reference/UniaxialCompressionTest"
-    val brazil = "/root/reference/BrazilSplitTest"
+    import graft.pipeline._
 
-    val particles = DeckCodec.readParticles(spark, s"$brazil/BALL3D_PSLICE.dat")
-    println(s"particles: ${particles.count()} declared=${DeckCodec.declaredCount(s"$brazil/BALL3D_PSLICE.dat")} check=${DeckCodec.checkCount(particles, s"$brazil/BALL3D_PSLICE.dat")}")
-    particles.agg(min("x"), max("x"), min("z"), max("z"), countDistinct("material_id")).show()
+    // reference-default scale: 150 grains, 200x200 domain
+    // (GenerateColumnar.py:401-406), 10 Lloyd iterations for the demo
+    val cfg = VoronoiMesh.MeshConfig(
+      width = 200, height = 200, nGrains = 150, relaxIterations = 10,
+      sampleN = 40000, seed = 42L, extrusion = 25.0)
+    val res = IcePipeline.generate(spark, cfg)
+    println(s"layer1=${res.selected.length} ids=${res.selected.take(8)}...")
+    println(s"layer2=${res.layer2.length} ids=${res.layer2.take(8)}...")
+    println(s"nodes=${res.nodes.count()} elementRows=${res.elements.count()} facets=${res.facets.count()}")
 
-    val bonds = DeckCodec.readBonds(spark, s"$base/MLSBond.dat")
-    println(s"bonds: ${bonds.count()}")
-    bonds.groupBy("group").count().orderBy("group").show()
+    val out = "/tmp/ice_facets"
+    IcePipeline.exportFacets(res.facets, out)
+    val raw = spark.read.text(out)
+    println(s"exported lines=${raw.count()}")
+    raw.show(2, truncate = false)
 
-    val (tris, scal) = DeckCodec.readJointFacets(spark, s"$base/MLSJDat.dat")
-    println(s"joint tris: ${tris.count()} scalars: ${scal.count()}")
-
-    val mats = DeckCodec.readMaterials(spark, s"$base/MLSMat00.dat")
-    println("materials:"); mats.show()
-
-    val bcs = DeckCodec.readBoundaryConditions(s"$base/MLSLD00.dat")
-    println(s"BCs: ${bcs.mkString("; ")}")
-
-    val manifest = DeckCodec.readManifest(s"$base/mls.c")
-    println(s"manifest: $manifest")
-
-    // full snapshot sweep: all 70 Uniaxial .bin files -> long table
-    val snaps = SoABin.read(spark, s"$base/Output/MLSOut*.bin")
-    println(s"snapshot rows: ${snaps.count()} steps: ${snaps.select(countDistinct("step")).head().getLong(0)}")
-    // physics invariant: top-platen displacement uz = -20 * t = -20 * step * 1e-7
-    val e = DeckCodec.readMeasuredSeries(spark, s"$base/Output/MLSOut00E.dat")
-    println(s"measured series rows: ${e.count()}")
+    val cutRes = IcePipeline.cut(spark, out,
+      SpecimenCut.CylinderZ(100, 100, 0, 25, 60), planeLo = 2.0, planeHi = 23.0)
+    println(s"after cut=${cutRes.count()} (from ${res.facets.count()})")
+    cutRes.agg(min("z1"), max("z3"), min("x1"), max("x1")).show()
     spark.stop()
   }
 }
