@@ -126,6 +126,16 @@ object ExtQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), TextOps.docFingerprint("text").as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // F9 — combined text statistics (token/char/regex counts).
+    "q_text_analysis" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_alpha_runs"),
+        length(regexp_replace(col("text"), " ", "")).as("n_nonspace"))
+        .orderBy("doc_id")
     })
   )
 
@@ -179,6 +189,8 @@ object ExtQueries {
     "q_token_count" ->
       ("""SELECT doc_id, CAST(len(""" + tokSql + """) AS INTEGER) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_ish_tokens FROM documents ORDER BY doc_id"""),
     "q_doc_fingerprint" ->
-      """SELECT doc_id, md5(CAST(length(text) AS VARCHAR) || '|' || list_aggregate(list_transform(range(1, CAST(greatest((length(text) + 63) // 64, 1) AS INTEGER) + 1), i -> md5(substr(text, (i-1)*64 + 1, 64))), 'string_agg', '')) AS fp FROM documents ORDER BY doc_id"""
+      """SELECT doc_id, md5(CAST(length(text) AS VARCHAR) || '|' || list_aggregate(list_transform(range(1, CAST(greatest((length(text) + 63) // 64, 1) AS INTEGER) + 1), i -> md5(substr(text, (i-1)*64 + 1, 64))), 'string_agg', '')) AS fp FROM documents ORDER BY doc_id""",
+    "q_text_analysis" ->
+      ("""SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS n_chars_m, CAST(len(""" + tokSql + """) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha_runs, CAST(LENGTH(REPLACE(text, ' ', '')) AS INTEGER) AS n_nonspace FROM documents ORDER BY doc_id""")
   )
 }
