@@ -62,17 +62,19 @@ object Dedup {
           s"transform(sequence(1, size(tokens) - ${n - 1}), i -> concat_ws(' ', slice(tokens, i, $n)))"
         )).as("shingle"))
 
-  /** MinHash signatures over word shingles: k independent hash functions
-    * realized as md5 with a per-function seed prefix; the signature component
-    * is the lexicographic min of the hex digest over the doc's shingle set.
-    * All k mins are computed in ONE aggregation pass over the exploded
-    * shingle table (k min-partials per group, map-side combined).
+  /** MinHash signatures over word shingles: ONE md5 per shingle, split into
+    * four 8-hex-char (32-bit) chunks that act as the independent hash
+    * functions; each signature component is the lexicographic min of its
+    * chunk over the doc's shingle set. All 4 mins are computed in ONE
+    * aggregation pass over the exploded shingle table (map-side combined)
+    * — hashing is the hot path at corpus scale, so 1 digest beats 4.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 4): DataFrame = {
     val sh = wordShingles(docs, idCol, textCol, shingleN)
+      .withColumn("h", md5(col("shingle")))
     val aggs = (0 until numHashes).map(s =>
-      min(md5(concat(lit(s"$s|"), col("shingle")))).as(s"mh$s"))
+      min(substring(col("h"), s * 8 + 1, 8)).as(s"mh$s"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -38,12 +38,13 @@ object Similarity {
     * unit-normalized (L2 == 1.0, verified), so dot == cosine.
     */
   def cosineTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
+    graft.functions.DotProductF.register(emb.sparkSession)
     val probe = emb.filter(col("vec_id") === probeId)
       .select(col("embedding").as("probe_emb"))
     emb.filter(col("vec_id") =!= probeId)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"),
-        round(dotD(col("embedding"), col("probe_emb")), 4).as("cos_sim"))
+        round(expr("graft_dot_f(embedding, probe_emb)"), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -54,6 +55,7 @@ object Similarity {
     * block, which the blocking key keeps bounded.
     */
   def topPairsPerBlock(emb: DataFrame, blockCol: String, k: Int): DataFrame = {
+    graft.functions.DotProductF.register(emb.sparkSession)
     val a = emb.select(col(blockCol).as("block"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = emb.select(col(blockCol).as("block"), col("vec_id").as("id_b"),
@@ -61,7 +63,7 @@ object Similarity {
     val pairs = a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("block"), col("id_a"), col("id_b"),
-        round(dotD(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+        round(expr("graft_dot_f(emb_a, emb_b)"), 4).as("cos_sim"))
     val w = Window.partitionBy(col("block"))
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
     pairs.withColumn("rn", row_number().over(w))

@@ -51,7 +51,9 @@ object CoreQueries {
       Tables.lineitem(s, d)
         .filter(col("l_quantity").between(10, 20) &&
           col("l_discount").between(0.02, 0.04) &&
-          Tables.epochMs(col("l_shipdate")) >= lit(820454400000L)) // 1996-01-01 UTC
+          // direct NTZ comparison (not epochMs) so the predicate pushes
+          // down to the parquet scan; equals epoch_ms(ts) >= 820454400000
+          col("l_shipdate") >= to_timestamp_ntz(lit("1996-01-01")))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
     }),

@@ -172,7 +172,7 @@ object ExtQueries {
     "q_minhash_lsh" ->
       ("""WITH tok AS (SELECT doc_id, """ + tokSql + """ AS t FROM documents), """ +
         """sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), """ +
-        """sig AS (SELECT doc_id, MIN(md5('0|' || s)) AS mh0, MIN(md5('1|' || s)) AS mh1, MIN(md5('2|' || s)) AS mh2, MIN(md5('3|' || s)) AS mh3 FROM sh GROUP BY doc_id), """ +
+        """sig AS (SELECT doc_id, MIN(substr(md5(s), 1, 8)) AS mh0, MIN(substr(md5(s), 9, 8)) AS mh1, MIN(substr(md5(s), 17, 8)) AS mh2, MIN(substr(md5(s), 25, 8)) AS mh3 FROM sh GROUP BY doc_id), """ +
         """band AS (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM sig) """ +
         """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b ON a.b = b.b AND a.doc_id < b.doc_id ORDER BY 1, 2"""),
     "q_simhash" -> simhashSql,
