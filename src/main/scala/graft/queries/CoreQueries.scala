@@ -104,7 +104,10 @@ object CoreQueries {
     // J2 — self adjacency join: distinct part pairs co-occurring in an order
     // (GenerateColumnar.py:279-283 elements-sharing-a-node).
     "q_self_join_pairs" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      // distinct BEFORE the self-join: shrinks both join inputs and the
+      // pair blow-up (same final set — output pairs are distinct anyway)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
       val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
       a.join(b, Seq("l_orderkey"))
