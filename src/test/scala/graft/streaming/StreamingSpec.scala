@@ -40,6 +40,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source streaming (readStream.parquet) == batch tumbling agg") {
+    // the production shape: a directory of event parquet files consumed as
+    // a stream (the reference's every-250-steps snapshot cadence)
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString + "/events"
+    val batch = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("ts_ms"), col("user_id"), col("event_type"), col("value"), col("ts_utc"))
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .parquet(dir)
+    val q = StreamOps.tumblingAgg(stream).writeStream
+      .outputMode("complete").format("memory").queryName("file_tumbling").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_tumbling")
+        .orderBy("window_start_ms", "event_type").collect()
+      val want = graft.ops.TimeOps.tumblingAgg(Tables.events(spark, Sf0001))
+        .orderBy("window_start_ms", "event_type").collect()
+      assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("streaming session_window: per-user session counts match batch totals") {
     val (_, stream) = streamEvents()
     val agg = StreamOps.sessionAgg(stream)
