@@ -53,6 +53,15 @@ object ExtQueries {
       Similarity.cosineTopK(Tables.embeddings(s, d), probeId = 0L, k = 10)
     }),
 
+    // G7 scale path — IVF ANN with full probing (nprobe=nlist), which is
+    // provably exact, so it shares the brute-force oracle; partial probing
+    // (the actual ANN trade) is covered by IvfIndexSpec.
+    "q_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.ops.IvfIndex.build(emb, nlist = 16, iters = 2)
+      graft.ops.IvfIndex.searchTopK(model, probeId = 0L, k = 10, nprobe = 16)
+    }),
+
     // North star — embedding near-dup: top-3 most-similar pairs per label
     // block (blocked candidate generation; no global cross product).
     "q_embed_neardup" -> ((s, d) => {
@@ -166,6 +175,8 @@ object ExtQueries {
     "q_tumbling_window" ->
       """SELECT CAST(FLOOR(epoch_ms(ts)/3600000)*3600000 AS BIGINT) AS window_start_ms, event_type, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_embedding_topk" ->
+      """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q_ivf_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_embed_neardup" ->
       """WITH pairs AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_sim DESC, id_a, id_b) AS rn FROM pairs) SELECT label, id_a, id_b, cos_sim FROM r WHERE rn <= 3 ORDER BY label, id_a, id_b""",

@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkTestBase {
+
+  private lazy val emb = Tables.embeddings(spark, Sf0001).cache()
+  private lazy val model = IvfIndex.build(emb, nlist = 16, iters = 2)
+
+  test("build: every vector assigned to exactly one of nlist cells") {
+    assert(model.centroids.count() === 16)
+    assert(model.assignments.count() === emb.count())
+    assert(model.assignments.select(countDistinct("vec_id")).head().getLong(0) === emb.count())
+    val cells = model.assignments.select("cell").distinct().count()
+    assert(cells > 1 && cells <= 16)
+    // centroids keep the embedding dimension
+    assert(model.centroids.select(size(col("centroid"))).distinct().head().getInt(0) === 64)
+  }
+
+  test("nprobe = nlist reproduces brute force exactly (IVF-Flat exactness)") {
+    val brute = Similarity.cosineTopK(emb, 0L, 10).collect().map(_.toSeq)
+    val ivfAll = IvfIndex.searchTopK(model, 0L, 10, nprobe = 16).collect().map(_.toSeq)
+    assert(ivfAll.toSeq === brute.toSeq)
+  }
+
+  test("nprobe < nlist: valid ordered top-k with reasonable recall") {
+    val brute = Similarity.cosineTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val got = IvfIndex.searchTopK(model, 0L, 10, nprobe = 8).collect()
+    assert(got.length === 10)
+    val scores = got.map(_.getDouble(1))
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val recall = got.map(_.getLong(0)).count(brute.contains) / 10.0
+    assert(recall >= 0.3, s"recall@10 was $recall") // random vectors: weak cells
+  }
+
+  test("build is deterministic under the seed") {
+    val m2 = IvfIndex.build(emb, nlist = 16, iters = 2)
+    val a1 = model.assignments.select("vec_id", "cell").orderBy("vec_id")
+      .collect().map(_.toSeq)
+    val a2 = m2.assignments.select("vec_id", "cell").orderBy("vec_id")
+      .collect().map(_.toSeq)
+    assert(a1.toSeq === a2.toSeq)
+  }
+}
