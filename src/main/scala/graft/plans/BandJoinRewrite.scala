@@ -106,5 +106,6 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BandJoinRewrite)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

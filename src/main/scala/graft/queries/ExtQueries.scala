@@ -19,9 +19,19 @@ object ExtQueries {
       TimeOps.timeBandPairs(Tables.events(s, d), 60000L).orderBy("id_a", "id_b")
     }),
 
-    // J6 — as-of curve lookup (load-curve value at time t).
+    // J6 — as-of curve lookup (load-curve value at time t), served by the
+    // custom AsOfJoinExec physical operator (sort-merge, one held row per
+    // partition — graft.plans.AsOfJoinPlan); proven row-identical to the
+    // window formulation in AsOfJoinSpec.
     "q_asof_curve" -> ((s, d) => {
-      TimeOps.asofCurveLookup(Tables.events(s, d)).orderBy("event_id")
+      val e = Tables.events(s, d)
+      val probes = e.select(col("event_id"), col("user_id"), col("ts"))
+      val curve = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("ts_ms").as("c_ms"), col("value").as("c_val"))
+      graft.plans.AsOfJoinOps.asof(probes, curve, "user_id", "c_user", "ts", "c_ts")
+        .select(col("event_id"), col("c_ms").as("asof_ms"), col("c_val").as("asof_val"))
+        .orderBy("event_id")
     }),
 
     // J7 — multimodal join: text table ⋈ embedding table.
