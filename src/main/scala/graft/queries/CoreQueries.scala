@@ -204,6 +204,30 @@ object CoreQueries {
         .orderBy("region", "nation")
     }),
 
+    // A6+ — exact percentiles (distributional view of values; pairs with
+    // q_histogram for the Weibull-hook row).
+    "q_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A7+ — full cube over the region/nation hierarchy.
+    "q_cube" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          col("n_cust"), col("sum_bal"))
+        .orderBy("region", "segment")
+    }),
+
     // A8 — measured-series extraction (MeasurePar.dat point filter +
     // MLSOut00E.dat series; sorted projection instead of pivot).
     "q_measure_series" -> ((s, d) => {
@@ -403,6 +427,10 @@ object CoreQueries {
       """SELECT CAST(FLOOR(o_totalprice/50000) AS BIGINT) AS bucket, COUNT(*) AS cnt, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders GROUP BY 1 ORDER BY 1""",
     "q_rollup" ->
       """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation, COUNT(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""",
+    "q_percentile" ->
+      """SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90, ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_cube" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(c_mktsegment, 'ALL') AS segment, COUNT(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY CUBE(r_name, c_mktsegment) ORDER BY 1, 2""",
     "q_measure_series" ->
       """SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type, value FROM events WHERE user_id IN (3, 7) ORDER BY user_id, ts_ms, event_id""",
     "q_lead_next" ->
