@@ -377,6 +377,70 @@ object CoreQueries {
         .orderBy("vec_id")
     }),
 
+    // F-extra — timestamp part extraction (the reference's step->time
+    // column math, generalized to calendar parts).
+    "q_date_parts" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(year(col("l_shipdate")).as("ship_year"),
+          month(col("l_shipdate")).as("ship_month"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("ship_year", "ship_month")
+    }),
+
+    // F-extra — edit distance between consecutive part names (string
+    // similarity surface; both engines implement classic Levenshtein).
+    "q_levenshtein" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      val q = p.select(col("p_partkey").as("pk_b"), col("p_name").as("name_b"))
+      p.join(q, col("pk_b") === col("p_partkey") + 1)
+        .select(col("p_partkey"), levenshtein(col("p_name"), col("name_b")).as("edit_dist"))
+        .orderBy("p_partkey")
+    }),
+
+    // W-extra — RANGE frame: per user, events within the trailing 30
+    // minutes (value-range window, not row counts).
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+        .rangeBetween(-1800000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_trailing_30m"),
+          sum(dec(col("value"))).over(w).cast("double").as("sum_trailing_30m"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W-extra — navigation functions over ordered groups.
+    "q_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // A-extra — conditional aggregation (engine bound-check counters).
+    "q_conditional_agg" -> ((s, d) => {
+      Tables.orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(
+          sum(when(col("o_totalprice") > 250000, 1).otherwise(0)).as("n_big"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("n_urgent"),
+          max(when(col("o_totalprice") > 250000, col("o_totalprice"))).as("max_big"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // A-extra — deterministic ordered string aggregation per group.
+    "q_string_agg" -> ((s, d) => {
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+        .orderBy("n_regionkey")
+    }),
+
     // G3 — graph degree over the order→part bipartite edge table
     // (MLSBond.dat bond-graph analogue).
     "q_edge_degree" -> ((s, d) => {
@@ -460,6 +524,18 @@ object CoreQueries {
     "q_array_ops" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_elem, ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm, ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4) AS head_sum FROM embeddings ORDER BY vec_id""",
     "q_edge_degree" ->
-      """SELECT l_partkey AS node_id, COUNT(DISTINCT l_orderkey) AS degree, COUNT(*) AS n_edges FROM lineitem GROUP BY 1 ORDER BY 1"""
+      """SELECT l_partkey AS node_id, COUNT(DISTINCT l_orderkey) AS degree, COUNT(*) AS n_edges FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_date_parts" ->
+      """SELECT CAST(date_part('year', l_shipdate) AS INTEGER) AS ship_year, CAST(date_part('month', l_shipdate) AS INTEGER) AS ship_month, COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_levenshtein" ->
+      """SELECT a.p_partkey, CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1 ORDER BY a.p_partkey""",
+    "q_window_range" ->
+      """SELECT user_id, event_id, COUNT(*) OVER w AS n_trailing_30m, CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_30m FROM (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, value FROM events) WINDOW w AS (PARTITION BY user_id ORDER BY ms RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW) ORDER BY user_id, event_id""",
+    "q_first_last" ->
+      """SELECT o_custkey, o_orderkey, FIRST_VALUE(o_totalprice) OVER w AS first_price, LAST_VALUE(o_totalprice) OVER w AS last_price, NTH_VALUE(o_totalprice, 2) OVER w AS second_price FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_custkey, o_orderkey""",
+    "q_conditional_agg" ->
+      """SELECT o_orderstatus, CAST(SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big, CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent, MAX(CASE WHEN o_totalprice > 250000 THEN o_totalprice END) AS max_big FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations FROM nation GROUP BY 1 ORDER BY 1"""
   )
 }
