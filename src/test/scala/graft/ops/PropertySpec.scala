@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Generator-driven properties (SURVEY §5.2.3): dedup idempotence, band
+  * join equivalence, interpolation envelope bounds — raw scalacheck
+  * (sbt runs Properties suites natively; the scalatest bridge is not in
+  * the offline cache).
+  */
+object PropertySpec extends Properties("graft.ops") {
+
+  // few cases: every case runs Spark jobs
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("PropertySpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val valuesGen: Gen[List[Double]] =
+    Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0)))
+
+  property("exactDedup idempotent, keeps min ids") = Prop.forAll(valuesGen) { vs =>
+    import spark.implicits._
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, math.round(v / 10.0) * 10.0) }
+      .toDF("id", "v")
+    val d1 = Dedup.exactDedupByKey(df, col("v"), col("id"))
+    val d2 = Dedup.exactDedupByKey(
+      d1.select(col("keep_id").as("id"), col("dedup_key").as("v")),
+      col("v"), col("id"))
+    val viaSql = df.groupBy("v").agg(min("id").as("m"))
+    d1.count() == d2.count() &&
+      d1.join(viaSql, d1("dedup_key") === viaSql("v"))
+        .filter(col("keep_id") =!= col("m")).count() == 0
+  }
+
+  property("bandPairs == naive pairs for random eps/data") = Prop.forAll(
+    for { vs <- valuesGen; eps <- Gen.chooseNum(0.1, 20.0) } yield (vs, eps)
+  ) { case (vs, eps) =>
+    import spark.implicits._
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val binned = Dedup.bandPairs(df, "id", "v", eps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = (for {
+      (a, i) <- vs.zipWithIndex; (b, j) <- vs.zipWithIndex
+      if i < j && math.abs(a - b) < eps
+    } yield (i.toLong, j.toLong)).toSet
+    binned == naive
+  }
+
+  property("interpolated values stay inside the knot envelope") = Prop.forAll(
+    for {
+      n <- Gen.chooseNum(2, 8)
+      ts <- Gen.listOfN(n, Gen.chooseNum(0.0, 100.0)).map(_.distinct.sorted)
+        .suchThat(_.length >= 2)
+      vs <- Gen.listOfN(ts.length, Gen.chooseNum(-50.0, 50.0))
+      probes <- Gen.listOfN(10, Gen.chooseNum(-10.0, 110.0))
+    } yield (ts.zip(vs), probes)
+  ) { case (curve, probeTs) =>
+    import spark.implicits._
+    val curveDf = curve.map { case (t, v) => (0, t, v) }.toDF("bc_id", "t", "v")
+    val probesDf = probeTs.map(t => (0, t)).toDF("bc_id", "t")
+    val got = TimeOps.interpolateCurve(curveDf, probesDf).collect()
+    val lo = curve.map(_._2).min - 1e-9
+    val hi = curve.map(_._2).max + 1e-9
+    got.length == probeTs.length &&
+      got.forall { r => val v = r.getDouble(2); v >= lo && v <= hi }
+  }
+}
