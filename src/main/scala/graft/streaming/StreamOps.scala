@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming twins of the batch time-series operators
@@ -26,6 +27,29 @@ object StreamOps {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_val"))
       .select(unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("cnt"), col("sum_val"))
+
+  /** Custom-state streaming (the `flatMapGroupsWithState` tier): per-user
+    * running maximum with change-only emission — every time a user's max
+    * value increases, emit one (user, new_max, at_ms) row. The state per
+    * key is ONE double (bounded regardless of stream length) — the shape
+    * of engine-style monitors over the measured series (`MLSOut00E.dat`).
+    * Input: a streaming Dataset of (user_id, ts_ms, value).
+    */
+  def runningMaxPerUser(events: Dataset[(Long, Long, Double)])
+      : Dataset[(Long, Double, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Double]) =>
+          var best = state.getOption.getOrElse(Double.NegativeInfinity)
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap { case (_, ms, v) =>
+            if (v > best) { best = v; Some((user, v, ms)) } else None
+          }
+          state.update(best)
+          out.iterator
+      }
+  }
 
   /** G5 — gap-based sessionization via the built-in `session_window`
     * (state-store backed; the batch twin derives session ids with windows).

@@ -62,6 +62,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState running max: change-only emissions match batch prefix maxima") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("ts_ms"), col("value"))
+      .as[(Long, Long, Double)].collect()
+    val mem = MemoryStream[(Long, Long, Double)]
+    mem.addData(rows.toIndexedSeq)
+    val q = StreamOps.runningMaxPerUser(mem.toDS())
+      .toDF("user_id", "new_max", "at_ms")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("runmax_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("runmax_out")
+        .orderBy("user_id", "at_ms").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      // batch twin: strictly increasing prefix maxima per user in ts order
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+        var best = Double.NegativeInfinity
+        rs.sortBy(r => (r._2, r._3)).flatMap { case (_, ms, v) =>
+          if (v > best) { best = v; Some((u, v, ms)) } else None
+        }
+      }.sortBy(r => (r._1, r._3)).map(r => (r._1, r._2))
+      assert(got.toSeq === want.toSeq)
+      // state boundedness: emissions are strictly increasing per user
+      got.groupBy(_._1).values.foreach { seq =>
+        assert(seq.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+      }
+    } finally q.stop()
+  }
+
   test("streaming session_window: per-user session counts match batch totals") {
     val (_, stream) = streamEvents()
     val agg = StreamOps.sessionAgg(stream)
