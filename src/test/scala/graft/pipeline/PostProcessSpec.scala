@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import graft.formats.{DeckCodec, SoABin, SysFileIni}
+import org.apache.spark.sql.functions._
+
+/** Post-processing over REAL engine outputs: the Brazil E-series obeys the
+  * platen displacement law, snapshot deltas have the 250-step cadence, and
+  * the Weibull sampler matches its distribution moments.
+  */
+class PostProcessSpec extends SparkTestBase {
+
+  private val brazil = "/root/reference/BrazilSplitTest"
+  private val uni = "/root/reference/UniaxialCompressionTest"
+
+  test("D12 unpivot: 14 long rows per wide row, registry metric names") {
+    assume(Files.exists(Paths.get(s"$brazil/Output/MLSOut00E.dat")))
+    val reg = SysFileIni.parse(s"$uni/SysFile.ini")
+    val wide = DeckCodec.readMeasuredSeries(spark, s"$brazil/Output/MLSOut00E.dat")
+    val long = PostProcess.measuredSeriesLong(wide, reg.measureItems)
+    assert(long.count() === wide.count() * 14)
+    assert(long.select("metric").distinct().count() === 7)
+    assert(long.filter(col("metric") === "UX").count() === wide.count() * 2)
+  }
+
+  test("platen displacement law: some measured series == -20 * t on the real Brazil data") {
+    assume(Files.exists(Paths.get(s"$brazil/Output/MLSOut00E.dat")))
+    val reg = SysFileIni.parse(s"$uni/SysFile.ini")
+    val wide = DeckCodec.readMeasuredSeries(spark, s"$brazil/Output/MLSOut00E.dat")
+    val long = PostProcess.measuredSeriesLong(wide, reg.measureItems)
+    // the platen is velocity-driven at -20 (MLSLD00.dat), so one of the
+    // 2×7 series must equal -20·t EXACTLY; which slot carries it is
+    // engine-internal (the written-7 mapping isn't recoverable from the
+    // closed binary — SURVEY §7.4), so search all series for the law
+    val lawSeries = for {
+      p <- 0 until 2
+      m <- reg.measureItems.take(7)
+      if PostProcess.displacementLawViolations(long, m, p, -20.0, tol = 1e-9).count() == 0
+    } yield (p, m)
+    assert(lawSeries.nonEmpty, "no measured series satisfies u = -20·t")
+  }
+
+  test("snapshot deltas: 250-step cadence, first frame has null deltas") {
+    val glob = s"$brazil/Output/MLSOut0000[0-1]*.bin"
+    assume(Files.exists(Paths.get(s"$brazil/Output/MLSOut00000000.bin")))
+    val snaps = SoABin.read(spark, glob)
+    val deltas = PostProcess.snapshotDeltas(snaps)
+    val steps = snaps.select("step").distinct().count()
+    val particles = snaps.select("particle_id").distinct().count()
+    assert(deltas.filter(col("duy").isNull).count() === particles) // first frame
+    assert(deltas.count() === steps * particles)
+  }
+
+  test("Weibull sampler: deterministic, positive, moments near theory") {
+    import spark.implicits._
+    val df = spark.range(20000).toDF("id")
+    val shape = 2.0; val scale = 10.0
+    val s1 = PostProcess.weibullStrength(df, shape, scale, seed = 42L)
+    val s2 = PostProcess.weibullStrength(df, shape, scale, seed = 42L)
+    assert(s1.agg(sum("strength")).head().getDouble(0) ===
+      s2.agg(sum("strength")).head().getDouble(0)) // seeded determinism
+    val m = s1.agg(avg("strength"), min("strength")).head()
+    val theoreticalMean = scale * math.sqrt(math.Pi) / 2 // Γ(1+1/2)·scale
+    assert(math.abs(m.getDouble(0) - theoreticalMean) < 0.3)
+    assert(m.getDouble(1) > 0)
+  }
+}
