@@ -68,7 +68,9 @@ object ExtQueries {
     // (the actual ANN trade) is covered by IvfIndexSpec.
     "q_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = graft.ops.IvfIndex.build(emb, nlist = 16, iters = 2)
+      // full probing is exact for ANY centroids, so one training round
+      // suffices here; quality-vs-nprobe behavior is IvfIndexSpec's job
+      val model = graft.ops.IvfIndex.build(emb, nlist = 16, iters = 1)
       graft.ops.IvfIndex.searchTopK(model, probeId = 0L, k = 10, nprobe = 16)
     }),
 
