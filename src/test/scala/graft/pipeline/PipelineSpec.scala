@@ -120,6 +120,18 @@ class PipelineSpec extends SparkTestBase {
     assert(strips.filter(abs(col("z4") - col("z1") - cfg.extrusion / 5) > 1e-9).count() === 0)
   }
 
+  test("SpecimenCut solids: box and sphere membership predicates") {
+    val quads = VoronoiMesh.facetQuads(vertices, cfg)
+    val box = SpecimenCut.Box(10, 40, 10, 40, 0, cfg.extrusion)
+    val inBox = SpecimenCut.cutBySolid(quads, box)
+    assert(inBox.count() > 0 && inBox.count() < quads.count())
+    val r = inBox.agg(min(col("x1") + col("x2") + col("x3") + col("x4")) / 4).head()
+    assert(r.getDouble(0) >= 10 - 25) // centroid-based: vertices may overhang
+    val sph = SpecimenCut.Sphere(cfg.width / 2, cfg.height / 2, cfg.extrusion / 2, 15)
+    val inSph = SpecimenCut.cutBySolid(quads, sph)
+    assert(inSph.count() > 0 && inSph.count() < inBox.count() + quads.count())
+  }
+
   test("SpecimenCut: cylinder cut + plane filters + dedup behave like the reference chain") {
     val quads = VoronoiMesh.facetQuads(vertices, cfg)
     val cyl = SpecimenCut.CylinderZ(cfg.width / 2, cfg.height / 2, 0, cfg.extrusion, cfg.width / 4)

@@ -35,6 +35,10 @@ def main(sf_dir, out_dir):
         want = want.reindex(sorted(want.columns), axis=1)
         if list(got.columns) != list(want.columns):
             failures.append((name, f"COLS spark={list(got.columns)} oracle={list(want.columns)}")); continue
+        dt_mismatch = [f"{c}: spark={got[c].dtype} oracle={want[c].dtype}"
+                       for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+        if dt_mismatch:
+            print(f"DTYPE {name}: " + "; ".join(dt_mismatch))
         if len(got) != len(want):
             failures.append((name, f"ROWS spark={len(got)} oracle={len(want)}")); continue
         # row-order-insensitive compare (driver hashes after sorting)
