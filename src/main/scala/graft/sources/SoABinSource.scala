@@ -41,13 +41,18 @@ class SoABinSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = false
 }
 
-private[sources] class SoABinTable(pathGlob: String) extends Table with SupportsRead {
+private[sources] class SoABinTable(pathGlob: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"soabin(`$pathGlob`)"
   override def schema(): StructType = Schemas.snapshot
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SoABinScanBuilder(pathGlob)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SoABinWriteBuilder(pathGlob, info)
 }
 
 private[sources] class SoABinScanBuilder(pathGlob: String)

@@ -31,6 +31,28 @@ class SoABinSourceSpec extends SparkTestBase {
     assert(v2.rdd.getNumPartitions === steps) // 1 file = 1 partition
   }
 
+  test("DSv2 write: one file per step, byte-exact round trip, declared sort honored") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("soawrite").toString
+    val n = 500
+    // deliberately unsorted, multi-step input: the write's
+    // RequiresDistributionAndOrdering must cluster and sort it
+    val src = new scala.util.Random(3).shuffle(
+      (0 until 3).flatMap(s => (0 until n).map(i =>
+        (s * 250L, i.toLong, i * 0.5f + s, -i * 0.25f, i * 1.5f, 1.0f))))
+      .toDF("step", "particle_id", "ux", "uy", "uz", "flag")
+      .repartition(7)
+    src.write.format("graft.sources.SoABinSource")
+      .option("path", dir).mode("append").save()
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".bin"))
+    assert(files.map(_.getName).sorted.toSeq ===
+      Seq("MLSOut000000.bin", "MLSOut000250.bin", "MLSOut000500.bin"))
+    assert(files.forall(_.length === 4 + 4 * 4 * n))
+    val back = SoABin.read(spark, s"$dir/*.bin")
+    assert(back.count() === 3 * n)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
   test("column pruning reaches the scan (PosItem.ini-style projection)") {
     assume(Files.exists(Paths.get(golden)))
     val pruned = viaV2(golden).select("uy")
