@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Oracle-parity fuzzer: generate a random (seeded) testdata-shaped
+directory, then the caller runs graft.Verify + check.py on it. Surfaces
+data-dependent Spark-vs-DuckDB divergence (rounding ties, null paths,
+duplicate keys) that the fixed fixtures can't.
+
+Usage: python3 tools/fuzz_data.py <outDir> <seed> [rows]
+"""
+import sys, random, json, datetime
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+def main(out, seed, n=3000):
+    rnd = random.Random(seed)
+    words = ["the","fast","key","order","sort","table","scan","merge","part",
+             "window","small","hash","join","spark","group","query","row",
+             "data","slow","filter","customer","line","batch","value","a",
+             "of","and","to","in","is","vector","column","agg","stream"]
+    def money(lo, hi): return round(rnd.uniform(lo, hi), 2)
+    def ts_ms(y0=1995, y1=2001):
+        t0 = datetime.datetime(y0,1,1); t1 = datetime.datetime(y1,12,31)
+        sec = rnd.uniform(0, (t1-t0).total_seconds())
+        return t0 + datetime.timedelta(seconds=int(sec))
+
+    nR, nN, nC, nS, nP = 5, 25, max(50, n//40), 10, max(60, n//30)
+    nO, nL, nE, nD = max(300, n//4), n, max(400, n//6), max(200, n//12)
+
+    region = {"r_regionkey": pa.array(range(nR), pa.int32()),
+              "r_name": pa.array([f"REGION_{i}" for i in range(nR)])}
+    nation = {"n_nationkey": pa.array(range(nN), pa.int32()),
+              "n_name": pa.array([f"NATION_{i:02d}" for i in range(nN)]),
+              "n_regionkey": pa.array([rnd.randrange(nR) for _ in range(nN)], pa.int32())}
+    customer = {"c_custkey": pa.array(range(nC), pa.int64()),
+                "c_name": pa.array([f"Customer#{i:09d}" for i in range(nC)]),
+                "c_nationkey": pa.array([rnd.randrange(nN) for _ in range(nC)], pa.int32()),
+                "c_acctbal": pa.array([money(-999, 9999) for _ in range(nC)]),
+                "c_mktsegment": pa.array([rnd.choice(["AUTO","BLDG","FURN","HSHLD","MACH"]) for _ in range(nC)])}
+    supplier = {"s_suppkey": pa.array(range(nS), pa.int64()),
+                "s_name": pa.array([f"Supplier#{i:04d}" for i in range(nS)]),
+                "s_nationkey": pa.array([rnd.randrange(nN) for _ in range(nS)], pa.int32()),
+                "s_acctbal": pa.array([money(-999, 9999) for _ in range(nS)])}
+    part = {"p_partkey": pa.array(range(nP), pa.int64()),
+            "p_name": pa.array([" ".join(rnd.sample(words, 4)) for _ in range(nP)]),
+            "p_brand": pa.array([f"Brand#{rnd.randrange(1,6)}{rnd.randrange(1,6)}" for _ in range(nP)]),
+            "p_type": pa.array([" ".join(rnd.sample(words, 3)).upper() for _ in range(nP)]),
+            "p_size": pa.array([rnd.randrange(1, 51) for _ in range(nP)], pa.int32()),
+            "p_retailprice": pa.array([money(900, 2000) for _ in range(nP)])}
+    # deliberately include some customers with no orders (anti-join path)
+    orders = {"o_orderkey": pa.array(range(nO), pa.int64()),
+              "o_custkey": pa.array([rnd.randrange(int(nC*0.9)) for _ in range(nO)], pa.int64()),
+              "o_orderstatus": pa.array([rnd.choice(["F","O","P"]) for _ in range(nO)]),
+              "o_totalprice": pa.array([money(1000, 500000) for _ in range(nO)]),
+              "o_orderdate": pa.array([ts_ms() for _ in range(nO)], pa.timestamp("ms")),
+              "o_orderpriority": pa.array([rnd.choice(["1-URGENT","2-HIGH","3-MEDIUM","4-NOT SPECIFIED","5-LOW"]) for _ in range(nO)])}
+    # duplicate (orderkey, linenumber) pairs ON PURPOSE (the fixture trap)
+    li_ok = [rnd.randrange(nO) for _ in range(nL)]
+    lineitem = {"l_orderkey": pa.array(li_ok, pa.int64()),
+                "l_partkey": pa.array([rnd.randrange(nP) for _ in range(nL)], pa.int64()),
+                "l_suppkey": pa.array([rnd.randrange(nS) for _ in range(nL)], pa.int64()),
+                "l_linenumber": pa.array([rnd.randrange(1, 5) for _ in range(nL)], pa.int32()),
+                "l_quantity": pa.array([float(rnd.randrange(1, 51)) for _ in range(nL)]),
+                "l_extendedprice": pa.array([money(900, 105000) for _ in range(nL)]),
+                "l_discount": pa.array([round(rnd.randrange(0, 11)/100.0, 2) for _ in range(nL)]),
+                "l_tax": pa.array([round(rnd.randrange(0, 9)/100.0, 2) for _ in range(nL)]),
+                "l_returnflag": pa.array([rnd.choice(["A","N","R"]) for _ in range(nL)]),
+                "l_linestatus": pa.array([rnd.choice(["F","O"]) for _ in range(nL)]),
+                "l_shipdate": pa.array([ts_ms() for _ in range(nL)], pa.timestamp("ms"))}
+    t0 = datetime.datetime(2024,1,1)
+    ev_ts = sorted(rnd.randrange(0, 90*24*3600*10**9) for _ in range(nE))
+    events = {"event_id": pa.array(range(nE), pa.int64()),
+              "ts": pa.array([t0 + datetime.timedelta(microseconds=t//1000) for t in ev_ts], pa.timestamp("ns")),
+              "user_id": pa.array([rnd.randrange(max(10, nE//50)) for _ in range(nE)], pa.int64()),
+              "event_type": pa.array([rnd.choice(["view","click","purchase","signup","error"]) for _ in range(nE)]),
+              "value": pa.array([money(0, 200) for _ in range(nE)]),
+              "props": pa.array([json.dumps({"k": rnd.randrange(100)}) for _ in range(nE)])}
+    texts = [" ".join(rnd.choice(words) for _ in range(rnd.randrange(5, 120))) for _ in range(nD)]
+    # inject exact duplicates (doc-dedup path)
+    for i in range(0, nD, 17):
+        if i+1 < nD: texts[i+1] = texts[i]
+    documents = {"doc_id": pa.array(range(nD), pa.int64()),
+                 "text": pa.array(texts),
+                 "lang": pa.array([rnd.choice(["en","de","es","fr","zh"]) for _ in range(nD)]),
+                 "source": pa.array([f"src{rnd.randrange(20)}" for _ in range(nD)]),
+                 "n_chars": pa.array([len(t) for t in texts], pa.int64())}
+    dim = 16
+    embs = []
+    for _ in range(nD):
+        v = [rnd.gauss(0,1) for _ in range(dim)]
+        s = sum(x*x for x in v) ** 0.5
+        embs.append([float(x/s) for x in v])
+    embeddings = {"vec_id": pa.array(range(nD), pa.int64()),
+                  "embedding": pa.array(embs, pa.list_(pa.float32())),
+                  "label": pa.array([rnd.randrange(10) for _ in range(nD)], pa.int32())}
+
+    import os
+    os.makedirs(out, exist_ok=True)
+    for name, cols in [("region",region),("nation",nation),("customer",customer),
+                       ("supplier",supplier),("part",part),("orders",orders),
+                       ("lineitem",lineitem),("events",events),
+                       ("documents",documents),("embeddings",embeddings)]:
+        pq.write_table(pa.table(cols), f"{out}/{name}.parquet")
+    print(f"wrote fuzz data to {out} (seed={seed}, lineitem={nL})")
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]) if len(sys.argv) > 3 else 3000)
