@@ -43,8 +43,9 @@ object SoakCheck {
     println(f"amplify ${copies}x: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
       s"lineitem rows = ${spark.read.parquet(s"$out/lineitem.parquet").count()}")
 
-    val names = Seq("q_group_agg", "q_fk_join", "q_topk_per_group",
-      "q_self_join_pairs", "q_exact_dedup", "q_running_sum", "q_doc_dedup")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_group_agg", "q_fk_join", "q_topk_per_group",
+        "q_self_join_pairs", "q_exact_dedup", "q_running_sum", "q_doc_dedup")
     names.foreach { n =>
       val t1 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()
