@@ -314,6 +314,55 @@ object CoreQueries {
         .orderBy("nationkey")
     }),
 
+    // Composed flagship 1 (TPC-H Q3 shape): segment's unshipped-order
+    // revenue — 3-way join, predicate pushdown on both fact filters,
+    // grouped decimal agg, top-10.
+    "q_flagship_revenue" -> ((s, d) => {
+      val cutoff = 825638400000L // 1996-03-01 UTC epoch ms
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(Tables.epochMs(col("o_orderdate")) < cutoff)
+      val l = Tables.lineitem(s, d).filter(Tables.epochMs(col("l_shipdate")) >= cutoff)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), Tables.epochMs(col("o_orderdate")).as("order_ms"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Composed flagship 2 (TPC-H Q5 shape): local-supplier revenue by
+    // nation — 6-way join including the supplier-nation = customer-nation
+    // colocation condition.
+    "q_flagship_nation_rev" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Composed flagship 3 (TPC-H Q10 shape): top returned-revenue
+    // customers.
+    "q_flagship_returns" -> ((s, d) => {
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("lost_revenue"), count(lit(1)).as("n_returns"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // F1/F2/P6 — scalar math: clamp + tan(radians) taper
     // (GenerateColumnar.py:187,199) and L2 norm (BooleanOperation.py:90).
     "q_scalar_math" -> ((s, d) => {
@@ -513,6 +562,12 @@ object CoreQueries {
       """SELECT c_custkey AS id, c_acctbal AS bal, 'cust' AS src FROM customer UNION ALL SELECT s_suppkey AS id, s_acctbal AS bal, 'supp' AS src FROM supplier ORDER BY src, id""",
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier ORDER BY 1""",
+    "q_flagship_revenue" ->
+      """SELECT l_orderkey, CAST(epoch_ms(o_orderdate) AS BIGINT) AS order_ms, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND epoch_ms(o_orderdate) < 825638400000 AND epoch_ms(l_shipdate) >= 825638400000 GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_flagship_nation_rev" ->
+      """SELECT r_name, n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_flagship_returns" ->
+      """SELECT c_custkey, c_name, n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS lost_revenue, COUNT(*) AS n_returns FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' GROUP BY 1, 2, 3 ORDER BY lost_revenue DESC, c_custkey LIMIT 20""",
     "q_scalar_math" ->
       """SELECT l_orderkey, l_linenumber, ROUND(TAN(RADIANS(LEAST(GREATEST(l_quantity, 0.01), 15.0))), 4) AS taper, ROUND(SQRT(l_discount*l_discount + l_tax*l_tax), 4) AS l2, ROUND(EXP(-l_discount) * LN(1 + l_quantity), 4) AS decay FROM lineitem ORDER BY l_orderkey, l_linenumber, taper, l2, decay""",
     "q_affine" ->
