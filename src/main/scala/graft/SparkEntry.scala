@@ -12,11 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * TPC-H-Q1-shaped grouped aggregation — the A1/A2 centroid/count analogue
-    * (SURVEY §7.2 M0).
+    * The composed 6-way local-supplier revenue rollup (TPC-H Q5 shape) —
+    * joins, colocation condition, broadcast dims, decimal-exact aggregate
+    * in one plan (10 rows at sf0.001, verified).
     */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.queries("q_group_agg")(spark, "/root/testdata/sf0.001")
+    CoreQueries.queries("q_flagship_nation_rev")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
