@@ -21,7 +21,8 @@ object Graph {
     * point (or after `maxIter` rounds — label propagation converges in
     * O(diameter) rounds).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          checkEvery: Int = 3): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -41,10 +42,14 @@ object Graph {
         .groupBy("node_id")
         .agg(min("offer").as("component"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "node_id")
-        .filter(col("component") =!= col("old")).count()
+      // the convergence probe is itself a job — amortize it over
+      // `checkEvery` propagation rounds
+      if ((iter + 1) % checkEvery == 0 || iter + 1 == maxIter) {
+        val changed = next.join(labels.withColumnRenamed("component", "old"), "node_id")
+          .filter(col("component") =!= col("old")).count()
+        converged = changed == 0
+      }
       labels = next
-      converged = changed == 0
       iter += 1
     }
     labels
