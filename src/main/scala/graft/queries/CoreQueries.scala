@@ -314,6 +314,32 @@ object CoreQueries {
         .orderBy("nationkey")
     }),
 
+    // J5b — point-in-interval join (the reference's BC range application:
+    // which particles fall in each MLSLD00 box range). Intervals derived
+    // from part sizes (width 4); the Spark side bins quantities into
+    // width-4 cells and probes ±1 cells — an equi-join, not a nested loop
+    // — then keeps the BETWEEN residual. Oracle uses the naive BETWEEN.
+    "q_interval_join" -> ((s, d) => {
+      val cell = 4
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .withColumn("qcell", floor(col("l_quantity") / cell).cast("long"))
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size"),
+          (col("p_size") - 2).as("lo"), (col("p_size") + 2).as("hi"))
+        .withColumn("pcell", explode(array(
+          (floor(col("p_size") / cell) - 1).cast("long"),
+          floor(col("p_size") / cell).cast("long"),
+          (floor(col("p_size") / cell) + 1).cast("long"))))
+      li.join(broadcast(parts),
+          col("qcell") === col("pcell") &&
+          col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_in_range"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("p_partkey")
+    }),
+
     // Composed flagship 1 (TPC-H Q3 shape): segment's unshipped-order
     // revenue — 3-way join, predicate pushdown on both fact filters,
     // grouped decimal agg, top-10.
@@ -562,6 +588,8 @@ object CoreQueries {
       """SELECT c_custkey AS id, c_acctbal AS bal, 'cust' AS src FROM customer UNION ALL SELECT s_suppkey AS id, s_acctbal AS bal, 'supp' AS src FROM supplier ORDER BY src, id""",
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier ORDER BY 1""",
+    "q_interval_join" ->
+      """SELECT p_partkey, COUNT(*) AS n_in_range, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM part JOIN lineitem ON l_quantity BETWEEN p_size - 2 AND p_size + 2 GROUP BY 1 ORDER BY 1""",
     "q_flagship_revenue" ->
       """SELECT l_orderkey, CAST(epoch_ms(o_orderdate) AS BIGINT) AS order_ms, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND epoch_ms(o_orderdate) < 825638400000 AND epoch_ms(l_shipdate) >= 825638400000 GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_flagship_nation_rev" ->
