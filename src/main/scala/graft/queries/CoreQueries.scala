@@ -320,23 +320,25 @@ object CoreQueries {
     // width-4 cells and probes ±1 cells — an equi-join, not a nested loop
     // — then keeps the BETWEEN residual. Oracle uses the naive BETWEEN.
     "q_interval_join" -> ((s, d) => {
-      val cell = 4
+      // price domain: intervals of width 10 over a ~1e5-wide domain, so
+      // the cell grid is genuinely selective (a quantity-domain version
+      // would match ~10% of the cross product by construction)
+      val cell = 10
       val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_quantity"))
-        .withColumn("qcell", floor(col("l_quantity") / cell).cast("long"))
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .withColumn("qcell", floor(col("l_extendedprice") / cell).cast("long"))
       val parts = Tables.part(s, d)
-        .select(col("p_partkey"), col("p_size"),
-          (col("p_size") - 2).as("lo"), (col("p_size") + 2).as("hi"))
+        .select(col("p_partkey"),
+          (col("p_retailprice") - 5).as("lo"), (col("p_retailprice") + 5).as("hi"),
+          floor(col("p_retailprice") / cell).cast("long").as("homecell"))
         .withColumn("pcell", explode(array(
-          (floor(col("p_size") / cell) - 1).cast("long"),
-          floor(col("p_size") / cell).cast("long"),
-          (floor(col("p_size") / cell) + 1).cast("long"))))
+          col("homecell") - 1, col("homecell"), col("homecell") + 1)))
       li.join(broadcast(parts),
           col("qcell") === col("pcell") &&
-          col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") <= col("hi"))
         .groupBy(col("p_partkey"))
         .agg(count(lit(1)).as("n_in_range"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
         .orderBy("p_partkey")
     }),
 
@@ -589,7 +591,7 @@ object CoreQueries {
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier ORDER BY 1""",
     "q_interval_join" ->
-      """SELECT p_partkey, COUNT(*) AS n_in_range, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM part JOIN lineitem ON l_quantity BETWEEN p_size - 2 AND p_size + 2 GROUP BY 1 ORDER BY 1""",
+      """SELECT p_partkey, COUNT(*) AS n_in_range, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM part JOIN lineitem ON l_extendedprice BETWEEN p_retailprice - 5 AND p_retailprice + 5 GROUP BY 1 ORDER BY 1""",
     "q_flagship_revenue" ->
       """SELECT l_orderkey, CAST(epoch_ms(o_orderdate) AS BIGINT) AS order_ms, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND epoch_ms(o_orderdate) < 825638400000 AND epoch_ms(l_shipdate) >= 825638400000 GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_flagship_nation_rev" ->
