@@ -4,6 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional comma-separated query filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,17 +13,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup outside any query's timing; also touches the two
-    // special table paths (events ns-timestamps, embeddings arrays)
+    // Warmup outside any query's timing: FULL scans (not limit(10) — a
+    // truncated touch leaves the OS page cache and parquet footers cold, and
+    // the first documents query used to eat an 8 s cold-read penalty), plus
+    // the two special table paths (events ns-timestamps, embeddings arrays).
     try {
-      Tables.lineitem(spark, sfDir).limit(10).count()
-      Tables.events(spark, sfDir).limit(10).count()
-      Tables.embeddings(spark, sfDir).limit(10).count()
-      Tables.documents(spark, sfDir).limit(10).count()
+      Tables.lineitem(spark, sfDir).write.format("noop").mode("overwrite").save()
+      Tables.orders(spark, sfDir).write.format("noop").mode("overwrite").save()
+      Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
+      Tables.embeddings(spark, sfDir).write.format("noop").mode("overwrite").save()
+      Tables.documents(spark, sfDir).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: every output column is evaluated and serialized — unlike
+      // count(), which lets Catalyst prune the projections being measured
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -2,57 +2,218 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
-/** Pregel-shaped iterative graph computation — the dataflow shape of the
-  * reference engine's time loop (SURVEY G4: per-step force exchange along
-  * bond edges = message passing along `MLSBond.dat`). The physics kernel is
-  * out of scope; the SHAPE — iterate(join messages along edges → aggregate
-  * at vertices → update state) — is exactly this operator.
+/** Distributed graph computation — the dataflow shape of the reference
+  * engine's time loop (SURVEY G4: per-step force exchange along bond edges =
+  * message passing along `MLSBond.dat`, see
+  * `UniaxialCompressionTest/MLSBond.dat:1-2`). The physics kernel is out of
+  * scope; the SHAPE — iterate(join along edges → aggregate at vertices →
+  * update) — is exactly this operator.
   *
-  * Connected components by min-label propagation: every vertex starts
-  * labeled with its own id; each round it adopts the minimum label in its
-  * closed neighborhood; fixed point = component ids. Per round: one
-  * shuffle join on vertex id + one min-aggregate — all DataFrame ops,
-  * lineage cut per round with localCheckpoint.
+  * Connected components use alternating large-star / small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC '14): each round rewires edges toward local minima, so label
+  * information travels exponentially — O(log² n) rounds in the worst case,
+  * a handful in practice — instead of the O(diameter) rounds of naive
+  * min-label propagation. Every step is a DataFrame groupBy + join (partial
+  * aggregation absorbs hub skew map-side; AQE handles join skew), lineage is
+  * cut per round with an eager localCheckpoint, and superseded rounds are
+  * explicitly unpersisted.
   */
 object Graph {
 
-  /** Undirected edge frame (src, dst) → (node_id, component) at the fixed
-    * point (or after `maxIter` rounds — label propagation converges in
-    * O(diameter) rounds).
+  /** Outcome of a components run. `labels` is (node_id, component) where
+    * `component` = min node id of the component; `converged` is whether the
+    * fixed point was PROVEN (exact star-forest test, not a hash heuristic);
+    * `rounds` is the number of contraction rounds executed.
+    */
+  final case class CCResult(labels: DataFrame, converged: Boolean, rounds: Int)
+
+  /** Undirected edge frame (src, dst) → (node_id, component) at the proven
+    * fixed point. Throws if `maxIter` rounds pass without convergence —
+    * a non-converged labeling is silently WRONG, never return it.
+    *
+    * `localFinishEdges`: once the contracted edge set fits under this bound
+    * (64-ish MB at the 2M default), finish with a driver-side union-find
+    * instead of paying 2-3 more distributed rounds — the standard
+    * multi-level ending for contraction CC. At 100 TB the early rounds stay
+    * fully distributed; the threshold only accelerates the bounded tail.
+    * Set 0 to force pure distributed contraction (non-integral node id
+    * types always take the distributed path).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-                          checkEvery: Int = 3): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+                          localFinishEdges: Long = 2000000L): DataFrame = {
+    val r = connectedComponentsResult(edges, maxIter, localFinishEdges)
+    if (!r.converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixed point after ${r.rounds} rounds " +
+          s"(maxIter=$maxIter); labels would be incorrect")
+    r.labels
+  }
+
+  /** As [[connectedComponents]] but returns the convergence status instead
+    * of throwing, for callers that want to inspect or retry.
+    */
+  def connectedComponentsResult(edges: DataFrame, maxIter: Int = 20,
+                                localFinishEdges: Long = 2000000L,
+                                verbose: Boolean = false): CCResult = {
+    // contraction preserves every node that has a non-loop edge, so the
+    // final edge set's endpoints ARE the vertex universe except nodes whose
+    // only edges were self-loops — capture those (tiny) separately instead
+    // of materializing a full vertex table
+    val selfLoopers = edges.filter(col("src") === col("dst"))
+      .select(col("src").as("node_id")).distinct()
+    // canonical working set: no self-loops, oriented src > dst. NOT deduped:
+    // large-star's min-aggregate is duplicate-insensitive and small-star's
+    // terminal distinct canonicalizes after round 1, so an up-front distinct
+    // would be a full extra shuffle for nothing
+    val tS = System.nanoTime()
+    var ee = edges
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("node_id")).distinct()
-      .withColumn("component", col("node_id"))
-      .localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // messages: each node offers its label to its neighbors
-      val offers = sym
-        .join(labels, sym("src") === labels("node_id"))
-        .select(col("dst").as("node_id"), col("component").as("offer"))
-      val next = labels.select(col("node_id"), col("component").as("offer"))
-        .unionAll(offers)
-        .groupBy("node_id")
-        .agg(min("offer").as("component"))
-        .localCheckpoint()
-      // the convergence probe is itself a job — amortize it over
-      // `checkEvery` propagation rounds
-      if ((iter + 1) % checkEvery == 0 || iter + 1 == maxIter) {
-        val changed = next.join(labels.withColumnRenamed("component", "old"), "node_id")
-          .filter(col("component") =!= col("old")).count()
-        converged = changed == 0
-      }
-      labels = next
-      iter += 1
+    if (verbose)
+      println(f"cc setup: ${(System.nanoTime() - tS) / 1e9}%.2fs edges=${ee.count()}")
+    val dstType = ee.schema("dst").dataType
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      dstType == LongType || dstType == IntegerType ||
+        dstType == ShortType || dstType == ByteType
     }
-    labels
+    var iter = 0
+    var converged = false
+    var done = false
+    while (!done) {
+      val t0 = System.nanoTime()
+      if (integralIds && localFinishEdges > 0 && ee.count() <= localFinishEdges) {
+        // bounded tail: the contracted remainder fits on the driver
+        val labels = localUnionFind(selfLoopers, ee, dstType)
+        Bridge.unpersistLocalCheckpoint(ee)
+        if (verbose)
+          println(f"cc local finish: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        return CCResult(labels, converged = true, rounds = iter)
+      }
+      // ONE shuffle yields both the exact star-forest test and small-star's
+      // min table: per node n, ns = #edges where n is a leaf (src), deg =
+      // total incidences, m = min dst over n's src rows. A star forest is
+      // exactly "no node has ns > 1 or both roles", so the converged rounds
+      // cost only this aggregate — no countDistinct expand, no join, no
+      // hash heuristics. (Duplicate edges inflate ns, so a dup-laden input
+      // may pay one cleanup round; every later round is distinct.)
+      val stats = ee
+        .select(col("src").as("n"), lit(1).as("s"), col("dst").as("v"))
+        .unionAll(ee.select(col("dst").as("n"), lit(0).as("s"),
+          lit(null).cast(dstType).as("v")))
+        .groupBy("n")
+        .agg(sum(col("s")).as("ns"), count(lit(1)).as("deg"), min(col("v")).as("m"))
+        .localCheckpoint() // tiny: one row per live node
+      converged = stats
+        .filter(col("ns") > 1 || (col("ns") > 0 && col("deg") > col("ns")))
+        .isEmpty
+      if (converged || iter >= maxIter) {
+        Bridge.unpersistLocalCheckpoint(stats)
+        done = true
+      } else {
+        // small-star: rewire each src's smaller neighbors (and src itself)
+        // to their min m — map-side against the stats table (AQE picks
+        // broadcast vs shuffle join by size); terminal distinct is the
+        // round's canonicalizer
+        val ssmins = stats.filter(col("ns") > 0)
+          .select(col("n").as("src"), col("m"))
+        val ss = ee.join(ssmins, "src")
+          .filter(col("dst") =!= col("m"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .unionAll(ssmins.select(col("src"), col("m").as("dst")))
+          .distinct()
+          .localCheckpoint()
+        val next = largeStar(ss).localCheckpoint()
+        Bridge.unpersistLocalCheckpoint(stats)
+        Bridge.unpersistLocalCheckpoint(ss)
+        Bridge.unpersistLocalCheckpoint(ee) // previous round: nothing refers to it
+        ee = next
+        iter += 1
+        if (verbose)
+          println(f"cc round $iter: ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+            f"edges=${ee.count()}")
+      }
+    }
+    // at the fixed point the edge set IS the answer: (leaf → component min)
+    // stars; centers and self-loop-only nodes label themselves, and one
+    // min-aggregate dedupes all three sources (a leaf's real label is
+    // always < its self-label, so min picks the right one even when the
+    // run stopped non-converged)
+    val labels = ee.select(col("src").as("node_id"), col("dst").as("component"))
+      .unionAll(ee.select(col("dst").as("node_id"), col("dst").as("component")))
+      .unionAll(selfLoopers.select(col("node_id"), col("node_id").as("component")))
+      .groupBy("node_id").agg(min(col("component")).as("component"))
+      .localCheckpoint()
+    Bridge.unpersistLocalCheckpoint(ee)
+    CCResult(labels, converged, iter)
+  }
+
+  /** Bounded driver-side finish: union-find with path halving over the
+    * (threshold-gated, so memory-bounded) contracted edge set, labels =
+    * min node id per component to match the distributed fixed point.
+    */
+  private def localUnionFind(selfLoopers: DataFrame,
+                             ee: DataFrame,
+                             idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = ee.sparkSession
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp)
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    val edgeRows = ee.select(col("src").cast("long"), col("dst").cast("long")).collect()
+    edgeRows.foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) { if (a < b) parent.update(b, a) else parent.update(a, b) }
+    }
+    // vertex universe = edge endpoints plus self-loop-only nodes
+    val seen = new scala.collection.mutable.LongMap[Boolean]()
+    val verts = scala.collection.mutable.ArrayBuffer[Long]()
+    def addVert(v: Long): Unit =
+      if (!seen.getOrElse(v, false)) { seen.update(v, true); verts += v }
+    edgeRows.foreach { r => addVert(r.getLong(0)); addVert(r.getLong(1)) }
+    selfLoopers.select(col("node_id").cast("long")).collect()
+      .foreach(r => addVert(r.getLong(0)))
+    // component label = min node id per root (unions attach the larger
+    // root, but ids reached via path halving aren't ordered — normalize)
+    val minOf = new scala.collection.mutable.LongMap[Long]()
+    verts.foreach { v =>
+      val r = find(v)
+      if (v < minOf.getOrElse(r, Long.MaxValue)) minOf.update(r, v)
+    }
+    import spark.implicits._
+    verts.toSeq.map(v => (v, minOf(find(v)))).toDF("node_id", "component")
+      .select(col("node_id").cast(idType).as("node_id"),
+        col("component").cast(idType).as("component"))
+  }
+
+  /** Large-star: for each node u, connect every strictly-larger neighbor to
+    * the minimum of u's closed neighborhood. Output stays oriented
+    * src > dst (m ≤ u < v) with no self-loops.
+    */
+  private def largeStar(ee: DataFrame): DataFrame = {
+    val nbr = ee.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(ee.select(col("dst").as("u"), col("src").as("v")))
+    val mins = nbr.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    // no distinct here: for each undirected edge exactly one direction has
+    // v > u, so the output is |E|-sized; small-star's terminal distinct is
+    // the canonicalizer for the round
+    nbr.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("src"), col("m").as("dst"))
   }
 
   /** Degree table of an undirected edge frame. */

@@ -149,14 +149,15 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
-    // G4 dataflow shape — Pregel-style iterative min-label propagation:
-    // connected components of the order↔part bipartite graph (part nodes
-    // sign-flipped to share the id space). No SQL oracle (iterative);
-    // invariants are GraphSpec's — driver records the rows-only check.
+    // G4 dataflow shape — connected components by large-star/small-star
+    // contraction (O(log n) rounds, proven fixed point or throw) over the
+    // order↔part bipartite graph (part nodes sign-flipped to share the id
+    // space). No SQL oracle (iterative); invariants are GraphSpec's —
+    // driver records the rows-only check.
     "q_connected_components" -> ((s, d) => {
       val edges = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("src"), (-col("l_partkey") - 1).as("dst"))
-      graft.ops.Graph.connectedComponents(edges, maxIter = 12)
+      graft.ops.Graph.connectedComponents(edges)
         .groupBy("component").agg(count(lit(1)).as("n_nodes"))
         .orderBy("component")
     }),

@@ -13,4 +13,18 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession}
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
+
+  /** Release the cached blocks behind a `localCheckpoint()`ed frame.
+    * Iterative algorithms (graft.ops.Graph) checkpoint per round; without
+    * an explicit unpersist the superseded rounds' blocks pin executor
+    * storage until ContextCleaner happens to GC them — at scale that
+    * accumulates. Only call once nothing references the frame: a local
+    * checkpoint has no lineage to recompute from.
+    */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
