@@ -13,16 +13,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup outside any query's timing: FULL scans (not limit(10) — a
-    // truncated touch leaves the OS page cache and parquet footers cold, and
-    // the first documents query used to eat an 8 s cold-read penalty), plus
-    // the two special table paths (events ns-timestamps, embeddings arrays).
+    // Warmup outside any query's timing: FULL scans of EVERY table (not
+    // limit(10) — a truncated touch leaves the OS page cache and parquet
+    // footers cold; the alphabetically-first query per table used to eat
+    // the whole family's cold-read penalty, e.g. q_doc_dedup at 8 s).
     try {
-      Tables.lineitem(spark, sfDir).write.format("noop").mode("overwrite").save()
-      Tables.orders(spark, sfDir).write.format("noop").mode("overwrite").save()
-      Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
-      Tables.embeddings(spark, sfDir).write.format("noop").mode("overwrite").save()
-      Tables.documents(spark, sfDir).write.format("noop").mode("overwrite").save()
+      Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
+        Tables.region, Tables.nation, Tables.customer, Tables.supplier,
+        Tables.part, Tables.orders, Tables.lineitem, Tables.events,
+        Tables.embeddings, Tables.documents)
+        .foreach(t => t(spark, sfDir).write.format("noop").mode("overwrite").save())
     } catch { case _: Throwable => () }
     val names = SparkEntry.queries.keySet.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,17 +59,50 @@ object IvfIndex {
     Model(centroids, assign(emb, centroids).localCheckpoint())
   }
 
-  /** Nearest-centroid assignment: broadcast the (nlist-row) centroid table,
-    * score with the fused dot product, keep the argmax per vector.
+  /** Nearest-centroid assignment with ZERO shuffle: the centroid table is
+    * nlist rows (dimension-bounded, like every broadcast dim), so collect
+    * it once and unroll one codegen'd dot-product column per centroid —
+    * the argmax is a single narrow projection per row. No window, no
+    * exchange — a 100 TB corpus assigns in one map pass, and the hot loop
+    * stays inside whole-stage codegen (a `transform` lambda would drop to
+    * interpreted eval). Ties break to the lowest cell (first CASE match).
+    *
+    * Above `maxUnrolledCells` (plan-size guard), falls back to one
+    * partial-aggregated shuffle: `groupBy(vec_id).agg(max_by(...))` —
+    * still never nlist× the corpus through an exchange.
     */
-  def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+  def assign(emb: DataFrame, centroids: DataFrame,
+             maxUnrolledCells: Int = 256): DataFrame = {
     dotF(emb.sparkSession)
-    val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("score", expr("graft_dot_f(embedding, centroid)"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "score", "centroid")
+    val cents = centroids.select(col("cell").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assign: empty centroid table")
+    if (cents.length <= maxUnrolledCells) {
+      val scoreCols = cents.indices.map(i => s"__s$i")
+      val scored = cents.zipWithIndex.foldLeft(emb) { case (d, ((_, vec), i)) =>
+        d.withColumn(scoreCols(i),
+          call_function("graft_dot_f", col("embedding"), typedlit(vec)))
+      }
+      val best =
+        if (cents.length == 1) col(scoreCols.head)
+        else greatest(scoreCols.map(col): _*)
+      val cellCol = cents.indices.init.foldRight[Column](lit(cents.last._1)) {
+        (i, rest) => when(col(scoreCols(i)) === best, lit(cents(i)._1)).otherwise(rest)
+      }
+      scored.withColumn("cell", cellCol).drop(scoreCols: _*)
+    } else {
+      val others = emb.columns.filterNot(_ == "vec_id").toIndexedSeq
+      emb.crossJoin(broadcast(centroids))
+        .withColumn("__score", expr("graft_dot_f(embedding, centroid)"))
+        .groupBy("vec_id")
+        .agg(max_by(
+          struct(others.map(col) :+ col("cell"): _*),
+          struct(col("__score"), col("cell") * lit(-1L))).as("__best"))
+        .select(col("vec_id") +:
+          (others.map(c => col(s"__best.$c").as(c)) :+ col("__best.cell").as("cell")): _*)
+    }
   }
 
   /** ANN top-k for one probe vector id: rank cells by centroid score, probe

@@ -49,9 +49,13 @@ object TextOps {
   def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5(col("tok")))
+      .withColumn("p",
+        graft.functions.AsciiParityVecF.parityVec(docs.sparkSession, md5(col("tok"))))
+    // one codegen'd parity pass per token (AsciiParityVecF) + 32 array
+    // reads, replacing 32 substring+ascii string ops; the oracle keeps
+    // the ascii(substring(...)) form — identical arithmetic
     val sums = (0 until 32).map(b =>
-      sum(expr(s"(ascii(substring(h, ${b + 1}, 1)) % 2) * 2 - 1")).as(s"s$b"))
+      sum(element_at(col("p"), b + 1)).as(s"s$b"))
     val agg = toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
     val bits = (0 until 32).map(b => when(col(s"s$b") > 0, lit("1")).otherwise(lit("0")))
     agg.select(col("doc_id"), concat(bits: _*).as("simhash"))

@@ -207,10 +207,13 @@ object CoreQueries {
     // A6+ — exact percentiles (distributional view of values; pairs with
     // q_histogram for the Weibull-hook row).
     "q_percentile" -> ((s, d) => {
+      // cast to double BEFORE the exact-percentile agg: decimal(12,2) is
+      // exactly representable, so results are identical, but the agg
+      // buffers primitive doubles instead of Decimal objects
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+        .agg(round(expr("percentile(cast(l_extendedprice as double), 0.5)"), 4).as("p50"),
+          round(expr("percentile(cast(l_extendedprice as double), 0.9)"), 4).as("p90"),
+          round(expr("percentile(cast(l_quantity as double), 0.5)"), 4).as("p50_qty"))
         .orderBy("l_returnflag")
     }),
 

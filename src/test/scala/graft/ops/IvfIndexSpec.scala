@@ -34,6 +34,21 @@ class IvfIndexSpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall@10 was $recall") // random vectors: weak cells
   }
 
+  test("assign plans with no Exchange and no Window (zero-shuffle argmax)") {
+    val plan = IvfIndex.assign(emb, model.centroids)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assign must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"assign must not window:\n$plan")
+  }
+
+  test("max_by fallback path matches the literal-projection path") {
+    val lit = IvfIndex.assign(emb, model.centroids)
+      .select("vec_id", "cell").orderBy("vec_id").collect().map(_.toSeq)
+    val agg = IvfIndex.assign(emb, model.centroids, maxUnrolledCells = 1)
+      .select("vec_id", "cell").orderBy("vec_id").collect().map(_.toSeq)
+    assert(lit.toSeq === agg.toSeq)
+  }
+
   test("build is deterministic under the seed") {
     val m2 = IvfIndex.build(emb, nlist = 16, iters = 2)
     val a1 = model.assignments.select("vec_id", "cell").orderBy("vec_id")
