@@ -70,6 +70,60 @@ object DeckCodec {
   def checkCount(df: DataFrame, path: String): Boolean =
     df.count() == declaredCount(path)
 
+  /** D10 — measure-point ids (`MeasurePar.dat`): flag line, count line
+    * (twice), then `count` particle ids
+    * (`UniaxialCompressionTest/MeasurePar.dat:1-5`). Config-sized,
+    * driver-side.
+    */
+  def readMeasurePoints(path: String): Seq[Long] = {
+    val lines = Files.readAllLines(Paths.get(path)).asScala
+      .map(_.trim).filter(_.nonEmpty).toIndexedSeq
+    val n = lines(1).split("\\s+")(0).toInt
+    lines.drop(3).take(n).map(_.split("\\s+")(0).toLong).toSeq
+  }
+
+  /** Engine "Make Consistency" validation pass (`DLSM Log.txt:1-4`:
+    * "Make Consistency Begin / Material List / Measure Point / Make
+    * Consistency End") — the FK-bound checks the engine runs before
+    * compute, with its failure strings. Each check is one cheap
+    * broadcast-scalar assertion job over the deck; nothing is shuffled.
+    */
+  def consistencyErrors(particles: DataFrame, materials: DataFrame,
+                        measureIds: Seq[Long]): Seq[String] = {
+    val errs = scala.collection.mutable.ArrayBuffer[String]()
+    // Material List: particle material ids must stay inside the material
+    // table (exe string: "Material Num of the particle is larger than the
+    // max number in the material list")
+    val maxMat = materials.agg(max(col("material_id"))).head().getInt(0)
+    val badMat = particles.filter(col("material_id") > maxMat).count()
+    if (badMat > 0)
+      errs += "Material Num of the particle is larger than the max number " +
+        s"in the material list ($badMat particles > material $maxMat)"
+    // Measure Point: every measure id must name an existing particle
+    // (exe string: "The ID of the measure point is larger than the max
+    // number of the particles")
+    if (measureIds.nonEmpty) {
+      val present = particles.filter(col("id").isin(measureIds: _*))
+        .select(col("id")).distinct().count()
+      if (present < measureIds.distinct.size)
+        errs += "The ID of the measure point is larger than the max number " +
+          s"of the particles (${measureIds.distinct.size - present} of " +
+          s"${measureIds.distinct.size} ids missing)"
+    }
+    errs.toSeq
+  }
+
+  /** Throwing twin of [[consistencyErrors]]: rejects a corrupted deck with
+    * the engine's semantics before any compute is planned.
+    */
+  def makeConsistency(particles: DataFrame, materials: DataFrame,
+                      measureIds: Seq[Long]): Unit = {
+    val errs = consistencyErrors(particles, materials, measureIds)
+    if (errs.nonEmpty)
+      throw new IllegalArgumentException(
+        "Make Consistency failed: " + errs.mkString("; "))
+  }
+
   /** D6 — bond edge list (`MLSBond.dat`): header flag line, then
     * `src dst group`.
     */

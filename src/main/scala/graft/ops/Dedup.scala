@@ -62,32 +62,56 @@ object Dedup {
           s"transform(sequence(1, size(tokens) - ${n - 1}), i -> concat_ws(' ', slice(tokens, i, $n)))"
         )).as("shingle"))
 
-  /** MinHash signatures over word shingles: ONE md5 per shingle, split into
-    * four 8-hex-char (32-bit) chunks that act as the independent hash
-    * functions; each signature component is the lexicographic min of its
-    * chunk over the doc's shingle set. All 4 mins are computed in ONE
-    * aggregation pass over the exploded shingle table (map-side combined)
-    * — hashing is the hot path at corpus scale, so 1 digest beats 4.
+  /** MinHash signatures over word shingles, one `mh$i` column per hash.
+    *
+    * Up to 4 hashes: ONE md5 per shingle, split into four 8-hex-char
+    * (32-bit) chunks that act as the independent hash functions — hashing
+    * is the hot path at corpus scale, so 1 digest beats 4 (and this md5
+    * form is what the DuckDB oracle mirrors). Beyond 4: a seeded xxhash64
+    * family, `xxhash64(shingle, i)` — one cheap 64-bit hash per component,
+    * arbitrarily wide. Either way each signature component is the min of
+    * its hash over the doc's shingle set, all computed in ONE aggregation
+    * pass (map-side combined).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 4): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     val sh = wordShingles(docs, idCol, textCol, shingleN)
-      .withColumn("h", md5(col("shingle")))
-    val aggs = (0 until numHashes).map(s =>
-      min(substring(col("h"), s * 8 + 1, 8)).as(s"mh$s"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    if (numHashes <= 4) {
+      val hashed = sh.withColumn("h", md5(col("shingle")))
+      val aggs = (0 until numHashes).map(s =>
+        min(substring(col("h"), s * 8 + 1, 8)).as(s"mh$s"))
+      hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    } else {
+      val aggs = (0 until numHashes).map(s =>
+        min(xxhash64(col("shingle"), lit(s))).as(s"mh$s"))
+      sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    }
   }
 
-  /** LSH banding over the 4-component MinHash signature: 2 bands × 2 rows.
-    * Docs sharing any band hash become candidate near-duplicate pairs.
-    * The pair generation is an equi-join on the band key — never all-pairs.
+  /** LSH banding over a `numBands` × `rowsPerBand` MinHash signature: docs
+    * sharing any band hash become candidate near-duplicate pairs; the pair
+    * generation is an equi-join on the band key — never all-pairs, at any
+    * scale. More bands → higher recall, more rows per band → higher
+    * precision (the standard S-curve trade); at production scale pick
+    * e.g. 16×8 rather than the oracle-matched 2×2 default, which keeps
+    * the original md5-chunk form bit-for-bit.
     */
-  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol)
-    val banded = sig.select(col("doc_id"),
-      explode(array(
-        md5(concat(lit("b0|"), col("mh0"), col("mh1"))),
-        md5(concat(lit("b1|"), col("mh2"), col("mh3"))))).as("band"))
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        numBands: Int = 2, rowsPerBand: Int = 2,
+                        shingleN: Int = 3): DataFrame = {
+    require(numBands >= 1 && rowsPerBand >= 1,
+      s"invalid banding ${numBands}x$rowsPerBand")
+    val sig = minhashSignatures(docs, idCol, textCol, shingleN,
+      numHashes = numBands * rowsPerBand)
+    val bandKeys = (0 until numBands).map { b =>
+      val comps = (0 until rowsPerBand).map(j => col(s"mh${b * rowsPerBand + j}"))
+      if (numBands * rowsPerBand <= 4)
+        md5(concat((lit(s"b$b|") +: comps): _*))
+      else
+        xxhash64((lit(b.toLong) +: comps): _*).cast("string")
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
     val other = banded.select(col("doc_id").as("doc_b"), col("band").as("band_b"))
     banded.join(other, col("band") === col("band_b") && col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"))

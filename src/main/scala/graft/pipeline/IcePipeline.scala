@@ -37,7 +37,10 @@ object IcePipeline {
     val adjDf = GrainSelect.adjacency(elements).cache()
     val adj = adjDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val eligibleIds = eligible.collect().map(_.getLong(0)).toSeq
-    val k = math.ceil(cfg.nGrains.toDouble / nJoint).toInt
+    // layer size is ceil(|eligible| / n_joint) — over the INTERIOR pool,
+    // not all grains (GenerateColumnar.py:252 "num_select =
+    // ceil(len(eligible_indices) / n_joint)")
+    val k = math.ceil(eligibleIds.size.toDouble / nJoint).toInt
 
     val layer1 = GrainSelect.greedyIndependentSet(adj, eligibleIds, k)
     val pool2 = GrainSelect.excludePool(spark, eligible, adjDf, layer1)

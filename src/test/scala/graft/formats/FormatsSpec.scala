@@ -149,6 +149,34 @@ class FormatsSpec extends SparkTestBase {
     assert(parsed.count() === 5)
   }
 
+  test("Make Consistency: valid deck passes, corrupted deck rejected with engine semantics") {
+    import spark.implicits._
+    val particles = DeckCodec.readParticles(spark, fixture("ball3d_100.dat"))
+    val materials = DeckCodec.readMaterials(spark, fixture("mlsmat00.dat"))
+    val measureIds = particles.limit(2).select("id").collect().map(_.getLong(0)).toSeq
+    // the engine's pass over a consistent deck: no errors, no throw
+    assert(DeckCodec.consistencyErrors(particles, materials, measureIds).isEmpty)
+    DeckCodec.makeConsistency(particles, materials, measureIds)
+    // corrupt D5 col 17: one particle references material (max + 7)
+    val maxMat = materials.agg(max("material_id")).head().getInt(0)
+    val corrupted = particles.withColumn("material_id",
+      when(col("id") === measureIds.head, lit(maxMat + 7)).otherwise(col("material_id")))
+    val ex = intercept[IllegalArgumentException] {
+      DeckCodec.makeConsistency(corrupted, materials, measureIds)
+    }
+    assert(ex.getMessage.contains(
+      "Material Num of the particle is larger than the max number in the material list"))
+    // corrupt MeasurePar: an id that names no particle
+    val errs = DeckCodec.consistencyErrors(particles, materials, Seq(999999999L))
+    assert(errs.exists(_.contains("The ID of the measure point is larger")))
+  }
+
+  test("MeasurePar.dat reader: flag/count header then ids") {
+    val path = "/root/reference/UniaxialCompressionTest/MeasurePar.dat"
+    assume(Files.exists(Paths.get(path)))
+    assert(DeckCodec.readMeasurePoints(path) === Seq(71756L, 102380L))
+  }
+
   test("S7 vertex sink writes one space-joined line per row") {
     import spark.implicits._
     val src = Seq((1.5, 2.5, 3.5), (4.0, 5.0, 6.0)).toDF("x", "y", "z")

@@ -52,6 +52,37 @@ class OpsSpec extends SparkTestBase {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("LSH recall on planted near-dups rises with band count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("ice", "grain", "columnar", "spark", "shuffle", "mesh",
+      "lattice", "bond", "force", "strain", "voronoi", "facet", "node", "cell",
+      "probe", "centroid", "minhash", "band", "corpus", "dedup", "quantile",
+      "window", "stream", "batch", "engine", "plan", "join", "scan", "sort", "agg")
+    def doc(): Seq[String] = Seq.fill(24)(vocab(rnd.nextInt(vocab.size)))
+    // 40 planted pairs: (2k, base) and (2k+1, base with one token changed) —
+    // high but not perfect Jaccard — plus 40 unrelated decoys
+    val rows = (0 until 40).flatMap { k =>
+      val base = doc()
+      val near = base.updated(rnd.nextInt(base.size), vocab(rnd.nextInt(vocab.size)))
+      Seq((2L * k, base.mkString(" ")), (2L * k + 1, near.mkString(" ")))
+    } ++ (0 until 40).map(k => (1000L + k, doc().mkString(" ")))
+    val docs = rows.toDF("doc_id", "text")
+    val planted = (0 until 40).map(k => (2L * k, 2L * k + 1)).toSet
+    def recall(numBands: Int, rowsPerBand: Int): Double = {
+      val got = Dedup.lshCandidatePairs(docs, "doc_id", "text", numBands, rowsPerBand)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      planted.count(got.contains).toDouble / planted.size
+    }
+    val r1 = recall(1, 2)   // md5-chunk family
+    val r4 = recall(4, 2)   // still md5-able? no: 8 hashes -> xxhash64 family
+    val r8 = recall(8, 2)
+    assert(r4 >= r1, s"recall must not drop with more bands: 1x2=$r1 4x2=$r4")
+    assert(r8 >= r4, s"recall must not drop with more bands: 4x2=$r4 8x2=$r8")
+    assert(r8 > r1, s"recall must rise over the range: 1x2=$r1 8x2=$r8")
+    assert(r8 >= 0.8, s"8x2 banding should catch most planted near-dups, got $r8")
+  }
+
   test("simhash: 32-bit strings, equal for dups, different for different docs") {
     import spark.implicits._
     val docs = Seq(

@@ -132,6 +132,80 @@ class PipelineSpec extends SparkTestBase {
     assert(inSph.count() > 0 && inSph.count() < inBox.count() + quads.count())
   }
 
+  test("generator parity metrics at the reference config (PARITY.md bands)") {
+    // GenerateColumnar.py:401-406: 200x200 domain, 150 grains, thickness
+    // 50.2, n_joint 6. The script itself cannot run in this container
+    // (scipy/shapely/matplotlib absent, no egress), so parity is asserted
+    // against the closed-form invariants any faithful bounded-Voronoi
+    // generator satisfies — see PARITY.md for the committed bands.
+    // relaxIterations trimmed 50 -> 12 (displacement plateau is spec'd
+    // separately; the metrics below are topology-stable past ~10 rounds).
+    val refCfg = VoronoiMesh.MeshConfig(
+      width = 200.0, height = 200.0, nGrains = 150, relaxIterations = 12,
+      sampleN = 30000, seed = 42L, extrusion = 50.2)
+    val res = IcePipeline.generate(spark, refCfg, baseAngleDeg = 8.0, nJoint = 6)
+    val verts = res.elements // (grain_id, pos, node_id) incidence rows
+
+    // grain count: one polygon per seed
+    val perGrain = verts.groupBy("grain_id").count()
+    assert(perGrain.count() === 150)
+
+    // per-grain vertex-count distribution: planar Voronoi cells average
+    // ~6 sides (Euler), bounded-box clipping pulls the mean slightly down
+    val stats = perGrain.agg(avg("count"), min("count"), max("count")).head()
+    val meanSides = stats.getDouble(0)
+    assert(meanSides > 5.0 && meanSides < 7.0, s"mean sides $meanSides")
+    assert(stats.getLong(1) >= 3, "every cell is a real polygon")
+    assert(stats.getLong(2) <= 14, "no degenerate mega-cell")
+
+    // node count: clipped planar Voronoi has ~2n interior vertices plus
+    // boundary/corner intersections
+    val nNodes = res.nodes.count()
+    assert(nNodes >= 250 && nNodes <= 500, s"node count $nNodes")
+
+    // selection layers: k = ceil(|interior|/6) (GenerateColumnar.py:252);
+    // at 150 grains in a 200x200 box roughly 90-120 grains are interior,
+    // so k lands in [15, 20]; layer 2 draws from the pool minus layer 1
+    // and its neighborhood and may stop short when the pool drains
+    assert(res.selected.size >= 15 && res.selected.size <= 20,
+      s"layer1 ${res.selected.size}")
+    assert(res.layer2.size >= 1 && res.layer2.size <= res.selected.size,
+      s"layer2 ${res.layer2.size}")
+
+    // facet sink: exactly one lateral quad per polygon edge of each
+    // selected grain (GenerateColumnar.py:308-332 writes n facets for an
+    // n-vertex element)
+    val selectedDf = {
+      import spark.implicits._
+      (res.selected ++ res.layer2).toDF("grain_id")
+    }
+    val expectedFacets = perGrain.join(selectedDf, Seq("grain_id"))
+      .agg(sum("count")).head().getLong(0)
+    assert(res.facets.count() === expectedFacets)
+
+    // facet-area sum: exact quad area (two triangles, quads are planar),
+    // banded against the untapered prism area (perimeter x extrusion) —
+    // the 8-degree mean taper shrinks top edges, slant stretches sides
+    def cross2(ax: String, ay: String, az: String,
+               bx: String, by: String, bz: String) = {
+      def d(p: String, q: String) = col(p) - col(q)
+      sqrt(
+        pow(d(ay, "y1") * d(bz, "z1") - d(az, "z1") * d(by, "y1"), 2) +
+        pow(d(az, "z1") * d(bx, "x1") - d(ax, "x1") * d(bz, "z1"), 2) +
+        pow(d(ax, "x1") * d(by, "y1") - d(ay, "y1") * d(bx, "x1"), 2)) / 2
+      }
+    val quadArea = cross2("x2", "y2", "z2", "x3", "y3", "z3") +
+      cross2("x3", "y3", "z3", "x4", "y4", "z4")
+    val areaSum = res.facets.select(quadArea.as("a"))
+      .agg(sum("a")).head().getDouble(0)
+    val perimSum = res.facets.select(
+      sqrt(pow(col("x2") - col("x1"), 2) + pow(col("y2") - col("y1"), 2)).as("e"))
+      .agg(sum("e")).head().getDouble(0)
+    val prism = perimSum * refCfg.extrusion
+    assert(areaSum > 0.4 * prism, s"taper must not collapse facets: $areaSum vs $prism")
+    assert(areaSum < 1.1 * prism, s"lateral area near the prism bound: $areaSum vs $prism")
+  }
+
   test("SpecimenCut: cylinder cut + plane filters + dedup behave like the reference chain") {
     val quads = VoronoiMesh.facetQuads(vertices, cfg)
     val cyl = SpecimenCut.CylinderZ(cfg.width / 2, cfg.height / 2, 0, cfg.extrusion, cfg.width / 4)
