@@ -14,6 +14,13 @@ object Skew {
     * (key, salt) then a final merge over key. Turns one hot-key reducer
     * into `salts` parallel partials. The generic contract: `partialAggs`
     * must be mergeable by `finalAggs` (sum→sum, count→sum, min→min, ...).
+    *
+    * WHEN TO USE: only for aggregates whose partial state is itself large
+    * per key — collect_list/collect_set, exact percentile, large typed
+    * buffers — where one hot key's state must be split across reducers.
+    * For algebraic aggs (count/sum/min/max/avg) Spark's map-side partial
+    * aggregation ALREADY spreads hot-key work across mappers; salting
+    * those just adds an extra shuffle for nothing.
     */
   def saltedCount(df: DataFrame, keyCol: String, salts: Int): DataFrame =
     df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))

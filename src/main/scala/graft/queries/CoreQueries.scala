@@ -527,6 +527,60 @@ object CoreQueries {
       Tables.lineitem(s, d).groupBy(col("l_partkey").as("node_id"))
         .agg(countDistinct(col("l_orderkey")).as("degree"), count(lit(1)).as("n_edges"))
         .orderBy("node_id")
+    }),
+
+    // A7+ — grouping-set bitmask exposure (rollup family: which grouping
+    // produced each row, the engine's per-level output tagging).
+    "q_grouping_id" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n_cust"))
+        .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          col("gid"), col("n_cust"))
+        .orderBy("nation", "segment", "gid")
+    }),
+
+    // W-extra — QUALIFY-shaped filter on a window aggregate: orders above
+    // their customer's average (decimal-exact sum / count, so the window
+    // average is order-independent).
+    "q_qualify" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+      Tables.orders(s, d)
+        .withColumn("avg_raw",
+          sum(dec(col("o_totalprice"))).over(w).cast("double") /
+            count(lit(1)).over(w))
+        .filter(col("o_totalprice") > col("avg_raw"))
+        // no rounding: the decimal-sum-over-double division is bit-identical
+        // across engines, but ROUND(x, 4) half-up straddles knife edges
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("avg_raw").as("avg_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // W-extra — windowed running distinct count (cumulative set size per
+    // user; collect_set is the Spark rendering of COUNT(DISTINCT) OVER).
+    "q_windowed_distinct" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          size(collect_set(col("event_type")).over(w)).cast("long").as("n_types_so_far"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // J-extra — correlated LATERAL subquery: per-nation aggregates inline
+    // (Catalyst decorrelates to a left outer aggregate join).
+    "q_lateral_join" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT n_nationkey, n_name, t.top_bal, t.n_cust
+          |FROM nation_v, LATERAL (
+          |  SELECT MAX(c_acctbal) AS top_bal, COUNT(*) AS n_cust
+          |  FROM customer_v WHERE c_nationkey = n_nationkey) t
+          |ORDER BY n_nationkey""".stripMargin)
     })
   )
 
@@ -613,6 +667,14 @@ object CoreQueries {
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_elem, ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm, ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4) AS head_sum FROM embeddings ORDER BY vec_id""",
     "q_edge_degree" ->
       """SELECT l_partkey AS node_id, COUNT(DISTINCT l_orderkey) AS degree, COUNT(*) AS n_edges FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_grouping_id" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(c_mktsegment, 'ALL') AS segment, CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid, COUNT(*) AS n_cust FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY CUBE(n_name, c_mktsegment) ORDER BY nation, segment, gid""",
+    "q_qualify" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, avg_raw AS avg_price FROM (SELECT o_custkey, o_orderkey, o_totalprice, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_raw FROM orders WINDOW w AS (PARTITION BY o_custkey)) WHERE o_totalprice > avg_raw ORDER BY o_custkey, o_orderkey""",
+    "q_windowed_distinct" ->
+      """SELECT user_id, event_id, COUNT(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY CAST(epoch_ms(ts) AS BIGINT), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_so_far FROM events ORDER BY user_id, event_id""",
+    "q_lateral_join" ->
+      """SELECT n_nationkey, n_name, t.top_bal, t.n_cust FROM nation, LATERAL (SELECT MAX(c_acctbal) AS top_bal, COUNT(*) AS n_cust FROM customer WHERE c_nationkey = n_nationkey) t ORDER BY n_nationkey""",
     "q_date_parts" ->
       """SELECT CAST(date_part('year', l_shipdate) AS INTEGER) AS ship_year, CAST(date_part('month', l_shipdate) AS INTEGER) AS ship_month, COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_levenshtein" ->
