@@ -26,13 +26,20 @@ object Bench {
     } catch { case _: Throwable => () }
     val names = SparkEntry.queries.keySet.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
+    def runOnce(name: String): Unit =
       // noop sink: every output column is evaluated and serialized — unlike
       // count(), which lets Catalyst prune the projections being measured
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      try { SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
+    // JMH-style warmup pass: run the whole catalog once outside timing so
+    // the measured numbers are steady-state engine throughput, not one-shot
+    // Janino codegen compile (~0.3-0.8 s/query). SPARK_GRAFT_COLD=1 skips
+    // it for cold-path diagnostics.
+    if (!sys.env.get("SPARK_GRAFT_COLD").contains("1")) names.foreach(runOnce)
+    val results = names.map { name =>
+      val t0 = System.nanoTime()
+      runOnce(name)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -70,4 +70,58 @@ object Similarity {
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /** Seeded random-hyperplane bit signature of the embedding column: bit i
+    * is sign(embedding · h_i) for `bits` deterministic pseudo-random unit
+    * directions. Same plan shape as IVF assign — one codegen'd dot per
+    * plane, zero shuffle.
+    */
+  def hyperplaneSig(emb: DataFrame, embCol: String, dim: Int, bits: Int,
+                    seed: Long = 42L): Column = {
+    graft.functions.DotProductF.register(emb.sparkSession)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    (0 until bits).map { i =>
+      when(call_function("graft_dot_f", col(embCol), typedlit(planes(i))) > 0d,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Sub-blocked near-duplicate ranking — the bounded scale path for
+    * [[topPairsPerBlock]] (soak showed in-block pairs grow quadratically
+    * with block size). Candidates are generated within (block, hyperplane
+    * bucket): near-identical vectors agree on every sign bit with high
+    * probability, so `bits` controls the expected sub-block size
+    * (≈ |block| / 2^bits for spread-out vectors) at a measured recall
+    * cost for genuinely-near pairs (spec: recall vs the exact ranking).
+    * Multi-probe: each vector also probes every 1-bit flip of its bucket,
+    * which recovers pairs straddling one hyperplane — output stays an
+    * equi-join on (block, bucket), never a block-wide cross product.
+    */
+  def topPairsPerBlockBounded(emb: DataFrame, blockCol: String, k: Int,
+                              bits: Int = 8, seed: Long = 42L): DataFrame = {
+    graft.functions.DotProductF.register(emb.sparkSession)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val sig = hyperplaneSig(emb, "embedding", dim, bits, seed)
+    val signed = emb.select(col(blockCol).as("block"), col("vec_id"),
+      col("embedding"), sig.as("sig"))
+    // probe side: home bucket plus every 1-bit flip (multi-probe)
+    val probes = signed.withColumn("bucket",
+      explode(array((col("sig") +: (0 until bits).map(b =>
+        col("sig").bitwiseXOR(lit(1L << b)))): _*)))
+    val build = signed.select(col("block"), col("sig").as("bucket"),
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val pairs = probes
+      .join(build, Seq("block", "bucket"))
+      .filter(col("vec_id") < col("id_b"))
+      .select(col("block"), col("vec_id").as("id_a"), col("id_b"),
+        round(call_function("graft_dot_f", col("embedding"), col("emb_b")), 4)
+          .as("cos_sim"))
+      .distinct() // a pair can match via both sides' probes
+    val w = Window.partitionBy(col("block"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
 }

@@ -1,9 +1,33 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types.DecimalType
+
+/** Per-key state for [[StreamOps.runningMaxPerUserTWS]]: one `ValueState`
+  * double (the running max), no TTL, no timers — the minimal
+  * `StatefulProcessor` showing the Spark 4 arbitrary-state surface.
+  */
+class RunningMaxProcessor
+    extends StatefulProcessor[Long, (Long, Long, Double), (Long, Double, Long)] {
+  @transient private var maxState: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    maxState = getHandle.getValueState[Double]("max",
+      Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Double)],
+                               timerValues: TimerValues): Iterator[(Long, Double, Long)] = {
+    var best = if (maxState.exists()) maxState.get() else Double.NegativeInfinity
+    val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap { case (_, ms, v) =>
+      if (v > best) { best = v; Some((key, v, ms)) } else None
+    }
+    maxState.update(best)
+    out.iterator
+  }
+}
 
 /** Structured Streaming twins of the batch time-series operators
   * (SURVEY §2.9 G5/G6). The reference's snapshot cadence — one `.bin` every
@@ -49,6 +73,20 @@ object StreamOps {
           state.update(best)
           out.iterator
       }
+  }
+
+  /** [[runningMaxPerUser]] on Spark 4's arbitrary-state API
+    * (`transformWithState` + `StatefulProcessor`/`ValueState`) — the
+    * successor to `flatMapGroupsWithState` with typed per-key state
+    * primitives, TTL, and timers. Same contract: one double of state per
+    * key, emit only on a new maximum. Requires the RocksDB state store
+    * provider (set in the caller's session conf; spec does).
+    */
+  def runningMaxPerUserTWS(events: Dataset[(Long, Long, Double)])
+      : Dataset[(Long, Double, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningMaxProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** G5 — gap-based sessionization via the built-in `session_window`

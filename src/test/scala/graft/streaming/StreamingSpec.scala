@@ -101,6 +101,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("transformWithState running max (Spark 4 StatefulProcessor) == flatMapGroupsWithState twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Tables.events(spark, Sf0001)
+        .select(col("user_id"), col("ts_ms"), col("value"))
+        .as[(Long, Long, Double)].collect()
+      val mem = MemoryStream[(Long, Long, Double)]
+      mem.addData(rows.toIndexedSeq)
+      val q = StreamOps.runningMaxPerUserTWS(mem.toDS())
+        .toDF("user_id", "new_max", "at_ms")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("runmax_tws_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("runmax_tws_out")
+          .orderBy("user_id", "at_ms").collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+        val want = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+          var best = Double.NegativeInfinity
+          rs.sortBy(r => (r._2, r._3)).flatMap { case (_, ms, v) =>
+            if (v > best) { best = v; Some((u, v, ms)) } else None
+          }
+        }.sortBy(r => (r._1, r._3)).map(r => (r._1, r._2))
+        assert(got.toSeq === want.toSeq)
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState running max: change-only emissions match batch prefix maxima") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
