@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Asserted plan invariants for the catalog — the properties `PlanCheck`
+  * prints for eyeballing, pinned as tests so a regression (lost pushdown,
+  * un-broadcast dim, accidental cartesian, de-decorrelated lateral) fails
+  * CI instead of surfacing at 100 TB.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf0001).queryExecution.executedPlan.toString
+
+  private def optimized(name: String): String =
+    SparkEntry.queries(name)(spark, Sf0001).queryExecution.optimizedPlan.toString
+
+  test("q_scan_project prunes the parquet read to the referenced columns") {
+    val p = plan("q_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_shipdate"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_comment"),
+      s"scan reads unreferenced columns: $read")
+  }
+
+  test("q_range_filter pushes every predicate to the scan (incl. timestamp)") {
+    val p = plan("q_range_filter")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_quantity") && pushed.contains("l_discount") &&
+      pushed.contains("l_shipdate"), s"missing pushdown: $pushed")
+  }
+
+  test("dim joins broadcast; no sort-merge for broadcast-hinted dims") {
+    val p = plan("q_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_sort_limit plans as TakeOrderedAndProject (never a full sort)") {
+    assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("no cartesian products anywhere in the band/LSH/interval join family") {
+    Seq("q_minhash_lsh", "q_range_join", "q_interval_join", "q_approx_dedup",
+      "q_embed_neardup").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+      // BroadcastNestedLoopJoin with a non-trivial condition is the other
+      // quadratic shape; the probe-row broadcasts (1-row frames) are fine
+      assert(!p.contains("BroadcastNestedLoopJoin Inner"),
+        s"$n plans a nested-loop join:\n$p")
+    }
+  }
+
+  test("q_asof_curve is served by the custom AsOfJoin physical operator") {
+    assert(plan("q_asof_curve").contains("AsOfJoin"))
+  }
+
+  test("q_lateral_join decorrelates to an aggregate + join (no per-row subquery)") {
+    val o = optimized("q_lateral_join")
+    assert(o.contains("Aggregate"), o)
+    assert(o.contains("Join"), o)
+    val p = plan("q_lateral_join")
+    assert(!p.contains("CartesianProduct"), s"lateral stayed correlated:\n$p")
+  }
+
+  test("q_grouping_id is a single expand + aggregate, one shuffle") {
+    val p = plan("q_grouping_id")
+    assert(p.contains("Expand"), p)
+    // cube = expand then ONE aggregate pair; any extra Exchange beyond the
+    // agg + sort means the grouping sets re-shuffled
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$p")
+  }
+}

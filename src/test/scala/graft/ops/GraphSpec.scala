@@ -84,6 +84,16 @@ class GraphSpec extends SparkTestBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("string node ids: distributed contraction works; local finish declines") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    // non-integral ids always take the distributed path, threshold or not
+    val r = Graph.connectedComponentsResult(edges) // default threshold
+    assert(r.converged)
+    val m = r.labels.collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(m === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("real bond graph: MLSBond.dat components and degrees") {
     val path = "/root/reference/UniaxialCompressionTest/MLSBond.dat"
     assume(Files.exists(Paths.get(path)))
