@@ -112,6 +112,12 @@ object AsOfJoinStrategy extends SparkStrategy {
   * DataFrame backed by the custom logical node. Column names must be
   * unambiguous across the two sides (alias before joining, as with any
   * self-join).
+  *
+  * CONTRACT: the right side must have at most one row per (key, time) —
+  * "the value as of t" is ambiguous when several rows share the same
+  * time, and which one a sort-based merge holds is not deterministic.
+  * Deduplicate first (e.g. `groupBy(key, time).agg(max(value))`), as
+  * `q_asof_curve` does.
   */
 object AsOfJoinOps {
   def asof(left: DataFrame, right: DataFrame,

@@ -26,9 +26,13 @@ object ExtQueries {
     "q_asof_curve" -> ((s, d) => {
       val e = Tables.events(s, d)
       val probes = e.select(col("event_id"), col("user_id"), col("ts"))
+      // the curve must be UNIQUE per (user, ts): as-of at equal times is
+      // otherwise ambiguous (adversarial fuzz caught exactly that) — take
+      // the max value among simultaneous signups, mirrored in the oracle
       val curve = e.filter(col("event_type") === "signup")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-          col("ts_ms").as("c_ms"), col("value").as("c_val"))
+        .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .agg(max(col("value")).as("c_val"))
+        .withColumn("c_ms", expr("c_ts DIV 1000000"))
       graft.plans.AsOfJoinOps.asof(probes, curve, "user_id", "c_user", "ts", "c_ts")
         .select(col("event_id"), col("c_ms").as("asof_ms"), col("c_val").as("asof_val"))
         .orderBy("event_id")
@@ -192,7 +196,7 @@ object ExtQueries {
     "q_range_join" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b FROM events a JOIN events b ON a.user_id = b.user_id AND a.event_id < b.event_id AND ABS(epoch_ms(a.ts) - epoch_ms(b.ts)) < 60000 ORDER BY 1, 2""",
     "q_asof_curve" ->
-      """SELECT e.event_id, (SELECT CAST(epoch_ms(s.ts) AS BIGINT) FROM events s WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts ORDER BY s.ts DESC LIMIT 1) AS asof_ms, (SELECT s.value FROM events s WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts ORDER BY s.ts DESC LIMIT 1) AS asof_val FROM events e ORDER BY e.event_id""",
+      """WITH curve AS (SELECT user_id, ts, MAX(value) AS value FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) SELECT e.event_id, (SELECT CAST(epoch_ms(s.ts) AS BIGINT) FROM curve s WHERE s.user_id = e.user_id AND s.ts <= e.ts ORDER BY s.ts DESC LIMIT 1) AS asof_ms, (SELECT s.value FROM curve s WHERE s.user_id = e.user_id AND s.ts <= e.ts ORDER BY s.ts DESC LIMIT 1) AS asof_val FROM events e ORDER BY e.event_id""",
     "q_multimodal_join" ->
       """SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INTEGER) AS emb_dim FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id""",
     "q_sessionize" ->

@@ -41,6 +41,24 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(math.abs(r.getLong(1) - exact) / exact < 0.1)
   }
 
+  test("A6 scale path: approx_percentile within bounded error of exact percentile") {
+    // exact `percentile` buffers every value per group (the oracle path,
+    // q_percentile); the 100 TB path is the mergeable approx_percentile
+    // sketch (constant state, map-side combinable) — same pairing as
+    // countDistinct/HLL above
+    val li = Tables.lineitem(spark, Sf0001)
+    val r = li.agg(
+      expr("percentile(cast(l_extendedprice as double), 0.5)").as("exact_p50"),
+      expr("approx_percentile(cast(l_extendedprice as double), 0.5, 1000)").as("apx_p50"),
+      expr("percentile(cast(l_extendedprice as double), 0.9)").as("exact_p90"),
+      expr("approx_percentile(cast(l_extendedprice as double), 0.9, 1000)").as("apx_p90"))
+      .head()
+    val (e50, a50, e90, a90) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(math.abs(a50 - e50) / e50 < 0.05, s"p50 $a50 vs $e50")
+    assert(math.abs(a90 - e90) / e90 < 0.05, s"p90 $a90 vs $e90")
+  }
+
   test("S8 parquet snapshot sink: step partition pruning serves step filters") {
     import graft.formats.SoABin
     import spark.implicits._

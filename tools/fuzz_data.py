@@ -4,13 +4,18 @@ directory, then the caller runs graft.Verify + check.py on it. Surfaces
 data-dependent Spark-vs-DuckDB divergence (rounding ties, null paths,
 duplicate keys) that the fixed fixtures can't.
 
-Usage: python3 tools/fuzz_data.py <outDir> <seed> [rows]
+Usage: python3 tools/fuzz_data.py <outDir> <seed> [rows] [--adversarial]
+
+--adversarial skews every distribution at its degenerate edge: one hot
+key carrying most rows, near-constant value columns (tie storms for
+sorts/windows/percentiles), duplicate event timestamps, empty/1-char/
+unicode/whitespace documents, duplicate embedding vectors.
 """
 import sys, random, json, datetime
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-def main(out, seed, n=3000):
+def main(out, seed, n=3000, adversarial=False):
     rnd = random.Random(seed)
     words = ["the","fast","key","order","sort","table","scan","merge","part",
              "window","small","hash","join","spark","group","query","row",
@@ -46,30 +51,44 @@ def main(out, seed, n=3000):
             "p_size": pa.array([rnd.randrange(1, 51) for _ in range(nP)], pa.int32()),
             "p_retailprice": pa.array([money(900, 2000) for _ in range(nP)])}
     # deliberately include some customers with no orders (anti-join path)
+    def cust_pick():
+        if adversarial and rnd.random() < 0.7: return 3  # hot customer
+        return rnd.randrange(int(nC*0.9))
+    def price_pick():
+        if adversarial: return rnd.choice([5000.00, 250000.00, 480000.00])
+        return money(1000, 500000)
     orders = {"o_orderkey": pa.array(range(nO), pa.int64()),
-              "o_custkey": pa.array([rnd.randrange(int(nC*0.9)) for _ in range(nO)], pa.int64()),
+              "o_custkey": pa.array([cust_pick() for _ in range(nO)], pa.int64()),
               "o_orderstatus": pa.array([rnd.choice(["F","O","P"]) for _ in range(nO)]),
-              "o_totalprice": pa.array([money(1000, 500000) for _ in range(nO)]),
+              "o_totalprice": pa.array([price_pick() for _ in range(nO)]),
               "o_orderdate": pa.array([ts_ms() for _ in range(nO)], pa.timestamp("ms")),
               "o_orderpriority": pa.array([rnd.choice(["1-URGENT","2-HIGH","3-MEDIUM","4-NOT SPECIFIED","5-LOW"]) for _ in range(nO)])}
     # duplicate (orderkey, linenumber) pairs ON PURPOSE (the fixture trap)
-    li_ok = [rnd.randrange(nO) for _ in range(nL)]
+    li_ok = [(7 if adversarial and rnd.random() < 0.6 else rnd.randrange(nO))
+             for _ in range(nL)]
     lineitem = {"l_orderkey": pa.array(li_ok, pa.int64()),
                 "l_partkey": pa.array([rnd.randrange(nP) for _ in range(nL)], pa.int64()),
                 "l_suppkey": pa.array([rnd.randrange(nS) for _ in range(nL)], pa.int64()),
                 "l_linenumber": pa.array([rnd.randrange(1, 5) for _ in range(nL)], pa.int32()),
-                "l_quantity": pa.array([float(rnd.randrange(1, 51)) for _ in range(nL)]),
+                "l_quantity": pa.array([(1.0 if adversarial and i % 2 == 0
+                    else float(rnd.randrange(1, 51))) for i in range(nL)]),
                 "l_extendedprice": pa.array([money(900, 105000) for _ in range(nL)]),
-                "l_discount": pa.array([round(rnd.randrange(0, 11)/100.0, 2) for _ in range(nL)]),
+                "l_discount": pa.array([(rnd.choice([0.0, 0.05]) if adversarial
+                    else round(rnd.randrange(0, 11)/100.0, 2)) for _ in range(nL)]),
                 "l_tax": pa.array([round(rnd.randrange(0, 9)/100.0, 2) for _ in range(nL)]),
                 "l_returnflag": pa.array([rnd.choice(["A","N","R"]) for _ in range(nL)]),
                 "l_linestatus": pa.array([rnd.choice(["F","O"]) for _ in range(nL)]),
                 "l_shipdate": pa.array([ts_ms() for _ in range(nL)], pa.timestamp("ms"))}
     t0 = datetime.datetime(2024,1,1)
-    ev_ts = sorted(rnd.randrange(0, 90*24*3600*10**9) for _ in range(nE))
+    if adversarial:
+        # tiny distinct-timestamp pool -> exact ties for asof/sessionize/sorts
+        pool = [rnd.randrange(0, 90*24*3600*10**9) for _ in range(97)]
+        ev_ts = sorted(rnd.choice(pool) for _ in range(nE))
+    else:
+        ev_ts = sorted(rnd.randrange(0, 90*24*3600*10**9) for _ in range(nE))
     events = {"event_id": pa.array(range(nE), pa.int64()),
               "ts": pa.array([t0 + datetime.timedelta(microseconds=t//1000) for t in ev_ts], pa.timestamp("ns")),
-              "user_id": pa.array([rnd.randrange(max(10, nE//50)) for _ in range(nE)], pa.int64()),
+              "user_id": pa.array([rnd.randrange(5 if adversarial else max(10, nE//50)) for _ in range(nE)], pa.int64()),
               "event_type": pa.array([rnd.choice(["view","click","purchase","signup","error"]) for _ in range(nE)]),
               "value": pa.array([money(0, 200) for _ in range(nE)]),
               "props": pa.array([json.dumps({"k": rnd.randrange(100)}) for _ in range(nE)])}
@@ -77,6 +96,12 @@ def main(out, seed, n=3000):
     # inject exact duplicates (doc-dedup path)
     for i in range(0, nD, 17):
         if i+1 < nD: texts[i+1] = texts[i]
+    if adversarial:
+        degenerate = ["", " ", "a", "  \t  ", "h\u00e9llo w\u00f6rld \u4f60\u597d",
+                      "the the the the the the the the", "\u00df\u00df \u00df\u00df",
+                      "x" * 5000]
+        for i, t in enumerate(degenerate * 3):
+            if i * 7 + 3 < nD: texts[i * 7 + 3] = t
     documents = {"doc_id": pa.array(range(nD), pa.int64()),
                  "text": pa.array(texts),
                  "lang": pa.array([rnd.choice(["en","de","es","fr","zh"]) for _ in range(nD)]),
@@ -88,6 +113,9 @@ def main(out, seed, n=3000):
         v = [rnd.gauss(0,1) for _ in range(dim)]
         s = sum(x*x for x in v) ** 0.5
         embs.append([float(x/s) for x in v])
+    if adversarial:
+        for i in range(0, nD - 1, 11):
+            embs[i+1] = list(embs[i])  # exact duplicate vectors (cos ties)
     embeddings = {"vec_id": pa.array(range(nD), pa.int64()),
                   "embedding": pa.array(embs, pa.list_(pa.float32())),
                   "label": pa.array([rnd.randrange(10) for _ in range(nD)], pa.int32())}
@@ -102,4 +130,6 @@ def main(out, seed, n=3000):
     print(f"wrote fuzz data to {out} (seed={seed}, lineitem={nL})")
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]) if len(sys.argv) > 3 else 3000)
+    args = [a for a in sys.argv[1:] if a != "--adversarial"]
+    main(args[0], int(args[1]), int(args[2]) if len(args) > 2 else 3000,
+         adversarial="--adversarial" in sys.argv)
