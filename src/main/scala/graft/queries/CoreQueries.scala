@@ -207,13 +207,18 @@ object CoreQueries {
     // A6+ — exact percentiles (distributional view of values; pairs with
     // q_histogram for the Weibull-hook row).
     "q_percentile" -> ((s, d) => {
-      // cast to double BEFORE the exact-percentile agg: decimal(12,2) is
-      // exactly representable, so results are identical, but the agg
-      // buffers primitive doubles instead of Decimal objects
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(round(expr("percentile(cast(l_extendedprice as double), 0.5)"), 4).as("p50"),
-          round(expr("percentile(cast(l_extendedprice as double), 0.9)"), 4).as("p90"),
-          round(expr("percentile(cast(l_quantity as double), 0.5)"), 4).as("p50_qty"))
+      // sort-based exact percentiles (ops.Quantiles): bit-identical to the
+      // percentile() aggregate (QuantilesSpec) but with no per-group value
+      // buffering — the form that survives 100 TB group sizes
+      val li = Tables.lineitem(s, d)
+      val price = graft.ops.Quantiles.exactPercentiles(
+        li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
+      val qty = graft.ops.Quantiles.exactPercentiles(
+        li, "l_returnflag", "l_quantity", Seq(0.5))
+      price.join(qty.withColumnRenamed("p0", "q0"), "g")
+        .select(col("g").as("l_returnflag"),
+          round(col("p0"), 4).as("p50"), round(col("p1"), 4).as("p90"),
+          round(col("q0"), 4).as("p50_qty"))
         .orderBy("l_returnflag")
     }),
 

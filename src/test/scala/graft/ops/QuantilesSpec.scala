@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** The sort-based exact percentile must equal Spark's buffering
+  * `percentile` aggregate (which the DuckDB oracle already matches).
+  */
+class QuantilesSpec extends SparkTestBase {
+
+  test("exactPercentiles == percentile() on the lineitem fixture") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val want = li.groupBy(col("l_returnflag").as("g"))
+      .agg(expr("percentile(cast(l_extendedprice as double), 0.5)").as("p0"),
+        expr("percentile(cast(l_extendedprice as double), 0.9)").as("p1"),
+        expr("percentile(cast(l_extendedprice as double), 0.0)").as("p2"),
+        expr("percentile(cast(l_extendedprice as double), 1.0)").as("p3"))
+      .orderBy("g").collect().map(_.toSeq)
+    val got = Quantiles.exactPercentiles(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5, 0.9, 0.0, 1.0))
+      .orderBy("g").collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("exactPercentiles handles tiny and single-value groups") {
+    import spark.implicits._
+    val df = Seq(("a", 10.0), ("b", 1.0), ("b", 2.0), ("b", 4.0)).toDF("k", "x")
+    val got = Quantiles.exactPercentiles(df, "k", "x", Seq(0.5))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq === Seq(("a", 10.0), ("b", 2.0)))
+    // interpolated case: 0.25 over {1,2,4} -> pos 1.5 -> 1 + (2-1)*0.5
+    val q = Quantiles.exactPercentiles(df.filter(col("k") === "b"), "k", "x", Seq(0.25))
+      .head().getDouble(1)
+    assert(q === 1.5)
+  }
+
+  test("exactPercentiles == percentile() on adversarial tie-heavy values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 5000)
+      .map(_ => (rnd.nextInt(3).toString, rnd.nextInt(5).toDouble)) // tie storm
+      .toDF("k", "x")
+    val want = df.groupBy(col("k").as("g"))
+      .agg(expr("percentile(x, 0.5)").as("p0"), expr("percentile(x, 0.73)").as("p1"))
+      .orderBy("g").collect().map(_.toSeq)
+    val got = Quantiles.exactPercentiles(df, "k", "x", Seq(0.5, 0.73))
+      .orderBy("g").collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+  }
+}
