@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   *   2. compute each percentile's fractional position 1 + p·(n−1) from
   *      the group counts (tiny frame);
   *   3. equi-join the two straddling ranks per (group, percentile) and
-  *      interpolate lower + (higher − lower)·frac.
+  *      interpolate with Spark's weighted two-point form.
   *
-  * Everything shuffles once on the group key plus one window sort —
-  * no unbounded agg state anywhere. Interpolation matches
-  * `percentile()` / DuckDB `quantile_cont` (same formula).
+  * Memory: the window sort SPILLS (ExternalSorter), so a huge group
+  * degrades to disk-backed sorting where `percentile()`'s in-memory
+  * value buffer simply OOMs. One caveat remains at extreme scale: a
+  * single group still serializes through one sort partition — if one
+  * group alone exceeds a node's disk, the next refinement is
+  * range-partitioned global ranking (sort by (g, v), compute per-group
+  * rank offsets from partition boundaries). Interpolation matches
+  * `percentile()` / DuckDB `quantile_cont` bit-for-bit (spec'd).
   */
 object Quantiles {
 

@@ -86,6 +86,17 @@ object ExtQueries {
         .orderBy("label", "id_a", "id_b")
     }),
 
+    // North star scale path — the bounded variant of q_embed_neardup:
+    // hyperplane-LSH sub-blocking caps in-block pair growth (the soak's
+    // one quadratic hotspot). No SQL oracle (seeded hyperplane family);
+    // recall-vs-exact is SimilaritySpec's contract — driver records the
+    // rows-only check.
+    "q_embed_neardup_bounded" -> ((s, d) => {
+      Similarity.topPairsPerBlockBounded(Tables.embeddings(s, d), "label", 3)
+        .select(col("block").as("label"), col("id_a"), col("id_b"), col("cos_sim"))
+        .orderBy("label", "id_a", "id_b")
+    }),
+
     // North star — MinHash + LSH band-bucket near-dup candidates.
     "q_minhash_lsh" -> ((s, d) => {
       Dedup.lshCandidatePairs(Tables.documents(s, d), "doc_id", "text")
