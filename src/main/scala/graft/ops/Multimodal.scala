@@ -13,14 +13,16 @@ import org.apache.spark.sql.types._
   * — the same stance the reference takes toward its engine blobs (`.bin`
   * snapshots are opaque column arrays until a codec interprets them).
   *
-  * Decode/feature-extraction kernels are STUBBED (no image/audio libs in
-  * this environment) behind [[StubDecoder]] — a deterministic fake whose
-  * output depends only on the bytes — while the Spark-side plumbing is
-  * real and tested: `binaryFile` ingest, metadata schema, batched
-  * `mapPartitions` with a fixed batch shape (what a vectorized Arrow/pandas
-  * UDF boundary needs at scale), partition sizing, and the downstream
-  * feature-table contract (`Array[Float]` embedding column feeding
-  * [[Similarity]]).
+  * Decode/feature-extraction kernels (round 2): [[JdkDecoder]] does REAL
+  * decoding with pure-JDK codecs — `javax.imageio` (PNG/JPEG/GIF/BMP
+  * decode + Graphics2D resize re-encode) and `javax.sound.sampled` (WAV
+  * PCM) — no external libraries needed. [[StubDecoder]] remains the
+  * deterministic fallback for codecs the JDK lacks (video). The
+  * Spark-side plumbing is shared and tested either way: `binaryFile`
+  * ingest, metadata schema, batched `mapPartitions` with a fixed batch
+  * shape (what a vectorized Arrow boundary needs at scale), partition
+  * sizing, and the downstream feature-table contract (`Array[Float]`
+  * embedding column feeding [[Similarity]]).
   */
 object Multimodal {
 
@@ -87,6 +89,126 @@ object Multimodal {
     }
   }
 
+  /** REAL decode kernels on pure-JDK codecs — no external libraries:
+    * `javax.imageio` reads PNG/JPEG/GIF/BMP, `javax.sound.sampled` reads
+    * WAV. This replaces the round-1 stub for those formats (the stub
+    * remains the documented fallback for codecs the JDK lacks, e.g.
+    * video).
+    *
+    * Features are deliberately simple, deterministic signal summaries fit
+    * for dedup/similarity blocking:
+    *  - image → (width, height, 16-dim = 4×4 grid of mean luminance
+    *    scaled to [-1, 1]);
+    *  - audio WAV → (frame count, channels, 16-dim = RMS per 1/16th of
+    *    the clip, scaled to [-1, 1] against full-scale PCM).
+    */
+  object JdkDecoder {
+    val FeatureDim = 16
+
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val sums = new Array[Double](FeatureDim)
+        val counts = new Array[Int](FeatureDim)
+        var y = 0
+        while (y < h) {
+          val gy = math.min(3, y * 4 / h)
+          var x = 0
+          while (x < w) {
+            val gx = math.min(3, x * 4 / w)
+            val rgb = px(y * w + x)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000.0
+            val g = gy * 4 + gx
+            sums(g) += lum; counts(g) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val feat = Array.tabulate(FeatureDim)(i =>
+          if (counts(i) == 0) 0f else (sums(i) / counts(i) / 127.5 - 1.0).toFloat)
+        Some((w, h, feat))
+      }
+    }
+
+    /** Real resize: decode, scale with Graphics2D (bilinear), re-encode
+      * PNG. Aspect ratio preserved; no-op when already within `maxSide`.
+      */
+    def resizeImage(bytes: Array[Byte], maxSide: Int): Option[Array[Byte]] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val s = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+        if (s >= 1.0) Some(bytes)
+        else {
+          val w = math.max(1, (img.getWidth * s).toInt)
+          val h = math.max(1, (img.getHeight * s).toInt)
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      }
+    }
+
+    def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val data = in.readAllBytes()
+        val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+        val frameSize = math.max(1, fmt.getFrameSize)
+        val nFrames = data.length / frameSize
+        if (nFrames == 0) None
+        else {
+          // RMS over 16 equal time segments, first channel, 16-bit LE PCM
+          val feat = new Array[Float](FeatureDim)
+          var seg = 0
+          while (seg < FeatureDim) {
+            val from = (nFrames.toLong * seg / FeatureDim).toInt
+            val until = math.max(from + 1, (nFrames.toLong * (seg + 1) / FeatureDim).toInt)
+            var acc = 0.0
+            var f = from
+            while (f < math.min(until, nFrames)) {
+              val off = f * frameSize
+              val sample =
+                if (bytesPerSample >= 2)
+                  ((data(off + 1) << 8) | (data(off) & 0xff)).toDouble / 32768.0
+                else (data(off).toDouble) / 128.0
+              acc += sample * sample
+              f += 1
+            }
+            feat(seg) = (math.sqrt(acc / math.max(1, until - from)) * 2 - 1).toFloat
+            seg += 1
+          }
+          Some((nFrames, fmt.getChannels, feat))
+        }
+      } catch { case _: Exception => None }
+
+    /** Route by media type; undecodable payloads fall back to the
+      * deterministic stub so the pipeline never drops rows silently.
+      */
+    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+      val real = mediaType match {
+        case "image" => decodeImage(bytes)
+        case "audio" => decodeWav(bytes)
+        case _ => None
+      }
+      real.getOrElse(StubDecoder.decode(bytes))
+    }
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
@@ -99,17 +221,39 @@ object Multimodal {
     * needs; partitions stream batches, so executor memory is bounded by
     * batchSize × asset size, not partition size.
     */
-  def extractFeatures(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+  def extractFeatures(assets: DataFrame, batchSize: Int = 64,
+                      real: Boolean = false): DataFrame = {
     implicit val enc: Encoder[Row] = RowEncoder.encoderFor(featureSchema)
     assets.select("asset_id", "media_type", "content")
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // batch boundary: a real kernel would decode `batch` in one
-          // vectorized call; the stub maps per element
+          // batch boundary: a vectorized kernel would decode `batch` in
+          // one call; the JDK codecs decode per element within the batch
           batch.iterator.map { r =>
-            val (w, h, feat) = StubDecoder.decode(r.getAs[Array[Byte]]("content"))
+            val bytes = r.getAs[Array[Byte]]("content")
+            val (w, h, feat) =
+              if (real) JdkDecoder.decode(r.getString(1), bytes)
+              else StubDecoder.decode(bytes)
             Row(r.getLong(0), r.getString(1), w, h, feat.toIndexedSeq)
           }
+        }
+      }(enc)
+  }
+
+  /** Real payload resize over the asset table (javax.imageio re-encode);
+    * non-image or undecodable rows pass through unchanged.
+    */
+  def resizeAssets(assets: DataFrame, maxSide: Int): DataFrame = {
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(assetSchema)
+    assets.select("asset_id", "uri", "media_type", "n_bytes", "content")
+      .mapPartitions { it =>
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val out =
+            if (r.getString(2) == "image")
+              JdkDecoder.resizeImage(bytes, maxSide).getOrElse(bytes)
+            else bytes
+          Row(r.getLong(0), r.getString(1), r.getString(2), out.length.toLong, out)
         }
       }(enc)
   }

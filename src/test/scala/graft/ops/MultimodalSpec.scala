@@ -3,10 +3,14 @@ package graft.ops
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing tests: the decode kernel is a deterministic stub,
-  * but ingest schema, batch shape, metadata transforms, and the feature
-  * table contract are real (and what the judge's "Spark-side plumbing —
-  * schema, partitioning, UDF signature, batch shape" asks for).
+/** Multimodal tests. Round 2: the decode kernel is REAL for image
+  * (javax.imageio) and WAV audio (javax.sound) — pure-JDK codecs, decoded
+  * distributed inside the batched mapPartitions boundary, with generated
+  * PNG/WAV fixtures asserting true dimensions, luminance grids, RMS
+  * envelopes, and payload resize. The deterministic stub remains the
+  * fallback for codecs the JDK lacks (video), and ingest schema, batch
+  * shape, metadata transforms, and the feature-table contract are
+  * exercised on the reference's own binary snapshots either way.
   */
 class MultimodalSpec extends SparkTestBase {
 
@@ -50,6 +54,95 @@ class MultimodalSpec extends SparkTestBase {
     val resized = Multimodal.resizeMeta(Multimodal.extractFeatures(assets), maxSide = 64)
     assert(resized.filter(greatest(col("out_w"), col("out_h")) > 64).count() === 0)
     assert(resized.filter(col("out_w") < 1 || col("out_h") < 1).count() === 0)
+  }
+
+  // --- real JDK decode kernels (round 2): generated PNG + WAV fixtures ---
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(nFrames: Int, amplitude: Double): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(i * 2 * math.Pi / 64) * amplitude * 32767).toInt
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def assetDf(rows: Seq[(Long, String, Array[Byte])]) = {
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, mt, b) =>
+        Row(id, s"mem://$id", mt, b.length.toLong, b)
+      }),
+      Multimodal.assetSchema)
+  }
+
+  test("real image decode: true dimensions and luminance features (javax.imageio)") {
+    val white = pngBytes(40, 20, 0xffffff)
+    val black = pngBytes(8, 8, 0x000000)
+    val assets = assetDf(Seq((1L, "image", white), (2L, "image", black)))
+    val feats = Multimodal.extractFeatures(assets, real = true)
+      .orderBy("asset_id").collect()
+    // true decoded dimensions, not stub pseudo-dims
+    assert(feats(0).getInt(2) === 40 && feats(0).getInt(3) === 20)
+    assert(feats(1).getInt(2) === 8 && feats(1).getInt(3) === 8)
+    // luminance grid: white -> +1, black -> -1 in every cell
+    val fw = feats(0).getSeq[Float](4)
+    val fb = feats(1).getSeq[Float](4)
+    assert(fw.forall(v => v > 0.99f) && fb.forall(v => v < -0.99f))
+  }
+
+  test("real image resize: payload re-encoded, aspect preserved, decode round-trips") {
+    val big = pngBytes(120, 60, 0x3366cc)
+    val assets = assetDf(Seq((1L, "image", big)))
+    val resized = Multimodal.resizeAssets(assets, maxSide = 30).collect()(0)
+    val back = Multimodal.JdkDecoder.decodeImage(
+      resized.getAs[Array[Byte]]("content")).get
+    assert(back._1 === 30 && back._2 === 15) // half aspect, clamped long side
+    // small image passes through untouched
+    val small = pngBytes(10, 10, 0x3366cc)
+    val kept = Multimodal.resizeAssets(assetDf(Seq((2L, "image", small))), 30)
+      .collect()(0).getAs[Array[Byte]]("content")
+    assert(kept.toSeq === small.toSeq)
+  }
+
+  test("real WAV decode: frame count, channels, RMS envelope (javax.sound)") {
+    val loud = wavBytes(8000, 0.9)
+    val quiet = wavBytes(4000, 0.05)
+    val assets = assetDf(Seq((1L, "audio", loud), (2L, "audio", quiet)))
+    val feats = Multimodal.extractFeatures(assets, real = true)
+      .orderBy("asset_id").collect()
+    assert(feats(0).getInt(2) === 8000 && feats(0).getInt(3) === 1)
+    assert(feats(1).getInt(2) === 4000 && feats(1).getInt(3) === 1)
+    val fl = feats(0).getSeq[Float](4)
+    val fq = feats(1).getSeq[Float](4)
+    // louder clip -> higher RMS in every segment
+    assert(fl.zip(fq).forall { case (a, b) => a > b })
+  }
+
+  test("undecodable payloads fall back to the stub instead of dropping") {
+    val junk = Array.fill[Byte](64)(42)
+    val assets = assetDf(Seq((1L, "image", junk)))
+    val real = Multimodal.extractFeatures(assets, real = true)
+      .orderBy("asset_id").collect()(0)
+    val stub = Multimodal.extractFeatures(assets, real = false)
+      .orderBy("asset_id").collect()(0)
+    assert(real.toSeq === stub.toSeq)
   }
 
   test("frame sampling: rows scale with payload size, hashes deterministic") {
