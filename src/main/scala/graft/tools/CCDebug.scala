@@ -19,7 +19,9 @@ object CCDebug {
     val t0 = System.nanoTime()
     val edges = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("src"), (-col("l_partkey") - 1).as("dst"))
-    val r = graft.ops.Graph.connectedComponentsResult(edges, verbose = true)
+    val localFinish = sys.env.getOrElse("CC_LOCAL_FINISH", "0").toLong
+    val r = graft.ops.Graph.connectedComponentsResult(edges,
+      localFinishEdges = localFinish, verbose = true)
     val t1 = System.nanoTime()
     val out = r.labels.groupBy("component").agg(count(lit(1)).as("n_nodes"))
     out.write.format("noop").mode("overwrite").save()

@@ -85,7 +85,7 @@ object Soak {
     val soakSet = Seq(
       "q_connected_components", "q_self_join_pairs", "q_doc_dedup",
       "q_minhash_lsh", "q_simhash", "q_ngram_jaccard", "q_embed_neardup",
-      "q_ivf_topk", "q_embedding_topk", "q_flagship_revenue",
+      "q_embed_neardup_bounded", "q_ivf_topk", "q_embedding_topk", "q_flagship_revenue",
       "q_flagship_returns", "q_flagship_nation_rev", "q_group_agg",
       "q_percentile", "q_sessionize", "q_asof_curve", "q_edge_degree",
       "q_exact_dedup", "q_distinct_count")
