@@ -97,6 +97,19 @@ object ExtQueries {
         .orderBy("label", "id_a", "id_b")
     }),
 
+    // North star — heavy hitters via the mergeable Misra-Gries udaf
+    // (functions.HeavyHittersAgg). With capacity >= key cardinality the
+    // summary degenerates to exact counting, so the same op that
+    // constant-memory-summarizes a 100 TB token stream is oracle-exact
+    // here on the bounded lang column.
+    "q_heavy_hitters" -> ((s, d) => {
+      val agg = udaf(new graft.functions.HeavyHittersAgg(capacity = 64, k = 3))
+      Tables.documents(s, d).agg(agg(col("lang")).as("hh"))
+        .select(explode(col("hh")).as("x"))
+        .select(col("x._1").as("lang"), col("x._2").as("cnt"))
+        .orderBy(desc("cnt"), col("lang"))
+    }),
+
     // North star — MinHash + LSH band-bucket near-dup candidates.
     "q_minhash_lsh" -> ((s, d) => {
       Dedup.lshCandidatePairs(Tables.documents(s, d), "doc_id", "text")
@@ -220,6 +233,8 @@ object ExtQueries {
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_embed_neardup" ->
       """WITH pairs AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_sim DESC, id_a, id_b) AS rn FROM pairs) SELECT label, id_a, id_b, cos_sim FROM r WHERE rn <= 3 ORDER BY label, id_a, id_b""",
+    "q_heavy_hitters" ->
+      """SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 3""",
     "q_minhash_lsh" ->
       ("""WITH tok AS (SELECT doc_id, """ + tokSql + """ AS t FROM documents), """ +
         """sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), """ +
