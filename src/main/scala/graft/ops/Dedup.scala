@@ -58,9 +58,10 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("tokens"))
       .filter(size(col("tokens")) >= n)
       .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, size(tokens) - ${n - 1}), i -> concat_ws(' ', slice(tokens, i, $n)))"
-        )).as("shingle"))
+        // codegen'd shingling (WordShinglesF) — bit-identical to the
+        // transform/slice/concat_ws lambda, without interpreted eval
+        explode(graft.functions.WordShinglesF.shingles(
+          docs.sparkSession, col("tokens"), n)).as("shingle"))
 
   /** MinHash signatures over word shingles, one `mh$i` column per hash.
     *

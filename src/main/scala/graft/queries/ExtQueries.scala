@@ -127,9 +127,8 @@ object ExtQueries {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tokens"))
         .filter(size(col("tokens")) >= 3)
-      val sh = t.select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(1, size(tokens) - 2), i -> concat_ws(' ', slice(tokens, i, 3)))"
-      )).as("s"))
+      val sh = t.select(col("doc_id"), array_distinct(
+        graft.functions.WordShinglesF.shingles(s, col("tokens"), 3)).as("s"))
       val b = sh.select(col("doc_id").as("doc_b"), col("s").as("s_b"))
       sh.join(b, col("doc_b") === col("doc_id") + 1)
         .select(col("doc_id").as("doc_a"), col("doc_b"),
