@@ -101,6 +101,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("Trigger.AvailableNow backfill: drains the file source, then terminates on its own") {
+    // the batch-backfill shape: process everything currently in the
+    // directory at snapshot cadence, then stop — no manual stop() needed
+    val dir = java.nio.file.Files.createTempDirectory("evbackfill").toString + "/events"
+    val batch = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("ts_ms"), col("user_id"), col("event_type"),
+        col("value"), col("ts_utc"))
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = StreamOps.tumblingAgg(stream).writeStream
+      .outputMode("complete").format("memory").queryName("backfill_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(120000) // self-terminates after the drain
+    assert(finished, "AvailableNow query must terminate by itself")
+    val got = spark.table("backfill_out")
+      .orderBy("window_start_ms", "event_type").collect()
+    val want = graft.ops.TimeOps.tumblingAgg(Tables.events(spark, Sf0001))
+      .orderBy("window_start_ms", "event_type").collect()
+    assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+  }
+
   test("transformWithState running max (Spark 4 StatefulProcessor) == flatMapGroupsWithState twin") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
