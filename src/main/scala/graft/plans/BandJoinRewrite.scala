@@ -102,10 +102,27 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** Session extension registering the engine's planner additions. */
+/** Session extension registering the engine's planner additions AND the
+  * custom SQL function surface — `--conf spark.sql.extensions=
+  * graft.plans.GraftExtensions` gives a stock session the full engine:
+  * the band-join rewrite, the as-of join strategy, and the codegen
+  * functions (`graft_dot_f`, `graft_parity_vec`, `graft_shingles`)
+  * without any imperative registration calls.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     e.injectOptimizerRule(_ => BandJoinRewrite)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectFunction((FunctionIdentifier("graft_dot_f"),
+      new ExpressionInfo(classOf[graft.functions.DotProductF].getName, "graft_dot_f"),
+      (exprs: Seq[Expression]) => graft.functions.DotProductF(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_parity_vec"),
+      new ExpressionInfo(classOf[graft.functions.AsciiParityVecF].getName, "graft_parity_vec"),
+      (exprs: Seq[Expression]) => graft.functions.AsciiParityVecF(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShinglesF].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => graft.functions.WordShinglesF(exprs(0), exprs(1))))
   }
 }
