@@ -82,13 +82,15 @@ object Soak {
       Tables.table(spark, dir, t).write.format("noop").mode("overwrite").save())
     Tables.events(spark, dir).write.format("noop").mode("overwrite").save()
 
-    val soakSet = Seq(
+    val defaultSet = Seq(
       "q_connected_components", "q_self_join_pairs", "q_doc_dedup",
       "q_minhash_lsh", "q_simhash", "q_ngram_jaccard", "q_embed_neardup",
       "q_embed_neardup_bounded", "q_ivf_topk", "q_embedding_topk", "q_flagship_revenue",
       "q_flagship_returns", "q_flagship_nation_rev", "q_group_agg",
       "q_percentile", "q_sessionize", "q_asof_curve", "q_edge_degree",
       "q_exact_dedup", "q_distinct_count")
+    val soakSet = sys.env.get("SOAK_ONLY")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(defaultSet)
     val results = soakSet.map { name =>
       listener.reset()
       val t0 = System.nanoTime()
