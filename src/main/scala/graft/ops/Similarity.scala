@@ -114,13 +114,23 @@ object Similarity {
     val pairs = probes
       .join(build, Seq("block", "bucket"))
       .filter(col("vec_id") < col("id_b"))
-      .select(col("block"), col("vec_id").as("id_a"), col("id_b"),
+      .select(col("block"), col("bucket"), col("vec_id").as("id_a"), col("id_b"),
         round(call_function("graft_dot_f", col("embedding"), col("emb_b")), 4)
           .as("cos_sim"))
-      .distinct() // a pair can match via both sides' probes
+    // two-stage exact top-k: rank within (block, bucket) first — many small
+    // window partitions instead of one giant per-block sort (the 100×-soak
+    // memory peak). Exact because any pair in the block top-k is beaten by
+    // < k candidates overall, hence by < k within its own bucket, so it
+    // survives stage 1; the same total order runs in both stages.
+    val wBucket = Window.partitionBy(col("block"), col("bucket"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+    val perBucket = pairs.withColumn("rnb", row_number().over(wBucket))
+      .filter(col("rnb") <= k)
+      .select(col("block"), col("id_a"), col("id_b"), col("cos_sim"))
+      .distinct() // a pair can match via both sides' probes (distinct buckets)
     val w = Window.partitionBy(col("block"))
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
-    pairs.withColumn("rn", row_number().over(w))
+    perBucket.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")
   }

@@ -54,6 +54,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(foundPlanted >= 30, s"found only $foundPlanted planted pairs in top-k")
   }
 
+  test("two-stage bucket ranking == one global per-block window (exactness)") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = planted(nBlocks = 3, nBase = 30, dim = 16).cache()
+    val k = 7
+    val got = Similarity.topPairsPerBlockBounded(emb, "label", k, bits = 6)
+      .orderBy("block", "id_a", "id_b").collect().map(_.toSeq)
+    // reference: same candidate set ranked with ONE global block window
+    graft.functions.DotProductF.register(spark)
+    val sig = Similarity.hyperplaneSig(emb, "embedding", 16, 6)
+    val signed = emb.select(col("label").as("block"), col("vec_id"),
+      col("embedding"), sig.as("sig"))
+    val probes = signed.withColumn("bucket",
+      explode(array((col("sig") +: (0 until 6).map(b =>
+        col("sig").bitwiseXOR(lit(1L << b)))): _*)))
+    val build = signed.select(col("block"), col("sig").as("bucket"),
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val pairs = probes.join(build, Seq("block", "bucket"))
+      .filter(col("vec_id") < col("id_b"))
+      .select(col("block"), col("vec_id").as("id_a"), col("id_b"),
+        round(call_function("graft_dot_f", col("embedding"), col("emb_b")), 4)
+          .as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy(col("block"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+    val want = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy("block", "id_a", "id_b").collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("candidate generation stays an equi-join on (block, bucket) — no block cross product") {
     val emb = planted(nBlocks = 2, nBase = 20, dim = 16)
     val plan = Similarity.topPairsPerBlockBounded(emb, "label", 5, bits = 6)
