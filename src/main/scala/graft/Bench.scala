@@ -26,26 +26,34 @@ object Bench {
     } catch { case _: Throwable => () }
     val names = SparkEntry.queries.keySet.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    def runOnce(name: String): Unit =
+    def runOnce(name: String): Option[Throwable] =
       // noop sink: every output column is evaluated and serialized — unlike
       // count(), which lets Catalyst prune the projections being measured
-      try { SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        None
+      } catch { case t: Throwable => Some(t) }
     // JMH-style warmup pass: run the whole catalog once outside timing so
     // the measured numbers are steady-state engine throughput, not one-shot
     // Janino codegen compile (~0.3-0.8 s/query). SPARK_GRAFT_COLD=1 skips
     // it for cold-path diagnostics.
     if (!sys.env.get("SPARK_GRAFT_COLD").contains("1")) names.foreach(runOnce)
+    // A failed query records -1 (never a normal-looking tiny time) and is
+    // listed in "errors" so a regression can't slip through a green total.
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      runOnce(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = runOnce(name)
+      val secs = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isEmpty) secs else -1.0, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(t)) =>
+      s"\"" + k + "\":\"" + t.toString.take(200).replaceAll("[\"\\\\\n]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

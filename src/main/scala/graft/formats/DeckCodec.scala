@@ -94,11 +94,19 @@ object DeckCodec {
     // Material List: particle material ids must stay inside the material
     // table (exe string: "Material Num of the particle is larger than the
     // max number in the material list")
-    val maxMat = materials.agg(max(col("material_id"))).head().getInt(0)
-    val badMat = particles.filter(col("material_id") > maxMat).count()
+    // max over an empty/all-null table is null → every particle with a
+    // material id is out of range; read via Number so int/long both work
+    val maxRow = materials.agg(max(col("material_id").cast("long"))).head()
+    val maxMat: Option[Long] =
+      if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
+    val badMat = maxMat match {
+      case Some(m) => particles.filter(col("material_id").cast("long") > m).count()
+      case None    => particles.filter(col("material_id").isNotNull).count()
+    }
     if (badMat > 0)
       errs += "Material Num of the particle is larger than the max number " +
-        s"in the material list ($badMat particles > material $maxMat)"
+        s"in the material list ($badMat particles > material " +
+        s"${maxMat.map(_.toString).getOrElse("<empty list>")})"
     // Measure Point: every measure id must name an existing particle
     // (exe string: "The ID of the measure point is larger than the max
     // number of the particles")

@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -15,41 +17,63 @@ import org.apache.spark.sql.expressions.Aggregator
   * tokens summarizes in constant memory where exact groupBy-count-sort
   * shuffles the full key cardinality.
   *
+  * The buffer is a mutable HashMap mutated in place (kryo-encoded — it
+  * only crosses the wire at partial-aggregate boundaries): the common
+  * update path is O(1) per row with no per-row map allocation, and the
+  * decrement step's O(capacity) sweep amortizes to O(1) per row because
+  * every decremented unit was paid for by a prior increment.
+  *
   * `finish` emits (key, estimated count) sorted by count desc then key,
   * truncated to `k`.
   */
 class HeavyHittersAgg(capacity: Int, k: Int)
-    extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+    extends Aggregator[String, mutable.HashMap[String, Long], Seq[(String, Long)]] {
   require(capacity >= k && k >= 1, s"need capacity >= k >= 1, got $capacity/$k")
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-  override def reduce(buf: Map[String, Long], x: String): Map[String, Long] =
+  override def reduce(buf: mutable.HashMap[String, Long],
+                      x: String): mutable.HashMap[String, Long] = {
     buf.get(x) match {
-      case Some(c) => buf.updated(x, c + 1)
-      case None if buf.size < capacity => buf.updated(x, 1L)
+      case Some(c) => buf.update(x, c + 1)
+      case None if buf.size < capacity => buf.update(x, 1L)
       case None =>
-        // Misra–Gries decrement step: everyone pays 1, zeros fall out
-        buf.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+        // Misra–Gries decrement step: everyone pays 1, zeros fall out.
+        // Snapshot keys first — removing while iterating is undefined.
+        val keys = buf.keysIterator.toArray
+        var i = 0
+        while (i < keys.length) {
+          val c = buf(keys(i))
+          if (c <= 1L) buf.remove(keys(i)) else buf.update(keys(i), c - 1)
+          i += 1
+        }
     }
+    buf
+  }
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val summed = b.foldLeft(a) { case (m, (key, c)) =>
-      m.updated(key, m.getOrElse(key, 0L) + c)
-    }
-    if (summed.size <= capacity) summed
+  override def merge(a: mutable.HashMap[String, Long],
+                     b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (key, c) => a.update(key, a.getOrElse(key, 0L) + c) }
+    if (a.size <= capacity) a
     else {
       // subtract the (capacity+1)-th largest count from everyone, drop <=0
-      val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
-      summed.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+      val cut = a.values.toArray.sorted(Ordering[Long].reverse)(capacity)
+      val keys = a.keysIterator.toArray
+      var i = 0
+      while (i < keys.length) {
+        val c = a(keys(i)) - cut
+        if (c <= 0L) a.remove(keys(i)) else a.update(keys(i), c)
+        i += 1
+      }
+      a
     }
   }
 
-  override def finish(buf: Map[String, Long]): Seq[(String, Long)] =
+  override def finish(buf: mutable.HashMap[String, Long]): Seq[(String, Long)] =
     buf.toSeq.sortBy { case (key, c) => (-c, key) }.take(k)
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.kryo[mutable.HashMap[String, Long]]
 
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

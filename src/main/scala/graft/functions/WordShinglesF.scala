@@ -23,7 +23,16 @@ case class WordShinglesF(left: Expression, right: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        // n is foldable, so its value is known at analysis time; n <= 0
+        // would otherwise reach eval (n = 0 emits len+1 empty shingles,
+        // n < 0 throws NegativeArraySizeException inside executor tasks)
+        right.eval() match {
+          case n: Int if n >= 1 =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+          case other =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"shingles expects n >= 1, got $other")
+        }
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"shingles expects (array<string>, foldable int), got " +

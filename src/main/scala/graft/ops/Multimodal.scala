@@ -105,7 +105,7 @@ object Multimodal {
   object JdkDecoder {
     val FeatureDim = 16
 
-    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
       else {
@@ -133,12 +133,12 @@ object Multimodal {
           if (counts(i) == 0) 0f else (sums(i) / counts(i) / 127.5 - 1.0).toFloat)
         Some((w, h, feat))
       }
-    }
+    } catch { case _: Exception => None } // corrupt-but-recognized bytes throw from ImageIO
 
     /** Real resize: decode, scale with Graphics2D (bilinear), re-encode
       * PNG. Aspect ratio preserved; no-op when already within `maxSide`.
       */
-    def resizeImage(bytes: Array[Byte], maxSide: Int): Option[Array[Byte]] = {
+    def resizeImage(bytes: Array[Byte], maxSide: Int): Option[Array[Byte]] = try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
       else {
@@ -159,7 +159,7 @@ object Multimodal {
           Some(bos.toByteArray)
         }
       }
-    }
+    } catch { case _: Exception => None }
 
     def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
       try {

@@ -171,6 +171,18 @@ class FormatsSpec extends SparkTestBase {
     assert(errs.exists(_.contains("The ID of the measure point is larger")))
   }
 
+  test("Make Consistency: empty material list reports every particle, no NPE") {
+    val particles = DeckCodec.readParticles(spark, fixture("ball3d_100.dat"))
+    val materials = DeckCodec.readMaterials(spark, fixture("mlsmat00.dat"))
+    val empty = materials.filter(lit(false))
+    // max(material_id) over an empty table is null — must degrade to "all
+    // particles out of range", not throw
+    val errs = DeckCodec.consistencyErrors(particles, empty, Seq.empty)
+    assert(errs.exists(_.contains(
+      "Material Num of the particle is larger than the max number in the material list")))
+    assert(errs.exists(_.contains("<empty list>")))
+  }
+
   test("MeasurePar.dat reader: flag/count header then ids") {
     val path = "/root/reference/UniaxialCompressionTest/MeasurePar.dat"
     assume(Files.exists(Paths.get(path)))

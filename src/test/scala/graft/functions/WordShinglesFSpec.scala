@@ -23,6 +23,17 @@ class WordShinglesFSpec extends SparkTestBase {
     }
   }
 
+  test("non-positive n rejected at analysis time (SQL surface is user-reachable)") {
+    import spark.implicits._
+    val df = Seq(Seq("a", "b", "c")).toDF("tokens")
+    for (n <- Seq(0, -1)) {
+      val ex = intercept[Exception] {
+        df.select(WordShinglesF.shingles(spark, col("tokens"), n)).collect()
+      }
+      assert(ex.getMessage.contains("n >= 1"), s"n=$n: ${ex.getMessage}")
+    }
+  }
+
   test("short inputs give empty arrays; null in, null out") {
     import spark.implicits._
     val df = Seq(Some(Seq("a", "b")), Some(Seq("only")), Some(Seq.empty[String]), None)

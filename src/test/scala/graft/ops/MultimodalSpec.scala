@@ -145,6 +145,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(real.toSeq === stub.toSeq)
   }
 
+  test("corrupt-but-recognized bytes (truncated PNG) fall back instead of killing the task") {
+    // valid PNG signature + headers, payload cut mid-stream: ImageIO
+    // recognizes the format and then throws from the reader — the decode
+    // and resize paths must degrade, not propagate, or one malformed
+    // asset fails the whole job
+    val whole = pngBytes(64, 64, 0x123456)
+    val truncated = whole.take(whole.length / 3)
+    assert(Multimodal.JdkDecoder.decodeImage(truncated).isEmpty)
+    assert(Multimodal.JdkDecoder.resizeImage(truncated, 16).isEmpty)
+    val assets = assetDf(Seq((1L, "image", truncated), (2L, "image", whole)))
+    val feats = Multimodal.extractFeatures(assets, real = true)
+      .orderBy("asset_id").collect()
+    assert(feats.length === 2) // no dropped rows, no task failure
+    val stub = Multimodal.extractFeatures(
+      assetDf(Seq((1L, "image", truncated))), real = false).collect()(0)
+    assert(feats(0).toSeq === stub.toSeq) // truncated row == stub features
+    assert(feats(1).getInt(2) === 64)     // intact row still really decoded
+    // resize job survives too; undecodable payload passes through unchanged
+    val resized = Multimodal.resizeAssets(assets, maxSide = 16)
+      .orderBy("asset_id").collect()
+    assert(resized(0).getAs[Array[Byte]]("content").toSeq === truncated.toSeq)
+    assert(Multimodal.JdkDecoder.decodeImage(
+      resized(1).getAs[Array[Byte]]("content")).get._1 === 16)
+  }
+
   test("frame sampling: rows scale with payload size, hashes deterministic") {
     val assets = Multimodal.ingest(spark, binGlob).cache()
     val frames = Multimodal.sampleFrames(assets, strideBytes = 100000)
