@@ -34,6 +34,32 @@ class QuantilesSpec extends SparkTestBase {
     assert(q === 1.5)
   }
 
+  test("exactPercentilesGlobal == percentile() with no single-partition sort") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val want = li.agg(
+      expr(s"percentile(cast(l_extendedprice as double), array(${ps.mkString(",")}))"))
+      .head().getSeq[Double](0)
+    val got = Quantiles.exactPercentilesGlobal(li, "l_extendedprice", ps, numParts = 7)
+      .head().toSeq.map(_.asInstanceOf[Double])
+    assert(got === want) // bit-identical, every partition holds only a slice
+  }
+
+  test("exactPercentilesGlobal: empty input, single value, tie storm") {
+    import spark.implicits._
+    val empty = Seq.empty[Double].toDF("x")
+    assert(Quantiles.exactPercentilesGlobal(empty, "x", Seq(0.5)).count() === 0)
+    val one = Seq(42.0).toDF("x")
+    assert(Quantiles.exactPercentilesGlobal(one, "x", Seq(0.0, 0.5, 1.0))
+      .head().toSeq === Seq(42.0, 42.0, 42.0))
+    val rnd = new scala.util.Random(11)
+    val ties = (0 until 4000).map(_ => rnd.nextInt(4).toDouble).toDF("x")
+    val want = ties.agg(expr("percentile(x, array(0.5, 0.73))")).head().getSeq[Double](0)
+    val got = Quantiles.exactPercentilesGlobal(ties, "x", Seq(0.5, 0.73), numParts = 5)
+      .head().toSeq.map(_.asInstanceOf[Double])
+    assert(got === want)
+  }
+
   test("exactPercentiles == percentile() on adversarial tie-heavy values") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
