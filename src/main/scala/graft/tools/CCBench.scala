@@ -1,0 +1,23 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object CCBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val edges = graft.Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select(col("l_orderkey").as("src"), (-col("l_partkey") - 1).as("dst"))
+    // warm the input
+    edges.write.format("noop").mode("overwrite").save()
+    for (attempt <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val r = graft.ops.Graph.connectedComponentsResult(edges, maxIter = 20,
+        localFinishEdges = 0L, verbose = true)
+      r.labels.write.format("noop").mode("overwrite").save()
+      println(f"forced-distributed total(run $attempt): ${(System.nanoTime() - t0) / 1e9}%.2fs rounds=${r.rounds} converged=${r.converged}")
+    }
+    spark.stop()
+  }
+}
