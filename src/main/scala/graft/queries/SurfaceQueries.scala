@@ -86,6 +86,65 @@ object SurfaceQueries {
         .orderBy("l_returnflag")
     }),
 
+    // North star composition — the END-TO-END near-dup pipeline: MinHash →
+    // LSH band join → connected components over the candidate graph →
+    // canonical (min) doc per duplicate cluster. This is the actual shape
+    // of corpus dedup at 100 TB: every stage is a bucketed equi-join or
+    // contraction round, and the candidate graph CC finishes on the
+    // bounded tail (clusters are tiny even when the corpus isn't). Oracle:
+    // DuckDB recursive-CTE transitive closure over the same pairs.
+    "q_dup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.ops.Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      val labels = graft.ops.Graph.connectedComponents(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("node_id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical"))
+        .withColumn("is_dup", (col("doc_id") =!= col("canonical")).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    // North star — Gopher/C4-style repetition filters: top-bigram fraction
+    // and token diversity per document, all in exact integer arithmetic
+    // (`repetitive` = top bigram covers ≥ 20% of bigrams). The quality
+    // gate a pretraining corpus runs before training.
+    "q_repetition_filter" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bg = tok.select(col("doc_id"),
+          explode(graft.functions.WordShinglesF.shingles(s, col("toks"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("top_bigram_cnt"), sum(col("c")).as("n_bigrams"))
+      tok.select(col("doc_id"), size(col("toks")).as("n_tok"),
+          size(array_distinct(col("toks"))).as("n_distinct_tok"))
+        .join(bg, "doc_id")
+        .withColumn("repetitive",
+          (col("top_bigram_cnt") * 5 >= col("n_bigrams")).cast("int"))
+        .select(col("doc_id"), col("n_tok"), col("n_distinct_tok"),
+          col("top_bigram_cnt"), col("n_bigrams"), col("repetitive"))
+        .orderBy("doc_id")
+    }),
+
+    // North star — TF/DF plumbing for tf-idf scoring: per-doc top term by
+    // (tf desc, term) joined against the corpus document-frequency table.
+    // The ranking stays integer-exact (a float idf would rank identically
+    // but risks cross-engine ulp flips near ties — the q_qualify lesson).
+    "q_term_df" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tf"), col("term"))
+      tf.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(dfreq, "term")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"))
+        .orderBy("doc_id")
+    }),
+
     // A6 refinement — exact global percentiles over ONE giant group by
     // range-partitioned global ranking (ops.Quantiles.exactPercentilesGlobal):
     // no single sort partition ever holds the whole table.
@@ -113,6 +172,30 @@ object SurfaceQueries {
     "q_bitmap_distinct" ->
       """SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_percentile_global" ->
-      """SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90, ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99 FROM lineitem"""
+      """SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90, ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99 FROM lineitem""",
+    "q_dup_clusters" ->
+      ("""WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents), """ +
+        """sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), """ +
+        """sig AS (SELECT doc_id, MIN(substr(md5(s), 1, 8)) AS mh0, MIN(substr(md5(s), 9, 8)) AS mh1, MIN(substr(md5(s), 17, 8)) AS mh2, MIN(substr(md5(s), 25, 8)) AS mh3 FROM sh GROUP BY doc_id), """ +
+        """band AS (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM sig), """ +
+        """pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b ON a.b = b.b AND a.doc_id < b.doc_id), """ +
+        """e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), """ +
+        """walk AS (SELECT a, b FROM e UNION SELECT w.a, e2.b FROM walk w JOIN e e2 ON w.b = e2.a), """ +
+        """reach AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon FROM walk GROUP BY a) """ +
+        """SELECT d.doc_id, COALESCE(r.canon, d.doc_id) AS canonical, CAST(d.doc_id <> COALESCE(r.canon, d.doc_id) AS INTEGER) AS is_dup FROM documents d LEFT JOIN reach r ON d.doc_id = r.doc_id ORDER BY d.doc_id"""),
+    "q_repetition_filter" ->
+      ("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents), """ +
+        """tk AS (SELECT doc_id, t FROM tok WHERE len(t) >= 2), """ +
+        """big AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM tk), """ +
+        """bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2), """ +
+        """bs AS (SELECT doc_id, MAX(c) AS top_bigram_cnt, CAST(SUM(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY 1), """ +
+        """ts AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tok, CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct_tok FROM tk) """ +
+        """SELECT ts.doc_id, n_tok, n_distinct_tok, top_bigram_cnt, n_bigrams, CAST(top_bigram_cnt * 5 >= n_bigrams AS INTEGER) AS repetitive FROM ts JOIN bs ON ts.doc_id = bs.doc_id ORDER BY ts.doc_id"""),
+    "q_term_df" ->
+      ("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents), """ +
+        """tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2), """ +
+        """dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), """ +
+        """top AS (SELECT doc_id, term, tf, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn FROM tf) """ +
+        """SELECT t.doc_id, t.term, t.tf, d.df FROM top t JOIN dfq d ON t.term = d.term WHERE rn = 1 ORDER BY t.doc_id""")
   )
 }
