@@ -17,13 +17,20 @@ object Bench {
     // limit(10) — a truncated touch leaves the OS page cache and parquet
     // footers cold; the alphabetically-first query per table used to eat
     // the whole family's cold-read penalty, e.g. q_doc_dedup at 8 s).
-    try {
-      Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
-        Tables.region, Tables.nation, Tables.customer, Tables.supplier,
-        Tables.part, Tables.orders, Tables.lineitem, Tables.events,
-        Tables.embeddings, Tables.documents)
-        .foreach(t => t(spark, sfDir).write.format("noop").mode("overwrite").save())
-    } catch { case _: Throwable => () }
+    // A warmup failure is NOT swallowed silently: every query downstream of
+    // a cold table would eat the cold-read penalty, skewing the whole run —
+    // name the table on stderr so the skew is diagnosable.
+    Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "region" -> Tables.region, "nation" -> Tables.nation,
+      "customer" -> Tables.customer, "supplier" -> Tables.supplier,
+      "part" -> Tables.part, "orders" -> Tables.orders,
+      "lineitem" -> Tables.lineitem, "events" -> Tables.events,
+      "embeddings" -> Tables.embeddings, "documents" -> Tables.documents)
+      .foreach { case (name, t) =>
+        try t(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"WARMUP FAILED for table '$name': $e") }
+      }
     val names = SparkEntry.queries.keySet.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     def runOnce(name: String): Option[Throwable] =
@@ -50,7 +57,10 @@ object Bench {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(t)) =>
-      s"\"" + k + "\":\"" + t.toString.take(200).replaceAll("[\"\\\\\n]", " ") + "\""
+      // strip EVERY JSON-unsafe char (control chars incl. \r\t, quote,
+      // backslash) — multi-line Spark analysis exceptions must not emit
+      // invalid JSON exactly when a failure needs reporting
+      s"\"" + k + "\":\"" + t.toString.take(200).replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

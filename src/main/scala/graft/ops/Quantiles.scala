@@ -82,8 +82,10 @@ object Quantiles {
     * already-computed map stage on the second action), so the data is
     * shuffled once and scanned twice — where a single-group window rank
     * would serialize the entire table through ONE sort partition.
-    * Interpolation matches `percentile()` / `quantile_cont` bit-for-bit
-    * (QuantilesSpec).
+    * Interpolation matches Spark's `percentile()` bit-for-bit
+    * (QuantilesSpec); DuckDB's `quantile_cont` uses the lerp form
+    * `lo + (hi-lo)*frac`, which can differ from the weighted form by 1 ulp,
+    * so cross-engine comparisons agree after 4-dp rounding, not bitwise.
     */
   def exactPercentilesGlobal(df: DataFrame, valCol: String, ps: Seq[Double],
                              numParts: Int = 0): DataFrame = {

@@ -62,13 +62,18 @@ object SurfaceQueries {
 
     // Sketch — approx_top_k (Spark 4 frequent-items sketch over the bounded
     // lang column, where the sketch is exact — same contract as
-    // q_heavy_hitters but via the engine-native aggregate).
+    // q_heavy_hitters but via the engine-native aggregate). The sketch is
+    // asked for k=100 ≥ any plausible lang cardinality and the top-3 cut is
+    // applied HERE with the oracle's (cnt desc, lang) tie-break —
+    // approx_top_k's own tie order among equal counts at the k boundary is
+    // unspecified and must never decide the result.
     "q_approx_top_k" -> ((s, d) => {
       Tables.documents(s, d)
-        .agg(expr("approx_top_k(lang, 3)").as("tk"))
+        .agg(expr("approx_top_k(lang, 100)").as("tk"))
         .select(explode(col("tk")).as("x"))
         .select(col("x.item").as("lang"), col("x.count").cast("long").as("cnt"))
         .orderBy(desc("cnt"), col("lang"))
+        .limit(3)
     }),
 
     // A4 scale path — EXACT distinct count via bitmaps: two-level

@@ -3,11 +3,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object CCBench {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    // data dir / parallelism from args or env (defaults preserved), so the
+    // diagnostic runs on any machine or layout — mirrors Bench's handling
+    val sfDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse("/root/testdata/sf0.1")
+    val cpus = args.lift(1).orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val edges = graft.Tables.lineitem(spark, "/root/testdata/sf0.1")
+    val edges = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("src"), (-col("l_partkey") - 1).as("dst"))
     // warm the input
     edges.write.format("noop").mode("overwrite").save()
