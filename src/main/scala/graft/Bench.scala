@@ -1,9 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Fail fast (clear usage error, not a late SparkException inside
+    * `local[...]`) on a non-numeric or non-positive cpu count. Shared with
+    * tools.CCBench, which mirrors this handling.
+    */
+  def parseCpus(s: String): Int = {
+    val n = try s.trim.toInt catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"cpu count must be a positive integer, got '$s' (SPARK_GRAFT_CPUS / arg)") }
+    require(n > 0, s"cpu count must be positive, got $n")
+    n
+  }
+
+  /** JSON-safe, surrogate-safe error rendering: keep printable ASCII only
+    * (drops control chars AND any non-BMP/surrogate unit), strip quote and
+    * backslash, and truncate AFTER the filter — so the 200-char cut can
+    * never split a surrogate pair into a lone invalid unit.
+    */
+  def jsonSafe(t: Throwable): String =
+    t.toString.replaceAll("[^\\x20-\\x7E]", " ")
+      .replace("\"", " ").replace("\\", " ").take(200)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = parseCpus(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).toString
     // optional comma-separated query filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
@@ -52,15 +73,19 @@ object Bench {
       val t0 = System.nanoTime()
       val err = runOnce(name)
       val secs = (System.nanoTime() - t0) / 1e9
-      (name, if (err.isEmpty) secs else -1.0, err)
+      val v = if (err.isEmpty) secs else -1.0
+      // one JSON line per query AS IT COMPLETES: the driver's tail-capture
+      // of a single giant summary line is head-truncated (BENCH_r0*.json
+      // lost ~11 alphabetically-early queries per round) — per-query lines
+      // make the artifact lossless whatever the capture window
+      val errField = err.map(t => s""","err":"${jsonSafe(t)}"""").getOrElse("")
+      println(s"""{"query":"$name","sec":$v$errField}""")
+      (name, v, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(t)) =>
-      // strip EVERY JSON-unsafe char (control chars incl. \r\t, quote,
-      // backslash) — multi-line Spark analysis exceptions must not emit
-      // invalid JSON exactly when a failure needs reporting
-      s"\"" + k + "\":\"" + t.toString.take(200).replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\""
+      s"\"" + k + "\":\"" + jsonSafe(t) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

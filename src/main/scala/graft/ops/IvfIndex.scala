@@ -33,30 +33,55 @@ object IvfIndex {
     * hashing vec ids — deterministic), then assign every vector to its
     * nearest centroid. Centroids stay float arrays so the codegen dot
     * product applies end to end.
+    *
+    * Scale shape: training runs on a BOUNDED seeded sample (coarse k-means
+    * quality saturates long before the corpus is exhausted — standard IVF
+    * practice), and each Lloyd round is [[trainRound]] = zero-shuffle assign
+    * + ONE map-combined shuffle moving nlist×dim doubles per partition.
+    * Only the final full-corpus `assign` (a map pass) touches every row.
     */
-  def build(emb: DataFrame, nlist: Int, iters: Int = 3, seed: Long = 42L): Model = {
+  def build(emb: DataFrame, nlist: Int, iters: Int = 3, seed: Long = 42L,
+            maxTrainRows: Long = 1L << 18): Model = {
     val spark = emb.sparkSession
     dotF(spark)
-    // deterministic init: rank vectors by a seeded hash, take nlist
-    var centroids = emb
+    require(maxTrainRows >= nlist, s"maxTrainRows ($maxTrainRows) < nlist ($nlist)")
+    // Bounded, deterministic training sample: hash-threshold filter — a
+    // distributed map-pass, no sort, no shuffle. Materialized once so the
+    // Lloyd rounds never rescan the corpus.
+    val n = emb.count()
+    val train =
+      if (n <= maxTrainRows) emb
+      else {
+        val den = 1L << 20
+        // oversample ~25% so rounding of the hash fraction can't undershoot nlist
+        val num = math.min(den, math.max(1L, (maxTrainRows * den) / n * 5 / 4))
+        emb.filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(den)) < lit(num))
+          .localCheckpoint()
+      }
+    // deterministic init: rank sampled vectors by a seeded hash, take nlist
+    var centroids = train
       .withColumn("__r", xxhash64(col("vec_id"), lit(seed)))
       .orderBy("__r").limit(nlist)
       .withColumn("cell", row_number().over(Window.orderBy("__r")).cast("long") - 1)
       .select(col("cell"), col("embedding").as("centroid"))
     for (_ <- 0 until iters) {
-      val assigned = assign(emb, centroids)
-      // new centroid = element-wise mean of member vectors (posexplode +
-      // regroup keeps it a DataFrame op at any corpus size)
-      centroids = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
-        .select(col("cell"),
-          expr("transform(dims, d -> cast(d.m as float))").as("centroid"))
-        .localCheckpoint()
+      centroids = trainRound(train, centroids).localCheckpoint()
     }
     Model(centroids, assign(emb, centroids).localCheckpoint())
+  }
+
+  /** One Lloyd round: nearest-centroid assign (zero Exchange, unrolled
+    * codegen argmax) then the element-wise member mean via the map-combined
+    * [[graft.functions.VecMeanAgg]] vector aggregator — the WHOLE round is a
+    * single Exchange of nlist×dim doubles per map partition (pinned in
+    * PlanAuditSpec), vs the naive posexplode update's corpus×dim rows
+    * through two. Empty cells drop out, exactly as Lloyd prescribes.
+    */
+  def trainRound(train: DataFrame, centroids: DataFrame): DataFrame = {
+    val vecMean = udaf(graft.functions.VecMeanAgg)
+    assign(train, centroids)
+      .groupBy("cell")
+      .agg(vecMean(col("embedding")).as("centroid"))
   }
 
   /** Nearest-centroid assignment with ZERO shuffle: the centroid table is

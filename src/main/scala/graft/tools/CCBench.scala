@@ -7,7 +7,8 @@ object CCBench {
     // diagnostic runs on any machine or layout — mirrors Bench's handling
     val sfDir = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse("/root/testdata/sf0.1")
-    val cpus = args.lift(1).orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("32")
+    val cpus = graft.Bench.parseCpus(
+      args.lift(1).orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("32")).toString
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()

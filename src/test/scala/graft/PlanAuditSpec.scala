@@ -63,6 +63,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"lateral stayed correlated:\n$p")
   }
 
+  test("IVF Lloyd round is one map-combined Exchange (no posexplode blow-up)") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val model = ops.IvfIndex.build(emb, nlist = 8, iters = 1)
+    val round = ops.IvfIndex.trainRound(emb, model.centroids)
+    val p = round.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"Lloyd round must shuffle at most once:\n$p")
+    assert(!p.contains("Generate"), s"Lloyd round must not explode dims:\n$p")
+    // partial aggregation before the shuffle = only nlist×dim doubles move
+    assert(p.contains("partial_vecmeanagg") || p.toLowerCase.contains("partial"),
+      s"centroid update must map-side combine:\n$p")
+  }
+
   test("q_grouping_id is a single expand + aggregate, one shuffle") {
     val p = plan("q_grouping_id")
     assert(p.contains("Expand"), p)

@@ -16,6 +16,20 @@ class QueriesSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q_approx_top_k exactness preconditions hold in the generated data") {
+    // Spark's approx_top_k ignores NULLs while the DuckDB oracle's GROUP BY
+    // would emit a NULL group, and the sketch is exact only while
+    // distinct(lang) stays at or under the k=100 asked of it — pin both so
+    // a data-generator change can't silently turn the sketch approximate
+    // or desync the NULL handling (ADVICE r4).
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, Sf0001)
+    assert(docs.filter(col("lang").isNull).count() === 0,
+      "documents.lang contains NULLs: approx_top_k would drop them, oracle would group them")
+    val card = docs.select("lang").distinct().count()
+    assert(card <= 50, s"lang cardinality $card approaches sketch capacity k=100")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val df = fn(spark, Sf0001)

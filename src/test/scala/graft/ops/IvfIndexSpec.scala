@@ -49,6 +49,20 @@ class IvfIndexSpec extends SparkTestBase {
     assert(lit.toSeq === agg.toSeq)
   }
 
+  test("bounded training sample: sampled build still covers the full corpus") {
+    val n = emb.count()
+    val m = IvfIndex.build(emb, nlist = 8, iters = 2, maxTrainRows = n / 4)
+    assert(m.centroids.count() === 8)
+    // training saw a subset, but the final assign is the whole corpus
+    assert(m.assignments.count() === n)
+    assert(m.assignments.select(countDistinct("vec_id")).head().getLong(0) === n)
+    // and the sampled build is deterministic too
+    val m2 = IvfIndex.build(emb, nlist = 8, iters = 2, maxTrainRows = n / 4)
+    val c1 = m.centroids.orderBy("cell").collect().map(_.toSeq)
+    val c2 = m2.centroids.orderBy("cell").collect().map(_.toSeq)
+    assert(c1.toSeq === c2.toSeq)
+  }
+
   test("build is deterministic under the seed") {
     val m2 = IvfIndex.build(emb, nlist = 16, iters = 2)
     val a1 = model.assignments.select("vec_id", "cell").orderBy("vec_id")
