@@ -247,6 +247,138 @@ object DeckCodec {
   def maskToColumns(mask: Seq[Int], allItems: Seq[String]): Seq[String] =
     mask.zip(allItems).collect { case (1, name) => name }
 
+  /** D14 writer — re-emit the 6-line manifest, LF-terminated like the
+    * reference's `mls.c` (`UniaxialCompressionTest/mls.c:1-6`). Byte-
+    * identical round trip with [[readManifest]].
+    */
+  def writeManifest(m: Manifest, path: String): Unit = {
+    val lines = Seq(m.settings, m.geometry, m.material, m.boundary,
+      m.outputPrefix, m.restart.toString)
+    Files.write(Paths.get(path),
+      (lines.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Compact numeric rendering for deck text: integers print bare
+    * ("0", "50"), everything else via Double.toString — value-preserving
+    * under the readers' `toDouble`/`try_cast`, which is the round-trip
+    * contract (the reference's own decks mix "0", "0.0" and "9e+006"
+    * spellings, so byte-identity of data rows is not a format property).
+    */
+  private def fmtNum(d: Double): String =
+    if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  /** Header-prefixed deck table writer: header line(s), then one
+    * space-joined row per record. A deck table is by contract ONE
+    * engine-readable text file (a single-writer export boundary, like the
+    * reference's own exports), so rows stream through `toLocalIterator` —
+    * no full driver materialization; data-sized analytics outputs go
+    * through the parquet / SoA sinks (S8) instead.
+    */
+  def writeDeckTable(df: DataFrame, header: Seq[String], path: String): Unit = {
+    val w = Files.newBufferedWriter(Paths.get(path))
+    try {
+      header.foreach { h => w.write(h); w.write("\n") }
+      df.toLocalIterator().asScala.foreach { r =>
+        val line = r.toSeq.map {
+          case d: Double => fmtNum(d)
+          case f: Float  => fmtNum(f.toDouble)
+          case x         => String.valueOf(x)
+        }.mkString(" ")
+        w.write(line); w.write("\n")
+      }
+    } finally w.close()
+  }
+
+  /** D5 writer — count-prefixed particle table (`BALL3D_PSLICE.dat`). */
+  def writeParticles(df: DataFrame, path: String): Unit =
+    writeDeckTable(df.select(Schemas.particle.fieldNames.map(col).toIndexedSeq: _*),
+      Seq(df.count().toString), path)
+
+  /** D6 writer — bond edge list with its flag-line header (`MLSBond.dat:1`). */
+  def writeBonds(df: DataFrame, path: String): Unit =
+    writeDeckTable(df.select("src", "dst", "group"), Seq("0"), path)
+
+  /** D8 writer — count-prefixed material dimension table (`MLSMat00.dat`). */
+  def writeMaterials(df: DataFrame, path: String): Unit =
+    writeDeckTable(df, Seq(df.count().toString), path)
+
+  /** D9 writer — boundary conditions + load curves in `MLSLD00.dat` layout
+    * (count; per BC: 3 range lines, `type dir`, npoints, times, values).
+    */
+  def writeBoundaryConditions(bcs: Seq[BoundaryCondition], path: String): Unit = {
+    val sb = new StringBuilder
+    sb.append(bcs.length).append('\n')
+    bcs.foreach { bc =>
+      sb.append(fmtNum(bc.x1)).append(' ').append(fmtNum(bc.x2)).append('\n')
+      sb.append(fmtNum(bc.y1)).append(' ').append(fmtNum(bc.y2)).append('\n')
+      sb.append(fmtNum(bc.z1)).append(' ').append(fmtNum(bc.z2)).append('\n')
+      sb.append(bc.bcType).append(' ').append(bc.dir).append('\n')
+      sb.append(bc.curve.length).append('\n')
+      bc.curve.foreach { case (t, _) => sb.append(fmtNum(t)).append('\n') }
+      bc.curve.foreach { case (_, v) => sb.append(fmtNum(v)).append('\n') }
+    }
+    Files.write(Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** D10 writer — measure-point ids in `MeasurePar.dat` layout
+    * (flag, count, count, ids — `UniaxialCompressionTest/MeasurePar.dat:1-5`).
+    */
+  def writeMeasurePoints(ids: Seq[Long], path: String): Unit = {
+    val lines = Seq("0", ids.length.toString, ids.length.toString) ++ ids.map(_.toString)
+    Files.write(Paths.get(path),
+      (lines.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** A whole job deck as tables: the manifest plus every file it names
+    * (settings kept verbatim — config lines, no analytics semantics), and
+    * the sidecar tables the engine reads by convention. Geometry may be
+    * absent (the Uniaxial deck ships without `BALL3D_PSLICE.dat`; the
+    * engine regenerates it), hence Options.
+    */
+  final case class Deck(
+      manifest: Manifest,
+      settingsLines: Seq[String],
+      materials: DataFrame,
+      boundaries: Seq[BoundaryCondition],
+      particles: Option[DataFrame],
+      bonds: Option[DataFrame],
+      measureIds: Seq[Long])
+
+  /** S5 — full deck read driven by the manifest: open `mls.c`, follow its
+    * file references (`UniaxialCompressionTest/mls.c:1-6`).
+    */
+  def readDeck(spark: SparkSession, dir: String): Deck = {
+    val m = readManifest(Paths.get(dir, "mls.c").toString)
+    def p(name: String) = Paths.get(dir, name)
+    Deck(m,
+      Files.readAllLines(p(m.settings)).asScala.toSeq,
+      readMaterials(spark, p(m.material).toString),
+      readBoundaryConditions(p(m.boundary).toString),
+      if (Files.exists(p(m.geometry))) Some(readParticles(spark, p(m.geometry).toString)) else None,
+      if (Files.exists(p("MLSBond.dat"))) Some(readBonds(spark, p("MLSBond.dat").toString)) else None,
+      if (Files.exists(p("MeasurePar.dat"))) readMeasurePoints(p("MeasurePar.dat").toString) else Seq.empty)
+  }
+
+  /** Deck writer twin of [[readDeck]]: re-emit the manifest plus the file
+    * set it names into `dir` — the full read → tables → re-emit round trip
+    * a user regenerating a deck needs.
+    */
+  def writeDeck(deck: Deck, dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val m = deck.manifest
+    def p(name: String) = Paths.get(dir, name).toString
+    writeManifest(m, p("mls.c"))
+    Files.write(Paths.get(dir, m.settings),
+      (deck.settingsLines.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeMaterials(deck.materials, p(m.material))
+    writeBoundaryConditions(deck.boundaries, p(m.boundary))
+    deck.particles.foreach(writeParticles(_, p(m.geometry)))
+    deck.bonds.foreach(writeBonds(_, p("MLSBond.dat")))
+    if (deck.measureIds.nonEmpty) writeMeasurePoints(deck.measureIds, p("MeasurePar.dat"))
+  }
+
   /** S6 — facet quad sink: 12 fixed-8dp floats per line, CRLF, single
     * deterministic partition (`GenerateColumnar.py:308-332`).
     */

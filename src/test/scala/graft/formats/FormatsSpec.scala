@@ -2,6 +2,8 @@ package graft.formats
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
@@ -187,6 +189,60 @@ class FormatsSpec extends SparkTestBase {
     val path = "/root/reference/UniaxialCompressionTest/MeasurePar.dat"
     assume(Files.exists(Paths.get(path)))
     assert(DeckCodec.readMeasurePoints(path) === Seq(71756L, 102380L))
+  }
+
+  test("full deck round-trip: Uniaxial read -> tables -> re-emit -> re-read") {
+    val dir = "/root/reference/UniaxialCompressionTest"
+    assume(Files.exists(Paths.get(dir, "mls.c")))
+    val out = Files.createTempDirectory("deckrt").toString
+    val deck = DeckCodec.readDeck(spark, dir)
+    DeckCodec.writeDeck(deck, out)
+    // manifest: byte-identical (LF, 6 lines)
+    assert(Files.readAllBytes(Paths.get(dir, "mls.c")).toSeq ===
+      Files.readAllBytes(Paths.get(out, "mls.c")).toSeq)
+    // settings: line-identical verbatim passthrough
+    assert(Files.readAllLines(Paths.get(out, deck.manifest.settings)).asScala.toSeq ===
+      deck.settingsLines)
+    // materials: value-identical after re-read
+    val mat2 = DeckCodec.readMaterials(spark, s"$out/${deck.manifest.material}")
+    assert(mat2.collect().map(_.toSeq).toSeq ===
+      deck.materials.collect().map(_.toSeq).toSeq)
+    // boundary conditions: structurally identical (ranges, type/dir, curves)
+    assert(DeckCodec.readBoundaryConditions(s"$out/${deck.manifest.boundary}") ===
+      deck.boundaries)
+    // bonds: full row-set identical (13,812 edges), header flag preserved
+    val bonds2 = DeckCodec.readBonds(spark, s"$out/MLSBond.dat")
+    assert(bonds2.count() === deck.bonds.get.count())
+    assert(bonds2.except(deck.bonds.get).isEmpty &&
+      deck.bonds.get.except(bonds2).isEmpty)
+    assert(Files.readAllLines(Paths.get(out, "MLSBond.dat")).get(0).trim === "0")
+    // measure points survive
+    assert(DeckCodec.readMeasurePoints(s"$out/MeasurePar.dat") === deck.measureIds)
+    // Uniaxial ships no geometry file; the writer must not invent one
+    assert(deck.particles.isEmpty &&
+      !Files.exists(Paths.get(out, deck.manifest.geometry)))
+  }
+
+  test("particle table writer round-trip on the real Brazil deck (49,400 rows)") {
+    val path = "/root/reference/BrazilSplitTest/BALL3D_PSLICE.dat"
+    assume(Files.exists(Paths.get(path)))
+    val src = DeckCodec.readParticles(spark, path)
+    val out = Files.createTempDirectory("partrt").resolve("BALL3D_PSLICE.dat").toString
+    DeckCodec.writeParticles(src, out)
+    val back = DeckCodec.readParticles(spark, out)
+    assert(DeckCodec.declaredCount(out) === 49400L)
+    assert(DeckCodec.checkCount(back, out))
+    // order-insensitive multiset fingerprint instead of except(): 27
+    // text-derived columns push Except's constraint inference into an
+    // optimizer blow-up (observed OOM at 8g), while a count + hash-sum
+    // aggregate is one map-combined pass — the same comparison shape the
+    // driver's oracle gate uses
+    def fp(df: org.apache.spark.sql.DataFrame) = df.agg(
+      count(lit(1)).as("n"),
+      sum(xxhash64(Schemas.particle.fieldNames.map(col).toIndexedSeq: _*)
+        .cast("decimal(38,0)")).as("h") // decimal sum: 49k longs overflow ANSI bigint
+    ).head().toSeq
+    assert(fp(back) === fp(src))
   }
 
   test("S7 vertex sink writes one space-joined line per row") {
