@@ -47,6 +47,45 @@ object Multimodal {
         col("length").as("n_bytes"),
         col("content"))
 
+  /** Deterministic synthetic image assets for the composition demo: a
+    * 32×32 grayscale PNG per input id, split into 2×2 quadrants whose gray
+    * value is pure integer arithmetic in the id —
+    * `v_q = (id*37 + q*59) mod 251`. Because r=g=b and the luminance
+    * weights sum to 1000 exactly (299+587+114), [[JdkDecoder.decodeImage]]
+    * recovers `v_q` EXACTLY per 4×4 grid cell, so the decoded feature
+    * vector is closed-form in the id: `feat[g] = v_{(g/8)*2+(g%4)/2} /
+    * 127.5 - 1`. That analytic invertibility is what makes the full
+    * decode→embed→ANN catalog query (`q_multimodal_ann`) oracle-able in
+    * SQL while exercising the REAL javax.imageio encode+decode path.
+    */
+  def syntheticImageAssets(ids: DataFrame, idCol: String): DataFrame = {
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(assetSchema)
+    ids.select(col(idCol).cast("long").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val img = new java.awt.image.BufferedImage(32, 32,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              val q = (y / 16) * 2 + (x / 16)
+              val v = (((id * 37 + q * 59) % 251) + 251) % 251
+              val vi = v.toInt
+              img.setRGB(x, y, (vi << 16) | (vi << 8) | vi)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val bytes = bos.toByteArray
+          Row(id, s"synthetic:$id", "image", bytes.length.toLong, bytes)
+        }
+      }(enc)
+  }
+
   /** The stubbed decode/feature kernel: deterministic pseudo-features from
     * the payload bytes. REPLACE the body with a real decoder (JNI/FFM to
     * an image or audio library) without touching any Spark plumbing — the

@@ -78,6 +78,23 @@ object ExtQueries {
       graft.ops.IvfIndex.searchTopK(model, probeId = 0L, k = 10, nprobe = 16)
     }),
 
+    // North star composition — multimodal→ANN end to end: synthesize image
+    // assets (REAL javax.imageio PNG encode), decode + feature-extract
+    // (REAL decode, 4×4 luminance grid → 16-dim embedding), then IVF ANN
+    // top-k — the q_dup_clusters of multimodal columns. Oracle-able
+    // because the asset generator is analytically invertible (see
+    // Multimodal.syntheticImageAssets): the decoded embedding is
+    // closed-form integer arithmetic in doc_id, and full probing
+    // (nprobe=nlist) makes IVF exact.
+    "q_multimodal_ann" -> ((s, d) => {
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 4096).select("doc_id")
+      val assets = graft.ops.Multimodal.syntheticImageAssets(ids, "doc_id")
+      val feats = graft.ops.Multimodal.extractFeatures(assets, real = true)
+        .select(col("asset_id").as("vec_id"), col("embedding"))
+      val model = graft.ops.IvfIndex.build(feats, nlist = 8, iters = 1)
+      graft.ops.IvfIndex.searchTopK(model, probeId = 0L, k = 10, nprobe = 8)
+    }),
+
     // North star — embedding near-dup: top-3 most-similar pairs per label
     // block (blocked candidate generation; no global cross product).
     "q_embed_neardup" -> ((s, d) => {
@@ -230,6 +247,14 @@ object ExtQueries {
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_ivf_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q_multimodal_ann" ->
+      ("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 4096), """ +
+        // the decoded 16-dim embedding, closed-form: grid cell g lies in
+        // quadrant (g//8)*2 + (g%4)//2 whose exact gray value is
+        // (doc_id*37 + q*59) % 251; feature = v/127.5 - 1 cast to float
+        """f AS (SELECT doc_id, list_transform(range(0, 16), g -> CAST(CAST((doc_id * 37 + ((g // 8) * 2 + (g % 4) // 2) * 59) % 251 AS DOUBLE) / 127.5 - 1 AS REAL)) AS emb FROM ids) """ +
+        """SELECT f.doc_id AS vec_id, ROUND(list_sum(list_transform(list_zip(f.emb, p.emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim """ +
+        """FROM f, (SELECT emb FROM f WHERE doc_id = 0) p WHERE f.doc_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10"""),
     "q_embed_neardup" ->
       """WITH pairs AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_sim DESC, id_a, id_b) AS rn FROM pairs) SELECT label, id_a, id_b, cos_sim FROM r WHERE rn <= 3 ORDER BY label, id_a, id_b""",
     "q_heavy_hitters" ->

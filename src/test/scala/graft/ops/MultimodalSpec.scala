@@ -107,6 +107,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(fw.forall(v => v > 0.99f) && fb.forall(v => v < -0.99f))
   }
 
+  test("synthetic assets decode to their closed form (the q_multimodal_ann contract)") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 7L, 250L, 4095L).toDF("doc_id")
+    val assets = Multimodal.syntheticImageAssets(ids, "doc_id")
+    val feats = Multimodal.extractFeatures(assets, real = true)
+      .orderBy("asset_id").collect()
+    // real decode path: 32×32, and every feature EXACTLY matches the
+    // analytic inverse — this identity is what the SQL oracle relies on
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(2) === 32 && r.getInt(3) === 32)
+      val expected = Array.tabulate(16) { g =>
+        val q = (g / 8) * 2 + (g % 4) / 2
+        (((id * 37 + q * 59) % 251).toDouble / 127.5 - 1.0).toFloat
+      }
+      assert(r.getSeq[Float](4).toArray.toSeq === expected.toSeq,
+        s"decoded features diverge from closed form for id=$id")
+    }
+  }
+
   test("real image resize: payload re-encoded, aspect preserved, decode round-trips") {
     val big = pngBytes(120, 60, 0x3366cc)
     val assets = assetDf(Seq((1L, "image", big)))
