@@ -47,8 +47,9 @@ object IvfIndex {
     require(maxTrainRows >= nlist, s"maxTrainRows ($maxTrainRows) < nlist ($nlist)")
     // Bounded, deterministic training sample: hash-threshold filter — a
     // distributed map-pass, no sort, no shuffle. Materialized once so the
-    // Lloyd rounds never rescan the corpus.
-    val n = emb.count()
+    // Lloyd rounds never rescan the corpus. maxTrainRows = Long.MaxValue
+    // skips the sizing count() — for corpora the caller knows are small.
+    val n = if (maxTrainRows == Long.MaxValue) 0L else emb.count()
     val train =
       if (n <= maxTrainRows) emb
       else {

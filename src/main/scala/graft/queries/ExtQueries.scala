@@ -87,11 +87,15 @@ object ExtQueries {
     // closed-form integer arithmetic in doc_id, and full probing
     // (nprobe=nlist) makes IVF exact.
     "q_multimodal_ann" -> ((s, d) => {
-      val ids = Tables.documents(s, d).filter(col("doc_id") < 4096).select("doc_id")
+      // corpus capped by id (mirrored in the oracle): the demo's value is
+      // the composition, not the asset count; Long.MaxValue skips the
+      // train-sample sizing count on a corpus bounded by construction
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 2048).select("doc_id")
       val assets = graft.ops.Multimodal.syntheticImageAssets(ids, "doc_id")
       val feats = graft.ops.Multimodal.extractFeatures(assets, real = true)
         .select(col("asset_id").as("vec_id"), col("embedding"))
-      val model = graft.ops.IvfIndex.build(feats, nlist = 8, iters = 1)
+      val model = graft.ops.IvfIndex.build(feats, nlist = 8, iters = 1,
+        maxTrainRows = Long.MaxValue)
       graft.ops.IvfIndex.searchTopK(model, probeId = 0L, k = 10, nprobe = 8)
     }),
 
@@ -248,7 +252,7 @@ object ExtQueries {
     "q_ivf_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_multimodal_ann" ->
-      ("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 4096), """ +
+      ("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 2048), """ +
         // the decoded 16-dim embedding, closed-form: grid cell g lies in
         // quadrant (g//8)*2 + (g%4)//2 whose exact gray value is
         // (doc_id*37 + q*59) % 251; feature = v/127.5 - 1 cast to float
