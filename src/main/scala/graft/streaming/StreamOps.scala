@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Per-key state for [[StreamOps.runningMaxPerUserTWS]]: one `ValueState`
@@ -26,6 +27,50 @@ class RunningMaxProcessor
     }
     maxState.update(best)
     out.iterator
+  }
+}
+
+/** Timer-driven session expiry on Spark 4's timer surface (the TTL /
+  * timeout pattern `flatMapGroupsWithState` expressed with
+  * `GroupStateTimeout`, now with explicit per-key timers): each user's
+  * open session accumulates `(n_events, last_ms)`; every batch re-arms ONE
+  * event-time timer at `last_ms + gapMs`, and when the watermark passes
+  * it, [[handleExpiredTimer]] emits the closed session
+  * `(user, n_events, session_end_ms)` and clears state. State per key is
+  * one (long, long) + one timer — bounded regardless of stream length,
+  * and expired sessions leave the store entirely (the part a
+  * watermark-less flatMapGroups accumulates forever).
+  * Input rows: (user_id, ts_ms, ts_utc) — the timestamp column carries
+  * the watermark; the processor keys on user_id.
+  */
+class SessionExpiryProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, (Long, Long, java.sql.Timestamp), (Long, Long, Long)] {
+  @transient private var sess: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[(Long, Long)]("sess",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val (c0, last0) = if (sess.exists()) sess.get() else (0L, Long.MinValue)
+    var c = c0
+    var last = last0
+    rows.foreach { case (_, ms, _) => c += 1; if (ms > last) last = ms }
+    // one live timer per key: drop the stale one, arm at last + gap
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(last + gapMs)
+    sess.update((c, last))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+    val out =
+      if (sess.exists()) { val (c, last) = sess.get(); Iterator.single((key, c, last)) }
+      else Iterator.empty
+    sess.clear() // session closed: state AND timer are gone
+    out
   }
 }
 
@@ -87,6 +132,25 @@ object StreamOps {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .transformWithState(new RunningMaxProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Timer-based session expiry via [[SessionExpiryProcessor]]: input a
+    * streaming Dataset of (user_id, ts_ms); sessions close `gapMs` after
+    * their last event AS THE WATERMARK ADVANCES (event-time timers), not
+    * merely when the user happens to send another row. Returns
+    * (user_id, n_events, session_end_ms). Requires the RocksDB state
+    * store provider, like every transformWithState op.
+    */
+  def sessionExpiryTWS(events: Dataset[(Long, Long)], gapMs: Long,
+                       watermark: String = "0 seconds"): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.toDF("user_id", "ts_ms")
+      .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts_utc", watermark)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionExpiryProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** G5 — gap-based sessionization via the built-in `session_window`

@@ -123,6 +123,51 @@ class StreamingSpec extends SparkTestBase {
     assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
   }
 
+  test("timer-based session expiry: sessions close as the watermark passes last+gap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gap = 30000L
+      val mem = MemoryStream[(Long, Long)]
+      val q = StreamOps.sessionExpiryTWS(mem.toDS(), gap)
+        .toDF("user_id", "n_events", "session_end_ms")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sess_expiry_out").start()
+      try {
+        def emitted() = spark.table("sess_expiry_out")
+          .orderBy("user_id", "session_end_ms").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // batch 1: user 1's session = 3 events ending at t=5000
+        mem.addData(Seq((1L, 1000L), (1L, 2000L), (1L, 5000L)))
+        q.processAllAvailable()
+        // watermark is still behind 5000+gap: nothing closes
+        assert(emitted().isEmpty)
+        // batch 2: user 2 far in the future pushes the watermark past
+        // user 1's timer -> session (1, 3, 5000) closes via the TIMER,
+        // with no further user-1 input
+        mem.addData(Seq((2L, 200000L)))
+        q.processAllAvailable()
+        mem.addData(Seq((2L, 200001L))) // nudge batch: watermark=200000 applies
+        q.processAllAvailable()
+        assert(emitted().toSeq === Seq((1L, 3L, 5000L)))
+        // batch 3: another future event closes user 2's session (2 events)
+        mem.addData(Seq((3L, 900000L)))
+        q.processAllAvailable()
+        mem.addData(Seq((3L, 900001L)))
+        q.processAllAvailable()
+        assert(emitted().toSeq === Seq((1L, 3L, 5000L), (2L, 2L, 200001L)))
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running max (Spark 4 StatefulProcessor) == flatMapGroupsWithState twin") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
