@@ -247,6 +247,21 @@ object DeckCodec {
   def maskToColumns(mask: Seq[Int], allItems: Seq[String]): Seq[String] =
     mask.zip(allItems).collect { case (1, name) => name }
 
+  /** D16 writer — projection mask as one space-joined flag line
+    * (`UniaxialCompressionTest/PosItem.ini:1`). With [[columnsToMask]]
+    * this closes the projection-pushdown loop: a `select()` list becomes
+    * the engine-side column-selection vector.
+    */
+  def writePosItemMask(mask: Seq[Int], path: String): Unit = {
+    require(mask.forall(f => f == 0 || f == 1), s"mask flags must be 0/1: $mask")
+    Files.write(Paths.get(path),
+      (mask.mkString(" ") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Inverse of [[maskToColumns]]: which of `allItems` a projection keeps. */
+  def columnsToMask(selected: Seq[String], allItems: Seq[String]): Seq[Int] =
+    allItems.map(i => if (selected.contains(i)) 1 else 0)
+
   /** D14 writer — re-emit the 6-line manifest, LF-terminated like the
     * reference's `mls.c` (`UniaxialCompressionTest/mls.c:1-6`). Byte-
     * identical round trip with [[readManifest]].

@@ -101,6 +101,24 @@ object CoreQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // §7.1 skew path, end to end: the same fact⋈dim join routed through
+    // Skew.saltedJoin — fact rows get a seeded salt, the dim replicates
+    // per salt, the join key becomes (key, salt) so a hot key spreads over
+    // `salts` reducers. Semantics are IDENTICAL to the plain join (every
+    // fact row still meets exactly its key's dim rows), which is what the
+    // shared-oracle check proves; the plan differs only in key width.
+    "q_salted_join" -> ((s, d) => {
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+      val dim = Tables.orders(s, d)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.ops.Skew.saltedJoin(fact, dim, "okey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // J2 — self adjacency join: distinct part pairs co-occurring in an order
     // (GenerateColumnar.py:279-283 elements-sharing-a-node).
     "q_self_join_pairs" -> ((s, d) => {
@@ -609,6 +627,10 @@ object CoreQueries {
     "q_doc_dedup" ->
       """SELECT md5(lower(trim(text))) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY 1 ORDER BY 1""",
     "q_fk_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1""",
+    // deliberately the PLAIN join: proving the salted route is semantics-
+    // preserving IS the check
+    "q_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1""",
     "q_self_join_pairs" ->
       """SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey ORDER BY 1, 2""",

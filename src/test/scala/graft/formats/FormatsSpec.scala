@@ -191,6 +191,24 @@ class FormatsSpec extends SparkTestBase {
     assert(DeckCodec.readMeasurePoints(path) === Seq(71756L, 102380L))
   }
 
+  test("D16 mask writer: select-list -> mask -> file -> mask -> select-list") {
+    val items = (0 until 28).map(i => s"item$i")
+    val selected = Seq("item4", "item5", "item6", "item20")
+    val mask = DeckCodec.columnsToMask(selected, items)
+    assert(mask.sum === 4)
+    val out = Files.createTempDirectory("mask").resolve("PosItem.ini").toString
+    DeckCodec.writePosItemMask(mask, out)
+    val back = DeckCodec.readPosItemMask(out)
+    assert(back === mask)
+    assert(DeckCodec.maskToColumns(back, items) === selected)
+    // and the real reference mask survives the same round trip
+    val ref = "/root/reference/UniaxialCompressionTest/PosItem.ini"
+    assume(Files.exists(Paths.get(ref)))
+    val refMask = DeckCodec.readPosItemMask(ref)
+    DeckCodec.writePosItemMask(refMask, out)
+    assert(DeckCodec.readPosItemMask(out) === refMask)
+  }
+
   test("full deck round-trip: Uniaxial read -> tables -> re-emit -> re-read") {
     val dir = "/root/reference/UniaxialCompressionTest"
     assume(Files.exists(Paths.get(dir, "mls.c")))
