@@ -348,10 +348,21 @@ object CoreQueries {
     "q_interval_join" -> ((s, d) => {
       // price domain: intervals of width 10 over a ~1e5-wide domain, so
       // the cell grid is genuinely selective (a quantity-domain version
-      // would match ~10% of the cross product by construction)
+      // would match ~10% of the cross product by construction).
+      //
+      // Scale shape (r5): aggregate lineitem BY PRICE VALUE before the
+      // interval join — matches then multiply by the pre-agg counts. The
+      // distinct-price domain SATURATES as SF grows (583k values at both
+      // sf0.1 and sf1 — prices are a bounded domain, rows are not), so
+      // the join input and the match cardinality stop growing with corpus
+      // size: the former output-driven quadratic becomes
+      // O(distinct_prices × interval_density). Decimal partial sums keep
+      // the re-aggregation exact, so the oracle is unchanged.
       val cell = 10
       val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_extendedprice"))
+        .groupBy(col("l_extendedprice"))
+        .agg(count(lit(1)).as("price_cnt"),
+          sum(dec(col("l_extendedprice"))).as("price_sum"))
         .withColumn("qcell", floor(col("l_extendedprice") / cell).cast("long"))
       val parts = Tables.part(s, d)
         .select(col("p_partkey"),
@@ -363,8 +374,8 @@ object CoreQueries {
           col("qcell") === col("pcell") &&
           col("l_extendedprice") >= col("lo") && col("l_extendedprice") <= col("hi"))
         .groupBy(col("p_partkey"))
-        .agg(count(lit(1)).as("n_in_range"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .agg(sum(col("price_cnt")).as("n_in_range"),
+          sum(col("price_sum")).cast("double").as("sum_price"))
         .orderBy("p_partkey")
     }),
 
