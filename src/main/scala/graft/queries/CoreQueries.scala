@@ -93,11 +93,21 @@ object CoreQueries {
 
     // J1 — FK equi-join + aggregate (shuffle join; AQE may broadcast orders).
     "q_fk_join" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      // aggregate-through-join (r5): collapse lineitem to one row per
+      // order (exact decimal partials) BEFORE meeting orders — the join
+      // carries |orders| rows instead of |lineitem|, and the final
+      // re-aggregation over the 4× smaller join is decimal-exact, so the
+      // oracle (the plain join) is unchanged. Same discipline as
+      // q_interval_join's price pre-agg.
+      val perOrder = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("li_cnt"),
+          sum(dec(col("l_extendedprice"))).as("li_rev"))
+      perOrder
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+        .agg(sum(col("li_cnt")).as("cnt"),
+          sum(col("li_rev")).cast("double").as("revenue"))
         .orderBy("o_orderpriority")
     }),
 
