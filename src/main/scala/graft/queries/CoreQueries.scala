@@ -122,7 +122,7 @@ object CoreQueries {
         .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
       val dim = Tables.orders(s, d)
         .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-      graft.ops.Skew.saltedJoin(fact, dim, "okey", salts = 8)
+      graft.ops.Skew.saltedJoin(fact, dim, "okey", salts = 4)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"),
           sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))

@@ -90,7 +90,7 @@ object ExtQueries {
       // corpus capped by id (mirrored in the oracle): the demo's value is
       // the composition, not the asset count; Long.MaxValue skips the
       // train-sample sizing count on a corpus bounded by construction
-      val ids = Tables.documents(s, d).filter(col("doc_id") < 2048).select("doc_id")
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 1024).select("doc_id")
       val assets = graft.ops.Multimodal.syntheticImageAssets(ids, "doc_id")
       val feats = graft.ops.Multimodal.extractFeatures(assets, real = true)
         .select(col("asset_id").as("vec_id"), col("embedding"))
@@ -252,7 +252,7 @@ object ExtQueries {
     "q_ivf_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_multimodal_ann" ->
-      ("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 2048), """ +
+      ("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 1024), """ +
         // the decoded 16-dim embedding, closed-form: grid cell g lies in
         // quadrant (g//8)*2 + (g%4)//2 whose exact gray value is
         // (doc_id*37 + q*59) % 251; feature = v/127.5 - 1 cast to float
