@@ -88,7 +88,8 @@ object Soak {
       "q_embed_neardup_bounded", "q_ivf_topk", "q_embedding_topk", "q_flagship_revenue",
       "q_flagship_returns", "q_flagship_nation_rev", "q_group_agg",
       "q_percentile", "q_sessionize", "q_asof_curve", "q_edge_degree",
-      "q_exact_dedup", "q_distinct_count")
+      "q_exact_dedup", "q_distinct_count", "q_interval_join", "q_fk_join",
+      "q_salted_join", "q_multimodal_ann", "q_dup_clusters")
     val soakSet = sys.env.get("SOAK_ONLY")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(defaultSet)
     val results = soakSet.map { name =>

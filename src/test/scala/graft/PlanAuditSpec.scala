@@ -51,6 +51,12 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q_salted_join actually joins on the widened (key, salt) pair") {
+    val p = plan("q_salted_join")
+    assert(p.contains("__salt"), s"salt column missing from the join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_asof_curve is served by the custom AsOfJoin physical operator") {
     assert(plan("q_asof_curve").contains("AsOfJoin"))
   }
