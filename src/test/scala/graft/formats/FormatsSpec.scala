@@ -191,6 +191,29 @@ class FormatsSpec extends SparkTestBase {
     assert(DeckCodec.readMeasurePoints(path) === Seq(71756L, 102380L))
   }
 
+  test("deck writer numeric rendering is value-preserving (property)") {
+    import spark.implicits._
+    // arbitrary doubles (incl. negatives, tiny, huge, integral) must
+    // survive writeDeckTable -> reader parse bit-exactly — the round-trip
+    // contract fmtNum promises
+    val rnd = new scala.util.Random(42)
+    val vals = Seq(0.0, -0.0, 1.0, -5.0, 0.5, 1e-300, -1e300, 123456.789,
+      9e6, 0.000000917, 1.8e-4) ++
+      Seq.fill(200)(math.pow(10, rnd.nextInt(20) - 10) * (rnd.nextDouble() * 2 - 1))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Files.createTempDirectory("numrt").resolve("vals.dat").toString
+    DeckCodec.writeDeckTable(df, Seq(vals.length.toString), out)
+    val lines = Files.readAllLines(Paths.get(out)).asScala.drop(1)
+    val back = lines.map { l =>
+      val a = l.split("\\s+"); (a(0).toLong, a(1).toDouble)
+    }.toMap
+    vals.zipWithIndex.foreach { case (v, i) =>
+      val b = back(i.toLong)
+      assert(java.lang.Double.compare(v, b) == 0 || (v == 0.0 && b == 0.0),
+        s"value $v re-parsed as $b")
+    }
+  }
+
   test("D16 mask writer: select-list -> mask -> file -> mask -> select-list") {
     val items = (0 until 28).map(i => s"item$i")
     val selected = Seq("item4", "item5", "item6", "item20")
