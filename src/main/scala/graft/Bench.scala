@@ -82,13 +82,16 @@ object Bench {
       println(s"""{"query":"$name","sec":$v$errField}""")
       (name, v, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Summary line carries total + errors ONLY: the per-query numbers are
+    // already on the per-query lines above, and repeating the full map here
+    // once made this line so long it head-truncated the driver's fixed
+    // tail-capture window, dropping the alphabetically-early queries from
+    // the artifact (BENCH_r02..r05). Keep this line short forever.
     val errs = results.collect { case (k, _, Some(t)) =>
       s"\"" + k + "\":\"" + jsonSafe(t) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,6 +25,32 @@ object IvfIndex {
 
   final case class Model(centroids: DataFrame, assignments: DataFrame)
 
+  /** Bounded-cost row-count estimate: count `sampleParts` partitions of the
+    * UNDECODED scan (`queryExecution.toRdd` — no row conversion) and
+    * extrapolate by partition count. Building an index on a 100 TB corpus
+    * must not scan it end to end just to pick a sampling fraction; this job
+    * runs min(sampleParts, nParts) tasks, never one per partition (pinned by
+    * a listener in IvfIndexSpec). The estimate only steers the
+    * hash-threshold fraction — [[build]] re-checks the materialized sample
+    * and widens on undershoot, so a skewed-partition misestimate costs one
+    * extra map pass, never correctness.
+    */
+  private[graft] def approxCount(df: DataFrame, sampleParts: Int = 8): Long = {
+    val rdd = df.queryExecution.toRdd
+    val nParts = rdd.getNumPartitions
+    if (nParts == 0) 0L
+    else {
+      val k = math.min(sampleParts, nParts)
+      val counts = df.sparkSession.sparkContext.runJob(
+        rdd,
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+          var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+        },
+        0 until k)
+      math.ceil(counts.sum.toDouble * nParts / k).toLong
+    }
+  }
+
   private def dotF(spark: SparkSession) = {
     graft.functions.DotProductF.register(spark)
   }
@@ -47,17 +73,32 @@ object IvfIndex {
     require(maxTrainRows >= nlist, s"maxTrainRows ($maxTrainRows) < nlist ($nlist)")
     // Bounded, deterministic training sample: hash-threshold filter — a
     // distributed map-pass, no sort, no shuffle. Materialized once so the
-    // Lloyd rounds never rescan the corpus. maxTrainRows = Long.MaxValue
-    // skips the sizing count() — for corpora the caller knows are small.
-    val n = if (maxTrainRows == Long.MaxValue) 0L else emb.count()
+    // Lloyd rounds never rescan the corpus. Sizing uses the partition-
+    // sampled [[approxCount]], NOT a full count() — no full-corpus job runs
+    // just to decide whether to sample. maxTrainRows = Long.MaxValue skips
+    // even the estimate — for corpora the caller knows are small.
+    val n = if (maxTrainRows == Long.MaxValue) 0L else approxCount(emb)
     val train =
       if (n <= maxTrainRows) emb
       else {
         val den = 1L << 20
+        def sampled(num: Long) =
+          emb.filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(den)) < lit(num))
+            .localCheckpoint()
         // oversample ~25% so rounding of the hash fraction can't undershoot nlist
-        val num = math.min(den, math.max(1L, (maxTrainRows * den) / n * 5 / 4))
-        emb.filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(den)) < lit(num))
-          .localCheckpoint()
+        var num = math.min(den, math.max(1L, (maxTrainRows * den) / n * 5 / 4))
+        var t = sampled(num)
+        // post-hoc guard for the approximate estimate: if the materialized
+        // sample still undershoots nlist (n was badly over-estimated from a
+        // skewed partition sample), widen the fraction 8x and refilter —
+        // each retry is one map pass; counting t itself is cheap (it is
+        // checkpointed and sample-sized). Terminates: num reaches den (= the
+        // unsampled corpus) in O(log) retries.
+        while (t.count() < nlist && num < den) {
+          num = math.min(den, num * 8)
+          t = sampled(num)
+        }
+        t
       }
     // deterministic init: rank sampled vectors by a seeded hash, take nlist
     var centroids = train

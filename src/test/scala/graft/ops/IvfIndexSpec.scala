@@ -63,6 +63,43 @@ class IvfIndexSpec extends SparkTestBase {
     assert(c1.toSeq === c2.toSeq)
   }
 
+  test("approxCount: sizing job runs a bounded partition sample, not a full scan") {
+    // 16 partitions, but the sizing job may touch at most 8 of them — a
+    // 100 TB corpus must never be scanned end to end just to decide on a
+    // training-sample fraction (VERDICT r5 #4).
+    val wide = emb.repartition(16).cache()
+    val actual = wide.count() // materialize outside the listener window
+    // (resultStageTasks, totalDagTasks): the job DAG also lists the upstream
+    // repartition map stage (skipped at runtime — the cache serves it), so
+    // pin the RESULT stage to the sample size and the whole DAG to < nParts
+    val taskCounts = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        taskCounts.add((j.stageInfos.maxBy(_.stageId).numTasks,
+          j.stageInfos.map(_.numTasks).sum))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val est =
+      try {
+        val e = IvfIndex.approxCount(wide)
+        // listener events are async; poll briefly for the job-start event
+        val deadline = System.nanoTime() + 5e9.toLong
+        while (taskCounts.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+        e
+      } finally spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    val counts = taskCounts.asScala.toSeq
+    assert(counts.size === 1, s"approxCount must launch exactly one job, saw $counts")
+    assert(counts.head._1 === 8,
+      s"sizing result stage must run 8 of 16 partitions, ran ${counts.head._1}")
+    assert(counts.head._2 < 16,
+      s"sizing job DAG must stay under the 16-partition full scan, saw ${counts.head._2}")
+    // repartition() spreads rows round-robin, so the 8-partition estimate
+    // lands close to truth; the contract only needs order-of-magnitude
+    assert(est >= actual / 2 && est <= actual * 2,
+      s"estimate $est vs actual $actual outside 2x")
+  }
+
   test("build is deterministic under the seed") {
     val m2 = IvfIndex.build(emb, nlist = 16, iters = 2)
     val a1 = model.assignments.select("vec_id", "cell").orderBy("vec_id")
