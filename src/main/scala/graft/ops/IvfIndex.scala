@@ -172,6 +172,55 @@ object IvfIndex {
     }
   }
 
+  /** Batched ANN top-k: many probes answered in ONE pass over the inverted
+    * file — the shape a real pipeline needs (per-probe [[searchTopK]] calls
+    * are a driver-side loop of tiny jobs; a 100 TB corpus serves probe
+    * BATCHES). Per probe, the contract is identical to [[searchTopK]]:
+    * rank cells by centroid score, keep `nprobe`, exact re-rank inside them
+    * (4dp rounding, vec_id tie-break) — pinned by IvfIndexSpec equivalence.
+    *
+    * Plan shape: (probe × centroid) scoring is dim-bounded (P × nlist rows,
+    * both sides small), the probed (cell, probe) table broadcasts, and the
+    * corpus is touched by a single equi-join on cell — rows outside every
+    * probed cell are never scanned. The only data-sized shuffle is the
+    * per-probe top-k window over candidate rows (≈ P × nprobe × cell size).
+    */
+  def searchTopKBatch(model: Model, probeIds: Seq[Long], k: Int,
+                      nprobe: Int): DataFrame = {
+    val spark = model.centroids.sparkSession
+    dotF(spark)
+    val probeCells = probedCells(model, probeIds, nprobe)
+    model.assignments
+      .join(broadcast(probeCells), Seq("cell")) // only probed cells scanned
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(expr("graft_dot_f(embedding, probe_emb)"), 4).as("cos_sim"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** The (cell, probe_id, probe_emb) table of cells each probe scans: per
+    * probe, the `nprobe` cells ranked best by centroid score. Dim-bounded
+    * (P × nlist in, P × nprobe out). Shared by [[searchTopKBatch]] and the
+    * recall sweep tool (which measures the scanned-candidate fraction off
+    * the exact same table the search joins on).
+    */
+  private[graft] def probedCells(model: Model, probeIds: Seq[Long],
+                                 nprobe: Int): DataFrame = {
+    dotF(model.centroids.sparkSession)
+    val probes = model.assignments
+      .filter(col("vec_id").isInCollection(probeIds))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    model.centroids.crossJoin(broadcast(probes))
+      .withColumn("cscore", expr("graft_dot_f(centroid, probe_emb)"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cscore").desc, col("cell"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("cell"), col("probe_id"), col("probe_emb"))
+  }
+
   /** ANN top-k for one probe vector id: rank cells by centroid score, probe
     * the best `nprobe`, exact re-rank inside them. Same output contract as
     * [[Similarity.cosineTopK]] (vec_id, cos_sim rounded to 4dp, ordered).

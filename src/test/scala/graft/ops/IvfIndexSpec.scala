@@ -34,6 +34,22 @@ class IvfIndexSpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall@10 was $recall") // random vectors: weak cells
   }
 
+  test("searchTopKBatch: per-probe rows equal the single-probe searchTopK") {
+    val probeIds = Seq(0L, 7L, 123L)
+    for (nprobe <- Seq(4, 16)) {
+      val batch = IvfIndex.searchTopKBatch(model, probeIds, k = 10, nprobe)
+        .collect().groupBy(_.getLong(0))
+      assert(batch.keySet === probeIds.toSet)
+      probeIds.foreach { p =>
+        val single = IvfIndex.searchTopK(model, p, 10, nprobe)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val got = batch(p).sortBy(r => (-r.getDouble(2), r.getLong(1)))
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+        assert(got === single, s"probe $p nprobe $nprobe")
+      }
+    }
+  }
+
   test("assign plans with no Exchange and no Window (zero-shuffle argmax)") {
     val plan = IvfIndex.assign(emb, model.centroids)
       .queryExecution.executedPlan.toString
