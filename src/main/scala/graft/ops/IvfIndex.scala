@@ -55,6 +55,19 @@ object IvfIndex {
     graft.functions.DotProductF.register(spark)
   }
 
+  /** Materialize AND make an optimizer boundary: `localCheckpoint()` alone
+    * preserves the origin plan's constraint set, and the packed-argmax
+    * alias ("cell = -array_max(zip_with(...))") resurfacing downstream as
+    * an inferred join predicate is at best a per-row recompute of the whole
+    * assign and at worst WRONG — a constraint captured against one Lloyd
+    * round's centroid literals re-applied to a frame assigned with LATER
+    * centroids silently filters the rows whose cell moved between rounds
+    * (observed: 12% of the corpus unreachable in full-probe search).
+    */
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.dropCheckpointConstraints(
+      df.localCheckpoint())
+
   /** Train `nlist` centroids with `iters` Lloyd rounds (seeded init by
     * hashing vec ids — deterministic), then assign every vector to its
     * nearest centroid. Centroids stay float arrays so the codegen dot
@@ -83,8 +96,7 @@ object IvfIndex {
       else {
         val den = 1L << 20
         def sampled(num: Long) =
-          emb.filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(den)) < lit(num))
-            .localCheckpoint()
+          ckpt(emb.filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(den)) < lit(num)))
         // oversample ~25% so rounding of the hash fraction can't undershoot nlist
         var num = math.min(den, math.max(1L, (maxTrainRows * den) / n * 5 / 4))
         var t = sampled(num)
@@ -107,9 +119,9 @@ object IvfIndex {
       .withColumn("cell", row_number().over(Window.orderBy("__r")).cast("long") - 1)
       .select(col("cell"), col("embedding").as("centroid"))
     for (_ <- 0 until iters) {
-      centroids = trainRound(train, centroids).localCheckpoint()
+      centroids = ckpt(trainRound(train, centroids))
     }
-    Model(centroids, assign(emb, centroids).localCheckpoint())
+    Model(centroids, ckpt(assign(emb, centroids)))
   }
 
   /** One Lloyd round: nearest-centroid assign (zero Exchange, unrolled
@@ -128,37 +140,35 @@ object IvfIndex {
 
   /** Nearest-centroid assignment with ZERO shuffle: the centroid table is
     * nlist rows (dimension-bounded, like every broadcast dim), so collect
-    * it once and unroll one codegen'd dot-product column per centroid —
-    * the argmax is a single narrow projection per row. No window, no
-    * exchange — a 100 TB corpus assigns in one map pass, and the hot loop
-    * stays inside whole-stage codegen (a `transform` lambda would drop to
-    * interpreted eval). Ties break to the lowest cell (first CASE match).
+    * it once, embed ALL centroids as one 2-D array literal, and compute the
+    * argmax as a single packed expression per row —
+    * `array_max(zip_with(scores, -cells, struct))` — linear in nlist with
+    * no per-centroid column (an earlier per-centroid unrolled-column shape
+    * fell off whole-stage codegen past `spark.sql.codegen.maxFields` = 100
+    * columns and went super-linear: 11 s vs 0.2 s for nlist=256 on a 20k
+    * corpus, `tools/IvfAssignBench`). No window, no exchange — a 100 TB
+    * corpus assigns in one map pass. Ties break to the lowest cell
+    * (struct comparison on (score, -cell) descending).
     *
-    * Above `maxUnrolledCells` (plan-size guard), falls back to one
-    * partial-aggregated shuffle: `groupBy(vec_id).agg(max_by(...))` —
-    * still never nlist× the corpus through an exchange.
+    * Above `maxPackedCells` (centroid-literal size guard: the packed
+    * literal rides every task binary), falls back to one partial-aggregated
+    * shuffle: `groupBy(vec_id).agg(max_by(...))` — still never nlist× the
+    * corpus through an exchange.
     */
   def assign(emb: DataFrame, centroids: DataFrame,
-             maxUnrolledCells: Int = 256): DataFrame = {
+             maxPackedCells: Int = 4096): DataFrame = {
     dotF(emb.sparkSession)
     val cents = centroids.select(col("cell").cast("long"), col("centroid"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
     require(cents.nonEmpty, "assign: empty centroid table")
-    if (cents.length <= maxUnrolledCells) {
-      val scoreCols = cents.indices.map(i => s"__s$i")
-      val scored = cents.zipWithIndex.foldLeft(emb) { case (d, ((_, vec), i)) =>
-        d.withColumn(scoreCols(i),
-          call_function("graft_dot_f", col("embedding"), typedlit(vec)))
-      }
-      val best =
-        if (cents.length == 1) col(scoreCols.head)
-        else greatest(scoreCols.map(col): _*)
-      val cellCol = cents.indices.init.foldRight[Column](lit(cents.last._1)) {
-        (i, rest) => when(col(scoreCols(i)) === best, lit(cents(i)._1)).otherwise(rest)
-      }
-      scored.withColumn("cell", cellCol).drop(scoreCols: _*)
+    if (cents.length <= maxPackedCells) {
+      val scores = transform(typedlit(cents.map(_._2)),
+        c => call_function("graft_dot_f", col("embedding"), c))
+      val best = array_max(zip_with(scores, typedlit(cents.map(-_._1)),
+        (s, negCell) => struct(s.as("s"), negCell.as("c"))))
+      emb.withColumn("cell", -best.getField("c"))
     } else {
       val others = emb.columns.filterNot(_ == "vec_id").toIndexedSeq
       emb.crossJoin(broadcast(centroids))

@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cost measurement for the >256-cell `IvfIndex.assign` fallback (VERDICT
+  * r5 #5): above `maxUnrolledCells` the assign becomes
+  * `crossJoin(broadcast(centroids)) → groupBy(vec_id).agg(max_by)` — the
+  * Exchange stays one row per vector (map-side combine), but the map-side
+  * partial aggregation evaluates corpus × nlist scored rows. At
+  * nlist = 2¹⁴ that pre-combine inflation could dominate; this tool
+  * measures it at nlist ∈ {256, 1024, 4096} on the 10× planted corpus
+  * (and the unrolled path at 256 as the baseline), so the
+  * two-level-assign decision rests on a datapoint, not an argument.
+  *
+  * Centroids are synthesized directly (deterministic hash vectors) — the
+  * fallback's cost shape depends only on corpus × nlist × dim, not on
+  * centroid quality, and training 4096 centroids on 20k vectors would be
+  * statistically meaningless anyway.
+  */
+object IvfAssignBench {
+
+  /** `n` deterministic unit vectors of dimension `dim`, id-keyed — same
+    * hash-noise construction as IvfRecallBench's replicas.
+    */
+  def hashVectors(spark: SparkSession, n: Long, dim: Int,
+                  idCol: String, vecCol: String, seed: Long): DataFrame = {
+    val raw = transform(sequence(lit(0), lit(dim - 1)), j =>
+      pmod(xxhash64(col(idCol), lit(seed), j), lit(2001L))
+        .cast("double") / 1000.0 - 1.0)
+    val norm = sqrt(aggregate(raw, lit(0.0), (acc, v) => acc + v * v))
+    spark.range(n).select(col("id").as(idCol),
+      transform(raw, v => (v / norm).cast("float")).as(vecCol))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse("/root/testdata/sf0.1")
+    val cpus = graft.Bench.parseCpus(
+      args.lift(1).orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("32")).toString
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = graft.Tables.embeddings(spark, srcDir).select("vec_id", "embedding")
+    val corpus = IvfRecallBench.planted10x(base, cpus.toInt)
+    val n = corpus.count()
+    println(s"corpus: $n vectors (10x planted), dim=64")
+
+    def time(label: String, df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-34s $s%7.2fs")
+      s
+    }
+
+    // warm
+    corpus.write.format("noop").mode("overwrite").save()
+
+    for (nlist <- Seq(16, 64, 128, 256, 1024, 4096)) {
+      val cents = hashVectors(spark, nlist.toLong, 64, "cell", "centroid", seed = 7L)
+        .localCheckpoint()
+      // run twice: first pays expression planning + literal embedding,
+      // second is steady state — both matter (the first is per-QUERY cost,
+      // which a 100 TB job pays once; the second is per-row cost)
+      time(s"nlist=$nlist packed cold",
+        graft.ops.IvfIndex.assign(corpus, cents))
+      time(s"nlist=$nlist packed warm",
+        graft.ops.IvfIndex.assign(corpus, cents))
+      time(s"nlist=$nlist max_by fallback",
+        graft.ops.IvfIndex.assign(corpus, cents, maxPackedCells = 0))
+      println(f"  scored rows (corpus x nlist): ${n * nlist}%,d")
+    }
+    spark.stop()
+  }
+}

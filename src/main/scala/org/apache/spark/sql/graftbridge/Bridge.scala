@@ -14,6 +14,29 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
 
+  /** Re-wrap a checkpointed frame's LogicalRDD WITHOUT its origin
+    * constraints (and stats). `Dataset.localCheckpoint()` preserves the
+    * origin plan's constraint set; when the origin projected a heavy
+    * derived column (e.g. IvfIndex.assign's packed argmax over the
+    * embedding), `InferFiltersFromConstraints` can resurrect that
+    * expression as an inferred predicate on a LATER join against the
+    * checkpointed frame — recomputing per row an expression the checkpoint
+    * already paid for, and (for higher-order-function expressions) tripping
+    * an internal bind error when the inferred predicate lands on a join
+    * side that lacks the referenced input column. A checkpoint is a
+    * materialization boundary; dropping the origin constraints makes it an
+    * optimizer boundary too. No-op on non-checkpointed frames.
+    */
+  def dropCheckpointConstraints(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        Dataset.ofRows(df.sparkSession.asInstanceOf[SparkSession],
+          org.apache.spark.sql.execution.LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+            lr.isStreaming, lr.stream)(df.sparkSession.asInstanceOf[SparkSession]))
+      case _ => df
+    }
+
   /** Release the cached blocks behind a `localCheckpoint()`ed frame.
     * Iterative algorithms (graft.ops.Graph) checkpoint per round; without
     * an explicit unpersist the superseded rounds' blocks pin executor

@@ -50,6 +50,26 @@ class IvfIndexSpec extends SparkTestBase {
     }
   }
 
+  test("checkpointed model is an optimizer boundary: all rows reachable, full probe exact") {
+    // Regression pin: localCheckpoint() preserves origin-plan constraints,
+    // and a packed-argmax alias captured against ROUND-r centroids, re-
+    // inferred as a predicate over a frame assigned with FINAL centroids,
+    // silently dropped every row whose cell moved in the last Lloyd round
+    // (~12% of a random 2000-vector corpus). IvfIndex.ckpt strips origin
+    // constraints at every checkpoint; this pins both symptoms.
+    // the exact triggering config: cached sf0.1 parquet corpus, 2 rounds
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.1").cache()
+    val m = IvfIndex.build(corpus, nlist = 16, iters = 2)
+    val reachable = m.assignments
+      .join(broadcast(m.centroids.select("cell")), Seq("cell")).count()
+    assert(reachable === 2000L, "every assignment row must survive the cell join")
+    val ids = (0L until 32L).toSeq
+    val truth = graft.tools.IvfRecallBench.bruteTopK(m.assignments, ids, 10)
+    val batch = IvfIndex.searchTopKBatch(m, ids, 10, nprobe = 16)
+    val hits = batch.join(truth, Seq("probe_id", "vec_id")).count()
+    assert(hits === 32L * 10, s"full probe must reproduce brute force, matched $hits/320")
+  }
+
   test("assign plans with no Exchange and no Window (zero-shuffle argmax)") {
     val plan = IvfIndex.assign(emb, model.centroids)
       .queryExecution.executedPlan.toString
@@ -57,10 +77,10 @@ class IvfIndexSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"assign must not window:\n$plan")
   }
 
-  test("max_by fallback path matches the literal-projection path") {
+  test("max_by fallback path matches the packed-literal path") {
     val lit = IvfIndex.assign(emb, model.centroids)
       .select("vec_id", "cell").orderBy("vec_id").collect().map(_.toSeq)
-    val agg = IvfIndex.assign(emb, model.centroids, maxUnrolledCells = 1)
+    val agg = IvfIndex.assign(emb, model.centroids, maxPackedCells = 1)
       .select("vec_id", "cell").orderBy("vec_id").collect().map(_.toSeq)
     assert(lit.toSeq === agg.toSeq)
   }
