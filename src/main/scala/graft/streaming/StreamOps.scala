@@ -30,18 +30,22 @@ class RunningMaxProcessor
   }
 }
 
-/** Timer-driven session expiry on Spark 4's timer surface (the TTL /
-  * timeout pattern `flatMapGroupsWithState` expressed with
-  * `GroupStateTimeout`, now with explicit per-key timers): each user's
-  * open session accumulates `(n_events, last_ms)`; every batch re-arms ONE
-  * event-time timer at `last_ms + gapMs`, and when the watermark passes
-  * it, [[handleExpiredTimer]] emits the closed session
-  * `(user, n_events, session_end_ms)` and clears state. State per key is
-  * one (long, long) + one timer — bounded regardless of stream length,
-  * and expired sessions leave the store entirely (the part a
-  * watermark-less flatMapGroups accumulates forever).
+/** Session expiry on Spark 4's timer surface, with the HYBRID close
+  * contract real sessionization needs: sessions close EITHER when a later
+  * event reveals a gap (input-driven — emitted right from
+  * [[handleInputRows]]) or when the watermark passes `last + gap` with no
+  * further events (timer-driven — [[handleExpiredTimer]]). Timer-only
+  * closing is not enough: a user's next event can arrive in the SAME
+  * micro-batch that would have fired the old session's timer, and input
+  * rows are processed before expired timers, so the stale session would
+  * absorb the new event and two sessions merge (found by the 10× soak —
+  * `tools/StreamSoak` asserts stream ≡ batch sessionize, which only the
+  * hybrid contract satisfies). State per key stays one (n_events, last_ms)
+  * pair + ONE armed timer for the currently-open session; closed sessions
+  * leave the store entirely.
   * Input rows: (user_id, ts_ms, ts_utc) — the timestamp column carries
-  * the watermark; the processor keys on user_id.
+  * the watermark; the processor keys on user_id. Emits
+  * `(user, n_events, session_end_ms)` per closed session.
   */
 class SessionExpiryProcessor(gapMs: Long)
     extends StatefulProcessor[Long, (Long, Long, java.sql.Timestamp), (Long, Long, Long)] {
@@ -53,15 +57,27 @@ class SessionExpiryProcessor(gapMs: Long)
 
   override def handleInputRows(key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
                                timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
-    val (c0, last0) = if (sess.exists()) sess.get() else (0L, Long.MinValue)
-    var c = c0
-    var last = last0
-    rows.foreach { case (_, ms, _) => c += 1; if (ms > last) last = ms }
-    // one live timer per key: drop the stale one, arm at last + gap
+    var (c, last) = if (sess.exists()) sess.get() else (0L, Long.MinValue)
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    // walk the batch's rows in event-time order; the watermark contract
+    // guarantees ms >= the PREVIOUS batch's max, so `last` never runs ahead
+    // of the sorted stream and the gap test matches batch sessionize
+    // (new session strictly when ms - last > gap) exactly
+    rows.map(_._2).toArray.sorted.foreach { ms =>
+      if (last != Long.MinValue && ms - last > gapMs) {
+        out += ((key, c, last)) // input-driven close: the gap is visible now
+        c = 0L
+      }
+      c += 1
+      if (ms > last) last = ms
+    }
+    // one live timer per key: drop the stale one, arm at last + gap for the
+    // watermark-driven close (the final session has no later event to
+    // reveal its gap)
     getHandle.listTimers().foreach(getHandle.deleteTimer)
     getHandle.registerTimer(last + gapMs)
     sess.update((c, last))
-    Iterator.empty
+    out.result().iterator
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
