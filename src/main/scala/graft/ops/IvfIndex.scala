@@ -211,6 +211,28 @@ object IvfIndex {
       .drop("__rn")
   }
 
+  /** Persist the index as it would live at 100 TB: the centroid table as
+    * one dimension-sized parquet, the inverted file CELL-PARTITIONED
+    * (`partitionBy("cell")`) so the probed-cell equi-join every search
+    * performs becomes a PARTITION-PRUNED scan — Spark's dynamic partition
+    * pruning turns the broadcast cell list into a directory filter, and
+    * unprobed cells are never read off disk (pinned in IvfIndexSpec).
+    */
+  def save(model: Model, path: String): Unit = {
+    model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    model.assignments.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assignments")
+  }
+
+  /** Load a [[save]]d index. The partition column comes back via directory
+    * inference — restore its long type so search joins stay key-compatible.
+    */
+  def load(spark: SparkSession, path: String): Model =
+    Model(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assignments")
+        .withColumn("cell", col("cell").cast("long")))
+
   /** The (cell, probe_id, probe_emb) table of cells each probe scans: per
     * probe, the `nprobe` cells ranked best by centroid score. Dim-bounded
     * (P × nlist in, P × nprobe out). Shared by [[searchTopKBatch]] and the

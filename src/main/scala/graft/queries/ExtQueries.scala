@@ -78,6 +78,17 @@ object ExtQueries {
       graft.ops.IvfIndex.searchTopK(model, probeId = 0L, k = 10, nprobe = 16)
     }),
 
+    // G7 batch serving shape — many probes answered in ONE pass over the
+    // inverted file (searchTopKBatch; a per-probe loop is the driver-side
+    // anti-pattern at scale). Full probing keeps it oracle-exact; partial
+    // probing recall is IvfRecallBench/SCALE.md territory.
+    "q_ann_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.ops.IvfIndex.build(emb, nlist = 16, iters = 1)
+      graft.ops.IvfIndex.searchTopKBatch(model, Seq(0L, 1L, 2L), k = 5, nprobe = 16)
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+    }),
+
     // North star composition — multimodal→ANN end to end: synthesize image
     // assets (REAL javax.imageio PNG encode), decode + feature-extract
     // (REAL decode, 4×4 luminance grid → 16-dim embedding), then IVF ANN
@@ -251,6 +262,11 @@ object ExtQueries {
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_ivf_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q_ann_batch" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         s AS (SELECT p.probe_id, e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+         r AS (SELECT probe_id, vec_id, cos_sim, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+         SELECT probe_id, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY probe_id, cos_sim DESC, vec_id""",
     "q_multimodal_ann" ->
       ("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 1024), """ +
         // the decoded 16-dim embedding, closed-form: grid cell g lies in

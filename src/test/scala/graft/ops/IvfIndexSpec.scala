@@ -70,6 +70,32 @@ class IvfIndexSpec extends SparkTestBase {
     assert(hits === 32L * 10, s"full probe must reproduce brute force, matched $hits/320")
   }
 
+  test("save/load: cell-partitioned inverted file; search dynamically prunes unprobed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    IvfIndex.save(model, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    // round-trip: same centroids, same assignment set
+    assert(loaded.centroids.orderBy("cell").collect().map(_.toSeq).toSeq ===
+      model.centroids.orderBy("cell").collect().map(_.toSeq).toSeq)
+    val cols = model.assignments.columns.sorted.toIndexedSeq
+    assert(loaded.assignments.select(cols.map(col): _*).orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq ===
+      model.assignments.select(cols.map(col): _*).orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq)
+    // search served from disk == search served from memory
+    for (nprobe <- Seq(4, 16)) {
+      assert(IvfIndex.searchTopK(loaded, 0L, 10, nprobe).collect().map(_.toSeq).toSeq ===
+        IvfIndex.searchTopK(model, 0L, 10, nprobe).collect().map(_.toSeq).toSeq)
+    }
+    // the scale property save() exists for: the probed-cell equi-join
+    // reaches the scan as a DYNAMIC PARTITION PRUNING filter on the cell
+    // directories — unprobed cells are never read off disk
+    val plan = IvfIndex.searchTopK(loaded, 0L, 10, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"partitioned search must plan dynamic partition pruning:\n$plan")
+  }
+
   test("assign plans with no Exchange and no Window (zero-shuffle argmax)") {
     val plan = IvfIndex.assign(emb, model.centroids)
       .queryExecution.executedPlan.toString
