@@ -43,11 +43,19 @@ object IvfRecallBench {
     val base = graft.Tables.embeddings(spark, srcDir).select("vec_id", "embedding")
     val probeIds = (0L until 64L).toSeq
 
-    sweep(spark, "native-1x", base, probeIds, nlist = 16, iters = 2,
-      nprobes = Seq(1, 2, 4, 8, 16))
-    sweep(spark, "planted-10x", planted10x(base, cpus.toInt), probeIds,
-      nlist = 128, iters = 3,
-      nprobes = Seq(1, 2, 4, 8, 16, 32, 64, 128))
+    // optional scale knob: replicas=99 -> a 100x corpus (200k vectors)
+    val replicas = args.lift(2).map(_.toInt).getOrElse(9)
+    if (replicas == 9) {
+      sweep(spark, "native-1x", base, probeIds, nlist = 16, iters = 2,
+        nprobes = Seq(1, 2, 4, 8, 16))
+      sweep(spark, "planted-10x", planted(base, cpus.toInt, 9), probeIds,
+        nlist = 128, iters = 3,
+        nprobes = Seq(1, 2, 4, 8, 16, 32, 64, 128))
+    } else {
+      sweep(spark, s"planted-${replicas + 1}x", planted(base, cpus.toInt, replicas),
+        probeIds, nlist = 512, iters = 3,
+        nprobes = Seq(1, 4, 16, 64, 256, 512))
+    }
     spark.stop()
   }
 
@@ -57,9 +65,12 @@ object IvfRecallBench {
     * invariant every search path assumes). α spans cos ≈ 0.98 (r=1) down
     * to ≈ 0.5 (r=9) for 64-dim vectors: |α·noise| ≈ α·√(dim/3).
     */
-  def planted10x(base: DataFrame, parts: Int): DataFrame = {
-    val replicas = (1 to 9).map { r =>
-      val alpha = 0.04 * r
+  def planted10x(base: DataFrame, parts: Int): DataFrame =
+    planted(base, parts, 9)
+
+  def planted(base: DataFrame, parts: Int, nReplicas: Int): DataFrame = {
+    val replicas = (1 to nReplicas).map { r =>
+      val alpha = 0.04 * (1 + (r - 1) % 9) // spectrum repeats past 10x
       val noisy = transform(col("embedding"), (x, j) =>
         x.cast("double") + lit(alpha) *
           (pmod(xxhash64(col("vec_id"), lit(r.toLong), j), lit(2001L))

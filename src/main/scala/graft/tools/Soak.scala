@@ -89,7 +89,7 @@ object Soak {
       "q_flagship_returns", "q_flagship_nation_rev", "q_group_agg",
       "q_percentile", "q_sessionize", "q_asof_curve", "q_edge_degree",
       "q_exact_dedup", "q_distinct_count", "q_interval_join", "q_fk_join",
-      "q_salted_join", "q_multimodal_ann", "q_dup_clusters")
+      "q_salted_join", "q_multimodal_ann", "q_ann_batch", "q_dup_clusters")
     val soakSet = sys.env.get("SOAK_ONLY")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(defaultSet)
     val results = soakSet.map { name =>
