@@ -82,6 +82,22 @@ class PlanAuditSpec extends SparkTestBase {
       s"centroid update must map-side combine:\n$p")
   }
 
+  test("batch ANN search never shuffles the corpus by cell") {
+    // the IVF search contract at 100 TB: the inverted file is joined to
+    // the probed-cell list by BROADCAST (the cell list is dim-bounded) —
+    // the only corpus-sized Exchange is the per-probe top-k window on
+    // probe_id. A hashpartitioning(cell) Exchange would mean the whole
+    // corpus reshuffles per probe batch.
+    val emb = Tables.embeddings(spark, Sf0001)
+    val model = ops.IvfIndex.build(emb, nlist = 8, iters = 1)
+    val p = ops.IvfIndex.searchTopKBatch(model, Seq(0L, 1L), k = 5, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(cell"),
+      s"corpus must not reshuffle on cell:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cell join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in search:\n$p")
+  }
+
   test("q_grouping_id is a single expand + aggregate, one shuffle") {
     val p = plan("q_grouping_id")
     assert(p.contains("Expand"), p)
