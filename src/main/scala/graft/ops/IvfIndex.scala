@@ -196,12 +196,39 @@ object IvfIndex {
     * per-probe top-k window over candidate rows (≈ P × nprobe × cell size).
     */
   def searchTopKBatch(model: Model, probeIds: Seq[Long], k: Int,
+                      nprobe: Int): DataFrame =
+    searchTopKBatch(model,
+      model.assignments.filter(col("vec_id").isInCollection(probeIds))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb")),
+      k, nprobe)
+
+  /** Probe-VECTOR batch search: callers that already hold the query
+    * embeddings (the serving norm — the id overload above must scan the
+    * inverted file just to look its probes up) pass them as a
+    * (probe_id, probe_emb) frame, bounded by the probe batch size.
+    *
+    * The probed cell list is collected (≤ probes × nprobe values,
+    * dimension-bounded like every driver-side point in this codebase) and
+    * pushed as a LITERAL filter on the corpus scan: on a [[save]]d
+    * cell-partitioned index that is planning-time partition pruning —
+    * unprobed cell directories are never opened, measured (not just
+    * planned) in `tools/IvfPruneBench`. Runtime-only DPP planned but did
+    * not shrink physical reads on this shape, which is why the static
+    * filter exists.
+    */
+  def searchTopKBatch(model: Model, probes: DataFrame, k: Int,
                       nprobe: Int): DataFrame = {
     val spark = model.centroids.sparkSession
     dotF(spark)
-    val probeCells = probedCells(model, probeIds, nprobe)
+    // dimension-bounded (probes × nprobe rows) — checkpoint so the cell
+    // collect and the join don't each re-derive it (for id-based callers
+    // that derivation includes the probe-lookup scan of the inverted file)
+    val probeCells = ckpt(probedCells(model, probes, nprobe))
+    val cellList = probeCells.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
     model.assignments
-      .join(broadcast(probeCells), Seq("cell")) // only probed cells scanned
+      .filter(col("cell").isInCollection(cellList)) // static partition prune
+      .join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         round(expr("graft_dot_f(embedding, probe_emb)"), 4).as("cos_sim"))
@@ -240,11 +267,15 @@ object IvfIndex {
     * the exact same table the search joins on).
     */
   private[graft] def probedCells(model: Model, probeIds: Seq[Long],
+                                 nprobe: Int): DataFrame =
+    probedCells(model,
+      model.assignments.filter(col("vec_id").isInCollection(probeIds))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb")),
+      nprobe)
+
+  private[graft] def probedCells(model: Model, probes: DataFrame,
                                  nprobe: Int): DataFrame = {
     dotF(model.centroids.sparkSession)
-    val probes = model.assignments
-      .filter(col("vec_id").isInCollection(probeIds))
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
     model.centroids.crossJoin(broadcast(probes))
       .withColumn("cscore", expr("graft_dot_f(centroid, probe_emb)"))
       .withColumn("__rn", row_number().over(
@@ -256,24 +287,12 @@ object IvfIndex {
   /** ANN top-k for one probe vector id: rank cells by centroid score, probe
     * the best `nprobe`, exact re-rank inside them. Same output contract as
     * [[Similarity.cosineTopK]] (vec_id, cos_sim rounded to 4dp, ordered).
+    * A thin wrapper over [[searchTopKBatch]] — one code path, so the
+    * single-probe queries get the same statically-pruned scan.
     */
-  def searchTopK(model: Model, probeId: Long, k: Int, nprobe: Int): DataFrame = {
-    val spark = model.centroids.sparkSession
-    dotF(spark)
-    val probe = model.assignments.filter(col("vec_id") === probeId)
-      .select(col("embedding").as("probe_emb"))
-    val cells = model.centroids.crossJoin(broadcast(probe))
-      .withColumn("cscore", expr("graft_dot_f(centroid, probe_emb)"))
-      .orderBy(col("cscore").desc, col("cell"))
-      .limit(nprobe)
-      .select("cell")
-    model.assignments
-      .join(broadcast(cells), Seq("cell")) // only nprobe cells scanned
-      .filter(col("vec_id") =!= probeId)
-      .crossJoin(broadcast(probe))
-      .select(col("vec_id"),
-        round(expr("graft_dot_f(embedding, probe_emb)"), 4).as("cos_sim"))
+  def searchTopK(model: Model, probeId: Long, k: Int, nprobe: Int): DataFrame =
+    searchTopKBatch(model, Seq(probeId), k, nprobe)
+      .select(col("vec_id"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
-  }
 }
