@@ -90,6 +90,15 @@ object Bench {
     val errs = results.collect { case (k, _, Some(t)) =>
       s"\"" + k + "\":\"" + jsonSafe(t) + "\""
     }.mkString("{", ",", "}")
+    // Compact END-OF-RUN recap: the driver's artifact keeps a fixed TAIL of
+    // output, which in r6 still cut the ~45 alphabetically-early per-query
+    // lines. Re-emitting every number here, 8 short pairs per line (~10
+    // lines for the 80-query catalog), makes the artifact self-contained
+    // whatever the capture window (VERDICT r6 #2). Each line is valid JSON.
+    results.grouped(8).foreach { g =>
+      println(g.map { case (n, v, _) => s""""$n":$v""" }
+        .mkString("""{"recap":{""", ",", "}}"))
+    }
     val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

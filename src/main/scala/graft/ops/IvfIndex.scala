@@ -41,12 +41,18 @@ object IvfIndex {
     if (nParts == 0) 0L
     else {
       val k = math.min(sampleParts, nParts)
+      // STRIDED indices, not the 0..k prefix: ordered layouts (time-sorted
+      // ingest, size-tiered compaction) make early partitions systematically
+      // small or large; a spread sample at the same cost is far less
+      // layout-sensitive (ADVICE r6). Distinct because nParts >= k makes
+      // i*nParts/k strictly increasing.
+      val idx = (0 until k).map(i => (i.toLong * nParts / k).toInt)
       val counts = df.sparkSession.sparkContext.runJob(
         rdd,
         (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
           var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
         },
-        0 until k)
+        idx)
       math.ceil(counts.sum.toDouble * nParts / k).toLong
     }
   }
@@ -91,8 +97,8 @@ object IvfIndex {
     // just to decide whether to sample. maxTrainRows = Long.MaxValue skips
     // even the estimate — for corpora the caller knows are small.
     val n = if (maxTrainRows == Long.MaxValue) 0L else approxCount(emb)
-    val train =
-      if (n <= maxTrainRows) emb
+    val (train, trainIsCkpt) =
+      if (n <= maxTrainRows) (emb, false)
       else {
         val den = 1L << 20
         def sampled(num: Long) =
@@ -105,12 +111,16 @@ object IvfIndex {
         // skewed partition sample), widen the fraction 8x and refilter —
         // each retry is one map pass; counting t itself is cheap (it is
         // checkpointed and sample-sized). Terminates: num reaches den (= the
-        // unsampled corpus) in O(log) retries.
+        // unsampled corpus) in O(log) retries. The superseded checkpoint is
+        // unpersisted each retry — dead sample blocks must not pin executor
+        // storage for the life of the build (ADVICE r6).
         while (t.count() < nlist && num < den) {
           num = math.min(den, num * 8)
+          val prev = t
           t = sampled(num)
+          org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
         }
-        t
+        (t, true)
       }
     // deterministic init: rank sampled vectors by a seeded hash, take nlist
     var centroids = train
@@ -118,10 +128,22 @@ object IvfIndex {
       .orderBy("__r").limit(nlist)
       .withColumn("cell", row_number().over(Window.orderBy("__r")).cast("long") - 1)
       .select(col("cell"), col("embedding").as("centroid"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
+      val prev = centroids
       centroids = ckpt(trainRound(train, centroids))
+      // round r's checkpoint supersedes round r-1's; release it eagerly
+      // (ADVICE r6). Guarded to i > 0: the round-0 input is the
+      // (un-checkpointed) init PLAN, whose tree contains `train` —
+      // unpersisting through it would release the sample mid-build.
+      if (i > 0)
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
     }
-    Model(centroids, ckpt(assign(emb, centroids)))
+    val model = Model(centroids, ckpt(assign(emb, centroids)))
+    // the training sample has served its purpose once the final centroids
+    // and the full-corpus assignment are materialized
+    if (trainIsCkpt)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(train)
+    model
   }
 
   /** One Lloyd round: nearest-centroid assign (zero Exchange, unrolled
@@ -200,36 +222,48 @@ object IvfIndex {
     searchTopKBatch(model,
       model.assignments.filter(col("vec_id").isInCollection(probeIds))
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb")),
-      k, nprobe)
+      k, nprobe,
+      // probe ids ARE corpus vec_ids here, so "nearest neighbor of x" must
+      // not be x itself
+      excludeSelf = true)
 
   /** Probe-VECTOR batch search: callers that already hold the query
     * embeddings (the serving norm — the id overload above must scan the
     * inverted file just to look its probes up) pass them as a
     * (probe_id, probe_emb) frame, bounded by the probe batch size.
     *
-    * The probed cell list is collected (≤ probes × nprobe values,
+    * The probed-cell table is collected ONCE (≤ probes × nprobe rows,
     * dimension-bounded like every driver-side point in this codebase) and
-    * pushed as a LITERAL filter on the corpus scan: on a [[save]]d
-    * cell-partitioned index that is planning-time partition pruning —
-    * unprobed cell directories are never opened, measured (not just
-    * planned) in `tools/IvfPruneBench`. Runtime-only DPP planned but did
-    * not shrink physical reads on this shape, which is why the static
-    * filter exists.
+    * re-enters the plan as a LOCAL relation — one job instead of the
+    * previous checkpoint + distinct-collect pair, and no checkpoint blocks
+    * left pinning executor storage after the call (ADVICE r6). The distinct
+    * cell list from the same rows is pushed as a LITERAL filter on the
+    * corpus scan: on a [[save]]d cell-partitioned index that is
+    * planning-time partition pruning — unprobed cell directories are never
+    * opened, measured (not just planned) in `tools/IvfPruneBench`.
+    * Runtime-only DPP planned but did not shrink physical reads on this
+    * shape, which is why the static filter exists.
+    *
+    * `excludeSelf` drops candidates whose vec_id equals the probe_id — the
+    * id-based overload sets it (its probe ids ARE corpus ids); external
+    * callers whose probe numbering is unrelated to corpus vec_ids must
+    * leave it false, or a coincidental id collision silently costs one
+    * valid neighbor per colliding probe (ADVICE r6).
     */
   def searchTopKBatch(model: Model, probes: DataFrame, k: Int,
-                      nprobe: Int): DataFrame = {
+                      nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
     val spark = model.centroids.sparkSession
     dotF(spark)
-    // dimension-bounded (probes × nprobe rows) — checkpoint so the cell
-    // collect and the join don't each re-derive it (for id-based callers
-    // that derivation includes the probe-lookup scan of the inverted file)
-    val probeCells = ckpt(probedCells(model, probes, nprobe))
-    val cellList = probeCells.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    model.assignments
+    val pc = probedCells(model, probes, nprobe)
+    val pcRows = pc.collect()
+    val probeCells = spark.createDataFrame(
+      java.util.Arrays.asList(pcRows: _*), pc.schema)
+    val cellList = pcRows.map(_.getLong(0)).distinct.toSeq
+    val candidates = model.assignments
       .filter(col("cell").isInCollection(cellList)) // static partition prune
       .join(broadcast(probeCells), Seq("cell"))
-      .filter(col("vec_id") =!= col("probe_id"))
+    (if (excludeSelf) candidates.filter(col("vec_id") =!= col("probe_id"))
+     else candidates)
       .select(col("probe_id"), col("vec_id"),
         round(expr("graft_dot_f(embedding, probe_emb)"), 4).as("cos_sim"))
       .withColumn("__rn", row_number().over(
@@ -240,10 +274,10 @@ object IvfIndex {
 
   /** Persist the index as it would live at 100 TB: the centroid table as
     * one dimension-sized parquet, the inverted file CELL-PARTITIONED
-    * (`partitionBy("cell")`) so the probed-cell equi-join every search
-    * performs becomes a PARTITION-PRUNED scan — Spark's dynamic partition
-    * pruning turns the broadcast cell list into a directory filter, and
-    * unprobed cells are never read off disk (pinned in IvfIndexSpec).
+    * (`partitionBy("cell")`) so the probed-cell list every search pushes
+    * as a static `cell IN (...)` predicate becomes PLANNING-TIME directory
+    * pruning — unprobed cells are never listed, let alone read off disk
+    * (pinned in IvfIndexSpec, measured in `tools/IvfPruneBench`).
     */
   def save(model: Model, path: String): Unit = {
     model.centroids.write.mode("overwrite").parquet(s"$path/centroids")

@@ -99,10 +99,15 @@ object Similarity {
     * equi-join on (block, bucket), never a block-wide cross product.
     */
   def topPairsPerBlockBounded(emb: DataFrame, blockCol: String, k: Int,
-                              bits: Int = 8, seed: Long = 42L): DataFrame = {
+                              bits: Int = 8, seed: Long = 42L,
+                              dim: Int = -1): DataFrame = {
     graft.functions.DotProductF.register(emb.sparkSession)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val sig = hyperplaneSig(emb, "embedding", dim, bits, seed)
+    // the hyperplane family needs the embedding dimension; callers that
+    // know it pass it and skip the one-row probe job below (ADVICE r6 —
+    // parquet array columns don't carry a length in the schema)
+    val d = if (dim > 0) dim
+            else emb.select(size(col("embedding"))).head().getInt(0)
+    val sig = hyperplaneSig(emb, "embedding", d, bits, seed)
     val signed = emb.select(col(blockCol).as("block"), col("vec_id"),
       col("embedding"), sig.as("sig"))
     // probe side: home bucket plus every 1-bit flip (multi-probe)

@@ -89,6 +89,23 @@ object ExtQueries {
         .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
     }),
 
+    // G7 persisted-index serving — the SAME batch contract as q_ann_batch
+    // but routed through IvfIndex.save → load, so the correctness artifact
+    // itself proves the disk path end to end (VERDICT r6 #3): the search
+    // below reads the cell-partitioned parquet the index was saved as,
+    // with the probed-cell list pruning directories at planning time.
+    // Full probing keeps it oracle-exact; shares q_ann_batch's oracle.
+    "q_ann_persist" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.ops.IvfIndex.build(emb, nlist = 16, iters = 1)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_persist")
+      dir.toFile.deleteOnExit()
+      graft.ops.IvfIndex.save(model, dir.toString)
+      val loaded = graft.ops.IvfIndex.load(s, dir.toString)
+      graft.ops.IvfIndex.searchTopKBatch(loaded, Seq(0L, 1L, 2L), k = 5, nprobe = 16)
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+    }),
+
     // North star composition — multimodal→ANN end to end: synthesize image
     // assets (REAL javax.imageio PNG encode), decode + feature-extract
     // (REAL decode, 4×4 luminance grid → 16-dim embedding), then IVF ANN
@@ -124,7 +141,9 @@ object ExtQueries {
     // recall-vs-exact is SimilaritySpec's contract — driver records the
     // rows-only check.
     "q_embed_neardup_bounded" -> ((s, d) => {
-      Similarity.topPairsPerBlockBounded(Tables.embeddings(s, d), "label", 3)
+      // dim = 64: the testdata embeddings width (TESTDATA.md; pinned in
+      // IvfIndexSpec) — passing it skips the one-row dim-probe job
+      Similarity.topPairsPerBlockBounded(Tables.embeddings(s, d), "label", 3, dim = 64)
         .select(col("block").as("label"), col("id_a"), col("id_b"), col("cos_sim"))
         .orderBy("label", "id_a", "id_b")
     }),
@@ -263,6 +282,13 @@ object ExtQueries {
     "q_ivf_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_ann_batch" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         s AS (SELECT p.probe_id, e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+         r AS (SELECT probe_id, vec_id, cos_sim, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+         SELECT probe_id, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY probe_id, cos_sim DESC, vec_id""",
+    // identical contract to q_ann_batch — the Spark side differs only in
+    // serving from the saved cell-partitioned parquet instead of memory
+    "q_ann_persist" ->
       """WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id IN (0, 1, 2)),
          s AS (SELECT p.probe_id, e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
          r AS (SELECT probe_id, vec_id, cos_sim, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)

@@ -59,10 +59,14 @@ class SessionExpiryProcessor(gapMs: Long)
                                timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
     var (c, last) = if (sess.exists()) sess.get() else (0L, Long.MinValue)
     val out = Seq.newBuilder[(Long, Long, Long)]
-    // walk the batch's rows in event-time order; the watermark contract
-    // guarantees ms >= the PREVIOUS batch's max, so `last` never runs ahead
-    // of the sorted stream and the gap test matches batch sessionize
-    // (new session strictly when ms - last > gap) exactly
+    // walk the batch's rows in event-time order. CONTRACT: stream ≡ batch
+    // sessionize assumes per-key arrival is in order ACROSS batches —
+    // i.e. watermark delay 0 / in-order sources, exactly how
+    // sessionExpiryTWS defaults and StreamSoak runs. The watermark itself
+    // does NOT guarantee this: with a nonzero delay an admitted late event
+    // (ms <= last) merges into the open session below, which matches batch
+    // only if no input-driven close for a later gap was already emitted —
+    // an emitted close cannot be retracted (ADVICE r6).
     rows.map(_._2).toArray.sorted.foreach { ms =>
       if (last != Long.MinValue && ms - last > gapMs) {
         out += ((key, c, last)) // input-driven close: the gap is visible now
@@ -156,6 +160,11 @@ object StreamOps {
     * merely when the user happens to send another row. Returns
     * (user_id, n_events, session_end_ms). Requires the RocksDB state
     * store provider, like every transformWithState op.
+    *
+    * The stream ≡ batch guarantee holds for in-order per-key arrival
+    * (the `watermark` default of "0 seconds"); raising the delay admits
+    * late events the hybrid close contract cannot retract emitted
+    * sessions for — see [[SessionExpiryProcessor.handleInputRows]].
     */
   def sessionExpiryTWS(events: Dataset[(Long, Long)], gapMs: Long,
                        watermark: String = "0 seconds"): Dataset[(Long, Long, Long)] = {

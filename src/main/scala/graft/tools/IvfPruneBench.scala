@@ -57,7 +57,8 @@ object IvfPruneBench {
       val cells = graft.ops.IvfIndex.probedCells(loaded, probeVecs, np)
         .select("cell").distinct().count()
       listener.reset()
-      graft.ops.IvfIndex.searchTopKBatch(loaded, probeVecs, 10, np)
+      // probeVecs come from the corpus here, so self-exclusion applies
+      graft.ops.IvfIndex.searchTopKBatch(loaded, probeVecs, 10, np, excludeSelf = true)
         .write.format("noop").mode("overwrite").save()
       val b = listener.bytes
       println(f"$np%6d  $cells%12d  ${b / 1024.0 / 1024.0}%8.1f  ${b.toDouble / fullBytes}%12.2f")

@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * firing as watermarks advance, state actually leaving the store when
   * sessions close.
   *
-  * Corpus: 10× sf0.1 events (user-shifted replicas → 10× distinct users,
-  * ~954k sessions), fed through a MemoryStream in event-time order in
-  * ~50k-row micro-batches (the in-order arrival a log-shipping source
-  * provides; watermark delay 0 s). Two session paths:
+  * Corpus: N× sf0.1 events (user-shifted replicas → N× distinct users;
+  * N = 10 default, 100 for the r7 scale point at ~9.5M events), fed
+  * through a MemoryStream in event-time order in time-contiguous
+  * micro-batches (the in-order arrival a log-shipping source provides;
+  * watermark delay 0 s). Sessions land in a parquet sink and the stream ≡
+  * batch check runs distributed (exceptAll), so N never accumulates rows
+  * on the driver. Two session paths:
   *   1. `sessionExpiryTWS` — transformWithState + per-key event-time
   *      timers (state = one (count, last) pair + one timer per OPEN
   *      session; closed sessions must LEAVE the store)
@@ -33,6 +36,12 @@ object StreamSoak {
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse("/root/testdata/sf0.1")
     val cpus = graft.Bench.parseCpus(
       args.lift(1).orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("32")).toString
+    // replica factor: 10 = the r5-prescribed soak; 100 = the r7 scale point
+    // (~9.5M events, ~9.5M sessions). Session-set equality is checked in
+    // Spark (exceptAll both ways), never via driver-side Sets, so the
+    // factor only moves executor work.
+    val reps = graft.Bench.parseCpus(
+      args.lift(2).orElse(sys.env.get("SPARK_GRAFT_SOAK_X")).getOrElse("10"))
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.streaming.stateStore.providerClass",
@@ -49,21 +58,34 @@ object StreamSoak {
       .as[(Long, Long)].collect()
     val chunks = base.grouped(5000).toSeq
     val maxTs = base.last._2
-    println(s"base=${base.length} events, 10x feed=${base.length * 10}, " +
+    println(s"base=${base.length} events, ${reps}x feed=${base.length.toLong * reps}, " +
       s"${chunks.size} micro-batches")
 
-    // oracle-gated batch twin on the identical 10x corpus
-    val events10x = graft.Tables.events(spark, srcDir)
-      .crossJoin(spark.range(10).select(col("id").as("__r")))
+    // oracle-gated batch twin on the identical replicated corpus
+    val eventsNx = graft.Tables.events(spark, srcDir)
+      .crossJoin(spark.range(reps).select(col("id").as("__r")))
       .withColumn("user_id", col("user_id") + col("__r") * Stride)
       .withColumn("event_id", col("event_id") + col("__r") * Stride)
       .drop("__r")
-    val want = graft.ops.TimeOps.sessionize(events10x, GapMs)
+    val want = graft.ops.TimeOps.sessionize(eventsNx, GapMs)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(count(lit(1)).as("n_events"), max(col("ts_ms")).as("end_ms"))
       .select(col("user_id"), col("n_events"), col("end_ms"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    println(s"batch sessions: ${want.size}")
+      .localCheckpoint()
+    val wantN = want.count()
+    println(s"batch sessions: $wantN")
+
+    // stream ≡ batch, checked distributed: equal cardinality and an empty
+    // symmetric difference — no 9.5M-tuple driver Set at 100×
+    def assertStreamEqBatch(gotDf: DataFrame, label: String): Unit = {
+      val got = gotDf.select(col("user_id"), col("n_events"), col("end_ms"))
+      val gotN = got.count()
+      val missing = want.exceptAll(got).count()
+      val extra = got.exceptAll(want).count()
+      println(s"  emitted=$gotN  stream==batch: ${gotN == wantN && missing == 0 && extra == 0}")
+      require(gotN == wantN && missing == 0 && extra == 0,
+        s"$label mismatch: batch=$wantN stream=$gotN missing=$missing extra=$extra")
+    }
 
     def progressSummary(q: org.apache.spark.sql.streaming.StreamingQuery,
                         sec: Double, fed: Long): Unit = {
@@ -81,16 +103,20 @@ object StreamSoak {
     {
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
       val ckpt = java.nio.file.Files.createTempDirectory("soak_tws").toString
+      // parquet sink, not memory: the memory sink collects every emitted
+      // session onto the driver — ~9.5M rows at 100×
+      val outDir = java.nio.file.Files.createTempDirectory("soak_tws_out").toString
       val q = graft.streaming.StreamOps.sessionExpiryTWS(mem.toDS(), GapMs)
         .toDF("user_id", "n_events", "session_end_ms")
-        .writeStream.outputMode("append").format("memory")
-        .option("checkpointLocation", ckpt).queryName("soak_tws").start()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
       println("== sessionExpiryTWS (timers, RocksDB) ==")
       val t0 = System.nanoTime()
       try {
         chunks.foreach { c =>
           mem.addData(c.toIndexedSeq.flatMap { case (u, ts) =>
-            (0 until 10).map(r => (u + r * Stride, ts)) })
+            (0 until reps).map(r => (u + r * Stride, ts)) })
           q.processAllAvailable()
         }
         // sentinel: close every real session, then a nudge so the advanced
@@ -100,11 +126,9 @@ object StreamSoak {
         mem.addData(Seq((-1L, maxTs + GapMs * 3 + 1)))
         q.processAllAvailable()
         val sec = (System.nanoTime() - t0) / 1e9
-        progressSummary(q, sec, base.length * 10L)
-        val got = spark.table("soak_tws").filter(col("user_id") >= 0)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-        println(s"  emitted=${got.size}  stream==batch: ${got == want}")
-        require(got == want, s"TWS mismatch: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+        progressSummary(q, sec, base.length.toLong * reps)
+        assertStreamEqBatch(spark.read.parquet(outDir).filter(col("user_id") >= 0)
+          .withColumnRenamed("session_end_ms", "end_ms"), "TWS")
       } finally q.stop()
     }
 
@@ -112,17 +136,19 @@ object StreamSoak {
     {
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
       val ckpt = java.nio.file.Files.createTempDirectory("soak_sw").toString
+      val outDir = java.nio.file.Files.createTempDirectory("soak_sw_out").toString
       val stream = mem.toDF().toDF("user_id", "ts_ms")
         .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
       val q = graft.streaming.StreamOps.sessionAgg(stream, "30 minutes", "0 seconds")
-        .writeStream.outputMode("append").format("memory")
-        .option("checkpointLocation", ckpt).queryName("soak_sw").start()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
       println("== session_window (built-in, RocksDB) ==")
       val t0 = System.nanoTime()
       try {
         chunks.foreach { c =>
           mem.addData(c.toIndexedSeq.flatMap { case (u, ts) =>
-            (0 until 10).map(r => (u + r * Stride, ts)) })
+            (0 until reps).map(r => (u + r * Stride, ts)) })
           q.processAllAvailable()
         }
         mem.addData(Seq((-1L, maxTs + GapMs * 3)))
@@ -130,14 +156,11 @@ object StreamSoak {
         mem.addData(Seq((-1L, maxTs + GapMs * 3 + 1)))
         q.processAllAvailable()
         val sec = (System.nanoTime() - t0) / 1e9
-        progressSummary(q, sec, base.length * 10L)
+        progressSummary(q, sec, base.length.toLong * reps)
         // session_window's end = last event + gap; map to the batch contract
-        val got = spark.table("soak_sw").filter(col("user_id") >= 0)
+        assertStreamEqBatch(spark.read.parquet(outDir).filter(col("user_id") >= 0)
           .select(col("user_id"), col("n_events"),
-            (col("session_end_ms") - GapMs).as("end_ms"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-        println(s"  emitted=${got.size}  stream==batch: ${got == want}")
-        require(got == want, s"session_window mismatch: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+            (col("session_end_ms") - GapMs).as("end_ms")), "session_window")
       } finally q.stop()
     }
     println("StreamSoak OK")

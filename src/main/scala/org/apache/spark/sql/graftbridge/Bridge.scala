@@ -15,7 +15,7 @@ object Bridge {
     Dataset.ofRows(spark, plan)
 
   /** Re-wrap a checkpointed frame's LogicalRDD WITHOUT its origin
-    * constraints (and stats). `Dataset.localCheckpoint()` preserves the
+    * constraints. `Dataset.localCheckpoint()` preserves the
     * origin plan's constraint set; when the origin projected a heavy
     * derived column (e.g. IvfIndex.assign's packed argmax over the
     * embedding), `InferFiltersFromConstraints` can resurrect that
@@ -26,6 +26,13 @@ object Bridge {
     * side that lacks the referenced input column. A checkpoint is a
     * materialization boundary; dropping the origin constraints makes it an
     * optimizer boundary too. No-op on non-checkpointed frames.
+    *
+    * Origin STATS are kept (re-attached via the public `computeStats()`,
+    * since the second-parameter-list field has no accessor): stats are not
+    * implicated in the constraint-resurrection bug, and dropping them too
+    * made every checkpointed frame fall back to the default sizeInBytes —
+    * costing downstream consumers auto-broadcast and AQE sizing that plain
+    * `localCheckpoint()` provided (ADVICE r6).
     */
   def dropCheckpointConstraints(df: DataFrame): DataFrame =
     df.queryExecution.analyzed match {
@@ -33,7 +40,10 @@ object Bridge {
         Dataset.ofRows(df.sparkSession.asInstanceOf[SparkSession],
           org.apache.spark.sql.execution.LogicalRDD(
             lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
-            lr.isStreaming, lr.stream)(df.sparkSession.asInstanceOf[SparkSession]))
+            lr.isStreaming, lr.stream)(
+            df.sparkSession.asInstanceOf[SparkSession],
+            originStats = Some(lr.computeStats()),
+            originConstraints = None))
       case _ => df
     }
 

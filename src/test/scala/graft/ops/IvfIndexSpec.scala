@@ -70,7 +70,7 @@ class IvfIndexSpec extends SparkTestBase {
     assert(hits === 32L * 10, s"full probe must reproduce brute force, matched $hits/320")
   }
 
-  test("save/load: cell-partitioned inverted file; search dynamically prunes unprobed cells") {
+  test("save/load: cell-partitioned inverted file; search statically prunes unprobed cells") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
     IvfIndex.save(model, dir)
     val loaded = IvfIndex.load(spark, dir)
@@ -87,13 +87,33 @@ class IvfIndexSpec extends SparkTestBase {
       assert(IvfIndex.searchTopK(loaded, 0L, 10, nprobe).collect().map(_.toSeq).toSeq ===
         IvfIndex.searchTopK(model, 0L, 10, nprobe).collect().map(_.toSeq).toSeq)
     }
-    // the scale property save() exists for: the probed-cell equi-join
-    // reaches the scan as a DYNAMIC PARTITION PRUNING filter on the cell
-    // directories — unprobed cells are never read off disk
-    val plan = IvfIndex.searchTopK(loaded, 0L, 10, nprobe = 2)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning"),
-      s"partitioned search must plan dynamic partition pruning:\n$plan")
+    // the scale property save() exists for: the probed-cell list reaches
+    // the scan as a STATIC PartitionFilters `cell IN (...)` predicate —
+    // planning-time directory pruning, strictly stronger than runtime DPP
+    // (which planned but did not shrink physical reads on this shape; see
+    // IvfIndex.searchTopKBatch scaladoc). Unprobed cells are never listed,
+    // let alone read.
+    val pruned = IvfIndex.searchTopK(loaded, 0L, 10, nprobe = 2)
+      .queryExecution.executedPlan match {
+        // the scan lives under the AQE wrapper (a leaf to collect())
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    val scans = pruned.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, s"expected a file scan in:\n$pruned")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(f =>
+        f.toString.contains("cell") && f.toString.contains("IN")),
+      s"probed-cell list must be a static partition filter, got " +
+        s"${scan.partitionFilters}:\n$pruned")
+    // and the pruning is real: exactly nprobe of the nlist=16 cell
+    // directories survive partition selection
+    assert(scan.selectedPartitions.partitionCount === 2,
+      s"nprobe=2 must scan 2 cell directories, scanned " +
+        s"${scan.selectedPartitions.partitionCount}")
   }
 
   test("assign plans with no Exchange and no Window (zero-shuffle argmax)") {
