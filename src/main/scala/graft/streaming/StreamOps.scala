@@ -94,6 +94,44 @@ class SessionExpiryProcessor(gapMs: Long)
   }
 }
 
+/** Streaming exact dedup with BOUNDED state via TTL eviction — the
+  * streaming twin of batch DD1 (`graft.ops.Dedup.exactByKey`) for the
+  * continuous-ingest shape a training-data pipeline runs: an unbounded
+  * stream of document digests where an all-time seen-set would grow
+  * without bound. The `ValueState` carries a processing-time TTL
+  * ([[org.apache.spark.sql.streaming.TTLConfig]]): digests idle for
+  * `ttl` are EVICTED from RocksDB by the store's TTL sweep, so state is
+  * bounded by the distinct-digest arrival rate × ttl, independent of
+  * stream length. Contract: the FIRST row per digest in each ttl window
+  * is emitted (smallest doc id within its arrival batch, for
+  * determinism); repeats inside the window are dropped WITHOUT
+  * refreshing the TTL (fixed window from first sighting — a digest
+  * re-admits exactly once per ttl, the standard rolling-window dedup
+  * cadence; refreshing on every sighting would let a hot duplicate pin
+  * its state forever). `StreamingTtlSpec` proves both directions: the
+  * duplicate inside the window is dropped, the post-expiry repeat is
+  * re-emitted, and the state-store row count FALLS after the sweep.
+  */
+class DedupTtlProcessor(ttl: java.time.Duration)
+    extends StatefulProcessor[String, (String, Long), (String, Long)] {
+  @transient private var seen: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Boolean]("seen",
+      Encoders.scalaBoolean, new TTLConfig(ttl))
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                               timerValues: TimerValues): Iterator[(String, Long)] = {
+    if (seen.exists()) Iterator.empty
+    else {
+      var bestId = Long.MaxValue
+      rows.foreach { r => if (r._2 < bestId) bestId = r._2 }
+      seen.update(true)
+      Iterator.single((key, bestId))
+    }
+  }
+}
+
 /** Structured Streaming twins of the batch time-series operators
   * (SURVEY §2.9 G5/G6). The reference's snapshot cadence — one `.bin` every
   * `nOutLoops`=250 steps (`MLS00con.dat:7`) — is exactly a micro-batch
@@ -176,6 +214,21 @@ object StreamOps {
       .groupByKey(_._1)
       .transformWithState(new SessionExpiryProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Streaming exact-dedup with TTL-bounded state via
+    * [[DedupTtlProcessor]]: input a streaming Dataset of
+    * (digest, doc_id); the first row per digest in each `ttl` window
+    * passes through, repeats are dropped, and idle digests leave RocksDB
+    * when the TTL sweep runs. TTL state requires
+    * `TimeMode.ProcessingTime` and the RocksDB state store provider.
+    */
+  def streamingDedupTTL(docs: Dataset[(String, Long)],
+                        ttl: java.time.Duration): Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_._1)
+      .transformWithState(new DedupTtlProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** G5 — gap-based sessionization via the built-in `session_window`
