@@ -285,6 +285,26 @@ object IvfIndex {
       .parquet(s"$path/assignments")
   }
 
+  /** Incremental ingest into a [[save]]d index — the maintenance path a
+    * continuously-arriving corpus needs (rebuilding a 100 TB inverted file
+    * for each day's arrivals is a non-starter). New vectors are assigned
+    * with the SAVED centroids (one zero-shuffle map pass over only the new
+    * rows) and appended into the cell-partitioned inverted file: new files
+    * land inside the existing `cell=...` directories, so a subsequent
+    * [[load]] + [[searchTopKBatch]] sees old + new rows through the same
+    * partition-pruned scan. The coarse quantizer is deliberately NOT
+    * retrained — standard IVF maintenance: centroids drift slowly, and
+    * assignment against fixed centroids keeps append idempotent-shaped and
+    * cheap; quantizer refresh is an offline [[build]] + [[save]] rebuild.
+    * Caller owns vec_id uniqueness across appends (same as any fact-table
+    * append).
+    */
+  def append(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    assign(newVecs, centroids)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
+  }
+
   /** Load a [[save]]d index. The partition column comes back via directory
     * inference — restore its long type so search joins stay key-compatible.
     */

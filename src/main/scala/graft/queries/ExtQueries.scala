@@ -90,17 +90,24 @@ object ExtQueries {
     }),
 
     // G7 persisted-index serving — the SAME batch contract as q_ann_batch
-    // but routed through IvfIndex.save → load, so the correctness artifact
-    // itself proves the disk path end to end (VERDICT r6 #3): the search
-    // below reads the cell-partitioned parquet the index was saved as,
-    // with the probed-cell list pruning directories at planning time.
-    // Full probing keeps it oracle-exact; shares q_ann_batch's oracle.
+    // but routed through the FULL index maintenance cycle: build + save on
+    // the even half of the corpus, then the odd half arrives later via
+    // IvfIndex.append (assigned with the frozen saved centroids, appended
+    // into the existing cell directories), then load → batch search. The
+    // correctness artifact thereby proves the disk path end to end
+    // (VERDICT r6 #3) INCLUDING incremental ingest: the search reads the
+    // cell-partitioned parquet with the probed-cell list pruning
+    // directories at planning time, and full probing keeps the result
+    // oracle-exact regardless of which centroid trained where — shares
+    // q_ann_batch's oracle.
     "q_ann_persist" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = graft.ops.IvfIndex.build(emb, nlist = 16, iters = 1)
+      val model = graft.ops.IvfIndex.build(
+        emb.filter(col("vec_id") % 2 === 0), nlist = 16, iters = 1)
       val dir = java.nio.file.Files.createTempDirectory("graft_ann_persist")
       dir.toFile.deleteOnExit()
       graft.ops.IvfIndex.save(model, dir.toString)
+      graft.ops.IvfIndex.append(s, dir.toString, emb.filter(col("vec_id") % 2 =!= 0))
       val loaded = graft.ops.IvfIndex.load(s, dir.toString)
       graft.ops.IvfIndex.searchTopKBatch(loaded, Seq(0L, 1L, 2L), k = 5, nprobe = 16)
         .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))

@@ -116,6 +116,50 @@ class IvfIndexSpec extends SparkTestBase {
         s"${scan.selectedPartitions.partitionCount}")
   }
 
+  test("append: incremental ingest into a saved index == one-shot assign of the full corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val second = emb.filter(col("vec_id") % 2 =!= 0)
+    // build + save on the first half only; the second half arrives later
+    val m0 = IvfIndex.build(first, nlist = 16, iters = 2)
+    IvfIndex.save(m0, dir)
+    IvfIndex.append(spark, dir, second)
+    val loaded = IvfIndex.load(spark, dir)
+    // the appended inverted file == assigning the FULL corpus with the
+    // saved (frozen) centroids — append must not move or lose any row
+    val want = IvfIndex.assign(emb, m0.centroids)
+    val cols = want.columns.sorted.toIndexedSeq
+    assert(loaded.assignments.count() === emb.count())
+    assert(loaded.assignments.select(cols.map(col): _*).orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq ===
+      want.select(cols.map(col): _*).orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq)
+    // serving through the appended index == the equivalent in-memory model
+    // (assignments checkpointed like every built Model — the id-overload
+    // search self-joins the assignment frame, which needs a plan boundary)
+    val memModel = IvfIndex.Model(m0.centroids,
+      org.apache.spark.sql.graftbridge.Bridge.dropCheckpointConstraints(
+        want.localCheckpoint()))
+    for (nprobe <- Seq(4, 16)) {
+      assert(IvfIndex.searchTopK(loaded, 1L, 10, nprobe).collect().map(_.toSeq).toSeq ===
+        IvfIndex.searchTopK(memModel, 1L, 10, nprobe).collect().map(_.toSeq).toSeq)
+    }
+    // appended files land INSIDE the existing cell directories: the static
+    // probed-cell partition pruning still holds after an append
+    val pruned = IvfIndex.searchTopK(loaded, 1L, 10, nprobe = 2)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    val scan = pruned.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.selectedPartitions.partitionCount === 2,
+      s"nprobe=2 must scan 2 cell directories post-append, scanned " +
+        s"${scan.selectedPartitions.partitionCount}")
+  }
+
   test("assign plans with no Exchange and no Window (zero-shuffle argmax)") {
     val plan = IvfIndex.assign(emb, model.centroids)
       .queryExecution.executedPlan.toString
