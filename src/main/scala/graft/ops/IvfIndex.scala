@@ -305,6 +305,28 @@ object IvfIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
   }
 
+  /** Continuous index maintenance: consume a STREAM of (vec_id, embedding)
+    * rows and [[append]] each micro-batch into the persisted index at
+    * `path` — the online half of the IVF lifecycle (offline [[build]] +
+    * [[save]], online appendStream, periodic offline retrain when centroid
+    * drift warrants). `foreachBatch` is the right sink because an append
+    * is a whole-frame parquet write, not a row sink; the streaming
+    * checkpoint makes ingest restartable at micro-batch granularity
+    * (standard foreachBatch semantics: a batch that fails mid-write can
+    * replay on restart — at-least-once, the same contract as any
+    * non-transactional parquet append sink). Serving queries pick up
+    * appended cells on their next [[load]].
+    */
+  def appendStream(path: String, stream: DataFrame,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epoch: Long) =>
+        if (!batch.isEmpty) append(batch.sparkSession, path, batch)
+      }
+      .start()
+
   /** Load a [[save]]d index. The partition column comes back via directory
     * inference — restore its long type so search joins stay key-compatible.
     */

@@ -160,6 +160,46 @@ class IvfIndexSpec extends SparkTestBase {
         s"${scan.selectedPartitions.partitionCount}")
   }
 
+  test("appendStream: micro-batched ingest into a saved index == batch append") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfstream_ck").toString
+    // (vec_id, embedding) on both sides: the stream's schema must match
+    // the saved inverted file's (parquet append is schema-strict)
+    val first = emb.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+    val second = emb.filter(col("vec_id") % 2 =!= 0)
+    val m0 = IvfIndex.build(first, nlist = 16, iters = 2)
+    IvfIndex.save(m0, dir)
+    // the late half arrives as TWO micro-batches of (vec_id, embedding)
+    val rows = second.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = IvfIndex.appendStream(dir,
+      mem.toDF().toDF("vec_id", "embedding"), ckpt)
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // identical end state to the batch append path: full corpus, every
+    // row in the cell the frozen centroids assign it to
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.assignments.count() === emb.count())
+    val want = IvfIndex.assign(emb.select("vec_id", "embedding"), m0.centroids)
+    assert(loaded.assignments.select("vec_id", "cell").orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq ===
+      want.select("vec_id", "cell").orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq)
+    for (nprobe <- Seq(4, 16)) {
+      val memModel = IvfIndex.Model(m0.centroids,
+        org.apache.spark.sql.graftbridge.Bridge.dropCheckpointConstraints(
+          want.localCheckpoint()))
+      assert(IvfIndex.searchTopK(loaded, 1L, 10, nprobe).collect().map(_.toSeq).toSeq ===
+        IvfIndex.searchTopK(memModel, 1L, 10, nprobe).collect().map(_.toSeq).toSeq)
+    }
+  }
+
   test("assign plans with no Exchange and no Window (zero-shuffle argmax)") {
     val plan = IvfIndex.assign(emb, model.centroids)
       .queryExecution.executedPlan.toString
