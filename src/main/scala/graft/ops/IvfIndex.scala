@@ -305,6 +305,92 @@ object IvfIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
   }
 
+  /** Split oversized cells IN PLACE — the rebalance the drift study
+    * (`tools/IvfDriftBench`, SCALE.md r7) shows a same-nlist retrain
+    * cannot deliver: a tight new modality is ONE k-means cell however
+    * fresh the centroids, so the fix is more centroids in the hot region,
+    * not fresher ones. Every cell holding more than `maxCellRows` members
+    * is split into `splitInto` sub-cells by a grouped Lloyd refinement
+    * trained ONLY on that cell's members; all other cells (and their
+    * rows) are untouched. Cost: `iters`+1 passes over the HOT cells'
+    * rows only (each a broadcast join against the sub-centroid table +
+    * one partial-aggregated shuffle), never the corpus. The returned
+    * model has the hot cells' centroid rows replaced by the sub-cell
+    * centroids (fresh ids above the old range) and those members
+    * reassigned; search/save/append all work unchanged on it — and
+    * full-probe exactness is preserved by construction (cell structure
+    * never affects WHICH vectors exist, only where they sit).
+    */
+  def refine(model: Model, maxCellRows: Long, splitInto: Int = 2,
+             iters: Int = 2, seed: Long = 43L): Model = {
+    val spark = model.centroids.sparkSession
+    dotF(spark)
+    require(splitInto >= 2, s"splitInto ($splitInto) must be >= 2")
+    val hot = model.assignments.groupBy("cell").count()
+      .filter(col("count") > maxCellRows)
+      .select("cell").collect().map(_.getLong(0)).sorted // nlist-bounded
+    if (hot.isEmpty) return model
+    val hotSet = hot.toSeq
+    val hotRows = ckpt(model.assignments.filter(col("cell").isInCollection(hotSet)))
+    // fresh ids above every existing cell id: hot cell #i's sub s gets
+    // base + i*splitInto + s (driver-computed, nlist-bounded mapping)
+    val base = model.centroids.agg(max("cell")).head().getLong(0) + 1
+    val newId = hot.zipWithIndex.map { case (c, i) =>
+      (c, base + i.toLong * splitInto)
+    }.toMap
+
+    // grouped Lloyd: seeds = splitInto hash-ranked members per hot cell
+    var subC = hotRows
+      .withColumn("__r", xxhash64(col("vec_id"), lit(seed)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("cell").orderBy("__r")))
+      .filter(col("__rn") <= splitInto)
+      .select(col("cell"), (col("__rn") - 1).as("sub"),
+        col("embedding").as("centroid"))
+    val vecMean = udaf(graft.functions.VecMeanAgg)
+    // per-cell nearest-sub assignment, carrying every payload column
+    // (same shape as assign's max_by fallback — rows × splitInto through
+    // one partial-aggregated shuffle, hot cells only)
+    val payload = model.assignments.columns
+      .filterNot(c => c == "vec_id" || c == "cell").toIndexedSeq
+    def assignSub(rows: DataFrame, cands: DataFrame): DataFrame =
+      rows.join(broadcast(cands), Seq("cell"))
+        .withColumn("__s", expr("graft_dot_f(embedding, centroid)"))
+        .groupBy("vec_id")
+        .agg(max_by(
+          struct(col("cell") +: col("sub") +: payload.map(col): _*),
+          struct(col("__s"), col("sub") * lit(-1L))).as("__best"))
+        .select(col("vec_id") +: col("__best.cell").as("cell") +:
+          col("__best.sub").as("sub") +:
+          payload.map(c => col(s"__best.$c").as(c)): _*)
+    for (i <- 0 until iters) {
+      val prev = subC
+      subC = ckpt(assignSub(hotRows, subC)
+        .groupBy("cell", "sub").agg(vecMean(col("embedding")).as("centroid")))
+      // round-0's input is the (un-checkpointed) seed PLAN over hotRows —
+      // unpersisting through it would release hotRows mid-refine
+      if (i > 0)
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
+    }
+
+    val idMap = typedlit(newId)
+    val refinedRows = assignSub(hotRows, subC)
+      .withColumn("cell", element_at(idMap, col("cell")) + col("sub"))
+      .drop("sub")
+    val cold = model.assignments.filter(!col("cell").isInCollection(hotSet))
+    val newCentroids = model.centroids.filter(!col("cell").isInCollection(hotSet))
+      .unionByName(subC
+        .withColumn("cell", element_at(idMap, col("cell")) + col("sub"))
+        .select("cell", "centroid"))
+    val out = Model(ckpt(newCentroids),
+      ckpt(cold.select(refinedRows.columns.map(col).toIndexedSeq: _*)
+        .unionByName(refinedRows)))
+    // the refined assignments are materialized; release the working frames
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(subC)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(hotRows)
+    out
+  }
+
   /** Continuous index maintenance: consume a STREAM of (vec_id, embedding)
     * rows and [[append]] each micro-batch into the persisted index at
     * `path` — the online half of the IVF lifecycle (offline [[build]] +

@@ -27,9 +27,15 @@ import org.apache.spark.sql.functions._
   * way but the new modality's mass funnels into a few hot cells and the
   * scanned fraction blows up — and a same-nlist retrain does NOT fix the
   * balance (a tight coherent cluster is one k-means cell; rebalancing
-  * needs more centroids in the new region, i.e. a bigger nlist, not just
-  * fresher centroids). So the retrain trigger needs BOTH monitors: recall
-  * probes for mild drift, cell-occupancy skew for modality shifts.
+  * needs more centroids in the new region, not fresher ones). That fix
+  * is [[graft.ops.IvfIndex.refine]] — iterated hot-cell splitting on the
+  * frozen index — measured here as the `refined`/`refined@4np` rows: it
+  * is a no-op in-distribution, matches retrain at equal scan budget
+  * under mild drift, and under a modality shift restores balance and
+  * revives the nprobe↔cost dial that the hot cell had pinned at a third
+  * of the corpus. Retrain trigger needs BOTH monitors: recall probes for
+  * mild drift (occupancy looks healthy there), cell-occupancy skew for
+  * modality shifts (refine is the cheap first response).
   */
 object IvfDriftBench {
   private val Stride = 10000000L
@@ -85,17 +91,32 @@ object IvfDriftBench {
       val frozen = graft.ops.IvfIndex.Model(m0.centroids,
         ckpt(graft.ops.IvfIndex.assign(full, m0.centroids)))
       val retrained = graft.ops.IvfIndex.build(full, nlist, iters = 3)
-      for ((label, m) <- Seq("frozen" -> frozen, "retrained" -> retrained)) {
+      // the drift-study fix: split cells holding >2x the balanced share
+      // (IvfIndex.refine) on the FROZEN index — no retrain at all. A tight
+      // cluster splits unevenly, so iterate to the threshold (refine is a
+      // cheap no-op once nothing is hot)
+      var refined = frozen
+      for (_ <- 0 until 4)
+        refined = graft.ops.IvfIndex.refine(refined,
+          maxCellRows = (2 * n / nlist).toLong, splitInto = 4)
+      def row(label: String, m: graft.ops.IvfIndex.Model, np: Int): Unit = {
         val cellMax = m.assignments.groupBy("cell").count()
           .agg(max("count")).head().getLong(0)
-        val got = graft.ops.IvfIndex.searchTopKBatch(m, probeIds, 10, nprobe)
+        val got = graft.ops.IvfIndex.searchTopKBatch(m, probeIds, 10, np)
         val hits = got.join(truth, Seq("probe_id", "vec_id")).count()
         val scanned = m.assignments.join(
-          graft.ops.IvfIndex.probedCells(m, probeIds, nprobe)
+          graft.ops.IvfIndex.probedCells(m, probeIds, np)
             .select("cell", "probe_id"), Seq("cell")).count()
-        println(f"$beta%4.1f  $label%-9s  ${cellMax / n}%14.3f  " +
+        println(f"$beta%4.1f  $label%-11s  ${cellMax / n}%14.3f  " +
           f"${hits / 320.0}%9.3f  ${scanned / (n * 32)}%12.4f")
       }
+      row("frozen", frozen, nprobe)
+      row("retrained", retrained, nprobe)
+      row("refined", refined, nprobe)
+      // equal-scan-budget comparison: the refined index has ~4x the cells,
+      // so 4x the nprobe buys back recall at roughly the scan cost the
+      // frozen index pays at nprobe=8
+      row("refined@4np", refined, nprobe * 4)
     }
     println("IvfDriftBench OK")
     spark.stop()

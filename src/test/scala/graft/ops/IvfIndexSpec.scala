@@ -200,6 +200,48 @@ class IvfIndexSpec extends SparkTestBase {
     }
   }
 
+  test("refine: hot cells split in place — balance improves, membership and exactness preserved") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // plant a hot cluster: half the corpus shifted onto one coherent
+    // direction (the IvfDriftBench modality shape) so one stale cell
+    // swallows it
+    val dir = (0 until 64).map(j => if (j % 2 == 0) 0.17 else -0.09)
+    val shifted = emb.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, j) =>
+        (x.cast("double") + lit(2.0) * element_at(typedlit(dir), (j + 1).cast("int")))
+          .cast("float")).as("embedding"))
+    val corpus = Bridge.dropCheckpointConstraints(
+      emb.select("vec_id", "embedding").unionByName(shifted).localCheckpoint())
+    val n = corpus.count()
+    val m = IvfIndex.build(corpus, nlist = 16, iters = 2)
+    def maxShare(mm: IvfIndex.Model) = mm.assignments.groupBy("cell").count()
+      .agg(max("count")).head().getLong(0).toDouble / n
+    val before = maxShare(m)
+    assert(before > 0.2, s"the planted modality must overload a cell, share=$before")
+    val r = IvfIndex.refine(m, maxCellRows = (n * 0.15).toLong, splitInto = 4)
+    // membership preserved exactly
+    assert(r.assignments.count() === n)
+    assert(r.assignments.select(countDistinct("vec_id")).head().getLong(0) === n)
+    // every member sits in a cell its centroid table knows
+    assert(r.assignments.join(broadcast(r.centroids.select("cell")), Seq("cell"))
+      .count() === n)
+    // balance improved
+    val after = maxShare(r)
+    assert(after < before,
+      s"refine must reduce the max cell share: before=$before after=$after")
+    // full-probe search is exact on ANY cell structure: refined == brute
+    val ids = Seq(0L, 5L, 100005L)
+    val ncells = r.centroids.count().toInt
+    val truth = graft.tools.IvfRecallBench.bruteTopK(corpus, ids, 10)
+    val got = IvfIndex.searchTopKBatch(r, ids, 10, nprobe = ncells)
+    assert(got.join(truth, Seq("probe_id", "vec_id")).count() === 30,
+      "full-probe search over the refined index must reproduce brute force")
+    // idempotence at the threshold: nothing left hot -> same model back
+    val r2 = IvfIndex.refine(r, maxCellRows = n) // nothing exceeds n
+    assert(r2 eq r)
+  }
+
   test("assign plans with no Exchange and no Window (zero-shuffle argmax)") {
     val plan = IvfIndex.assign(emb, model.centroids)
       .queryExecution.executedPlan.toString
