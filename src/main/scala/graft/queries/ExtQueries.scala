@@ -113,6 +113,23 @@ object ExtQueries {
         .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
     }),
 
+    // G7 index rebalance — the same batch contract through
+    // IvfIndex.refine: build, then force hot-cell splits (threshold at
+    // half the balanced share), then search the refined index with every
+    // cell probed. Full probing is exact for ANY cell structure, so the
+    // correctness artifact proves refine moves rows without losing or
+    // duplicating any — shares q_ann_batch's oracle.
+    "q_ann_refine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val m = graft.ops.IvfIndex.build(emb, nlist = 16, iters = 1)
+      val n = m.assignments.count()
+      val r = graft.ops.IvfIndex.refine(m,
+        maxCellRows = math.max(1L, n / 32), splitInto = 2)
+      val ncells = r.centroids.count().toInt
+      graft.ops.IvfIndex.searchTopKBatch(r, Seq(0L, 1L, 2L), k = 5, nprobe = ncells)
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+    }),
+
     // North star composition — multimodal→ANN end to end: synthesize image
     // assets (REAL javax.imageio PNG encode), decode + feature-extract
     // (REAL decode, 4×4 luminance grid → 16-dim embedding), then IVF ANN
@@ -289,6 +306,13 @@ object ExtQueries {
     "q_ivf_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_ann_batch" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         s AS (SELECT p.probe_id, e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+         r AS (SELECT probe_id, vec_id, cos_sim, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+         SELECT probe_id, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY probe_id, cos_sim DESC, vec_id""",
+    // identical contract to q_ann_batch — the Spark side differs only in
+    // searching a refined (hot-cells-split) index with every cell probed
+    "q_ann_refine" ->
       """WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id IN (0, 1, 2)),
          s AS (SELECT p.probe_id, e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
          r AS (SELECT probe_id, vec_id, cos_sim, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
