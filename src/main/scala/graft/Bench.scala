@@ -91,16 +91,22 @@ object Bench {
       s"\"" + k + "\":\"" + jsonSafe(t) + "\""
     }.mkString("{", ",", "}")
     // Compact END-OF-RUN recap: the driver's artifact keeps a fixed TAIL of
-    // output, which in r6 still cut the ~45 alphabetically-early per-query
-    // lines. Re-emitting every number here, 8 short pairs per line (~10
-    // lines for the 80-query catalog), makes the artifact self-contained
-    // whatever the capture window (VERDICT r6 #2). Each line is valid JSON.
-    results.grouped(8).foreach { g =>
-      println(g.map { case (n, v, _) => s""""$n":$v""" }
+    // output. The r6 8-pairs/full-precision format still lost 24 of 82
+    // numbers to the window (BENCH_r07 carried 58), so the recap is now
+    // ~2x denser — 16 pairs per line at 3-decimal seconds (~6 lines for
+    // the 82-query catalog) — and is printed BOTH before and after the
+    // summary line: the window keeps the tail, so the trailing copy always
+    // survives whole (VERDICT r7 #3). Each line is valid JSON. %.3f via
+    // Locale.ROOT so the decimal separator is a dot whatever the JVM locale.
+    def recap(): Unit = results.grouped(16).foreach { g =>
+      println(g.map { case (n, v, _) =>
+        s""""$n":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}""" }
         .mkString("""{"recap":{""", ",", "}}"))
     }
+    recap()
     val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
+    recap()
     spark.stop()
   }
 }

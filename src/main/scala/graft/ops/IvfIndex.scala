@@ -413,6 +413,66 @@ object IvfIndex {
       }
       .start()
 
+  /** Compact the small files continuous [[append]]s / [[appendStream]]
+    * micro-batches accumulate inside the cell directories — the file-count
+    * side of index maintenance ([[refine]] is the row-balance side). At
+    * 100 TB a cell appended every micro-batch collects thousands of tiny
+    * parquet files, and each search then pays open/footer/seek per file
+    * where one seek would do; periodic compaction is how every
+    * append-heavy columnar store (and the reference's own snapshot
+    * folders, `Output/MLSOut*.bin`, one file per step) keeps reads flat.
+    *
+    * Only cells holding more than `maxFilesPerCell` files are touched —
+    * compaction cost is proportional to the appended (hot) region, never
+    * the corpus. Each hot cell is rewritten into
+    * ceil(bytes / targetFileBytes) files via a per-cell read → coalesce →
+    * write into a sibling staging directory, then swapped in (delete old
+    * files, move new in). The swap is not transactional — run it in the
+    * same offline maintenance window as [[refine]]/retrain (the standard
+    * parquet-compaction contract); a concurrent reader mid-swap can see a
+    * partial cell. Membership, search results, and the probed-cell
+    * partition pruning are unchanged (spec-pinned in IvfIndexSpec).
+    *
+    * Returns (cells compacted, files before, files after).
+    */
+  def compact(spark: SparkSession, path: String, maxFilesPerCell: Int = 8,
+              targetFileBytes: Long = 128L << 20): (Int, Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$path/assignments")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: Path) = fs.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val cells = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    var (done, before, after) = (0, 0, 0)
+    cells.foreach { c =>
+      val files = dataFiles(c.getPath)
+      before += files.length
+      if (files.length <= maxFilesPerCell) after += files.length
+      else {
+        val bytes = files.map(_.getLen).sum
+        val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        // read THIS cell's rows only (directory read — the cell column is
+        // the directory name, not in the files) and rewrite coalesced;
+        // coalesce not repartition: a narrow merge, no shuffle
+        val staged = new Path(c.getPath.getParent, s".compact_${c.getPath.getName}")
+        spark.read.parquet(c.getPath.toString)
+          .coalesce(nOut)
+          .write.mode("overwrite").parquet(staged.toString)
+        val newFiles = dataFiles(staged)
+        // swap: drop the old data files, move the compacted ones in
+        files.foreach(f => fs.delete(f.getPath, false))
+        newFiles.foreach(f => fs.rename(f.getPath, new Path(c.getPath, f.getPath.getName)))
+        fs.delete(staged, true)
+        done += 1
+        after += newFiles.length
+      }
+    }
+    (done, before, after)
+  }
+
   /** Load a [[save]]d index. The partition column comes back via directory
     * inference — restore its long type so search joins stay key-compatible.
     */

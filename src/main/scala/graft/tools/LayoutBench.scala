@@ -50,10 +50,9 @@ object LayoutBench {
     events.repartition(32, col("event_id"))
       .write.mode("overwrite").parquet(s"$dir/hash")
     // layout B — range-partitioned + sorted on the filter column: each
-    // file (and row group) covers a disjoint time slice
-    events.repartitionByRange(32, col("ts_ms"))
-      .sortWithinPartitions("ts_ms")
-      .write.mode("overwrite").parquet(s"$dir/range")
+    // file (and row group) covers a disjoint time slice (the productized
+    // ingest helper; BucketingSpec pins the ratio as a regression)
+    graft.ops.Bucketing.writeSorted(events, s"$dir/range", "ts_ms", partitions = 32)
 
     val Seq(tsMin, tsMax) = events.agg(min("ts_ms"), max("ts_ms"))
       .head().toSeq.map(_.asInstanceOf[Long])

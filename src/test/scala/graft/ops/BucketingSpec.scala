@@ -3,11 +3,56 @@ package graft.ops
 import graft.{SparkTestBase, Tables}
 import org.apache.spark.sql.functions._
 
-/** Bucketed co-located join: both sides pre-bucketed on the key ⇒ the
-  * joined plan contains NO shuffle Exchange — the pay-once-shuffle-never
-  * pattern for repeated fact joins at scale.
+/** Write-time layouts: bucketed co-located join (both sides pre-bucketed
+  * on the key ⇒ NO shuffle Exchange — pay-once-shuffle-never for repeated
+  * fact joins) and range+sort ingest (parquet stats become real row-group
+  * skipping for range predicates — the LayoutBench 51x finding, pinned
+  * here as a regression via [[Bucketing.writeSorted]]).
   */
 class BucketingSpec extends SparkTestBase {
+
+  test("writeSorted: a 1% range query decodes >=10x fewer rows than arrival order") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("layout_spec").toString
+    val n = 1000000L
+    // arrival order = a bijection-ish scramble of id, so the plain write
+    // below preserves a scattered ts order (what unmanaged ingest produces)
+    val df = spark.range(n).select(
+      col("id").as("event_id"),
+      pmod(xxhash64(col("id")), lit(n)).as("ts_ms"),
+      (col("id") % 97).as("value"))
+    // 256 KiB row groups surface group-level skipping at 1M-row scale; at
+    // real scale the default 128 MiB groups give the same ratio against
+    // TB-sized files (same reasoning as tools/LayoutBench)
+    val opts = Map("parquet.block.size" -> (256 * 1024).toString)
+    df.repartition(8).write.options(opts).mode("overwrite").parquet(s"$dir/hash")
+    Bucketing.writeSorted(df, s"$dir/range", "ts_ms", partitions = 8, options = opts)
+    // a 1% window in the middle of the ts range
+    val lo = n * 45 / 100
+    val hi = lo + n / 100
+    def run(path: String): (Long, Long) = {
+      val q = spark.read.parquet(path)
+        .filter(col("ts_ms") >= lo && col("ts_ms") < hi)
+      val rows = q.collect().length.toLong
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // rows the scan DECODED (post row-group/page skip, pre re-check)
+      val scanned = plan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+      (scanned, rows)
+    }
+    val (hScan, hRows) = run(s"$dir/hash")
+    val (rScan, rRows) = run(s"$dir/range")
+    assert(hRows === rRows, "layouts must agree on the query answer")
+    assert(rRows > 0L, "the window must select rows")
+    assert(rScan * 10 <= hScan,
+      s"sorted layout must prune >=10x on a 1% window: hash decoded $hScan, " +
+        s"range decoded $rScan")
+  }
 
   test("join of two tables bucketed on the key plans without Exchange") {
     // (managed tables land in ./spark-warehouse — dropped in the cleanup)

@@ -242,6 +242,95 @@ class IvfIndexSpec extends SparkTestBase {
     assert(r2 eq r)
   }
 
+  test("compact: appended small files coalesce — membership, search, pruning unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    // build + save on one slice, then drip the rest in as four separate
+    // appends — the micro-batch ingest pattern that litters cell dirs
+    // with small files
+    val m0 = IvfIndex.build(emb.filter(col("vec_id") % 5 === 0), nlist = 8, iters = 1)
+    IvfIndex.save(m0, dir)
+    (1 until 5).foreach { i =>
+      IvfIndex.append(spark, dir, emb.filter(col("vec_id") % 5 === i))
+    }
+    // pre-compact ground truth, materialized BEFORE the rewrite (the
+    // pre-compact plan reads files compact deletes)
+    val preAssign = IvfIndex.load(spark, dir).assignments
+      .select("vec_id", "cell").orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val preSearch = IvfIndex.searchTopK(IvfIndex.load(spark, dir), 1L, 10, nprobe = 8)
+      .collect().map(_.toSeq).toSeq
+    val (done, before, after) = IvfIndex.compact(spark, dir, maxFilesPerCell = 2)
+    assert(done > 0, s"five separate writes must leave compactable cells ($before files)")
+    assert(after < before, s"compaction must shrink the file count: $before -> $after")
+    // every compacted cell collapses to ceil(bytes/target) = 1 file here
+    assert(after <= before - done)
+    // membership and serving identical through the rewrite
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.assignments.select("vec_id", "cell").orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq === preAssign)
+    assert(IvfIndex.searchTopK(loaded, 1L, 10, nprobe = 8)
+      .collect().map(_.toSeq).toSeq === preSearch)
+    // the cell-partitioned layout survives: static probed-cell pruning
+    val pruned = IvfIndex.searchTopK(loaded, 1L, 10, nprobe = 2)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    val scan = pruned.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.selectedPartitions.partitionCount === 2,
+      s"nprobe=2 must scan 2 cell directories post-compact, scanned " +
+        s"${scan.selectedPartitions.partitionCount}")
+    // idempotent at the threshold: a second pass finds nothing hot
+    val (done2, b2, a2) = IvfIndex.compact(spark, dir, maxFilesPerCell = 2)
+    assert(done2 === 0 && b2 === a2 && b2 === after)
+  }
+
+  test("maintained index (append + refine) preserves partial-probe recall vs a fresh build") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // The lifecycle specs above prove append/refine move rows EXACTLY
+    // (full probing). This pins the serving property those moves must not
+    // degrade: recall@10 at a real partial nprobe on the maintained index
+    // stays within a fixed tolerance of a fresh same-nlist build over the
+    // same corpus (VERDICT r7 #5). Same planted-modality corpus as the
+    // refine spec — the drifted-arrivals regime where maintenance matters.
+    val dir = (0 until 64).map(j => if (j % 2 == 0) 0.17 else -0.09)
+    val shifted = emb.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, j) =>
+        (x.cast("double") + lit(2.0) * element_at(typedlit(dir), (j + 1).cast("int")))
+          .cast("float")).as("embedding"))
+    val original = emb.select("vec_id", "embedding")
+    val corpus = Bridge.dropCheckpointConstraints(
+      original.unionByName(shifted).localCheckpoint())
+    val n = corpus.count()
+    // maintained path: build on the ORIGINAL half, the shifted modality
+    // arrives later via append (frozen centroids), then refine rebalances
+    // the hot cells it lands in
+    val path = java.nio.file.Files.createTempDirectory("ivfmaint").toString
+    IvfIndex.save(IvfIndex.build(original, nlist = 16, iters = 2), path)
+    IvfIndex.append(spark, path, shifted)
+    val maintained = IvfIndex.refine(IvfIndex.load(spark, path),
+      maxCellRows = (n * 0.15).toLong, splitInto = 4)
+    // fresh path: one-shot build over the full corpus, same nlist
+    val fresh = IvfIndex.build(corpus, nlist = 16, iters = 2)
+    val ids = Seq(0L, 5L, 17L, 100005L, 100017L, 100042L)
+    val truth = graft.tools.IvfRecallBench.bruteTopK(corpus, ids, 10)
+    def recallAt(m: IvfIndex.Model, nprobe: Int): Double =
+      IvfIndex.searchTopKBatch(m, ids, 10, nprobe)
+        .join(truth, Seq("probe_id", "vec_id")).count().toDouble / (ids.size * 10)
+    val nprobe = 4
+    val rMaint = recallAt(maintained, nprobe)
+    val rFresh = recallAt(fresh, nprobe)
+    // deterministic (seeded builds, fixed corpus): a fixed tolerance is a
+    // stable pin, not a flaky one
+    assert(rMaint >= rFresh - 0.15,
+      s"maintained-index recall@10 (nprobe=$nprobe) $rMaint must stay within " +
+        s"0.15 of fresh-build recall $rFresh")
+    assert(rMaint >= 0.3, s"maintained-index recall@10 sanity floor: $rMaint")
+  }
+
   test("assign plans with no Exchange and no Window (zero-shuffle argmax)") {
     val plan = IvfIndex.assign(emb, model.centroids)
       .queryExecution.executedPlan.toString
