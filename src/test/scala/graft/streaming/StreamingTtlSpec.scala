@@ -96,6 +96,10 @@ class StreamingTtlSpec extends SparkTestBase {
         assert(emitted() === Seq(("a", 3L), ("b", 9L), ("c", 4L), ("d", 5L)))
         // in-window repeats: dropped. Await two further batches (the
         // trigger fires regardless of input) and assert nothing new.
+        // The sink table fills when the batch COMMITS, slightly before the
+        // progress object posts — so emitted()==4 does not imply
+        // lastProgress != null yet; wait for it before reading batchId.
+        awaitTrue("first progress reported")(q.lastProgress != null)
         val bid = q.lastProgress.batchId
         mem.addData(Seq(("a", 11L), ("b", 12L), ("d", 13L)))
         awaitTrue("two more batches ran")(
