@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, ExtQueries, SurfaceQueries}
+import graft.queries.{CoreQueries, CurationQueries, ExtQueries, SurfaceQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + §2.11.
@@ -21,11 +21,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ ExtQueries.queries ++ SurfaceQueries.queries
+    CoreQueries.queries ++ ExtQueries.queries ++ SurfaceQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.sql ++ ExtQueries.sql ++ SurfaceQueries.sql
+    CoreQueries.sql ++ ExtQueries.sql ++ SurfaceQueries.sql ++
+      CurationQueries.sql
 }
