@@ -40,9 +40,10 @@ object CurationQueries {
     }),
 
     // Token-level stopword scrub with an exact removal count — the
-    // cleaning pass that runs before tokenizer/counter stages. Codegen
+    // cleaning pass that runs before tokenizer/counter stages. Built-in
     // higher-order functions end to end (split → filter → array_join);
-    // no UDF, no explode — one narrow map pass over the corpus.
+    // no UDF, no explode, no join — one narrow map pass over the corpus
+    // (plan-pinned in PlanAuditSpec).
     "q_stopword_scrub" -> ((s, d) => {
       val toks = split(trim(col("text")), "\\s+")
       val kept = filter(toks, t => !t.isInCollection(stopwords))

@@ -98,6 +98,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"no cartesian in search:\n$p")
   }
 
+  test("q_decontaminate broadcasts the benchmark shingle set (linear, never pairwise)") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must stay an equi-join:\n$p")
+  }
+
+  test("q_stopword_scrub is one narrow map pass — no Generate, no join, no agg") {
+    val p = plan("q_stopword_scrub")
+    assert(!p.contains("Generate"), s"scrub must not explode tokens:\n$p")
+    assert(!p.contains("Join"), s"scrub must not join:\n$p")
+    assert(!p.contains("Aggregate"), s"scrub must not aggregate:\n$p")
+    // the ONLY exchange is the contract-mandated terminal sort
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 1, s"scrub must not shuffle beyond the output sort:\n$p")
+  }
+
   test("q_grouping_id is a single expand + aggregate, one shuffle") {
     val p = plan("q_grouping_id")
     assert(p.contains("Expand"), p)
