@@ -84,10 +84,15 @@ object CurationQueries {
     "q_hash_split" ->
       ("""WITH h AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS c FROM documents) """ +
         """SELECT doc_id, CASE WHEN c BETWEEN '0' AND '9' THEN 'train' WHEN c IN ('a','b','c','d') THEN 'valid' ELSE 'test' END AS split FROM h ORDER BY doc_id"""),
+    // all-stopword documents scrub to the EMPTY STRING, not NULL:
+    // DuckDB's array_to_string([]) is NULL (string_agg over zero rows)
+    // where Spark's array_join([]) is '' — the '' semantics is right (a
+    // fully-scrubbed document is empty, not missing), so the oracle
+    // branches on the empty list (adversarial fuzz seed 37 caught this)
     "q_stopword_scrub" ->
       ("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents), """ +
         """k AS (SELECT doc_id, tk, list_filter(tk, x -> x NOT IN ('the','a','of','and','to','in','is')) AS kept FROM t) """ +
-        """SELECT doc_id, array_to_string(kept, ' ') AS scrubbed, CAST(len(tk) - len(kept) AS INTEGER) AS n_removed FROM k ORDER BY doc_id"""),
+        """SELECT doc_id, CASE WHEN len(kept) = 0 THEN '' ELSE array_to_string(kept, ' ') END AS scrubbed, CAST(len(tk) - len(kept) AS INTEGER) AS n_removed FROM k ORDER BY doc_id"""),
     "q_decontaminate" ->
       ("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents), """ +
         """sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), """ +

@@ -21,9 +21,11 @@ def per_query(path):
     recap = {}
     with open(path) as f:
         for line in f:
-            line = line.strip()
-            if not line.startswith("{"):
+            # sbt prefixes stdout with "[info] " — slice from the first brace
+            i = line.find("{")
+            if i < 0:
                 continue
+            line = line[i:].strip()
             try:
                 obj = json.loads(line)
             except json.JSONDecodeError:
