@@ -53,6 +53,20 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing — concat-then-chunk into 256-token training
+    // sequences: each document stamped with the sequence its first token
+    // lands in and the offset inside it. ops.Packing runs the global
+    // running sum as a two-phase distributed prefix sum (range partition
+    // → nparts-row driver prefix → per-partition window) — never the
+    // single-partition global window the semantics naively suggests
+    // (plan-pinned in PlanAuditSpec; partitioning-independence in
+    // PackingSpec).
+    "q_pack_sequences" -> ((s, d) => {
+      graft.ops.Packing.packSequences(Tables.documents(s, d), "doc_id",
+          graft.ops.TextOps.tokenCount(col("text")), budget = 256L)
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: documents sharing any distinct 3-token
     // shingle with the pseudo-benchmark set (doc_id % 100 == 0) are
     // flagged, with the exact overlapping-shingle count. Shape at 100 TB:
@@ -93,6 +107,10 @@ object CurationQueries {
       ("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents), """ +
         """k AS (SELECT doc_id, tk, list_filter(tk, x -> x NOT IN ('the','a','of','and','to','in','is')) AS kept FROM t) """ +
         """SELECT doc_id, CASE WHEN len(kept) = 0 THEN '' ELSE array_to_string(kept, ' ') END AS scrubbed, CAST(len(tk) - len(kept) AS INTEGER) AS n_removed FROM k ORDER BY doc_id"""),
+    "q_pack_sequences" ->
+      ("""WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents), """ +
+        """c AS (SELECT doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM t) """ +
+        """SELECT doc_id, n_tok, cb // 256 AS seq_id, cb % 256 AS seq_offset FROM c ORDER BY doc_id"""),
     "q_decontaminate" ->
       ("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents), """ +
         """sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), """ +

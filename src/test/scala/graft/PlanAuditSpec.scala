@@ -116,6 +116,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges <= 1, s"scrub must not shuffle beyond the output sort:\n$p")
   }
 
+  test("q_pack_sequences never plans a single-partition global window") {
+    // the global running sum must be the two-phase prefix sum: a
+    // SinglePartition exchange feeding the Window would mean the whole
+    // corpus serializes through one task (the anti-pattern Packing
+    // exists to avoid)
+    val p = plan("q_pack_sequences")
+    assert(p.contains("Window"), s"packing must window per partition:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing must not serialize through one partition:\n$p")
+  }
+
   test("q_grouping_id is a single expand + aggregate, one shuffle") {
     val p = plan("q_grouping_id")
     assert(p.contains("Expand"), p)
