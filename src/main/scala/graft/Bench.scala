@@ -105,8 +105,20 @@ object Bench {
     }
     recap()
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"errors":$errs,"sf":"$sfDir"}"""
+    println(summary)
     recap()
+    // belt-and-braces artifact: SPARK_GRAFT_BENCH_OUT names a file that
+    // receives the COMPLETE result map in one JSON object — immune to any
+    // stdout capture window (local iteration writes logs; this writes data)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      val q = results.map { case (n, v, _) =>
+        s""""$n":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"errors":$errs,"sf":"$sfDir","queries":$q}""".getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }
