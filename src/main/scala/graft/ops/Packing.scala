@@ -53,8 +53,11 @@ object Packing {
         .withColumn("__pid", spark_partition_id())
         .localCheckpoint())
     // phase 2: nparts-row subtotal table — driver-side prefix (bounded by
-    // the partition count, never the corpus)
-    val subtotals = ranged.groupBy("__pid").agg(sum("n_tok").as("t"))
+    // the partition count, never the corpus). sum() is NULL over a
+    // partition whose token counts are ALL NULL (e.g. a cluster of null
+    // texts in an adversarial corpus) — such rows contribute 0 tokens.
+    val subtotals = ranged.groupBy("__pid")
+      .agg(coalesce(sum("n_tok"), lit(0L)).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     if (subtotals.isEmpty)
       return ranged.select(col(idCol), col("n_tok"),

@@ -68,6 +68,26 @@ class PackingSpec extends SparkTestBase {
       Seq((42L, 3L, 0L, 0L)))
   }
 
+  test("null token counts contribute zero and keep their stamp") {
+    import spark.implicits._
+    // a contiguous id run of null counts can fill a whole range partition
+    // (sum(n_tok) NULL there) — the prefix must treat them as 0 tokens
+    val rows = (0L until 40L).map(i =>
+      (i, if (i >= 10 && i < 30) None else Some(5L)))
+    val df = rows.toDF("doc_id", "n")
+    val got = Packing.packSequences(df, "doc_id", col("n"), budget = 16L)
+      .orderBy("doc_id").collect()
+    assert(got.length === 40)
+    var acc = 0L
+    rows.foreach { case (id, n) =>
+      val r = got(id.toInt)
+      assert(r.getLong(2) === acc / 16 && r.getLong(3) === acc % 16,
+        s"doc $id: got (${r.getLong(2)}, ${r.getLong(3)}), want (${acc / 16}, ${acc % 16})")
+      assert(r.isNullAt(1) === n.isEmpty)
+      acc += n.getOrElse(0L)
+    }
+  }
+
   test("real corpus: totals line up with the token sum") {
     val docs = Tables.documents(spark, Sf0001)
     val packed = Packing.packSequences(docs, "doc_id",
