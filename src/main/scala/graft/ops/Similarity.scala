@@ -49,6 +49,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-filtered exact top-k: the corpus predicate is applied BEFORE
+    * scoring, so it reaches the parquet scan (PushedFilters) and only the
+    * eligible rows are ever scored — filter-then-score, never
+    * score-then-filter (which at 100 TB pays the full dot-product pass to
+    * then discard most of it). The probe row is looked up in the UNfiltered
+    * table (the probe need not satisfy the predicate itself). At scale the
+    * same contract is served from an IVF index by over-fetching per probed
+    * cell and post-filtering; this exact path is the oracle-able baseline.
+    */
+  def cosineTopKFiltered(emb: DataFrame, probeId: Long, k: Int,
+                         pred: Column): DataFrame = {
+    graft.functions.DotProductF.register(emb.sparkSession)
+    val probe = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_emb"))
+    emb.filter(pred && col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(expr("graft_dot_f(embedding, probe_emb)"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Blocked near-duplicate candidate ranking: top-k most-similar pairs
     * within each block (candidate-generation key). The self-join is an
     * equi-join on the block key — pairwise work is quadratic only within a

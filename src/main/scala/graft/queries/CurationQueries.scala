@@ -67,6 +67,106 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Stratified downsampling: per-language keep rates applied through a
+    // deterministic hash bucket (first two hex chars of md5(doc_id) →
+    // 0..255), so the SAME rows are kept on every engine, every rerun, and
+    // every partitioning — the head language is downsampled to 25% while
+    // tails keep more, the standard rebalancing move before pretraining.
+    // A pure per-row projection + filter: zero shuffle at any scale
+    // (plan-pinned in PlanAuditSpec).
+    "q_stratified_sample" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+        16, 10).cast("int")
+      val keepBelow = when(col("lang") === "en", 64)
+        .when(col("lang").isin("fr", "de"), 128)
+        .when(col("lang") === "es", 192)
+        .otherwise(256)
+      Tables.documents(s, d).withColumn("bucket", bucket)
+        .filter(col("bucket") < keepBelow)
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-scaled domain mixing weights: per-source token mass
+    // raised to alpha=0.5 and normalized — the sampling-weight table a
+    // trainer consumes to rebalance head vs tail domains. Two tiny
+    // aggregates (the per-source table is domain-bounded), normalizer
+    // joined back by broadcast — never a global window.
+    "q_domain_mix" -> ((s, d) => {
+      val perSource = Tables.documents(s, d).groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+        .withColumn("w_raw", pow(col("n_tokens").cast("double"), 0.5))
+      val total = perSource.agg(sum("w_raw").as("w_total"))
+      perSource.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("w_raw") / col("w_total"), 4).as("mix_weight"))
+        .orderBy("source")
+    }),
+
+    // Sliding-window chunking (window=64 tokens, stride=48): every
+    // document expands to its overlapping-chunk index table — the RAG /
+    // long-context prep step. One narrow Generate (sequence + explode)
+    // per row; chunk geometry is closed-form from the token count, so no
+    // join, no agg, no re-tokenization per chunk.
+    "q_chunk_overlap" -> ((s, d) => {
+      val win = 64L; val stride = 48L
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      val nChunks = when(col("n_tok") <= win, 1L)
+        .otherwise(expr(s"(n_tok - ${win - stride + 1}) div $stride") + 1L)
+      docs.withColumn("chunk_idx",
+          explode(sequence(lit(0L), nChunks - 1)))
+        .select(col("doc_id"), col("n_tok"), col("chunk_idx"),
+          (col("chunk_idx") * stride).as("tok_start"),
+          least(lit(win), col("n_tok") - col("chunk_idx") * stride)
+            .as("tok_len"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // The curation funnel: survivor counts through the staged pipeline
+    // (total → min-length → repetition-quality → exact-dedup canonical →
+    // decontaminated) in ONE cross-engine-checked result — the report a
+    // corpus owner reads before training. Each stage is the same shape
+    // the standalone queries use (narrow maps, hash agg on digest,
+    // broadcast shingle join); counts are scalars so the unions are free.
+    "q_curation_funnel" -> ((s, d) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val staged = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        size(toks).cast("long").as("n_tok"),
+        (size(array_distinct(toks)).cast("double") / size(toks))
+          .as("uniq_ratio"),
+        md5(col("text")).as("digest"))
+      val lenPass = staged.filter(col("n_tok") >= 20)
+      val qualPass = lenPass.filter(col("uniq_ratio") >= 0.3)
+      val canon = qualPass.groupBy("digest")
+        .agg(min("doc_id").as("doc_id"))
+      // contamination gate over the canonical survivors (same shingle
+      // construction + broadcast benchmark set as q_decontaminate)
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(graft.functions.WordShinglesF
+          .shingles(s, split(trim(col("text")), "\\s+"), 3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val bench = sh.filter(col("doc_id") % 100 === 0)
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val hitIds = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(broadcast(bench), Seq("shingle"))
+        .select("doc_id").distinct()
+      val clean = canon.filter(col("doc_id") % 100 =!= 0)
+        .join(hitIds, Seq("doc_id"), "left_anti")
+      def stage(id: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(id).as("stage_id"), lit(name).as("stage"),
+            col("n_docs"))
+      stage(0, "total", staged)
+        .unionAll(stage(1, "min_length", lenPass))
+        .unionAll(stage(2, "quality", qualPass))
+        .unionAll(stage(3, "exact_dedup", canon))
+        .unionAll(stage(4, "decontaminated", clean))
+        .orderBy("stage_id")
+    }),
+
     // Benchmark decontamination: documents sharing any distinct 3-token
     // shingle with the pseudo-benchmark set (doc_id % 100 == 0) are
     // flagged, with the exact overlapping-shingle count. Shape at 100 TB:
@@ -111,6 +211,34 @@ object CurationQueries {
       ("""WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents), """ +
         """c AS (SELECT doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM t) """ +
         """SELECT doc_id, n_tok, cb // 256 AS seq_id, cb % 256 AS seq_offset FROM c ORDER BY doc_id"""),
+    "q_stratified_sample" ->
+      ("""WITH b AS (SELECT doc_id, lang, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER) AS bucket FROM documents) """ +
+        """SELECT doc_id, lang, bucket FROM b WHERE bucket < CASE WHEN lang = 'en' THEN 64 WHEN lang IN ('fr','de') THEN 128 WHEN lang = 'es' THEN 192 ELSE 256 END ORDER BY doc_id"""),
+    "q_domain_mix" ->
+      ("""WITH t AS (SELECT source, COUNT(*) AS n_docs, SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS n_tokens FROM documents GROUP BY source), """ +
+        """s AS (SELECT source, n_docs, n_tokens, POWER(CAST(n_tokens AS DOUBLE), 0.5) AS w_raw FROM t) """ +
+        """SELECT source, n_docs, n_tokens, ROUND(w_raw / (SELECT SUM(w_raw) FROM s), 4) AS mix_weight FROM s ORDER BY source"""),
+    "q_chunk_overlap" ->
+      ("""WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents), """ +
+        """c AS (SELECT doc_id, n_tok, CASE WHEN n_tok <= 64 THEN CAST(1 AS BIGINT) ELSE (n_tok - 17) // 48 + 1 END AS n_chunks FROM t), """ +
+        """u AS (SELECT doc_id, n_tok, unnest(range(0, n_chunks)) AS chunk_idx FROM c) """ +
+        """SELECT doc_id, n_tok, chunk_idx, chunk_idx * 48 AS tok_start, LEAST(CAST(64 AS BIGINT), n_tok - chunk_idx * 48) AS tok_len FROM u ORDER BY doc_id, chunk_idx"""),
+    "q_curation_funnel" ->
+      ("""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk FROM documents), """ +
+        """s AS (SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS n_tok, CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS uniq_ratio, md5(text) AS digest FROM t), """ +
+        """l AS (SELECT * FROM s WHERE n_tok >= 20), """ +
+        """q AS (SELECT * FROM l WHERE uniq_ratio >= 0.3), """ +
+        """c AS (SELECT digest, MIN(doc_id) AS doc_id FROM q GROUP BY digest), """ +
+        """shg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sgl FROM t WHERE len(tk) >= 3), """ +
+        """bench AS (SELECT DISTINCT unnest(sgl) AS g FROM shg WHERE doc_id % 100 = 0), """ +
+        """hits AS (SELECT DISTINCT e.doc_id FROM (SELECT doc_id, unnest(sgl) AS g FROM shg) e JOIN bench USING (g)), """ +
+        """f AS (SELECT doc_id FROM c WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)) """ +
+        """SELECT 0 AS stage_id, 'total' AS stage, (SELECT COUNT(*) FROM s) AS n_docs """ +
+        """UNION ALL SELECT 1, 'min_length', (SELECT COUNT(*) FROM l) """ +
+        """UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM q) """ +
+        """UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM c) """ +
+        """UNION ALL SELECT 4, 'decontaminated', (SELECT COUNT(*) FROM f) """ +
+        """ORDER BY stage_id"""),
     "q_decontaminate" ->
       ("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents), """ +
         """sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), """ +

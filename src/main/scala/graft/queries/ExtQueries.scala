@@ -84,6 +84,15 @@ object ExtQueries {
       Similarity.cosineTopK(Tables.embeddings(s, d), probeId = 0L, k = 10)
     }),
 
+    // G7 — filtered vector search: top-10 among rows satisfying a metadata
+    // predicate (the "search my subset" contract every retrieval pipeline
+    // needs). Filter-then-score: the label predicate reaches the parquet
+    // scan, so only eligible rows are ever scored (plan-pinned).
+    "q_ann_filtered" -> ((s, d) => {
+      Similarity.cosineTopKFiltered(Tables.embeddings(s, d), probeId = 0L,
+        k = 10, pred = col("label").between(2, 5))
+    }),
+
     // G7 scale path — IVF ANN with full probing (nprobe=nlist), which is
     // provably exact, so it shares the brute-force oracle; partial probing
     // (the actual ANN trade) is covered by IvfIndexSpec.
@@ -316,6 +325,8 @@ object ExtQueries {
       """SELECT CAST(FLOOR(epoch_ms(ts)/3600000)*3600000 AS BIGINT) AS window_start_ms, event_type, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_embedding_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q_ann_filtered" ->
+      """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 AND e.label BETWEEN 2 AND 5 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_ivf_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_ann_batch" ->

@@ -127,6 +127,40 @@ class PlanAuditSpec extends SparkTestBase {
       s"packing must not serialize through one partition:\n$p")
   }
 
+  test("q_stratified_sample is a pure projection + filter — zero data shuffle") {
+    val p = plan("q_stratified_sample")
+    assert(!p.contains("Join"), s"sampler must not join:\n$p")
+    assert(!p.contains("Aggregate"), s"sampler must not aggregate:\n$p")
+    assert(!p.contains("Generate"), s"sampler must not explode:\n$p")
+    // the ONLY exchange is the contract-mandated terminal sort
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 1, s"sampler must not shuffle beyond the output sort:\n$p")
+  }
+
+  test("q_ann_filtered pushes the metadata predicate to the parquet scan") {
+    // filter-then-score: the label range must reach PushedFilters so only
+    // eligible rows are ever decoded and scored
+    val p = plan("q_ann_filtered")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("label"), s"label predicate not pushed:\n$p")
+  }
+
+  test("q_chunk_overlap is one Generate, no join, no agg") {
+    val p = plan("q_chunk_overlap")
+    assert(p.contains("Generate"), s"chunking must explode the chunk index:\n$p")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    assert(!p.contains("Aggregate"), s"chunking must not aggregate:\n$p")
+  }
+
+  test("q_curation_funnel keeps the contamination gate a broadcast equi-join") {
+    val p = plan("q_curation_funnel")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"funnel must stay linear:\n$p")
+  }
+
   test("q_grouping_id is a single expand + aggregate, one shuffle") {
     val p = plan("q_grouping_id")
     assert(p.contains("Expand"), p)
