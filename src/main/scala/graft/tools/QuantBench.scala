@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SQ8 storage-vs-recall trade, measured — the justification for
+  * [[graft.ops.Quantize]]. Persists the sf embeddings twice (float32
+  * parquet vs 1-byte-code parquet), reports on-disk bytes, then serves the
+  * same probe batch from both and reports top-k recall of the quantized
+  * serving against exact, plus the scoring wall for each. The BYTES ratio
+  * is the number that scales: at 100 TB of embeddings it is the scan
+  * bandwidth, cache footprint, and replication cost divisor a cluster pays
+  * on every search; recall is the price, and it should sit near 1.0 for
+  * SQ8 on unit-normalized corpora (64-dim fixture here).
+  */
+object QuantBench {
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse("/root/testdata/sf0.1")
+    val cpus = graft.Bench.parseCpus(
+      args.lift(1).orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("32")).toString
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val nProbes = args.lift(3).map(_.toInt).getOrElse(64)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ops.{Quantize, Similarity}
+
+    val emb = graft.Tables.embeddings(spark, srcDir).localCheckpoint()
+    val n = emb.count()
+    val params = Quantize.fitSq8(emb)
+
+    val base = java.nio.file.Files.createTempDirectory("quant_bench").toString
+    emb.write.mode("overwrite").parquet(s"$base/float32")
+    Quantize.encodeCorpus(emb, params).write.mode("overwrite")
+      .parquet(s"$base/sq8")
+
+    def dirBytes(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(path).getLength
+    }
+    val fBytes = dirBytes(s"$base/float32")
+    val qBytes = dirBytes(s"$base/sq8")
+
+    val floatCorpus = spark.read.parquet(s"$base/float32").localCheckpoint()
+    val codeCorpus = spark.read.parquet(s"$base/sq8").localCheckpoint()
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val probeIds = (0L until nProbes.toLong).toSeq
+    var hit = 0
+    var total = 0
+    val (_, exactWall) = time {
+      probeIds.foreach { pid =>
+        Similarity.cosineTopK(floatCorpus, pid, k).collect()
+      }
+    }
+    val (_, quantWall) = time {
+      probeIds.foreach { pid =>
+        val probe = floatCorpus.filter(col("vec_id") === pid)
+          .select(col("embedding").as("probe_emb"))
+        Quantize.topKQuantized(
+          codeCorpus.filter(col("vec_id") =!= pid), probe, k, params).collect()
+      }
+    }
+    probeIds.foreach { pid =>
+      val exact = Similarity.cosineTopK(floatCorpus, pid, k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val probe = floatCorpus.filter(col("vec_id") === pid)
+        .select(col("embedding").as("probe_emb"))
+      val quant = Quantize.topKQuantized(
+          codeCorpus.filter(col("vec_id") =!= pid), probe, k, params)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      hit += exact.count(quant.contains)
+      total += exact.size
+    }
+
+    println(f"""{"tool":"QuantBench","rows":$n,"float_bytes":$fBytes,""" +
+      f""""sq8_bytes":$qBytes,"bytes_ratio":${fBytes.toDouble / qBytes}%.2f,""" +
+      f""""recall_at_$k":${hit.toDouble / total}%.4f,""" +
+      f""""exact_wall_s":$exactWall%.1f,"quant_wall_s":$quantWall%.1f,""" +
+      f""""probes":$nProbes}""")
+    spark.stop()
+  }
+}
