@@ -285,6 +285,47 @@ object IvfIndex {
       .parquet(s"$path/assignments")
   }
 
+  /** [[save]] with the inverted file SQ8-quantized ([[Quantize]]): member
+    * embeddings are stored as 1-byte-per-dimension codes (≈4× smaller on
+    * disk — the scan-bandwidth divisor at 100 TB), with the affine params
+    * in a tiny sidecar table. [[load]] auto-detects the sidecar and
+    * reconstructs the embedding column through the codegen decode kernel,
+    * so every downstream path — search, append, refine, compact — works
+    * unchanged on a quantized index; search pays only the grid error
+    * (recall pinned in IvfIndexSpec). Centroids stay full precision: they
+    * are nlist-bounded, and cell ranking quality is what nprobe depends on.
+    */
+  def saveQuantized(model: Model, path: String,
+                    params: Quantize.Sq8Params): Unit = {
+    val spark = model.centroids.sparkSession
+    model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    model.assignments
+      .withColumn("codes",
+        Quantize.sq8Encode(model.assignments, col("embedding"), params))
+      .drop("embedding")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assignments")
+    import spark.implicits._
+    Seq((params.offset.toSeq, params.scale.toSeq)).toDF("offset", "scale")
+      .select(col("offset").cast("array<float>").as("offset"),
+        col("scale").cast("array<float>").as("scale"))
+      .write.mode("overwrite").parquet(s"$path/sq8_params")
+  }
+
+  /** The SQ8 sidecar of a saved index, if the index is quantized. */
+  private def quantParams(spark: SparkSession,
+                          path: String): Option[Quantize.Sq8Params] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/sq8_params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val row = spark.read.parquet(s"$path/sq8_params").head()
+      Some(Quantize.Sq8Params(
+        row.getAs[scala.collection.Seq[Float]]("offset").toArray,
+        row.getAs[scala.collection.Seq[Float]]("scale").toArray))
+    }
+  }
+
   /** Incremental ingest into a [[save]]d index — the maintenance path a
     * continuously-arriving corpus needs (rebuilding a 100 TB inverted file
     * for each day's arrivals is a non-starter). New vectors are assigned
@@ -301,8 +342,19 @@ object IvfIndex {
     */
   def append(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
     val centroids = spark.read.parquet(s"$path/centroids")
-    assign(newVecs, centroids)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
+    val assigned = assign(newVecs, centroids)
+    // a quantized index stays quantized: encode arrivals under the SAVED
+    // params (the quantization grid is part of the index contract, like
+    // the frozen centroids — refitting per append would make codes
+    // incomparable across files)
+    val out = quantParams(spark, path) match {
+      case Some(params) =>
+        assigned.withColumn("codes",
+            Quantize.sq8Encode(assigned, col("embedding"), params))
+          .drop("embedding")
+      case None => assigned
+    }
+    out.write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
   }
 
   /** Split oversized cells IN PLACE — the rebalance the drift study
@@ -476,11 +528,20 @@ object IvfIndex {
   /** Load a [[save]]d index. The partition column comes back via directory
     * inference — restore its long type so search joins stay key-compatible.
     */
-  def load(spark: SparkSession, path: String): Model =
-    Model(
-      spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/assignments")
-        .withColumn("cell", col("cell").cast("long")))
+  def load(spark: SparkSession, path: String): Model = {
+    val asg = spark.read.parquet(s"$path/assignments")
+      .withColumn("cell", col("cell").cast("long"))
+    // quantized index: reconstruct the embedding column inline (codegen
+    // decode — the scan still reads only the 1-byte codes off disk)
+    val decoded = quantParams(spark, path) match {
+      case Some(params) =>
+        asg.withColumn("embedding",
+            Quantize.sq8Decode(asg, col("codes"), params))
+          .drop("codes")
+      case None => asg
+    }
+    Model(spark.read.parquet(s"$path/centroids"), decoded)
+  }
 
   /** The (cell, probe_id, probe_emb) table of cells each probe scans: per
     * probe, the `nprobe` cells ranked best by centroid score. Dim-bounded

@@ -116,6 +116,50 @@ class IvfIndexSpec extends SparkTestBase {
         s"${scan.selectedPartitions.partitionCount}")
   }
 
+  test("saveQuantized/load: quantized inverted file — smaller bytes, membership intact, append stays quantized, recall held") {
+    import org.apache.hadoop.fs.Path
+    def bytes(p: String): Long = {
+      val hp = new Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(hp).getLength
+    }
+    val params = Quantize.fitSq8(emb)
+    val dirF = java.nio.file.Files.createTempDirectory("ivf_f32").toString
+    val dirQ = java.nio.file.Files.createTempDirectory("ivf_sq8").toString
+    // build on half, append the other half — the full maintenance cycle
+    val half = IvfIndex.build(emb.filter(col("vec_id") % 2 === 0),
+      nlist = 16, iters = 1)
+    IvfIndex.save(half, dirF)
+    IvfIndex.saveQuantized(half, dirQ, params)
+    IvfIndex.append(spark, dirF, emb.filter(col("vec_id") % 2 =!= 0))
+    IvfIndex.append(spark, dirQ, emb.filter(col("vec_id") % 2 =!= 0))
+    // the appended rows were encoded under the sidecar params: the
+    // quantized inverted file holds codes only, and is materially smaller
+    val qSchema = spark.read.parquet(s"$dirQ/assignments").schema
+    assert(qSchema.fieldNames.contains("codes") &&
+      !qSchema.fieldNames.contains("embedding"),
+      s"quantized index must store codes, got ${qSchema.simpleString}")
+    val ratio = bytes(s"$dirF/assignments").toDouble /
+      bytes(s"$dirQ/assignments")
+    assert(ratio >= 2.0, s"quantized index only ${ratio}x smaller")
+    // load decodes transparently: same membership per cell, and full-probe
+    // search over the reconstructed corpus keeps near-exact recall
+    val f = IvfIndex.load(spark, dirF)
+    val q = IvfIndex.load(spark, dirQ)
+    assert(q.assignments.columns.contains("embedding"))
+    val fCells = f.assignments.select("vec_id", "cell").orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    val qCells = q.assignments.select("vec_id", "cell").orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(fCells === qCells, "quantization must not move rows across cells")
+    val exact = IvfIndex.searchTopK(f, 0L, 10, nprobe = 16)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val quant = IvfIndex.searchTopK(q, 0L, 10, nprobe = 16)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"full-probe recall on quantized index was $recall")
+  }
+
   test("append: incremental ingest into a saved index == one-shot assign of the full corpus") {
     val dir = java.nio.file.Files.createTempDirectory("ivfappend").toString
     val first = emb.filter(col("vec_id") % 2 === 0)
