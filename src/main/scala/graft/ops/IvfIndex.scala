@@ -251,7 +251,8 @@ object IvfIndex {
     * valid neighbor per colliding probe (ADVICE r6).
     */
   def searchTopKBatch(model: Model, probes: DataFrame, k: Int,
-                      nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
+                      nprobe: Int, excludeSelf: Boolean = false,
+                      pred: Column = lit(true)): DataFrame = {
     val spark = model.centroids.sparkSession
     dotF(spark)
     val pc = probedCells(model, probes, nprobe)
@@ -261,6 +262,12 @@ object IvfIndex {
     val cellList = pcRows.map(_.getLong(0)).distinct.toSeq
     val candidates = model.assignments
       .filter(col("cell").isInCollection(cellList)) // static partition prune
+      // metadata predicate BEFORE scoring (filter-then-score): on a saved
+      // index this conjoins with the cell list at the scan, so a filtered
+      // search reads nprobe/nlist of a corpus and decodes only eligible
+      // rows. Selective predicates thin each probed cell — callers raise
+      // nprobe to hold recall (the standard filtered-ANN dial).
+      .filter(pred)
       .join(broadcast(probeCells), Seq("cell"))
     (if (excludeSelf) candidates.filter(col("vec_id") =!= col("probe_id"))
      else candidates)
@@ -575,6 +582,24 @@ object IvfIndex {
     */
   def searchTopK(model: Model, probeId: Long, k: Int, nprobe: Int): DataFrame =
     searchTopKBatch(model, Seq(probeId), k, nprobe)
+      .select(col("vec_id"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+
+  /** Filtered ANN from the index: [[Similarity.cosineTopKFiltered]]'s
+    * contract served through the inverted file — the metadata predicate
+    * conjoins with the probed-cell partition prune, so the scan fraction
+    * and the predicate selectivity multiply. Full probing reproduces the
+    * brute-force filtered result exactly (spec-pinned); at partial nprobe,
+    * selective predicates thin the candidate pool and callers raise nprobe
+    * to hold recall.
+    */
+  def searchTopKFiltered(model: Model, probeId: Long, k: Int, nprobe: Int,
+                         pred: Column): DataFrame =
+    searchTopKBatch(model,
+      model.assignments.filter(col("vec_id") === probeId)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb")),
+      k, nprobe, excludeSelf = true, pred = pred)
       .select(col("vec_id"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)

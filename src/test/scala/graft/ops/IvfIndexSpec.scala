@@ -116,6 +116,22 @@ class IvfIndexSpec extends SparkTestBase {
         s"${scan.selectedPartitions.partitionCount}")
   }
 
+  test("filtered search at full probe reproduces brute-force filtered exactly") {
+    val pred = col("label").between(2, 5)
+    val ivf = IvfIndex.searchTopKFiltered(model, probeId = 0L, k = 10,
+        nprobe = 16, pred = pred)
+      .collect().map(_.toSeq).toSeq
+    val brute = Similarity.cosineTopKFiltered(emb, probeId = 0L, k = 10,
+        pred = pred)
+      .collect().map(_.toSeq).toSeq
+    assert(ivf === brute)
+    // every hit satisfies the predicate (joined back to the corpus)
+    val hitIds = ivf.map(_.head.asInstanceOf[Long])
+    val labels = emb.filter(col("vec_id").isInCollection(hitIds))
+      .select("label").collect().map(_.getInt(0))
+    assert(labels.forall(l => l >= 2 && l <= 5), s"unfiltered hit: $labels")
+  }
+
   test("saveQuantized/load: quantized inverted file — smaller bytes, membership intact, append stays quantized, recall held") {
     import org.apache.hadoop.fs.Path
     def bytes(p: String): Long = {
