@@ -231,6 +231,35 @@ object StreamOps {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** Streaming benchmark decontamination — the arriving-documents twin of
+    * `q_decontaminate`: each micro-batch of documents is flagged against a
+    * STATIC benchmark shingle set. Deliberately STATELESS: instead of the
+    * batch query's explode → join → per-doc aggregate (which in streaming
+    * would keep per-doc state forever), the benchmark set is collapsed to
+    * ONE broadcast row and the overlap count is a per-row
+    * `array_intersect` — so the stream holds zero state, runs in append
+    * mode, restarts at micro-batch granularity, and its throughput is a
+    * pure map over arrivals. The benchmark side is eval-sized by contract
+    * (same broadcast argument as the batch query, plan-pinned there).
+    * Overlap semantics match the batch query exactly: distinct-shingle
+    * intersection count.
+    */
+  def decontaminateStream(docs: DataFrame,
+                          benchShingles: DataFrame): DataFrame = {
+    val benchArr = benchShingles
+      .agg(collect_set("shingle").as("bench_set"))
+      .withColumn("__k", lit(1))
+    val sh = docs.select(col("doc_id"),
+      array_distinct(graft.functions.WordShinglesF.shingles(
+        docs.sparkSession, split(trim(col("text")), "\\s+"), 3)).as("sh"))
+    sh.withColumn("__k", lit(1))
+      .join(broadcast(benchArr), Seq("__k"))
+      .select(col("doc_id"),
+        size(array_intersect(col("sh"), col("bench_set"))).cast("long")
+          .as("n_hits"))
+      .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
+  }
+
   /** G5 — gap-based sessionization via the built-in `session_window`
     * (state-store backed; the batch twin derives session ids with windows).
     */

@@ -40,6 +40,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming decontamination (stateless stream-static) == batch q_decontaminate") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, Sf0001)
+    // benchmark shingle set: same construction as the batch query
+    val bench = docs
+      .select(col("doc_id"), array_distinct(graft.functions.WordShinglesF
+        .shingles(spark, split(trim(col("text")), "\\s+"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0 && col("doc_id") % 100 === 0)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    // corpus arrives in two micro-batches
+    val rows = docs.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = StreamOps.decontaminateStream(stream, bench)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_out").start()
+    try {
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      mem.addData(rest.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("decon_out").orderBy("doc_id").collect()
+      val want = graft.SparkEntry.queries("q_decontaminate")(spark, Sf0001)
+        .collect()
+      assert(got.length === want.length)
+      assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+      // and the query held NO state across the two batches (stateless gate)
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators.isEmpty ||
+        prog.stateOperators.forall(_.numRowsTotal == 0),
+        s"decontamination must be stateless: ${prog.json}")
+    } finally q.stop()
+  }
+
   test("file-source streaming (readStream.parquet) == batch tumbling agg") {
     // the production shape: a directory of event parquet files consumed as
     // a stream (the reference's every-250-steps snapshot cadence)
