@@ -88,6 +88,42 @@ object QuantBench {
       f""""recall_at_$k":${hit.toDouble / total}%.4f,""" +
       f""""exact_wall_s":$exactWall%.1f,"quant_wall_s":$quantWall%.1f,""" +
       f""""probes":$nProbes}""")
+
+    // partial-probe sweep: ONE coarse quantizer saved both ways, so the
+    // cell structure is identical and any recall gap at a given nprobe is
+    // attributable to the SQ8 grid alone (does quantization interact with
+    // the nprobe dial?)
+    import graft.ops.IvfIndex
+    val nlist = 16
+    val model = IvfIndex.build(emb, nlist = nlist, iters = 2)
+    val dirIF = java.nio.file.Files.createTempDirectory("qb_ivf_f").toString
+    val dirIQ = java.nio.file.Files.createTempDirectory("qb_ivf_q").toString
+    IvfIndex.save(model, dirIF)
+    IvfIndex.saveQuantized(model, dirIQ, params)
+    val mF = IvfIndex.load(spark, dirIF)
+    val mQ = IvfIndex.load(spark, dirIQ)
+    val sweepProbes = probeIds.take(32)
+    val exactSets = sweepProbes.map { pid =>
+      pid -> Similarity.cosineTopK(floatCorpus, pid, k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }.toMap
+    Seq(1, 2, 4, 8, nlist).foreach { nprobe =>
+      var h = 0; var t = 0
+      def recallOf(m: IvfIndex.Model): Double = {
+        h = 0; t = 0
+        val res = IvfIndex.searchTopKBatch(m, sweepProbes, k, nprobe)
+          .collect().groupBy(_.getLong(0))
+        sweepProbes.foreach { pid =>
+          val got = res.getOrElse(pid, Array.empty).map(_.getLong(1)).toSet
+          h += exactSets(pid).count(got.contains); t += exactSets(pid).size
+        }
+        h.toDouble / t
+      }
+      val rF = recallOf(mF)
+      val rQ = recallOf(mQ)
+      println(f"""{"tool":"QuantBench","sweep":"nprobe","nprobe":$nprobe,""" +
+        f""""recall_float":$rF%.4f,"recall_sq8":$rQ%.4f}""")
+    }
     spark.stop()
   }
 }
