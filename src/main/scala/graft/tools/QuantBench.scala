@@ -71,16 +71,18 @@ object QuantBench {
           codeCorpus.filter(col("vec_id") =!= pid), probe, k, params).collect()
       }
     }
-    probeIds.foreach { pid =>
-      val exact = Similarity.cosineTopK(floatCorpus, pid, k)
+    val exactSetsAll: Map[Long, Set[Long]] = probeIds.map { pid =>
+      pid -> Similarity.cosineTopK(floatCorpus, pid, k)
         .select("vec_id").collect().map(_.getLong(0)).toSet
+    }.toMap
+    probeIds.foreach { pid =>
       val probe = floatCorpus.filter(col("vec_id") === pid)
         .select(col("embedding").as("probe_emb"))
       val quant = Quantize.topKQuantized(
           codeCorpus.filter(col("vec_id") =!= pid), probe, k, params)
         .select("vec_id").collect().map(_.getLong(0)).toSet
-      hit += exact.count(quant.contains)
-      total += exact.size
+      hit += exactSetsAll(pid).count(quant.contains)
+      total += exactSetsAll(pid).size
     }
 
     println(f"""{"tool":"QuantBench","rows":$n,"float_bytes":$fBytes,""" +
@@ -88,6 +90,30 @@ object QuantBench {
       f""""recall_at_$k":${hit.toDouble / total}%.4f,""" +
       f""""exact_wall_s":$exactWall%.1f,"quant_wall_s":$quantWall%.1f,""" +
       f""""probes":$nProbes}""")
+
+    // PQ rung of the ladder: m=8 -> 8 bytes/vector (32x raw), ADC serving
+    import graft.ops.Pq
+    val pqModel = Pq.fit(emb, m = 8, iters = 2)
+    Pq.encodeCorpus(emb, pqModel).write.mode("overwrite")
+      .parquet(s"$base/pq8")
+    val pqBytes = dirBytes(s"$base/pq8")
+    val pqCorpus = spark.read.parquet(s"$base/pq8").localCheckpoint()
+    var pqHit = 0
+    var pqTotal = 0
+    val (_, pqWall) = time {
+      probeIds.foreach { pid =>
+        val pv = floatCorpus.filter(col("vec_id") === pid)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val got = Pq.adcTopK(pqCorpus.filter(col("vec_id") =!= pid), pv, k,
+            pqModel)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        pqHit += exactSetsAll(pid).count(got.contains)
+        pqTotal += exactSetsAll(pid).size
+      }
+    }
+    println(f"""{"tool":"QuantBench","codec":"pq8","rows":$n,""" +
+      f""""pq_bytes":$pqBytes,"bytes_ratio_vs_float":${fBytes.toDouble / pqBytes}%.2f,""" +
+      f""""recall_at_$k":${pqHit.toDouble / pqTotal}%.4f,"pq_wall_s":$pqWall%.1f}""")
 
     // partial-probe sweep: ONE coarse quantizer saved both ways, so the
     // cell structure is identical and any recall gap at a given nprobe is
@@ -103,10 +129,7 @@ object QuantBench {
     val mF = IvfIndex.load(spark, dirIF)
     val mQ = IvfIndex.load(spark, dirIQ)
     val sweepProbes = probeIds.take(32)
-    val exactSets = sweepProbes.map { pid =>
-      pid -> Similarity.cosineTopK(floatCorpus, pid, k)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-    }.toMap
+    val exactSets = sweepProbes.map(pid => pid -> exactSetsAll(pid)).toMap
     Seq(1, 2, 4, 8, nlist).foreach { nprobe =>
       var h = 0; var t = 0
       def recallOf(m: IvfIndex.Model): Double = {
