@@ -242,6 +242,75 @@ case class PqAdcF(codes: Expression, lut: Expression)
       newRight: Expression): Expression = copy(codes = newLeft, lut = newRight)
 }
 
+/** `pq_decode(codes, codebook_flat) → array<float>`: reconstruct the
+  * vector by concatenating each subspace's codebook entry — the generic
+  * decode that lets a PQ-coded table feed any downstream float-vector
+  * kernel (IVF search over a PQ index loads through this; the ADC path
+  * [[PqAdcF]] is the faster serving form when only dot scores are needed).
+  */
+case class PqDecodeF(codes: Expression, codebook: Expression, dsub: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = codes
+  override def second: Expression = codebook
+  override def third: Expression = dsub
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, codebook.dataType, dsub.dataType) match {
+      case (BinaryType, ArrayType(FloatType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"pq_decode expects (binary, array<float>, int), got " +
+          s"(${codes.dataType.simpleString}, ${codebook.dataType.simpleString}, " +
+          s"${dsub.dataType.simpleString})")
+    }
+
+  override def nullSafeEval(cAny: Any, cbAny: Any, dsAny: Any): Any = {
+    val codes = cAny.asInstanceOf[Array[Byte]]
+    val cb = cbAny.asInstanceOf[ArrayData]
+    val ds = dsAny.asInstanceOf[Int]
+    val m = codes.length
+    val k = cb.numElements() / (m * ds)
+    val out = new Array[Float](m * ds)
+    var i = 0
+    while (i < m) {
+      val off = (i * k + (codes(i) + 128)) * ds
+      var j = 0
+      while (j < ds) { out(i * ds + j) = cb.getFloat(off + j); j += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, cb, ds) => {
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      s"""
+         |int $m = $c.length;
+         |int $k = $cb.numElements() / ($m * $ds);
+         |float[] $out = new float[$m * $ds];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  int $off = ($i * $k + ($c[$i] + 128)) * $ds;
+         |  for (int $j = 0; $j < $ds; $j++) {
+         |    $out[$i * $ds + $j] = $cb.getFloat($off + $j);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(codes = f, codebook = s, dsub = t)
+}
+
 object PqF {
   /** Register `graft_pq_encode` / `graft_pq_adc` (idempotent). */
   def register(spark: SparkSession): Unit = {
@@ -251,5 +320,7 @@ object PqF {
       "graft_pq_codes", es => PqCodesF(es(0), es(1), es(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_adc", es => PqAdcF(es(0), es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_decode", es => PqDecodeF(es(0), es(1), es(2)), "built-in")
   }
 }

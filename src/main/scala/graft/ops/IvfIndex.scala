@@ -319,6 +319,33 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$path/sq8_params")
   }
 
+  /** [[saveQuantized]]'s PQ sibling: the inverted file stored as m-byte
+    * product-quantization codes ([[Pq]]) with the codebook in a sidecar —
+    * the deepest rung of the compression ladder (8 bytes per 64-dim
+    * vector at m=8). Same transparency contract: [[load]] reconstructs
+    * the embedding column through the codegen PQ decode, [[append]]
+    * encodes arrivals under the saved codebook, and every search /
+    * maintenance path runs unchanged at PQ's measured recall
+    * (QuantBench/SCALE.md r8).
+    */
+  def saveQuantizedPq(model: Model, path: String, pq: Pq.PqModel): Unit = {
+    val spark = model.centroids.sparkSession
+    model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    graft.functions.PqF.register(spark)
+    model.assignments
+      .withColumn("pq_codes", call_function("graft_pq_encode",
+        col("embedding"), typedlit(pq.codebook), lit(pq.dsub)))
+      .drop("embedding")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assignments")
+    import spark.implicits._
+    Seq((pq.m, pq.dsub, pq.k, pq.codebook.toSeq))
+      .toDF("m", "dsub", "k", "codebook")
+      .select(col("m"), col("dsub"), col("k"),
+        col("codebook").cast("array<float>").as("codebook"))
+      .write.mode("overwrite").parquet(s"$path/pq_params")
+  }
+
   /** The SQ8 sidecar of a saved index, if the index is quantized. */
   private def quantParams(spark: SparkSession,
                           path: String): Option[Quantize.Sq8Params] = {
@@ -330,6 +357,20 @@ object IvfIndex {
       Some(Quantize.Sq8Params(
         row.getAs[scala.collection.Seq[Float]]("offset").toArray,
         row.getAs[scala.collection.Seq[Float]]("scale").toArray))
+    }
+  }
+
+  /** The PQ sidecar of a saved index, if the index is PQ-coded. */
+  private def pqParams(spark: SparkSession,
+                       path: String): Option[Pq.PqModel] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/pq_params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val row = spark.read.parquet(s"$path/pq_params").head()
+      Some(Pq.PqModel(row.getAs[Int]("m"), row.getAs[Int]("dsub"),
+        row.getAs[Int]("k"),
+        row.getAs[scala.collection.Seq[Float]]("codebook").toArray))
     }
   }
 
@@ -351,15 +392,22 @@ object IvfIndex {
     val centroids = spark.read.parquet(s"$path/centroids")
     val assigned = assign(newVecs, centroids)
     // a quantized index stays quantized: encode arrivals under the SAVED
-    // params (the quantization grid is part of the index contract, like
-    // the frozen centroids — refitting per append would make codes
-    // incomparable across files)
+    // params (the quantization grid / codebook is part of the index
+    // contract, like the frozen centroids — refitting per append would
+    // make codes incomparable across files)
     val out = quantParams(spark, path) match {
       case Some(params) =>
         assigned.withColumn("codes",
             Quantize.sq8Encode(assigned, col("embedding"), params))
           .drop("embedding")
-      case None => assigned
+      case None => pqParams(spark, path) match {
+        case Some(pq) =>
+          graft.functions.PqF.register(spark)
+          assigned.withColumn("pq_codes", call_function("graft_pq_encode",
+              col("embedding"), typedlit(pq.codebook), lit(pq.dsub)))
+            .drop("embedding")
+        case None => assigned
+      }
     }
     out.write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
   }
@@ -539,13 +587,19 @@ object IvfIndex {
     val asg = spark.read.parquet(s"$path/assignments")
       .withColumn("cell", col("cell").cast("long"))
     // quantized index: reconstruct the embedding column inline (codegen
-    // decode — the scan still reads only the 1-byte codes off disk)
+    // decode — the scan still reads only the byte codes off disk)
     val decoded = quantParams(spark, path) match {
       case Some(params) =>
         asg.withColumn("embedding",
             Quantize.sq8Decode(asg, col("codes"), params))
           .drop("codes")
-      case None => asg
+      case None => pqParams(spark, path) match {
+        case Some(pq) =>
+          asg.withColumn("embedding",
+              Pq.pqDecode(asg, col("pq_codes"), pq))
+            .drop("pq_codes")
+        case None => asg
+      }
     }
     Model(spark.read.parquet(s"$path/centroids"), decoded)
   }

@@ -114,6 +114,17 @@ object Pq {
       .drop(embCol)
   }
 
+  /** Column expression: reconstruct an `array<float>` from PQ codes —
+    * the generic decode that lets a PQ-coded table feed any float-vector
+    * kernel (the IVF load path uses it; ADC is the faster serving form).
+    */
+  def pqDecode(df: DataFrame, codesCol: org.apache.spark.sql.Column,
+               model: PqModel): org.apache.spark.sql.Column = {
+    registered(df)
+    call_function("graft_pq_decode", codesCol, typedlit(model.codebook),
+      lit(model.dsub))
+  }
+
   /** The probe's ADC lookup table: `lut[i][c] = dot(probe_sub_i,
     * codebook[i][c])`, so `Σ_i lut[i][codes_i] = dot(probe,
     * reconstruct(codes))`. m×256 doubles — probe-bounded, built on the

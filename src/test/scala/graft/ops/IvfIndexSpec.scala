@@ -176,6 +176,46 @@ class IvfIndexSpec extends SparkTestBase {
     assert(recall >= 0.7, s"full-probe recall on quantized index was $recall")
   }
 
+  test("saveQuantizedPq/load: PQ-coded inverted file — deepest compression, membership intact, append stays coded") {
+    import org.apache.hadoop.fs.Path
+    def bytes(p: String): Long = {
+      val hp = new Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(hp).getLength
+    }
+    val pq = Pq.fit(emb, m = 8, iters = 2)
+    val dirF = java.nio.file.Files.createTempDirectory("ivf_f32b").toString
+    val dirP = java.nio.file.Files.createTempDirectory("ivf_pq").toString
+    val half = IvfIndex.build(emb.filter(col("vec_id") % 2 === 0),
+      nlist = 16, iters = 1)
+    IvfIndex.save(half, dirF)
+    IvfIndex.saveQuantizedPq(half, dirP, pq)
+    IvfIndex.append(spark, dirF, emb.filter(col("vec_id") % 2 =!= 0))
+    IvfIndex.append(spark, dirP, emb.filter(col("vec_id") % 2 =!= 0))
+    val pSchema = spark.read.parquet(s"$dirP/assignments").schema
+    assert(pSchema.fieldNames.contains("pq_codes") &&
+      !pSchema.fieldNames.contains("embedding"),
+      s"PQ index must store codes, got ${pSchema.simpleString}")
+    val ratio = bytes(s"$dirF/assignments").toDouble /
+      bytes(s"$dirP/assignments")
+    assert(ratio >= 3.0, s"PQ index only ${ratio}x smaller")
+    val f = IvfIndex.load(spark, dirF)
+    val p = IvfIndex.load(spark, dirP)
+    // membership is quantization-independent
+    assert(f.assignments.select("vec_id", "cell").orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq ===
+      p.assignments.select("vec_id", "cell").orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq)
+    // full-probe search over the reconstructed corpus: PQ recall (lossier
+    // than SQ8 by design; the ladder is measured in QuantBench)
+    val exact = IvfIndex.searchTopK(f, 0L, 10, nprobe = 16)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val coded = IvfIndex.searchTopK(p, 0L, 10, nprobe = 16)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.count(coded.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"full-probe recall on PQ index was $recall")
+  }
+
   test("append: incremental ingest into a saved index == one-shot assign of the full corpus") {
     val dir = java.nio.file.Files.createTempDirectory("ivfappend").toString
     val first = emb.filter(col("vec_id") % 2 === 0)
