@@ -125,6 +125,22 @@ object CurationQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // PII / identifier redaction: numeric identifiers in event payloads
+    // are replaced by a placeholder, with an exact per-row redaction
+    // count — the scrub-before-training stage for log-derived corpora.
+    // (The synthetic documents table carries no digits or emails, so the
+    // query runs on events.props where numeric ids actually occur; the
+    // pattern family extends to emails/phones the same way.) One narrow
+    // codegen map pass — no UDF, no shuffle beyond the output sort
+    // (plan-pinned).
+    "q_pii_scrub" -> ((s, d) => {
+      Tables.events(s, d).select(col("event_id"),
+          regexp_replace(col("props"), "\\d{2,}", "<NUM>").as("redacted"),
+          size(regexp_extract_all(col("props"), lit("\\d{2,}"), lit(0)))
+            .as("n_redacted"))
+        .orderBy("event_id")
+    }),
+
     // The curation funnel: survivor counts through the staged pipeline
     // (total → min-length → repetition-quality → exact-dedup canonical →
     // decontaminated) in ONE cross-engine-checked result — the report a
@@ -223,6 +239,8 @@ object CurationQueries {
         """c AS (SELECT doc_id, n_tok, CASE WHEN n_tok <= 64 THEN CAST(1 AS BIGINT) ELSE (n_tok - 17) // 48 + 1 END AS n_chunks FROM t), """ +
         """u AS (SELECT doc_id, n_tok, unnest(range(0, n_chunks)) AS chunk_idx FROM c) """ +
         """SELECT doc_id, n_tok, chunk_idx, chunk_idx * 48 AS tok_start, LEAST(CAST(64 AS BIGINT), n_tok - chunk_idx * 48) AS tok_len FROM u ORDER BY doc_id, chunk_idx"""),
+    "q_pii_scrub" ->
+      """SELECT event_id, regexp_replace(props, '\d{2,}', '<NUM>', 'g') AS redacted, CAST(len(regexp_extract_all(props, '\d{2,}')) AS INTEGER) AS n_redacted FROM events ORDER BY event_id""",
     "q_curation_funnel" ->
       ("""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk FROM documents), """ +
         """s AS (SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS n_tok, CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS uniq_ratio, md5(text) AS digest FROM t), """ +

@@ -146,6 +146,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pushed.contains("label"), s"label predicate not pushed:\n$p")
   }
 
+  test("q_pii_scrub is one narrow map pass — no join, no agg, no Generate") {
+    val p = plan("q_pii_scrub")
+    assert(!p.contains("Join"), s"redaction must not join:\n$p")
+    assert(!p.contains("Aggregate"), s"redaction must not aggregate:\n$p")
+    assert(!p.contains("Generate"), s"redaction must not explode:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 1, s"redaction must not shuffle beyond the output sort:\n$p")
+  }
+
   test("q_chunk_overlap is one Generate, no join, no agg") {
     val p = plan("q_chunk_overlap")
     assert(p.contains("Generate"), s"chunking must explode the chunk index:\n$p")
