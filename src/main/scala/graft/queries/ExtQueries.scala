@@ -93,6 +93,16 @@ object ExtQueries {
         k = 10, pred = col("label").between(2, 5))
     }),
 
+    // G7 — the same filtered contract SERVED FROM THE INDEX: full probing
+    // keeps it exact (so it shares q_ann_filtered's oracle) while the plan
+    // is the production shape — the metadata predicate conjoins with the
+    // probed-cell prune inside searchTopKBatch, so scan fraction and
+    // selectivity multiply on a saved index.
+    "q_ann_filtered_ivf" -> ((s, d) => {
+      graft.ops.IvfIndex.searchTopKFiltered(sharedModel(s, d), probeId = 0L,
+        k = 10, nprobe = 16, pred = col("label").between(2, 5))
+    }),
+
     // G7 scale path — IVF ANN with full probing (nprobe=nlist), which is
     // provably exact, so it shares the brute-force oracle; partial probing
     // (the actual ANN trade) is covered by IvfIndexSpec.
@@ -326,6 +336,10 @@ object ExtQueries {
     "q_embedding_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_ann_filtered" ->
+      """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 AND e.label BETWEEN 2 AND 5 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    // identical contract to q_ann_filtered — the Spark side differs only
+    // in serving through the inverted file at full probe (exact)
+    "q_ann_filtered_ivf" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 AND e.label BETWEEN 2 AND 5 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_ivf_topk" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",

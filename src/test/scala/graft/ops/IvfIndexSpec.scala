@@ -216,6 +216,32 @@ class IvfIndexSpec extends SparkTestBase {
     assert(recall >= 0.5, s"full-probe recall on PQ index was $recall")
   }
 
+  test("compact on a quantized index: codes schema intact, search unchanged") {
+    // the full operational composition: quantized save -> many small
+    // appends (micro-batch litter) -> compact -> search; compact is
+    // schema-agnostic per-cell file rewriting, so the codes survive
+    val params = Quantize.fitSq8(emb)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_q_compact").toString
+    val m0 = IvfIndex.build(emb.filter(col("vec_id") % 8 === 0),
+      nlist = 8, iters = 1)
+    IvfIndex.saveQuantized(m0, dir, params)
+    (1 until 8).foreach { i =>
+      IvfIndex.append(spark, dir, emb.filter(col("vec_id") % 8 === i))
+    }
+    val before = IvfIndex.searchTopK(IvfIndex.load(spark, dir), 0L, 10,
+      nprobe = 8).collect().map(_.toSeq).toSeq
+    val (cells, nBefore, nAfter) =
+      IvfIndex.compact(spark, dir, maxFilesPerCell = 2)
+    assert(cells > 0 && nAfter < nBefore,
+      s"compaction must rewrite litter: $cells cells, $nBefore -> $nAfter")
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.assignments.columns.contains("embedding"),
+      "compacted quantized index must still decode")
+    val after = IvfIndex.searchTopK(loaded, 0L, 10, nprobe = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(after === before, "compaction must not change search results")
+  }
+
   test("append: incremental ingest into a saved index == one-shot assign of the full corpus") {
     val dir = java.nio.file.Files.createTempDirectory("ivfappend").toString
     val first = emb.filter(col("vec_id") % 2 === 0)
