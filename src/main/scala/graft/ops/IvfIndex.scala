@@ -640,6 +640,56 @@ object IvfIndex {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
 
+  /** IVFPQ fast path: serve a [[saveQuantizedPq]]-saved index by ADC
+    * directly over the stored codes — no decode, no float math per row.
+    * Per probe, cells are ranked driver-side against the (nlist-bounded)
+    * centroid table and the m×256 ADC lookup table is precomputed; the
+    * scan then reads ONLY the probed `cell=` directories (static
+    * partition prune) and scores each row in m lookup reads
+    * ([[graft.functions.PqAdcF]]). Scores equal the decode-then-dot path
+    * up to float-sum regrouping (spec-bounded), so full probing serves
+    * the exact reconstruction ranking at the ADC price.
+    */
+  def searchTopKBatchAdc(spark: SparkSession, path: String,
+                         probes: Seq[(Long, Array[Float])], k: Int,
+                         nprobe: Int): DataFrame = {
+    val pq = pqParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"$path is not a PQ-coded index"))
+    graft.functions.PqF.register(spark)
+    // centroid table is nlist-bounded: rank cells driver-side
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getAs[Long]("cell"),
+        r.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      acc
+    }
+    import spark.implicits._
+    val probeCellRows = probes.flatMap { case (pid, pv) =>
+      val ranked = cents.map { case (cell, c) => (cell, dot(pv, c)) }
+        .sortBy { case (cell, s) => (-s, cell) }.take(nprobe).map(_._1)
+      val lut = Pq.adcLut(pq, pv)
+      ranked.map(cell => (cell, pid, lut.toSeq))
+    }
+    val probeCells = probeCellRows.toDF("cell", "probe_id", "lut")
+    val cellList = probeCellRows.map(_._1).distinct
+    spark.read.parquet(s"$path/assignments")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isInCollection(cellList)) // static partition prune
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(call_function("graft_pq_adc", col("pq_codes"), col("lut")), 4)
+          .as("cos_sim"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Filtered ANN from the index: [[Similarity.cosineTopKFiltered]]'s
     * contract served through the inverted file — the metadata predicate
     * conjoins with the probed-cell partition prune, so the scan fraction

@@ -216,6 +216,48 @@ class IvfIndexSpec extends SparkTestBase {
     assert(recall >= 0.5, s"full-probe recall on PQ index was $recall")
   }
 
+  test("IVFPQ ADC serving == decode-then-dot serving on the same index") {
+    val pq = Pq.fit(emb, m = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_adc").toString
+    IvfIndex.saveQuantizedPq(model, dir, pq)
+    val probeVecs = Seq(0L, 1L, 2L).map { pid =>
+      pid -> emb.filter(col("vec_id") === pid)
+        .select("embedding").head().getSeq[Float](0).toArray
+    }
+    val adc = IvfIndex.searchTopKBatchAdc(spark, dir, probeVecs, k = 5,
+        nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // reference path: load (codegen decode) + the standard batch search
+    // with RAW probe vectors (both paths are then asymmetric — the stored
+    // side reconstructed, the probe side full precision)
+    val rawProbes = emb.filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L)))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val decoded = IvfIndex.searchTopKBatch(IvfIndex.load(spark, dir),
+        rawProbes, k = 5, nprobe = 16, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(adc.length === decoded.length)
+    // same neighbors per probe; scores equal up to float-sum regrouping
+    assert(adc.map(t => (t._1, t._2)).toSet === decoded.map(t => (t._1, t._2)).toSet,
+      s"ADC neighbors diverge:\n${adc.mkString("\n")}\nvs\n${decoded.mkString("\n")}")
+    val dScores = decoded.map(t => (t._1, t._2) -> t._3).toMap
+    adc.foreach { case (p, v, s) =>
+      assert(math.abs(s - dScores((p, v))) <= 2e-4, s"score gap at ($p,$v)")
+    }
+    // partial probing still prunes the cell directories at planning time
+    val pruned = IvfIndex.searchTopKBatchAdc(spark, dir, probeVecs.take(1),
+        k = 5, nprobe = 2)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    val scans = pruned.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount === 2,
+      s"nprobe=2 must scan 2 cell directories:\n$pruned")
+  }
+
   test("compact on a quantized index: codes schema intact, search unchanged") {
     // the full operational composition: quantized save -> many small
     // appends (micro-batch litter) -> compact -> search; compact is
