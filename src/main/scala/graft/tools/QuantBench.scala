@@ -115,6 +115,34 @@ object QuantBench {
       f""""pq_bytes":$pqBytes,"bytes_ratio_vs_float":${fBytes.toDouble / pqBytes}%.2f,""" +
       f""""recall_at_$k":${pqHit.toDouble / pqTotal}%.4f,"pq_wall_s":$pqWall%.1f}""")
 
+    // IVFPQ serving comparison: the same PQ-coded index served by the ADC
+    // fast path (m lookup reads/row, no decode) vs the generic loaded
+    // path (codegen decode + dot). Same index, same probes, nprobe=4.
+    locally {
+      import graft.ops.IvfIndex
+      val ivfModel = IvfIndex.build(emb, nlist = 16, iters = 1)
+      val dirPq = java.nio.file.Files.createTempDirectory("qb_ivfpq").toString
+      IvfIndex.saveQuantizedPq(ivfModel, dirPq, pqModel)
+      val servingProbes = probeIds.take(32).map { pid =>
+        pid -> floatCorpus.filter(col("vec_id") === pid)
+          .select("embedding").head().getSeq[Float](0).toArray
+      }
+      val (_, adcWall) = time {
+        IvfIndex.searchTopKBatchAdc(spark, dirPq, servingProbes, k,
+          nprobe = 4).collect()
+      }
+      val loadedPq = IvfIndex.load(spark, dirPq)
+      val rawProbes = floatCorpus
+        .filter(col("vec_id").isInCollection(servingProbes.map(_._1)))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      val (_, decWall) = time {
+        IvfIndex.searchTopKBatch(loadedPq, rawProbes, k, nprobe = 4,
+          excludeSelf = true).collect()
+      }
+      println(f"""{"tool":"QuantBench","serving":"ivfpq","nprobe":4,""" +
+        f""""adc_wall_s":$adcWall%.1f,"decode_wall_s":$decWall%.1f}""")
+    }
+
     // partial-probe sweep: ONE coarse quantizer saved both ways, so the
     // cell structure is identical and any recall gap at a given nprobe is
     // attributable to the SQ8 grid alone (does quantization interact with
