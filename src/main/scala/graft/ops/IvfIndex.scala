@@ -690,6 +690,43 @@ object IvfIndex {
       .drop("__rn")
   }
 
+  /** Two-stage serving for a PQ index: ADC candidate generation + exact
+    * re-rank — the standard answer to "PQ recall is capped by code error".
+    * Stage 1 runs [[searchTopKBatchAdc]] for `cand` (>= k) candidates per
+    * probe entirely over the m-byte codes (no decode); stage 2 fetches the
+    * TRUE vectors for only those P x `cand` candidate ids from `corpus`
+    * (the full-precision table of record) and re-scores them with the same
+    * codegen dot + round the brute-force path uses, so the final ordering
+    * is exact over the candidate set. Shape at 100 TB: the candidate list
+    * is probe-batch-bounded (P x cand rows), so it BROADCASTS into one
+    * corpus scan — the expensive full-precision column is read once per
+    * batch, never per probe, and ADC's ranking error only costs recall if
+    * a true neighbor falls outside the top-`cand`, a fast-shrinking tail
+    * (measured in QuantBench: the recall-vs-cand curve). With full probing
+    * and `cand` >= corpus the result equals brute force bit-for-bit
+    * (spec-pinned in PqSpec).
+    */
+  def searchTopKBatchAdcRerank(spark: SparkSession, path: String,
+                               probes: Seq[(Long, Array[Float])], k: Int,
+                               nprobe: Int, cand: Int,
+                               corpus: DataFrame): DataFrame = {
+    require(cand >= k, s"cand=$cand must be >= k=$k")
+    val candidates = searchTopKBatchAdc(spark, path, probes, cand, nprobe)
+      .select(col("probe_id"), col("vec_id"))
+    import spark.implicits._
+    val probeDf = probes.toDF("probe_id", "probe_emb")
+      .select(col("probe_id"), col("probe_emb").cast("array<float>").as("probe_emb"))
+    dotF(spark)
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates.join(probeDf, Seq("probe_id"))), Seq("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(expr("graft_dot_f(embedding, probe_emb)"), 4).as("cos_sim"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Filtered ANN from the index: [[Similarity.cosineTopKFiltered]]'s
     * contract served through the inverted file — the metadata predicate
     * conjoins with the probed-cell partition prune, so the scan fraction

@@ -12,9 +12,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.LongType
 
 /** Whole-operator as-of join (SURVEY J6 / the guide's custom-operator tier):
-  * for every left row, attach the LAST right row of the same key whose time
-  * is <= the left row's time (the reference's load-curve value-at-t lookup
-  * held as a step function, `MLSLD00.dat`).
+  * for every left row, attach the right row of the same key selected by
+  * `direction` — `backward` (default): the LAST right row with time <=
+  * left time (the reference's load-curve value-at-t lookup held as a step
+  * function, `MLSLD00.dat`); `forward`: the FIRST right row with time >=
+  * left time (next-calibration / next-maintenance lookups); `nearest`:
+  * whichever of the two is closer in time, ties resolving backward (the
+  * pandas `merge_asof` direction surface). `toleranceMs` bounds the
+  * allowed |right time - left time| in the time unit of the join columns
+  * (a match farther away yields the null row instead) — without it a
+  * stale curve point silently serves forever.
   *
   * Physical strategy: both sides hash-cluster on the key and sort by
   * (key, time) — declared via `requiredChildDistribution` /
@@ -31,7 +38,9 @@ import org.apache.spark.sql.types.LongType
   */
 final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    direction: String = "backward",
+    tolerance: Long = Long.MaxValue) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -41,7 +50,11 @@ final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    direction: String = "backward",
+    tolerance: Long = Long.MaxValue) extends BinaryExecNode {
+  require(Seq("backward", "forward", "nearest").contains(direction),
+    s"unknown as-of direction: $direction")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -68,6 +81,8 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val out = output
     val rightWidth = right.output.length
 
+    val dir = direction
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(out, out)
       val joined = new JoinedRow
@@ -75,22 +90,50 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val rBuf = rIter.buffered
       var held: InternalRow = null
       var heldKey = 0L
+      var heldTime = 0L
 
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow).asInstanceOf[Long]
         val lt = lTimeB.eval(lRow).asInstanceOf[Long]
-        // consume right rows that are (key, time) <= (lk, lt); the last
-        // same-key one becomes the held candidate
+        // consume right rows that are (key, time) <= (lk, lt) — dead for
+        // every LATER left row too (left times only grow per key), so
+        // consuming is safe for all directions; the last same-key one
+        // stays held as the backward candidate. The head of the buffer
+        // after this loop is, for key lk, exactly the first same-key row
+        // with time > lt: the forward candidate (an exact-time match
+        // rt == lt lands in `held`, and serves forward too).
         var advance = true
         while (advance && rBuf.hasNext) {
           val peek = rBuf.head
           val pk = rKeyB.eval(peek).asInstanceOf[Long]
           if (pk < lk || (pk == lk && rTimeB.eval(peek).asInstanceOf[Long] <= lt)) {
-            if (pk == lk) { held = peek.copy(); heldKey = pk }
+            if (pk == lk) {
+              held = peek.copy(); heldKey = pk
+              heldTime = rTimeB.eval(peek).asInstanceOf[Long]
+            }
             rBuf.next()
           } else advance = false
         }
-        val r = if (held != null && heldKey == lk) held else nullRight
+        val back: InternalRow =
+          if (held != null && heldKey == lk && lt - heldTime <= tol) held
+          else null
+        def fwdTime: Long = rTimeB.eval(rBuf.head).asInstanceOf[Long]
+        val fwd: InternalRow =
+          if (held != null && heldKey == lk && heldTime == lt) held // exact
+          else if (rBuf.hasNext &&
+              rKeyB.eval(rBuf.head).asInstanceOf[Long] == lk &&
+              fwdTime - lt <= tol) rBuf.head
+          else null
+        val r = dir match {
+          case "backward" => if (back != null) back else nullRight
+          case "forward" => if (fwd != null) fwd else nullRight
+          case _ => // nearest: closer side wins, ties resolve backward
+            if (back == null && fwd == null) nullRight
+            else if (fwd == null) back
+            else if (back == null) fwd
+            else if (lt - heldTime <= fwdTime - lt) back
+            else fwd
+        }
         proj(joined(lRow, r))
       }
     }
@@ -102,8 +145,8 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -122,7 +165,9 @@ object AsOfJoinStrategy extends SparkStrategy {
 object AsOfJoinOps {
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           direction: String = "backward",
+           tolerance: Long = Long.MaxValue): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[ClassicSession]
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -141,6 +186,6 @@ object AsOfJoinOps {
         s"as-of join requires LongType keys/times; ${a.name} is ${a.dataType.simpleString}")
     }
     Bridge.ofRows(spark, AsOfJoin(lp, rp,
-      exprs(0), exprs(1), exprs(2), exprs(3)))
+      exprs(0), exprs(1), exprs(2), exprs(3), direction, tolerance))
   }
 }

@@ -183,6 +183,74 @@ object CurationQueries {
         .orderBy("stage_id")
     }),
 
+    // Corpus-level boilerplate scrub (the CCNet/RefinedWeb "dedup the
+    // repeated lines out of every page" stage, with non-overlapping
+    // 2-token chunks standing in for lines — the driver corpus has no
+    // newlines). A chunk is boilerplate when it occurs in more than 5% of
+    // documents (relative threshold: scales with the corpus, integer-exact
+    // on both engines). Shape at 100 TB: the frequency pass is one
+    // hash agg on the chunk; the boilerplate SET is heavy-hitter-sized by
+    // construction, so it collapses to ONE broadcast row and the scrub
+    // itself is a narrow HOF filter pass — no join, no explode, no
+    // shuffle touches the corpus on the rewrite side.
+    "q_boilerplate_scrub" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tk = split(trim(col("text")), "\\s+")
+      val nChunks = floor((size(tk) + lit(1)) / lit(2)).cast("long")
+      val chunksC = transform(sequence(lit(0L), nChunks - 1),
+        i => array_join(slice(tk, (i * 2 + 1).cast("int"), lit(2)), " "))
+      val chunked = docs.select(col("doc_id"), chunksC.as("chunks"))
+      val counts = chunked
+        .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+        .groupBy("chunk").agg(countDistinct("doc_id").as("nd"))
+      val totalDf = docs.agg(count(lit(1)).as("n_total"))
+      val blRow = counts.crossJoin(broadcast(totalDf))
+        .filter(col("nd") * 20 > col("n_total"))
+        .agg(collect_list(col("chunk")).as("bl"))
+      chunked.crossJoin(broadcast(blRow))
+        .select(col("doc_id"),
+          filter(col("chunks"), c => !array_contains(col("bl"), c)).as("kept"),
+          size(col("chunks")).as("n_chunks"))
+        .select(col("doc_id"), array_join(col("kept"), " ").as("scrubbed"),
+          (col("n_chunks") - size(col("kept"))).cast("int").as("n_removed"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style quality rule battery: the five document-shape rules a
+    // pretraining filter applies before any model-based scoring — token
+    // count bounds, mean word length band, stopword presence, digit-token
+    // ratio, distinct-token (repetition) ratio — each emitted as its own
+    // flag plus the conjunction, so the funnel report can attribute every
+    // rejection. All-integer arithmetic (ratios stated as cross
+    // multiplications), so Spark and the oracle agree bit-for-bit; one
+    // narrow codegen map pass over the corpus, no shuffle but the output
+    // sort (plan-pinned in PlanAuditSpec).
+    "q_gopher_rules" -> ((s, d) => {
+      val tk = split(trim(col("text")), "\\s+")
+      val m = Tables.documents(s, d).select(col("doc_id"),
+        size(tk).cast("long").as("n_tok"),
+        aggregate(transform(tk, t => length(t).cast("long")), lit(0L),
+          (acc, x) => acc + x).as("sum_len"),
+        size(filter(tk, t => t.rlike("^[0-9]+$"))).cast("long").as("n_digit"),
+        size(array_distinct(tk)).cast("long").as("n_uniq"),
+        size(filter(array_distinct(tk),
+          t => t.isInCollection(stopwords))).cast("long").as("n_stop"))
+      val lenOk = col("n_tok").between(20L, 100000L)
+      val wordlenOk = col("sum_len").between(col("n_tok") * 3, col("n_tok") * 10)
+      val stopOk = col("n_stop") >= 2
+      val digitOk = col("n_digit") * 10 <= col("n_tok")
+      val uniqOk = col("n_uniq") * 10 >= col("n_tok") * 3
+      m.select(col("doc_id"), col("n_tok"),
+          lenOk.cast("int").as("len_ok"),
+          wordlenOk.cast("int").as("wordlen_ok"),
+          stopOk.cast("int").as("stop_ok"),
+          digitOk.cast("int").as("digit_ok"),
+          uniqOk.cast("int").as("uniq_ok"),
+          (lenOk && wordlenOk && stopOk && digitOk && uniqOk)
+            .cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: documents sharing any distinct 3-token
     // shingle with the pseudo-benchmark set (doc_id % 100 == 0) are
     // flagged, with the exact overlapping-shingle count. Shape at 100 TB:
@@ -257,6 +325,29 @@ object CurationQueries {
         """UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM c) """ +
         """UNION ALL SELECT 4, 'decontaminated', (SELECT COUNT(*) FROM f) """ +
         """ORDER BY stage_id"""),
+    "q_boilerplate_scrub" ->
+      ("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents), """ +
+        """c AS (SELECT doc_id, list_transform(range(0, CAST((len(tk)+1)//2 AS INTEGER)), i -> array_to_string(tk[2*i+1:2*i+2], ' ')) AS chunks FROM t), """ +
+        """e AS (SELECT doc_id, unnest(chunks) AS chunk FROM c), """ +
+        """bl AS (SELECT chunk FROM (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM e GROUP BY chunk) q WHERE nd * 20 > (SELECT COUNT(*) FROM documents)), """ +
+        """bla AS (SELECT COALESCE(list(chunk), CAST([] AS VARCHAR[])) AS bl FROM bl), """ +
+        """k AS (SELECT c.doc_id, list_filter(c.chunks, ch -> NOT list_contains(bla.bl, ch)) AS kept, len(c.chunks) AS n_chunks FROM c CROSS JOIN bla) """ +
+        """SELECT doc_id, CASE WHEN len(kept) = 0 THEN '' ELSE array_to_string(kept, ' ') END AS scrubbed, CAST(n_chunks - len(kept) AS INTEGER) AS n_removed FROM k ORDER BY doc_id"""),
+    "q_gopher_rules" ->
+      ("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents), """ +
+        """m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok, """ +
+        """CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS BIGINT) AS sum_len, """ +
+        """CAST(len(list_filter(tk, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_digit, """ +
+        """CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq, """ +
+        """CAST(len(list_filter(list_distinct(tk), x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop FROM t) """ +
+        """SELECT doc_id, n_tok, """ +
+        """CAST(n_tok BETWEEN 20 AND 100000 AS INTEGER) AS len_ok, """ +
+        """CAST(sum_len BETWEEN 3 * n_tok AND 10 * n_tok AS INTEGER) AS wordlen_ok, """ +
+        """CAST(n_stop >= 2 AS INTEGER) AS stop_ok, """ +
+        """CAST(n_digit * 10 <= n_tok AS INTEGER) AS digit_ok, """ +
+        """CAST(n_uniq * 10 >= n_tok * 3 AS INTEGER) AS uniq_ok, """ +
+        """CAST((n_tok BETWEEN 20 AND 100000) AND (sum_len BETWEEN 3 * n_tok AND 10 * n_tok) AND n_stop >= 2 AND n_digit * 10 <= n_tok AND n_uniq * 10 >= n_tok * 3 AS INTEGER) AS keep """ +
+        """FROM m ORDER BY doc_id"""),
     "q_decontaminate" ->
       ("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents), """ +
         """sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), """ +

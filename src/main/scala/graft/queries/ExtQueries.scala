@@ -55,6 +55,27 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // J6b — forward as-of: the same custom operator serving the FIRST
+    // curve point at-or-after each event (next-calibration lookup), with
+    // a 1-hour tolerance — a stale "next" point a day away must NOT
+    // serve. Same merge pass, same shuffles; direction and tolerance are
+    // merge-time parameters, not new plan shapes (duality + fixture
+    // semantics pinned in AsOfJoinSpec).
+    "q_asof_forward" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val probes = e.select(col("event_id"), col("user_id"), col("ts"))
+      val curve = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .agg(max(col("value")).as("c_val"))
+        .withColumn("c_ms", expr("c_ts DIV 1000000"))
+      // tolerance in the ts unit (epoch ns): 1 hour
+      graft.plans.AsOfJoinOps.asof(probes, curve, "user_id", "c_user",
+          "ts", "c_ts", direction = "forward", tolerance = 3600L * 1000000000L)
+        .select(col("event_id"), col("c_ms").as("next_ms"),
+          col("c_val").as("next_val"))
+        .orderBy("event_id")
+    }),
+
     // J7 — multimodal join: text table ⋈ embedding table.
     "q_multimodal_join" -> ((s, d) => {
       Tables.documents(s, d)
@@ -327,6 +348,8 @@ object ExtQueries {
       """SELECT a.event_id AS id_a, b.event_id AS id_b FROM events a JOIN events b ON a.user_id = b.user_id AND a.event_id < b.event_id AND ABS(epoch_ms(a.ts) - epoch_ms(b.ts)) < 60000 ORDER BY 1, 2""",
     "q_asof_curve" ->
       """WITH curve AS (SELECT user_id, ts, MAX(value) AS value FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) SELECT e.event_id, (SELECT CAST(epoch_ms(s.ts) AS BIGINT) FROM curve s WHERE s.user_id = e.user_id AND s.ts <= e.ts ORDER BY s.ts DESC LIMIT 1) AS asof_ms, (SELECT s.value FROM curve s WHERE s.user_id = e.user_id AND s.ts <= e.ts ORDER BY s.ts DESC LIMIT 1) AS asof_val FROM events e ORDER BY e.event_id""",
+    "q_asof_forward" ->
+      """WITH curve AS (SELECT user_id, ts, MAX(value) AS value FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) SELECT e.event_id, (SELECT CAST(epoch_ms(s.ts) AS BIGINT) FROM curve s WHERE s.user_id = e.user_id AND epoch_ns(s.ts) >= epoch_ns(e.ts) AND epoch_ns(s.ts) - epoch_ns(e.ts) <= 3600000000000 ORDER BY s.ts ASC LIMIT 1) AS next_ms, (SELECT s.value FROM curve s WHERE s.user_id = e.user_id AND epoch_ns(s.ts) >= epoch_ns(e.ts) AND epoch_ns(s.ts) - epoch_ns(e.ts) <= 3600000000000 ORDER BY s.ts ASC LIMIT 1) AS next_val FROM events e ORDER BY e.event_id""",
     "q_multimodal_join" ->
       """SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INTEGER) AS emb_dim FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id""",
     "q_sessionize" ->

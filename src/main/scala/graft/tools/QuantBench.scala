@@ -141,6 +141,31 @@ object QuantBench {
       }
       println(f"""{"tool":"QuantBench","serving":"ivfpq","nprobe":4,""" +
         f""""adc_wall_s":$adcWall%.1f,"decode_wall_s":$decWall%.1f}""")
+
+      // two-stage serving: ADC candidates -> exact re-rank over the
+      // full-precision corpus. The question the curve answers: how many
+      // candidates buy back how much of PQ's lossy recall, and at what
+      // wall cost vs plain ADC? (cand = k degenerates to "exact-rescore
+      // the ADC answer"; the interesting regime is small multiples of k.)
+      val exactTop = servingProbes.map { case (pid, _) =>
+        pid -> graft.ops.Similarity.cosineTopK(floatCorpus, pid, k)
+          .collect().map(_.getLong(0)).toSet
+      }.toMap
+      Seq(k, 3 * k, 10 * k).foreach { cand =>
+        var res: Map[Long, Set[Long]] = Map.empty
+        val (_, w) = time {
+          res = IvfIndex.searchTopKBatchAdcRerank(spark, dirPq,
+              servingProbes, k, nprobe = 4, cand = cand, corpus = floatCorpus)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        }
+        val hit = servingProbes.map { case (pid, _) =>
+          exactTop(pid).count(res.getOrElse(pid, Set.empty).contains) }.sum
+        val tot = servingProbes.map { case (pid, _) => exactTop(pid).size }.sum
+        println(f"""{"tool":"QuantBench","serving":"ivfpq_rerank","nprobe":4,""" +
+          f""""cand":$cand,"recall_at_$k":${hit.toDouble / tot}%.4f,""" +
+          f""""wall_s":$w%.1f}""")
+      }
     }
 
     // partial-probe sweep: ONE coarse quantizer saved both ways, so the

@@ -54,6 +54,74 @@ class BucketingSpec extends SparkTestBase {
         s"range decoded $rScan")
   }
 
+  test("interleaveBits: known-value pin (x=5, y=3, 3 bits -> 27)") {
+    import spark.implicits._
+    // x=0b101 occupies even bit positions, y=0b011 odd ones:
+    // bits 0,1,3,4 set -> 0b11011 = 27
+    val got = Seq((5L, 3L)).toDF("x", "y")
+      .select(Bucketing.interleaveBits(Seq(col("x"), col("y")), 3).as("z"))
+      .head().getLong(0)
+    assert(got === 27L)
+    // 3-dim pin: (1,1,1) -> bits 0,1,2 set = 7; (4,0,0) bits=3 -> bit 6
+    val got3 = Seq((1L, 1L, 1L)).toDF("x", "y", "z")
+      .select(Bucketing.interleaveBits(Seq(col("x"), col("y"), col("z")), 3))
+      .head().getLong(0)
+    assert(got3 === 7L)
+    val got4 = Seq((4L, 0L, 0L)).toDF("x", "y", "z")
+      .select(Bucketing.interleaveBits(Seq(col("x"), col("y"), col("z")), 3))
+      .head().getLong(0)
+    assert(got4 === 64L)
+  }
+
+  test("writeZOrdered: a 2-D box query decodes >=2x fewer rows than the 1-D sort") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("zorder_spec").toString
+    val n = 1000000L
+    // two INDEPENDENT uniform dimensions (distinct hash scrambles), the
+    // shape where a single-column sort leaves the other axis scattered
+    val df = spark.range(n).select(
+      col("id").as("row_id"),
+      pmod(xxhash64(col("id")), lit(n)).as("x"),
+      pmod(xxhash64(col("id"), lit(7)), lit(n)).as("y"))
+    // 64 KiB row groups: the box test needs enough granules that the
+    // z-curve's locality can show (40 granules cannot resolve a 1% box);
+    // at real scale TB-sized files vs 128 MiB groups give the same ratio
+    val opts = Map("parquet.block.size" -> (64 * 1024).toString,
+      "parquet.page.size" -> (16 * 1024).toString)
+    Bucketing.writeSorted(df, s"$dir/xsort", "x", partitions = 8, options = opts)
+    Bucketing.writeZOrdered(df, s"$dir/z", Seq("x", "y"), bits = 12,
+      partitions = 8, options = opts)
+    def run(path: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val q = spark.read.parquet(path).filter(pred)
+      val rows = q.collect().length.toLong
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scanned = plan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+      (scanned, rows)
+    }
+    // 10% x 10% box in the middle -> ~1% of rows selected
+    val box = col("x").between(n * 45 / 100, n * 55 / 100 - 1) &&
+      col("y").between(n * 45 / 100, n * 55 / 100 - 1)
+    val (xsBox, xsRows) = run(s"$dir/xsort", box)
+    val (zBox, zRows) = run(s"$dir/z", box)
+    assert(xsRows === zRows, "layouts must agree on the box answer")
+    assert(zRows > 0L)
+    assert(zBox * 2 <= xsBox,
+      s"z-order must out-prune the 1-D sort on a box: xsort decoded $xsBox, z decoded $zBox")
+    // y-only window: the x-sort cannot skip AT ALL on y; z-order can
+    val yOnly = col("y").between(n * 45 / 100, n * 46 / 100 - 1)
+    val (xsY, xsYRows) = run(s"$dir/xsort", yOnly)
+    val (zY, zYRows) = run(s"$dir/z", yOnly)
+    assert(xsYRows === zYRows)
+    assert(zY * 2 <= xsY,
+      s"z-order must out-prune the 1-D sort on the non-sort axis: $xsY vs $zY")
+  }
+
   test("join of two tables bucketed on the key plans without Exchange") {
     // (managed tables land in ./spark-warehouse — dropped in the cleanup)
     // disable auto-broadcast so an un-bucketed join WOULD shuffle

@@ -258,6 +258,60 @@ class IvfIndexSpec extends SparkTestBase {
       s"nprobe=2 must scan 2 cell directories:\n$pruned")
   }
 
+  test("ADC + exact re-rank: full-width candidates reproduce brute force; recall is monotone in cand") {
+    val pq = Pq.fit(emb, m = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rerank").toString
+    IvfIndex.saveQuantizedPq(model, dir, pq)
+    val probeIds = Seq(0L, 7L, 123L)
+    val probeVecs = probeIds.map { pid =>
+      pid -> emb.filter(col("vec_id") === pid)
+        .select("embedding").head().getSeq[Float](0).toArray
+    }
+    val n = emb.count().toInt
+    // cand = corpus + full probing == brute force bit-for-bit (the exact
+    // re-rank sees every row, scored by the same codegen dot + round)
+    val full = IvfIndex.searchTopKBatchAdcRerank(spark, dir, probeVecs,
+        k = 10, nprobe = 16, cand = n, corpus = emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    probeIds.foreach { pid =>
+      val brute = Similarity.cosineTopK(emb, pid, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full(pid) === brute, s"probe $pid: full-cand re-rank != brute force")
+    }
+    // recall@10 never decreases as cand grows (a true neighbor in the
+    // candidate set always survives an exact re-rank), and a modest
+    // cand already beats plain ADC top-k on this fixture
+    def recallAt(cand: Int): Double = {
+      val got = IvfIndex.searchTopKBatchAdcRerank(spark, dir, probeVecs,
+          k = 10, nprobe = 16, cand = cand, corpus = emb)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      probeIds.map { pid =>
+        val exact = Similarity.cosineTopK(emb, pid, 10)
+          .collect().map(_.getLong(0)).toSet
+        exact.count(got(pid).contains).toDouble / exact.size
+      }.sum / probeIds.size
+    }
+    val adcOnly = {
+      val got = IvfIndex.searchTopKBatchAdc(spark, dir, probeVecs, k = 10,
+          nprobe = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      probeIds.map { pid =>
+        val exact = Similarity.cosineTopK(emb, pid, 10)
+          .collect().map(_.getLong(0)).toSet
+        exact.count(got(pid).contains).toDouble / exact.size
+      }.sum / probeIds.size
+    }
+    val r50 = recallAt(50)
+    val r200 = recallAt(200)
+    assert(r50 >= adcOnly,
+      s"re-rank at cand=50 must not lose to plain ADC: $r50 vs $adcOnly")
+    assert(r200 >= r50, s"recall must be monotone in cand: $r200 vs $r50")
+    assert(r200 >= 0.8, s"cand=200 re-rank recall@10 was $r200")
+  }
+
   test("compact on a quantized index: codes schema intact, search unchanged") {
     // the full operational composition: quantized save -> many small
     // appends (micro-batch litter) -> compact -> search; compact is

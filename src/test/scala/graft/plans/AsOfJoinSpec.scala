@@ -51,6 +51,60 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got(3).isNullAt(3))                 // key 2: no curve at all
   }
 
+  test("forward / nearest / tolerance on a closed-form fixture") {
+    import spark.implicits._
+    val probes = Seq((1L, 10L), (1L, 20L), (1L, 35L), (2L, 5L)).toDF("k", "t")
+    val curve = Seq((1L, 12L, 12.0), (1L, 30L, 30.0), (2L, 100L, 100.0))
+      .toDF("ck", "ct", "cv")
+    def vals(direction: String, tol: Long = Long.MaxValue): Seq[Any] =
+      AsOfJoinOps.asof(probes, curve, "k", "ck", "t", "ct", direction, tol)
+        .orderBy("k", "t").collect().toSeq
+        .map(r => if (r.isNullAt(4)) null else r.getDouble(4))
+    // backward: last ct <= t
+    assert(vals("backward") === Seq(null, 12.0, 30.0, null))
+    // forward: first ct >= t
+    assert(vals("forward") === Seq(12.0, 30.0, null, 100.0))
+    // nearest: t=20 -> 12 (d8) beats 30 (d10); t=35 -> 30 (d5)
+    assert(vals("nearest") === Seq(12.0, 12.0, 30.0, 100.0))
+    // tolerance drops far matches: forward within 50 loses (2,5)->100 (d95)
+    assert(vals("forward", tol = 50L) === Seq(12.0, 30.0, null, null))
+    // backward within 5: t=20 (d8) drops, t=35 (d5) survives
+    assert(vals("backward", tol = 5L) === Seq(null, null, 30.0, null))
+    // nearest within 7: t=10 -> 12 (d2), t=20 -> null (d8/d10), t=35 -> 30
+    assert(vals("nearest", tol = 7L) === Seq(12.0, null, 30.0, null))
+  }
+
+  test("forward with an exact-time curve point returns that point") {
+    import spark.implicits._
+    val probes = Seq((1L, 10L), (1L, 11L)).toDF("k", "t")
+    val curve = Seq((1L, 10L, 1.0), (1L, 40L, 4.0)).toDF("ck", "ct", "cv")
+    val got = AsOfJoinOps.asof(probes, curve, "k", "ck", "t", "ct", "forward")
+      .orderBy("t").collect()
+    assert(got(0).getDouble(4) === 1.0) // rt == lt serves forward
+    assert(got(1).getDouble(4) === 4.0)
+  }
+
+  test("forward == backward-on-negated-times on sf0.001 events (duality)") {
+    // forward(t) over curve C == backward(-t) over C with times negated:
+    // a second, independent implementation path through the SAME operator
+    val e = Tables.events(spark, Sf0001)
+    val probes = e.select(col("event_id"), col("user_id"), col("ts"))
+    val curve = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(max(col("value")).as("c_val"))
+    val fwd = AsOfJoinOps.asof(probes, curve, "user_id", "c_user", "ts", "c_ts",
+        "forward")
+      .select(col("event_id"), col("c_ts"), col("c_val"))
+      .orderBy("event_id").collect().map(_.toSeq)
+    val neg = AsOfJoinOps.asof(
+        probes.withColumn("nts", -col("ts")),
+        curve.withColumn("nc_ts", -col("c_ts")),
+        "user_id", "c_user", "nts", "nc_ts")
+      .select(col("event_id"), col("c_ts"), col("c_val"))
+      .orderBy("event_id").collect().map(_.toSeq)
+    assert(fwd.toSeq === neg.toSeq)
+  }
+
   test("builder rejects non-long keys with a clear error") {
     import spark.implicits._
     val l = Seq((1.0, 1L)).toDF("k", "t")
