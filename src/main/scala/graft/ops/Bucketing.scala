@@ -83,13 +83,18 @@ object Bucketing {
     * Z-clustering makes every one of those ranges tight simultaneously, so
     * a box predicate (`x BETWEEN .. AND y BETWEEN ..`) skips row groups on
     * every axis — where a single-column sort only ever skips on its one
-    * sort column. Measured in `tools/ZOrderBench` and pinned in
-    * BucketingSpec: on a 10% x 10% box over 1M rows, the Z layout decodes
-    * ~5x fewer rows than the x-sorted layout and ~25x fewer than arrival
-    * order; a y-only window is ~10x vs the x-sort (which cannot skip at
-    * all on y). Cost model at 100 TB: pay one extra min/max pass + the
-    * same one shuffle every layout write pays, own every multi-axis scan
-    * after.
+    * sort column. Measured in `tools/ZOrderBench` (1M events, 256 KiB
+    * groups) and pinned in BucketingSpec: on a 10% x 10% (ts, user) box
+    * the Z layout decodes 2.7x fewer rows than the ts-sorted layout
+    * (38.9k vs 103.5k); on a user-only window — the 1-D sort's blind
+    * spot — 5.9x fewer (ts-sort decodes the full corpus). The honest
+    * flip side, also measured: a pure-ts 1% window decodes ~10x MORE
+    * than the dedicated ts sort (122k vs 11.6k; the curve chops time
+    * runs into grid slabs), so Z-order is the right layout exactly when
+    * more than one axis is ever filtered — it trades a constant factor
+    * of best-case for a bounded worst-case on every axis. Cost model at
+    * 100 TB: pay one extra min/max pass + the same one shuffle every
+    * layout write pays, own every multi-axis scan after.
     *
     * `bits` is capped so the composite key fits a long; 12 bits/dim
     * resolves 4096 grid cells per axis, far below row-group granularity

@@ -39,8 +39,11 @@ object ZOrderBench {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // 1 MiB row groups: surfaces row-group skipping at 1M-row scale
-      .config("parquet.block.size", (1 << 20).toString)
+      // 256 KiB row groups / 32 KiB pages: ~100+ granules at 1M-row
+      // scale, enough resolution for a 1% box (at real scale TB-sized
+      // files against 128 MiB groups have far MORE granules than this)
+      .config("parquet.block.size", (256 << 10).toString)
+      .config("parquet.page.size", (32 << 10).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -170,6 +170,32 @@ class PlanAuditSpec extends SparkTestBase {
       s"funnel must stay linear:\n$p")
   }
 
+  test("q_gopher_rules is one narrow map pass — no Generate, no join, no agg") {
+    val p = plan("q_gopher_rules")
+    assert(!p.contains("Generate"), s"rule battery must not explode tokens:\n$p")
+    assert(!p.contains("Join"), s"rule battery must not join:\n$p")
+    assert(!p.contains("Aggregate"), s"rule battery must not aggregate:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 1, s"only the terminal sort may shuffle:\n$p")
+  }
+
+  test("q_boilerplate_scrub broadcasts the boilerplate set; the scrub pass never re-shuffles the corpus") {
+    val p = plan("q_boilerplate_scrub")
+    // the boilerplate list reaches the corpus as a broadcast single row —
+    // the scrub side must be a broadcast nested loop (1-row cross), never
+    // a hash-partitioned join of the corpus against the chunk table
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"boilerplate set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against the boilerplate set:\n$p")
+  }
+
+  test("q_asof_forward is served by the custom AsOfJoin physical operator") {
+    val p = plan("q_asof_forward")
+    assert(p.contains("AsOfJoin"), s"forward as-of must use AsOfJoinExec:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"not a generic join:\n$p")
+  }
+
   test("q_grouping_id is a single expand + aggregate, one shuffle") {
     val p = plan("q_grouping_id")
     assert(p.contains("Expand"), p)
