@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches + incremental summary maintenance: the split-merge
+  * invariance that licenses per-batch ingest aggregation, estimate
+  * accuracy against exact distincts, and the maintained-summary ==
+  * from-scratch-summary contract through the staged parquet swap.
+  */
+class SketchesSpec extends SparkTestBase {
+
+  private def events = Tables.events(spark, Sf0001)
+  private val Keys = Seq("event_type")
+
+  test("union-merged per-batch sketches == one-shot sketch, bit-identical estimates") {
+    val whole = Sketches.report(
+        Sketches.summarize(events, Keys, "value", "user_id"))
+      .select(col("event_type"), col("n_distinct"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // split the facts three ways on an unrelated axis, summarize each
+    // split independently, merge the summaries
+    val parts = Seq(0, 1, 2).map(i =>
+      Sketches.summarize(events.filter(pmod(col("event_id"), lit(3)) === i),
+        Keys, "value", "user_id"))
+    val merged = Sketches.report(
+        Sketches.merge(parts.reduce(_ unionByName _), Keys))
+      .select(col("event_type"), col("n_distinct"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(merged === whole,
+      "sketch merge must be exactly split-invariant (register max is associative)")
+  }
+
+  test("estimates land within 2% of exact distinct counts") {
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val est = Sketches.report(
+        Sketches.summarize(events, Keys, "value", "user_id"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_distinct"))).toMap
+    exact.foreach { case (k, d) =>
+      assert(math.abs(est(k) - d) <= math.max(1L, (d * 0.02).toLong),
+        s"$k: estimate ${est(k)} vs exact $d")
+    }
+    // algebraic measures are exact, not estimated
+    val sums = Sketches.report(
+        Sketches.summarize(events, Keys, "value", "user_id"))
+      .select(col("event_type"), col("n_rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val wantN = events.groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sums === wantN)
+  }
+
+  test("summaries are partitioning-independent") {
+    def est(parts: Int): Map[String, Long] = Sketches.report(
+        Sketches.summarize(events.repartition(parts), Keys, "value", "user_id"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_distinct"))).toMap
+    assert(est(2) === est(7))
+  }
+
+  test("maintain: three incremental batches == one from-scratch summary (through disk)") {
+    val dir = java.nio.file.Files.createTempDirectory("summary").toString + "/s"
+    val batches = Seq(
+      events.filter(col("event_id") % 3 === 0),
+      events.filter(col("event_id") % 3 === 1),
+      events.filter(col("event_id") % 3 === 2))
+    batches.foreach(b =>
+      Sketches.maintain(spark, dir, b, Keys, "value", "user_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = Sketches.report(df)
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getAs[Long]("n_distinct")))
+    val maintained = rows(spark.read.parquet(dir))
+    val scratch = rows(Sketches.summarize(events, Keys, "value", "user_id"))
+    assert(maintained.length === scratch.length)
+    maintained.zip(scratch).foreach { case (m, s) =>
+      assert(m._1 === s._1 && m._2 === s._2 && m._6 === s._6,
+        s"key/count/distinct must match exactly: $m vs $s")
+      assert(m._4 === s._4 && m._5 === s._5, s"min/max exact: $m vs $s")
+      // double sums re-associate across batch partials: equal to 1e-9 rel
+      assert(math.abs(m._3 - s._3) <= 1e-9 * math.max(1.0, math.abs(s._3)),
+        s"sum drift: $m vs $s")
+    }
+    // the summary is key-bounded: as many rows as event types
+    assert(spark.read.parquet(dir).count() ===
+      events.select("event_type").distinct().count())
+  }
+}
