@@ -69,6 +69,30 @@ object Sketches {
     fs.rename(tmp, p)
   }
 
+  /** Streaming twin of [[maintain]]: fold each micro-batch of a stream
+    * into the stored summary. `foreachBatch` is the right sink — a
+    * maintenance call is a whole-frame merge + staged swap, not a row
+    * append — and the streaming checkpoint makes ingest restartable at
+    * micro-batch granularity (at-least-once: a replayed batch re-merges
+    * its rows, which shifts sketches/sums by the duplicated delta — run
+    * exactly-once sources or dedup upstream where that matters, the
+    * standard non-transactional-sink contract). With this, the summary
+    * is continuously queryable while the fact stream lands: the "live
+    * distinct users per segment" dashboard never scans facts.
+    */
+  def maintainStream(path: String, stream: DataFrame, checkpoint: String,
+                     keys: Seq[String], valueCol: String, distinctCol: String,
+                     lgK: Int = 12): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epoch: Long) =>
+        if (!batch.isEmpty)
+          maintain(batch.sparkSession, path, batch, keys, valueCol,
+            distinctCol, lgK)
+      }
+      .start()
+
   /** Readable view of a summary: estimates materialized from the
     * sketches (plus exact algebraic measures and the derived mean).
     */

@@ -122,6 +122,50 @@ class BucketingSpec extends SparkTestBase {
       s"z-order must out-prune the 1-D sort on the non-sort axis: $xsY vs $zY")
   }
 
+  test("writeZOrdered 3-D: the reference box predicate (SpecimenCut.Box) prunes multiplicatively") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import graft.pipeline.SpecimenCut
+    val dir = java.nio.file.Files.createTempDirectory("zorder3_spec").toString
+    val n = 1000000L
+    // a 3-D point cloud in [0, 200)^3 — the facet-centroid shape the
+    // reference's TestInsideBox filter (SURVEY P2) runs over
+    val pts = spark.range(n).select(
+      col("id").as("pt_id"),
+      (pmod(xxhash64(col("id")), lit(n)) / lit(n / 200)).as("x"),
+      (pmod(xxhash64(col("id"), lit(1)), lit(n)) / lit(n / 200)).as("y"),
+      (pmod(xxhash64(col("id"), lit(2)), lit(n)) / lit(n / 200)).as("z"))
+    val opts = Map("parquet.block.size" -> (64 * 1024).toString,
+      "parquet.page.size" -> (16 * 1024).toString)
+    Bucketing.writeSorted(pts, s"$dir/xsort", "x", partitions = 8, options = opts)
+    Bucketing.writeZOrdered(pts, s"$dir/z", Seq("x", "y", "z"), bits = 12,
+      partitions = 8, options = opts)
+    // a 20%-per-axis box around the center: 0.8% of rows, the specimen-
+    // cut shape (SpecimenCut.Box.contains is the SAME predicate the
+    // pipeline's cutBySolid applies to facet vertices)
+    val box = SpecimenCut.Box(80, 120, 80, 120, 80, 120)
+    def run(path: String): (Long, Long) = {
+      val q = spark.read.parquet(path)
+        .filter(box.contains(col("x"), col("y"), col("z")))
+      val rows = q.collect().length.toLong
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scanned = plan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+      (scanned, rows)
+    }
+    val (xsScan, xsRows) = run(s"$dir/xsort")
+    val (zScan, zRows) = run(s"$dir/z")
+    assert(xsRows === zRows, "layouts must agree on the box answer")
+    assert(zRows > 0L)
+    assert(zScan * 2 <= xsScan,
+      s"3-D z-order must out-prune the 1-D sort on the specimen box: " +
+        s"xsort decoded $xsScan, z decoded $zScan")
+  }
+
   test("join of two tables bucketed on the key plans without Exchange") {
     // (managed tables land in ./spark-warehouse — dropped in the cleanup)
     // disable auto-broadcast so an un-bucketed join WOULD shuffle

@@ -59,6 +59,36 @@ class SketchesSpec extends SparkTestBase {
     assert(est(2) === est(7))
   }
 
+  test("maintainStream: micro-batched maintenance == one from-scratch summary") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("summary_stream")
+      .toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("summary_ck").toString
+    val rows = events.select(col("event_type"), col("value"), col("user_id"))
+      .as[(String, Double, Long)].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double, Long)]
+    val q = Sketches.maintainStream(dir,
+      mem.toDF().toDF("event_type", "value", "user_id"), ckpt,
+      Keys, "value", "user_id")
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Sketches.report(spark.read.parquet(dir))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Long]("n_distinct")))
+    val scratch = Sketches.report(
+        Sketches.summarize(events, Keys, "value", "user_id"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Long]("n_distinct")))
+    assert(streamed.toSeq === scratch.toSeq,
+      "streamed maintenance must equal the one-shot summary")
+  }
+
   test("maintain: three incremental batches == one from-scratch summary (through disk)") {
     val dir = java.nio.file.Files.createTempDirectory("summary").toString + "/s"
     val batches = Seq(
