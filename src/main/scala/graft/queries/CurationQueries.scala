@@ -195,14 +195,23 @@ object CurationQueries {
     // shuffle touches the corpus on the rewrite side.
     "q_boilerplate_scrub" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tk = split(trim(col("text")), "\\s+")
-      val nChunks = floor((size(tk) + lit(1)) / lit(2)).cast("long")
-      val chunksC = transform(sequence(lit(0L), nChunks - 1),
-        i => array_join(slice(tk, (i * 2 + 1).cast("int"), lit(2)), " "))
-      val chunked = docs.select(col("doc_id"), chunksC.as("chunks"))
+      // tokens materialize in their OWN projection: referencing the split
+      // inside the transform lambda would re-run the regex split once per
+      // chunk index (no CSE across lambda boundaries — measured 2.5x on
+      // this query), and CollapseProject keeps a multi-referenced
+      // non-cheap alias un-inlined
+      val toks = docs.select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("tk"))
+      val nChunks = floor((size(col("tk")) + lit(1)) / lit(2)).cast("long")
+      val chunked = toks.select(col("doc_id"),
+        transform(sequence(lit(0L), nChunks - 1),
+          i => array_join(slice(col("tk"), (i * 2 + 1).cast("int"), lit(2)),
+            " ")).as("chunks"))
+      // per-doc array_distinct at the source turns COUNT(DISTINCT doc) into
+      // a plain count — one aggregation phase instead of a distinct-agg
       val counts = chunked
-        .select(col("doc_id"), explode(col("chunks")).as("chunk"))
-        .groupBy("chunk").agg(countDistinct("doc_id").as("nd"))
+        .select(col("doc_id"), explode(array_distinct(col("chunks"))).as("chunk"))
+        .groupBy("chunk").agg(count(lit(1)).as("nd"))
       val totalDf = docs.agg(count(lit(1)).as("n_total"))
       val blRow = counts.crossJoin(broadcast(totalDf))
         .filter(col("nd") * 20 > col("n_total"))
@@ -226,8 +235,13 @@ object CurationQueries {
     // narrow codegen map pass over the corpus, no shuffle but the output
     // sort (plan-pinned in PlanAuditSpec).
     "q_gopher_rules" -> ((s, d) => {
-      val tk = split(trim(col("text")), "\\s+")
-      val m = Tables.documents(s, d).select(col("doc_id"),
+      // tokens in their own projection — five rule measures reference the
+      // token array, and inlining the split would re-run the regex five
+      // times per row (same CSE boundary as q_boilerplate_scrub)
+      val tk = col("tk")
+      val m = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+        .select(col("doc_id"),
         size(tk).cast("long").as("n_tok"),
         aggregate(transform(tk, t => length(t).cast("long")), lit(0L),
           (acc, x) => acc + x).as("sum_len"),
