@@ -26,25 +26,48 @@ object Sketches {
     * One hash aggregate with map-side partials; output is key-bounded.
     */
   def summarize(batch: DataFrame, keys: Seq[String], valueCol: String,
-                distinctCol: String, lgK: Int = 12): DataFrame =
-    batch.groupBy(keys.map(col): _*).agg(
+                distinctCol: String, lgK: Int = 12,
+                hist: Option[HistSpec] = None): DataFrame = {
+    val base = Seq(
       count(lit(1)).as("n_rows"),
       sum(col(valueCol)).as("sum_v"),
       min(col(valueCol)).as("min_v"),
       max(col(valueCol)).as("max_v"),
       hll_sketch_agg(col(distinctCol), lit(lgK)).as("distinct_hll"))
+    val aggs = base ++ hist.map { h =>
+      org.apache.spark.sql.functions.udaf(new graft.functions.BinCountAgg(h.bins))
+        .apply(width_bucket(col(valueCol), lit(h.lo), lit(h.hi), lit(h.bins)))
+        .as("value_hist")
+    }
+    batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fixed-bin histogram declaration for [[summarize]]: `bins` equal-width
+    * bins over [lo, hi) plus under/overflow slots (width_bucket layout) —
+    * nbins+2 longs per summary row, exact counts, mergeable by vector
+    * addition. Bin edges are part of the summary CONTRACT (like the HLL
+    * lgK or a quantizer grid): every batch folded into one summary must
+    * use the same spec, and quantile reads are exact to one bin width.
+    */
+  final case class HistSpec(lo: Double, hi: Double, bins: Int)
 
   /** Merge summary row sets (any number of batches' summaries unioned):
     * algebraic measures re-aggregate, sketches union-merge. The input is
     * summaries — key-bounded — so this never touches fact rows.
     */
-  def merge(summaries: DataFrame, keys: Seq[String]): DataFrame =
-    summaries.groupBy(keys.map(col): _*).agg(
+  def merge(summaries: DataFrame, keys: Seq[String]): DataFrame = {
+    val base = Seq(
       sum(col("n_rows")).as("n_rows"),
       sum(col("sum_v")).as("sum_v"),
       min(col("min_v")).as("min_v"),
       max(col("max_v")).as("max_v"),
       hll_union_agg(col("distinct_hll")).as("distinct_hll"))
+    val aggs = base ++ (if (summaries.columns.contains("value_hist"))
+      Seq(org.apache.spark.sql.functions.udaf(graft.functions.VecSumLongAgg)
+        .apply(col("value_hist")).as("value_hist"))
+    else Nil)
+    summaries.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Fold one new fact batch into the summary at `path` (creating it on
     * first call): summarize the DELTA only, merge with the stored
@@ -56,8 +79,8 @@ object Sketches {
     */
   def maintain(spark: SparkSession, path: String, batch: DataFrame,
                keys: Seq[String], valueCol: String, distinctCol: String,
-               lgK: Int = 12): Unit = {
-    val delta = summarize(batch, keys, valueCol, distinctCol, lgK)
+               lgK: Int = 12, hist: Option[HistSpec] = None): Unit = {
+    val delta = summarize(batch, keys, valueCol, distinctCol, lgK, hist)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
@@ -101,4 +124,32 @@ object Sketches {
       summary.columns.filterNot(_ == "distinct_hll").map(col) :+
         hll_sketch_estimate(col("distinct_hll")).as("n_distinct"): _*)
       .withColumn("mean_v", col("sum_v") / col("n_rows"))
+
+  /** Quantile read off a summary histogram: the value at the lower edge
+    * of the bin where the cumulative count crosses `q * total` — exact
+    * to one bin width by construction (under/overflow slots clamp to
+    * the declared range). Runs on collected summary rows (key-bounded
+    * by contract, like every summary read).
+    */
+  def histQuantile(hist: Seq[Long], spec: HistSpec, q: Double): Double = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0,1]: $q")
+    val total = hist.sum
+    if (total == 0L) return Double.NaN
+    val target = math.max(1L, math.ceil(q * total).toLong)
+    val width = (spec.hi - spec.lo) / spec.bins
+    var cum = 0L
+    var i = 0
+    while (i < hist.length) {
+      cum += hist(i)
+      if (cum >= target) {
+        // bin 0 = underflow, bin i in [1, bins] covers
+        // [lo + (i-1)*width, lo + i*width), bin bins+1 = overflow
+        return if (i == 0) spec.lo
+        else if (i > spec.bins) spec.hi
+        else spec.lo + (i - 1) * width
+      }
+      i += 1
+    }
+    spec.hi
+  }
 }

@@ -59,6 +59,47 @@ class SketchesSpec extends SparkTestBase {
     assert(est(2) === est(7))
   }
 
+  test("histogram measures: split-merge count-exact; quantiles within one bin width of exact") {
+    // declared range from the data envelope (at ingest you'd use domain
+    // knowledge or a first-batch min/max): values outside land in the
+    // clamp slots, so the range IS part of the accuracy contract
+    val env = events.agg(min("value"), max("value")).head()
+    val hs = Sketches.HistSpec(math.floor(env.getDouble(0)),
+      math.ceil(env.getDouble(1)) + 1.0, 100)
+    def hists(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
+      df.select(col("event_type"), col("value_hist"))
+        .collect().map(r => (r.getString(0), r.getSeq[Long](1).toSeq)).toMap
+    val whole = Sketches.summarize(events, Keys, "value", "user_id",
+      hist = Some(hs))
+    // counts are exact longs: split-summarize-merge must be bit-equal
+    val parts = Seq(0, 1, 2).map(i =>
+      Sketches.summarize(events.filter(pmod(col("event_id"), lit(3)) === i),
+        Keys, "value", "user_id", hist = Some(hs)))
+    val merged = Sketches.merge(parts.reduce(_ unionByName _), Keys)
+    assert(hists(merged) === hists(whole))
+    // every histogram covers exactly its group's rows
+    val nRows = events.groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    hists(whole).foreach { case (k, h) => assert(h.sum === nRows(k), k) }
+    // quantile off the histogram lands within one bin width of exact
+    val binW = (hs.hi - hs.lo) / hs.bins
+    for (et <- nRows.keys; q <- Seq(0.5, 0.95)) {
+      val vals = events.filter(col("event_type") === et)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      val exact = vals(math.max(0, math.ceil(q * vals.length).toInt - 1))
+      val got = Sketches.histQuantile(hists(whole)(et), hs, q)
+      assert(math.abs(got - exact) <= binW,
+        s"$et p$q: hist says $got, exact $exact (bin width $binW)")
+    }
+    // maintained-with-hist through disk == from-scratch
+    val dir = java.nio.file.Files.createTempDirectory("summary_hist")
+      .toString + "/s"
+    Seq(0, 1, 2).foreach(i => Sketches.maintain(spark, dir,
+      events.filter(col("event_id") % 3 === i), Keys, "value", "user_id",
+      hist = Some(hs)))
+    assert(hists(spark.read.parquet(dir)) === hists(whole))
+  }
+
   test("maintainStream: micro-batched maintenance == one from-scratch summary") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
