@@ -217,6 +217,60 @@ object Graph {
   }
 
   /** Degree table of an undirected edge frame. */
+  /** Fixed-iteration PageRank over a directed edge frame (src, dst) —
+    * the second instance of the G4 iterate(join-along-edges → aggregate-
+    * at-vertices → update) shape, with dense per-round messages where CC
+    * contracts toward a sparse fixed point. Each round is: ranks join
+    * out-degrees (co-partitioned on node), contributions flow along the
+    * edge join, one hash aggregate per destination sums them, and dangling
+    * mass (nodes with no out-edges) redistributes uniformly — the
+    * textbook power iteration, expressed as two equi-joins + one
+    * aggregate per round (never a matrix, never a collect of anything
+    * node-sized; the dangling term is ONE scalar per round). Lineage cut
+    * per round with eager localCheckpoints, superseded rounds unpersisted
+    * — the same hygiene as [[connectedComponentsResult]] (the CC round-4
+    * lesson: unbounded iterative lineage re-resolves the whole history
+    * every round).
+    *
+    * Returns (node_id, rank) with sum(rank) == n (the "rank mass = node
+    * count" convention, so a node's rank is its relative importance ×1).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10,
+               damping: Double = 0.85): DataFrame = {
+    val e = edges.selectExpr("cast(src as long) as src", "cast(dst as long) as dst")
+      .na.drop().distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node_id"))
+      .unionByName(e.select(col("dst").as("node_id")))
+      .distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    val outDeg = e.groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).as("out_deg")).localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val withDeg = ranks.join(outDeg, Seq("node_id"), "left")
+      // dangling nodes hold rank but emit no edge contributions: their
+      // mass re-enters uniformly (one scalar aggregate, never a row set)
+      val danglingMass = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val contribs = withDeg.filter(col("out_deg").isNotNull)
+        .select(col("node_id").as("src"), (col("rank") / col("out_deg")).as("c"))
+        .join(e, Seq("src"))
+        .groupBy(col("dst").as("node_id"))
+        .agg(sum("c").as("in_sum"))
+      val next = nodes.join(contribs, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (lit(1.0 - damping) +
+            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
+              lit(danglingMass / n))).as("rank"))
+        .localCheckpoint()
+      Bridge.unpersistLocalCheckpoint(ranks)
+      ranks = next
+      i += 1
+    }
+    ranks
+  }
+
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("src").as("node_id"))
       .unionAll(edges.select(col("dst").as("node_id")))

@@ -112,4 +112,51 @@ class GraphSpec extends SparkTestBase {
       .filter(col("c1") =!= col("c2")).count()
     assert(crossEdges === 0)
   }
+
+  test("pageRank: cycle graph is the uniform fixed point; mass conserved") {
+    import spark.implicits._
+    // directed 5-cycle: rank 1.0 at every node is exactly stationary for
+    // any damping, so every iterate must return it unchanged
+    val n = 5
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val pr = Graph.pageRank(edges, iters = 7).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(pr.size === n)
+    pr.values.foreach(v => assert(math.abs(v - 1.0) < 1e-12, pr.toString))
+  }
+
+  test("pageRank: hub collects rank; dangling mass is redistributed, total conserved") {
+    import spark.implicits._
+    // leaves 1..6 all point at hub 0; hub has no out-edges (dangling)
+    val edges = (1 to 6).map(i => (i.toLong, 0L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, iters = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val leaves = (1 to 6).map(i => pr(i.toLong))
+    assert(leaves.forall(v => math.abs(v - leaves.head) < 1e-12),
+      "symmetric leaves must tie")
+    assert(pr(0L) > 2.0 * leaves.head, s"hub must dominate: $pr")
+    assert(math.abs(pr.values.sum - 7.0) < 1e-9,
+      s"rank mass must equal node count: ${pr.values.sum}")
+  }
+
+  test("pageRank: partitioning-independent and deterministic on a seeded graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 400)
+      .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    def run(parts: Int): Seq[(Long, Double)] =
+      Graph.pageRank(edges.repartition(parts), iters = 8).orderBy("node_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val a = run(3)
+    val b = run(9)
+    assert(a.map(_._1) === b.map(_._1))
+    a.zip(b).foreach { case ((_, x), (_, y)) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+        s"rank drift across partitionings: $x vs $y")
+    }
+    // mass conservation on the random graph too
+    assert(math.abs(a.map(_._2).sum - a.length) < 1e-6)
+  }
 }
