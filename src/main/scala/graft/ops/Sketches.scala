@@ -105,14 +105,14 @@ object Sketches {
     */
   def maintainStream(path: String, stream: DataFrame, checkpoint: String,
                      keys: Seq[String], valueCol: String, distinctCol: String,
-                     lgK: Int = 12): org.apache.spark.sql.streaming.StreamingQuery =
+                     lgK: Int = 12, hist: Option[HistSpec] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        epoch: Long) =>
         if (!batch.isEmpty)
           maintain(batch.sparkSession, path, batch, keys, valueCol,
-            distinctCol, lgK)
+            distinctCol, lgK, hist)
       }
       .start()
 
