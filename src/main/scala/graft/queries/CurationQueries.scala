@@ -87,6 +87,23 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact-k deterministic sample per group: the "give me 20 docs per
+    // language to eyeball" request, answered reproducibly — rank by the
+    // md5 of the id (an engine-independent uniform-ish scramble; never
+    // rand(), which re-draws every run) and keep the first k per
+    // language. One window over the group key; k rows per group out.
+    // Complements q_stratified_sample (rate-based) with count-based
+    // sampling.
+    "q_sample_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 20)
+        .orderBy("lang", "rnk")
+    }),
+
     // Temperature-scaled domain mixing weights: per-source token mass
     // raised to alpha=0.5 and normalized — the sampling-weight table a
     // trainer consumes to rebalance head vs tail domains. Two tiny
@@ -312,6 +329,9 @@ object CurationQueries {
     "q_stratified_sample" ->
       ("""WITH b AS (SELECT doc_id, lang, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER) AS bucket FROM documents) """ +
         """SELECT doc_id, lang, bucket FROM b WHERE bucket < CASE WHEN lang = 'en' THEN 64 WHEN lang IN ('fr','de') THEN 128 WHEN lang = 'es' THEN 192 ELSE 256 END ORDER BY doc_id"""),
+    "q_sample_per_group" ->
+      ("""WITH r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk FROM documents) """ +
+        """SELECT doc_id, lang, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= 20 ORDER BY lang, rnk"""),
     "q_domain_mix" ->
       ("""WITH t AS (SELECT source, COUNT(*) AS n_docs, SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS n_tokens FROM documents GROUP BY source), """ +
         """s AS (SELECT source, n_docs, n_tokens, POWER(CAST(n_tokens AS DOUBLE), 0.5) AS w_raw FROM t) """ +

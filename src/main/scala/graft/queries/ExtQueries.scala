@@ -85,6 +85,54 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Ordered-sequence funnel (signup -> later click -> later purchase):
+    // the product-analytics staple, computed as three stacked windows
+    // over ONE user partitioning — each stage's first-hit time is a
+    // conditional min over the previous stage's (per-user-constant)
+    // time, so the whole funnel costs a single Exchange + three Window
+    // passes, never a self-join per stage. Times are epoch-ns longs:
+    // exact integer compares on both engines.
+    "q_event_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val perUser = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("s_ts",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("c_ts",
+          min(when(col("event_type") === "click" && col("ts") > col("s_ts"),
+            col("ts"))).over(w))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"),
+            col("ts"))).over(w))
+        .groupBy("user_id").agg(max("s_ts").as("s_ts"),
+          max("c_ts").as("c_ts"), max("p_ts").as("p_ts"))
+      perUser.agg(
+        count(col("s_ts")).as("n_signup"),
+        count(col("c_ts")).as("n_click_after"),
+        count(col("p_ts")).as("n_purchase_after"))
+    }),
+
+    // Cohort retention: users grouped by their first-seen week, counted
+    // per activity-week offset — the (cohort x age) retention matrix.
+    // Cohort assignment is one min-over-user window sharing the same
+    // Exchange as the funnel shape; week math is integer division on
+    // epoch-ms, bit-exact across engines.
+    "q_cohort_retention" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val weekMs = 604800000L
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d).select(col("user_id"), col("ts_ms"))
+        .withColumn("first_ms", min("ts_ms").over(w))
+        .select(col("user_id"),
+          expr(s"first_ms div $weekMs").as("cohort_week"),
+          (expr(s"ts_ms div $weekMs") - expr(s"first_ms div $weekMs"))
+            .as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // G5 — gap-based sessionization (batch twin; streaming version uses
     // session_window, see graft.streaming).
     "q_sessionize" -> ((s, d) => {
@@ -352,6 +400,18 @@ object ExtQueries {
       """WITH curve AS (SELECT user_id, ts, MAX(value) AS value FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) SELECT e.event_id, (SELECT CAST(epoch_ms(s.ts) AS BIGINT) FROM curve s WHERE s.user_id = e.user_id AND epoch_ns(s.ts) >= epoch_ns(e.ts) AND epoch_ns(s.ts) - epoch_ns(e.ts) <= 3600000000000 ORDER BY s.ts ASC LIMIT 1) AS next_ms, (SELECT s.value FROM curve s WHERE s.user_id = e.user_id AND epoch_ns(s.ts) >= epoch_ns(e.ts) AND epoch_ns(s.ts) - epoch_ns(e.ts) <= 3600000000000 ORDER BY s.ts ASC LIMIT 1) AS next_val FROM events e ORDER BY e.event_id""",
     "q_multimodal_join" ->
       """SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INTEGER) AS emb_dim FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id""",
+    "q_event_funnel" ->
+      ("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events), """ +
+        """a AS (SELECT *, MIN(CASE WHEN event_type = 'signup' THEN t END) OVER (PARTITION BY user_id) AS s_ts FROM e), """ +
+        """b AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND t > s_ts THEN t END) OVER (PARTITION BY user_id) AS c_ts FROM a), """ +
+        """c AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t > c_ts THEN t END) OVER (PARTITION BY user_id) AS p_ts FROM b), """ +
+        """u AS (SELECT user_id, MAX(s_ts) AS s_ts, MAX(c_ts) AS c_ts, MAX(p_ts) AS p_ts FROM c GROUP BY user_id) """ +
+        """SELECT COUNT(s_ts) AS n_signup, COUNT(c_ts) AS n_click_after, COUNT(p_ts) AS n_purchase_after FROM u"""),
+    "q_cohort_retention" ->
+      ("""WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events), """ +
+        """f AS (SELECT user_id, ms, MIN(ms) OVER (PARTITION BY user_id) AS first_ms FROM e) """ +
+        """SELECT first_ms // 604800000 AS cohort_week, ms // 604800000 - first_ms // 604800000 AS week_offset, """ +
+        """CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM f GROUP BY 1, 2 ORDER BY 1, 2"""),
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events), f AS (SELECT user_id, event_id, ms, CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000 THEN 1 ELSE 0 END AS new_s FROM e), g AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM f) SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_tumbling_window" ->
