@@ -61,6 +61,80 @@ object TextOps {
     agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
 
+  /** BPE-style merge training over the corpus (word-level: the classic
+    * byte-pair loop applied to whitespace tokens, so frequent adjacent
+    * pairs fuse into phrase units — the exact algorithm/dataflow of
+    * subword BPE, demonstrated at the granularity this corpus has).
+    * Each round is:
+    *
+    *   1. count adjacent pairs: one narrow pair-expansion map + ONE hash
+    *      aggregate (map-side partials absorb the heavy head),
+    *   2. pick the most frequent pair (ties break lexicographically — a
+    *      deterministic, partitioning-independent choice); this is a
+    *      driver-side TOP-1, bounded by construction,
+    *   3. apply the merge corpus-wide as a greedy left-to-right fold
+    *      INSIDE a codegen `aggregate` lambda — a narrow map pass, no
+    *      shuffle, no UDF.
+    *
+    * So training n merges costs n (shuffle + map) rounds — the honest
+    * cost of BPE, which is sequential by definition (merge r+1's counts
+    * depend on merge r's corpus). Lineage is cut per round with an eager
+    * localCheckpoint (the CC lesson: iterative plans re-resolve their
+    * whole history otherwise). Merged units join their parts with
+    * `\\u0001` so they can never collide with a real token.
+    *
+    * Returns (merge list in training order, final tokenized corpus as
+    * (id, toks)).
+    */
+  def trainPhraseMerges(docs: DataFrame, idCol: String, textCol: String,
+                        nMerges: Int): (Seq[(String, String)], DataFrame) = {
+    val Sep = "\u0001"
+    var corpus = docs.select(col(idCol).as("id"),
+        tokens(col(textCol)).as("toks"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      // adjacent pairs as zip(toks[1..n-1], toks[2..n]) — slice-based so a
+      // single-token document yields an empty pair list (sequence(1, 0)
+      // would count DOWN and index out of bounds)
+      val pairRows = corpus.select(explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), " +
+            "slice(toks, 2, size(toks) - 1), (a, b) -> struct(a as a, b as b))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (pairRows.isEmpty || pairRows.head.getLong(2) < 2L) done = true
+      else {
+        val (a, b) = (pairRows.head.getString(0), pairRows.head.getString(1))
+        merges += ((a, b))
+        val merged = a + Sep + b
+        // greedy left-to-right fold: [..., a, b, ...] -> [..., a⊕b, ...];
+        // only cheap refs (the fold's own acc/x and literals) appear in
+        // the lambda — the lambda-CSE rule (see q_boilerplate_scrub)
+        val next = corpus.select(col("id"), expr(
+            s"""aggregate(toks, cast(array() as array<string>), (acc, x) ->
+               |  CASE WHEN size(acc) > 0
+               |        AND element_at(acc, -1) = '${sqlEsc(a)}'
+               |        AND x = '${sqlEsc(b)}'
+               |  THEN concat(slice(acc, 1, size(acc) - 1),
+               |              array('${sqlEsc(merged)}'))
+               |  ELSE concat(acc, array(x)) END)""".stripMargin)
+            .as("toks"))
+          .localCheckpoint()
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(corpus)
+        corpus = next
+        r += 1
+      }
+    }
+    (merges.toSeq, corpus)
+  }
+
+  private def sqlEsc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+
   /** Rolling/chunked document fingerprint: md5 over (length | concatenated
     * per-64-char-chunk md5s) — a content-defined signature that localizes
     * edits to one chunk (rolling-hash style) while staying expressible in

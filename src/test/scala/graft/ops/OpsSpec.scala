@@ -158,4 +158,45 @@ class OpsSpec extends SparkTestBase {
     // all fixture texts are distinct -> all fingerprints distinct
     assert(fp.select(countDistinct("fp")).head().getLong(0) === docs.count())
   }
+
+  test("trainPhraseMerges: closed-form BPE rounds on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val (merges, corpus) = TextOps.trainPhraseMerges(docs, "doc_id", "text", 5)
+    val ab = "a\u0001b"
+    val abc = ab + "\u0001c"
+    // round 1: (a,b) x3 wins; round 2: (a+b, c) x2 wins; then every
+    // adjacent pair is unique -> early stop
+    assert(merges === Seq(("a", "b"), (ab, "c")))
+    val toks = corpus.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toMap
+    assert(toks(1L) === Seq(ab, abc), toks.toString) // greedy left-to-right
+    assert(toks(2L) === Seq(abc))
+  }
+
+  test("trainPhraseMerges: no repeating pair -> zero merges; corpus unchanged") {
+    import spark.implicits._
+    val docs = Seq((1L, "p q r"), (2L, "s t u")).toDF("doc_id", "text")
+    val (merges, corpus) = TextOps.trainPhraseMerges(docs, "doc_id", "text", 4)
+    assert(merges.isEmpty)
+    assert(corpus.select(org.apache.spark.sql.functions.explode(col("toks")))
+      .count() === 6L)
+  }
+
+  test("trainPhraseMerges: deterministic and partitioning-independent on real docs") {
+    val docs = graft.Tables.documents(spark, Sf0001).limit(120)
+    def train(parts: Int) = TextOps.trainPhraseMerges(
+      docs.repartition(parts), "doc_id", "text", 3)._1
+    val a = train(2)
+    val b = train(7)
+    assert(a.length === 3, s"expected 3 merges on the fixture, got $a")
+    assert(a === b, "merge choice must not depend on partitioning")
+    // merging strictly shrinks the token stream
+    val before = docs.select(TextOps.tokenCount(col("text"))).collect()
+      .map(_.getInt(0).toLong).sum
+    val after = TextOps.trainPhraseMerges(docs, "doc_id", "text", 3)._2
+      .select(org.apache.spark.sql.functions.size(col("toks"))).collect()
+      .map(_.getInt(0).toLong).sum
+    assert(after < before, s"$after vs $before")
+  }
 }
