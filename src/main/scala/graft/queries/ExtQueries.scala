@@ -365,6 +365,23 @@ object ExtQueries {
         .orderBy("component")
     }),
 
+    // G4+ — PageRank over the same order-part bipartite bond graph as
+    // q_connected_components: 3 power-iteration rounds, each two
+    // equi-joins + one aggregate with scalar dangling redistribution
+    // (Graph.pageRank). Declared no-oracle like CC (iterative double
+    // math has no engine-stable SQL twin); GraphSpec pins the fixed
+    // point / mass conservation / partitioning independence, and the
+    // output here is bucketed rank mass (integer-stable) per magnitude
+    // decile for a deterministic row shape.
+    "q_pagerank" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("src"), (-col("l_partkey") - 1).as("dst"))
+      graft.ops.Graph.pageRank(edges, iters = 3)
+        .groupBy(floor(log10(col("rank") + 1e-12)).cast("long").as("rank_decade"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("rank_decade")
+    }),
+
     // F9 — combined text statistics (token/char/regex counts).
     "q_text_analysis" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"),
