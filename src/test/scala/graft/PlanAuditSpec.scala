@@ -196,6 +196,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"not a generic join:\n$p")
   }
 
+  test("q_event_funnel stacks its three stage windows on ONE user exchange") {
+    // the funnel's scale property: stage r+1's conditional min reads
+    // stage r's per-user-constant column, so all three Window passes
+    // share a single hashpartitioning(user_id) — a per-stage self-join
+    // (or re-shuffle per window) would multiply the corpus shuffles
+    val p = plan("q_event_funnel")
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges === 1,
+      s"funnel must shuffle the events ONCE on user_id, saw $userExchanges:\n$p")
+    assert(p.linesIterator.count(_.contains("Window [")) === 3, p)
+    assert(!p.contains("Join"), s"funnel must not self-join per stage:\n$p")
+  }
+
+  test("q_cohort_retention derives cohorts from one user window, no join") {
+    val p = plan("q_cohort_retention")
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges === 1,
+      s"cohort assignment must reuse one user_id shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join needed for cohorting:\n$p")
+  }
+
   test("q_grouping_id is a single expand + aggregate, one shuffle") {
     val p = plan("q_grouping_id")
     assert(p.contains("Expand"), p)
