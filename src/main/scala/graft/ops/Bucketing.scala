@@ -107,7 +107,20 @@ object Bucketing {
     // one dimension-bounded aggregate (2 doubles per z-column) for bounds
     val aggs = zCols.flatMap(c => Seq(min(col(c)).cast("double"),
       max(col(c)).cast("double")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = df.agg(aggs.head, aggs.tail: _*).collect()
+    // empty input or an all-null z-column yields null bounds — fail with
+    // the column name instead of an NPE out of row.getDouble (an empty
+    // frame has no layout to optimize; write it directly instead)
+    require(rows.nonEmpty && !rows(0).anyNull, {
+      val bad =
+        if (rows.isEmpty) zCols
+        else zCols.zipWithIndex.collect {
+          case (c, i) if rows(0).isNullAt(2 * i) || rows(0).isNullAt(2 * i + 1) => c
+        }
+      s"writeZOrdered: no min/max bounds for z-column(s) ${bad.mkString(", ")} " +
+        "(empty input or entirely-null column); write the frame unsorted instead"
+    })
+    val row = rows(0)
     val los = zCols.indices.map(i => row.getDouble(2 * i))
     val his = zCols.indices.map(i => row.getDouble(2 * i + 1))
     val key = zorderKey(zCols.map(col), los, his, b)

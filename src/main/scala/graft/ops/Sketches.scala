@@ -35,8 +35,15 @@ object Sketches {
       max(col(valueCol)).as("max_v"),
       hll_sketch_agg(col(distinctCol), lit(lgK)).as("distinct_hll"))
     val aggs = base ++ hist.map { h =>
+      // null-safe: width_bucket(null, ...) is null and the typed
+      // Aggregator's Long input encoder is non-nullable — coalesce nulls
+      // into the underflow slot (bin 0). Documented contract: null values
+      // count in underflow (sum/min/max skip them; n_rows counts them),
+      // and the mapping is per-row so split-merge exactness is unchanged.
       org.apache.spark.sql.functions.udaf(new graft.functions.BinCountAgg(h.bins))
-        .apply(width_bucket(col(valueCol), lit(h.lo), lit(h.hi), lit(h.bins)))
+        .apply(coalesce(
+          width_bucket(col(valueCol), lit(h.lo), lit(h.hi), lit(h.bins)),
+          lit(0L)))
         .as("value_hist")
     }
     batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -73,9 +80,18 @@ object Sketches {
     * first call): summarize the DELTA only, merge with the stored
     * summary, staged-swap the result. Cost per maintenance call is
     * O(delta + summary) — the whole point; re-aggregating history to
-    * absorb a day's ingest is the anti-pattern this replaces. The swap
-    * goes through a sibling temp dir + rename so a reader never sees a
-    * half-written summary.
+    * absorb a day's ingest is the anti-pattern this replaces.
+    *
+    * Swap protocol (SINGLE-WRITER contract — concurrent maintainers must
+    * be serialized upstream, e.g. by the streaming foreachBatch loop):
+    * write the merged summary to a unique staging dir, rename the live
+    * summary aside to `path + "__old"`, rename staging in, delete the
+    * aside. A crash can strand `__old` (live summary intact — delete the
+    * orphan) or, in the one non-atomic window, leave only `__old` (recover
+    * by renaming it back). A reader never sees a HALF-WRITTEN summary;
+    * during the rename window it can transiently see the path missing, so
+    * retry-on-missing is the reader contract on stores without atomic
+    * rename pairs.
     */
   def maintain(spark: SparkSession, path: String, batch: DataFrame,
                keys: Seq[String], valueCol: String, distinctCol: String,
@@ -86,10 +102,16 @@ object Sketches {
     val merged =
       if (fs.exists(p)) merge(spark.read.parquet(path).unionByName(delta), keys)
       else merge(delta, keys)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + "__staging_" + java.util.UUID.randomUUID().toString.take(8))
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(tmp, p)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(p)) {
+      require(fs.rename(p, old), s"could not stage aside live summary $path")
+    }
+    require(fs.rename(tmp, p), s"could not swap staged summary into $path")
+    if (fs.exists(old)) fs.delete(old, true)
   }
 
   /** Streaming twin of [[maintain]]: fold each micro-batch of a stream

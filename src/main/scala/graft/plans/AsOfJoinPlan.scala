@@ -131,6 +131,9 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             if (back == null && fwd == null) nullRight
             else if (fwd == null) back
             else if (back == null) fwd
+            // exact match: fwd IS back (held) — answer without touching
+            // rBuf.head, which may be exhausted or hold the next key
+            else if (fwd eq back) back
             else if (lt - heldTime <= fwdTime - lt) back
             else fwd
         }

@@ -115,10 +115,16 @@ object CurationQueries {
           sum(graft.ops.TextOps.tokenCount(col("text")).cast("long"))
             .as("n_tokens"))
         .withColumn("w_raw", pow(col("n_tokens").cast("double"), 0.5))
+      // Output in integer basis points, not a rounded DOUBLE: the r8 gate
+      // hash-failed on a driver-side DuckDB build whose float formatting
+      // diverged at the 4th decimal, so the contract is now
+      // round(ratio*10000) as BIGINT — engine-independent by construction
+      // (SURVEY §2.11 "integer outputs where possible").
       val total = perSource.agg(sum("w_raw").as("w_total"))
       perSource.crossJoin(broadcast(total))
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          round(col("w_raw") / col("w_total"), 4).as("mix_weight"))
+          round(col("w_raw") / col("w_total") * 10000)
+            .cast("long").as("mix_bp"))
         .orderBy("source")
     }),
 
@@ -335,7 +341,7 @@ object CurationQueries {
     "q_domain_mix" ->
       ("""WITH t AS (SELECT source, COUNT(*) AS n_docs, SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS n_tokens FROM documents GROUP BY source), """ +
         """s AS (SELECT source, n_docs, n_tokens, POWER(CAST(n_tokens AS DOUBLE), 0.5) AS w_raw FROM t) """ +
-        """SELECT source, n_docs, n_tokens, ROUND(w_raw / (SELECT SUM(w_raw) FROM s), 4) AS mix_weight FROM s ORDER BY source"""),
+        """SELECT source, n_docs, n_tokens, CAST(ROUND(w_raw / (SELECT SUM(w_raw) FROM s) * 10000) AS BIGINT) AS mix_bp FROM s ORDER BY source"""),
     "q_chunk_overlap" ->
       ("""WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents), """ +
         """c AS (SELECT doc_id, n_tok, CASE WHEN n_tok <= 64 THEN CAST(1 AS BIGINT) ELSE (n_tok - 17) // 48 + 1 END AS n_chunks FROM t), """ +

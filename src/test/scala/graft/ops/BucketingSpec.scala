@@ -166,6 +166,22 @@ class BucketingSpec extends SparkTestBase {
         s"xsort decoded $xsScan, z decoded $zScan")
   }
 
+  test("writeZOrdered rejects empty / all-null z-columns with a clear error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zguard_spec").toString
+    val empty = Seq.empty[(Double, Double)].toDF("x", "y")
+    val exEmpty = intercept[IllegalArgumentException] {
+      Bucketing.writeZOrdered(empty, s"$dir/e", Seq("x", "y"))
+    }
+    assert(exEmpty.getMessage.contains("x"))
+    val nullCol = Seq((Some(1.0), Option.empty[Double]),
+        (Some(2.0), Option.empty[Double])).toDF("x", "y")
+    val exNull = intercept[IllegalArgumentException] {
+      Bucketing.writeZOrdered(nullCol, s"$dir/n", Seq("x", "y"))
+    }
+    assert(exNull.getMessage.contains("y") && !exNull.getMessage.contains("x,"))
+  }
+
   test("join of two tables bucketed on the key plans without Exchange") {
     // (managed tables land in ./spark-warehouse — dropped in the cleanup)
     // disable auto-broadcast so an un-bucketed join WOULD shuffle

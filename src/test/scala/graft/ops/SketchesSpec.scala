@@ -100,6 +100,25 @@ class SketchesSpec extends SparkTestBase {
     assert(hists(spark.read.parquet(dir)) === hists(whole))
   }
 
+  test("null values land in the underflow slot, not a crash (null-safe histogram)") {
+    import spark.implicits._
+    val spec = Sketches.HistSpec(0.0, 10.0, 5)
+    val df = Seq[(String, Option[Double], Long)](
+      ("a", Some(2.5), 1L), ("a", None, 2L), ("a", Some(12.0), 3L),
+      ("a", None, 4L), ("a", Some(-1.0), 5L))
+      .toDF("k", "v", "u")
+    val s = Sketches.summarize(df, Seq("k"), "v", "u", hist = Some(spec))
+      .collect()(0)
+    val histogram = s.getAs[scala.collection.Seq[Long]]("value_hist")
+    // underflow slot: 2 nulls + 1 genuine underflow; overflow slot: 1;
+    // bin 2 (values [2,4)): 1. n_rows counts null rows; sum skips them.
+    assert(histogram.head === 3L)
+    assert(histogram.last === 1L)
+    assert(histogram.sum === 5L)
+    assert(s.getAs[Long]("n_rows") === 5L)
+    assert(s.getAs[Double]("sum_v") === 13.5)
+  }
+
   test("maintainStream: micro-batched maintenance == one from-scratch summary") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

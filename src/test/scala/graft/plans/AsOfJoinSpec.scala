@@ -105,6 +105,34 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(fwd.toSeq === neg.toSeq)
   }
 
+  test("nearest with an exact match on the LAST right row (buffer exhausted)") {
+    // Regression: the nearest tie-break used to eval rBuf.head's time
+    // unguarded. With the exact-match row being the final right row, the
+    // buffer is empty at tie-break time — this crashed with
+    // NoSuchElementException before the `fwd eq back` short-circuit.
+    import spark.implicits._
+    val probes = Seq((1L, 30L)).toDF("k", "t")
+    val curve = Seq((1L, 30L, 3.0)).toDF("ck", "ct", "cv")
+    val got = AsOfJoinOps.asof(probes, curve, "k", "ck", "t", "ct", "nearest")
+      .collect()
+    assert(got.length === 1)
+    assert(got(0).getDouble(4) === 3.0)
+  }
+
+  test("nearest exact match does not read the NEXT key's buffered row") {
+    // Same unguarded eval, second failure mode: the buffer head belongs to
+    // key 2 when key 1's probe hits exactly — the answer must come from the
+    // held row, and key 2's own probe must still resolve correctly after.
+    import spark.implicits._
+    val probes = Seq((1L, 30L), (2L, 7L)).toDF("k", "t")
+    val curve = Seq((1L, 30L, 3.0), (2L, 5L, 5.0), (2L, 8L, 8.0))
+      .toDF("ck", "ct", "cv")
+    val got = AsOfJoinOps.asof(probes, curve, "k", "ck", "t", "ct", "nearest")
+      .orderBy("k").collect()
+    assert(got(0).getDouble(4) === 3.0) // exact hit, held row
+    assert(got(1).getDouble(4) === 8.0) // d1 forward beats d2 backward
+  }
+
   test("builder rejects non-long keys with a clear error") {
     import spark.implicits._
     val l = Seq((1.0, 1L)).toDF("k", "t")
