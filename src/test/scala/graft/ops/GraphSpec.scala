@@ -159,4 +159,37 @@ class GraphSpec extends SparkTestBase {
     // mass conservation on the random graph too
     assert(math.abs(a.map(_._2).sum - a.length) < 1e-6)
   }
+
+  test("pageRank: jobs per extra round stay at the single-heavy-pass count") {
+    // Pin of the r9 single-pass-per-round contract: each round is one
+    // contribs materialization, one scalar agg off the cache, one rank
+    // update. Under AQE those three actions decompose into 10 scheduler
+    // jobs/round (stage materializations + broadcast builds) — measured,
+    // deterministic for fixed data/config. A regression back to re-running
+    // the rank⋈degree join for the dangling scalar adds ≥3 jobs/round
+    // (30 → ≥39 over three extra rounds), well past the +2 slack here.
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 300)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    def countJobs(iters: Int): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Graph.pageRank(edges, iters = iters).count()
+        org.apache.spark.sql.graftbridge.Bridge
+          .awaitListenerBusEmpty(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      counter.get()
+    }
+    val j2 = countJobs(2)
+    val j5 = countJobs(5)
+    assert(j5 - j2 <= 32, s"jobs grew by ${j5 - j2} over 3 extra rounds")
+  }
 }
