@@ -86,9 +86,51 @@ object TextOps {
     * Returns (merge list in training order, final tokenized corpus as
     * (id, toks)).
     */
+  /** The unit separator gluing merged parts: can never collide with a
+    * whitespace-split token.
+    */
+  val MergeSep = "\u0001"
+
+  /** One greedy left-to-right BPE merge pass: [..., a, b, ...] ->
+    * [..., a(+)b, ...] as a codegen `aggregate` fold. This is the
+    * REFERENCE semantics; the production path is the linear
+    * [[graft.functions.BpeMergesF]] expression, whose equivalence to a
+    * chain of these folds is spec-pinned (the fold's per-element
+    * accumulator concat copies the array -- O(tokens²) per pass -- so it
+    * stays the oracle, not the hot path). Only cheap refs (the fold's own
+    * acc/x and literals) appear in the lambda -- the lambda-CSE rule (see
+    * q_boilerplate_scrub).
+    */
+  def mergeFold(toks: Column, a: String, b: String): Column = {
+    val merged = lit(a + MergeSep + b)
+    aggregate(toks, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** Tokenizer SERVING, reference form: the merge list as a chain of
+    * [[mergeFold]] passes. Quadratic per document (see [[mergeFold]]) --
+    * use [[applyMerges]] anywhere data-sized; this form exists so the
+    * fast expression has an in-engine oracle to be pinned against.
+    */
+  def applyMergesReference(toks: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(toks) { case (c, (a, b)) => mergeFold(c, a, b) }
+
+  /** Tokenizer SERVING: apply an already-trained merge list to a token
+    * array, in training order -- the operator a pipeline actually runs
+    * corpus-wide after training, standalone from the training loop. One
+    * codegen expression, linear per row (no shuffle, no UDF); merge
+    * lists are bounded by the training budget (nMerges), never
+    * data-sized.
+    */
+  def applyMerges(spark: org.apache.spark.sql.SparkSession, toks: Column,
+                  merges: Seq[(String, String)]): Column =
+    graft.functions.BpeMergesF.applyMerges(spark, toks, merges)
+
   def trainPhraseMerges(docs: DataFrame, idCol: String, textCol: String,
                         nMerges: Int): (Seq[(String, String)], DataFrame) = {
-    val Sep = "\u0001"
     var corpus = docs.select(col(idCol).as("id"),
         tokens(col(textCol)).as("toks"))
       .localCheckpoint()
@@ -111,19 +153,11 @@ object TextOps {
       else {
         val (a, b) = (pairRows.head.getString(0), pairRows.head.getString(1))
         merges += ((a, b))
-        val merged = a + Sep + b
-        // greedy left-to-right fold: [..., a, b, ...] -> [..., a⊕b, ...];
-        // only cheap refs (the fold's own acc/x and literals) appear in
-        // the lambda — the lambda-CSE rule (see q_boilerplate_scrub)
-        val next = corpus.select(col("id"), expr(
-            s"""aggregate(toks, cast(array() as array<string>), (acc, x) ->
-               |  CASE WHEN size(acc) > 0
-               |        AND element_at(acc, -1) = '${sqlEsc(a)}'
-               |        AND x = '${sqlEsc(b)}'
-               |  THEN concat(slice(acc, 1, size(acc) - 1),
-               |              array('${sqlEsc(merged)}'))
-               |  ELSE concat(acc, array(x)) END)""".stripMargin)
-            .as("toks"))
+        // one greedy pass over the corpus -- the SAME linear expression
+        // the serving path (applyMerges) runs, so train == serve by
+        // construction; mergeFold is the spec-pinned reference semantics
+        val next = corpus.select(col("id"),
+            applyMerges(docs.sparkSession, col("toks"), Seq((a, b))).as("toks"))
           .localCheckpoint()
         org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(corpus)
         corpus = next
@@ -132,8 +166,6 @@ object TextOps {
     }
     (merges.toSeq, corpus)
   }
-
-  private def sqlEsc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
 
   /** Rolling/chunked document fingerprint: md5 over (length | concatenated
     * per-64-char-chunk md5s) — a content-defined signature that localizes

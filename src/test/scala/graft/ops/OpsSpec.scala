@@ -199,4 +199,53 @@ class OpsSpec extends SparkTestBase {
       .map(_.getInt(0).toLong).sum
     assert(after < before, s"$after vs $before")
   }
+
+  test("applyMerges(trained list) == training's own rewritten corpus (train==serve)") {
+    // The serving path must reproduce the training loop's corpus exactly:
+    // both run the SAME TextOps.mergeFold, and this pins that they stay
+    // shared. Real docs, 4 merges.
+    val docs = graft.Tables.documents(spark, Sf0001).limit(150)
+    val (merges, trained) = TextOps.trainPhraseMerges(docs, "doc_id", "text", 4)
+    assert(merges.length === 4)
+    val served = docs.select(col("doc_id").as("id"),
+      TextOps.applyMerges(spark, TextOps.tokens(col("text")), merges).as("toks"))
+    val a = trained.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq
+    val b = served.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq
+    assert(a === b)
+  }
+
+  test("applyMerges closed-form: order matters, later merges see earlier units") {
+    import spark.implicits._
+    val ab = "a\u0001b"
+    val df = Seq((1L, Seq("a", "b", "c", "a", "b"))).toDF("id", "toks")
+    val out = df.select(TextOps.applyMerges(spark, col("toks"),
+        Seq(("a", "b"), (ab, "c"))).as("m"))
+      .head().getSeq[String](0).toSeq
+    assert(out === Seq(ab + "\u0001c", ab))
+    // empty merge list is the identity
+    val id = df.select(TextOps.applyMerges(spark, col("toks"), Nil).as("m"))
+      .head().getSeq[String](0).toSeq
+    assert(id === Seq("a", "b", "c", "a", "b"))
+    // a merged unit is immediately eligible as the LEFT of the same merge
+    // again: a a b b -> a (ab) b -- greedy-left semantics preserved
+    val df2 = Seq((1L, Seq("a", "a", "b", "b"))).toDF("id", "toks")
+    val out2 = df2.select(TextOps.applyMerges(spark, col("toks"),
+        Seq(("a", "b"))).as("m")).head().getSeq[String](0).toSeq
+    assert(out2 === Seq("a", ab, "b"))
+  }
+
+  test("fast BpeMergesF expression == chained mergeFold reference on real docs") {
+    // the linear expression must be bit-equivalent to the declarative
+    // quadratic fold it replaces, merge by merge, on real text
+    val docs = graft.Tables.documents(spark, Sf0001).limit(150)
+    val (merges, _) = TextOps.trainPhraseMerges(docs, "doc_id", "text", 4)
+    val toks = TextOps.tokens(col("text"))
+    val both = docs.select(col("doc_id"),
+        TextOps.applyMergesReference(toks, merges).as("ref"),
+        TextOps.applyMerges(spark, toks, merges).as("fast"))
+      .filter(not(col("ref") === col("fast")))
+    assert(both.count() === 0)
+  }
 }
