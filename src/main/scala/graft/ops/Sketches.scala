@@ -27,14 +27,18 @@ object Sketches {
     */
   def summarize(batch: DataFrame, keys: Seq[String], valueCol: String,
                 distinctCol: String, lgK: Int = 12,
-                hist: Option[HistSpec] = None): DataFrame = {
+                hist: Option[HistSpec] = None,
+                kllK: Option[Int] = None): DataFrame = {
     val base = Seq(
       count(lit(1)).as("n_rows"),
       sum(col(valueCol)).as("sum_v"),
       min(col(valueCol)).as("min_v"),
       max(col(valueCol)).as("max_v"),
       hll_sketch_agg(col(distinctCol), lit(lgK)).as("distinct_hll"))
-    val aggs = base ++ hist.map { h =>
+    val kllAggs = kllK.map(kk =>
+      graft.functions.KllF.sketchAgg(batch.sparkSession,
+        col(valueCol).cast("double"), kk).as("value_kll")).toSeq
+    val aggs = base ++ kllAggs ++ hist.map { h =>
       // null-safe: width_bucket(null, ...) is null and the typed
       // Aggregator's Long input encoder is non-nullable — coalesce nulls
       // into the underflow slot (bin 0). Documented contract: null values
@@ -69,7 +73,12 @@ object Sketches {
       min(col("min_v")).as("min_v"),
       max(col("max_v")).as("max_v"),
       hll_union_agg(col("distinct_hll")).as("distinct_hll"))
-    val aggs = base ++ (if (summaries.columns.contains("value_hist"))
+    val kllAggs =
+      if (summaries.columns.contains("value_kll"))
+        Seq(graft.functions.KllF.mergeAgg(summaries.sparkSession,
+          col("value_kll")).as("value_kll"))
+      else Nil
+    val aggs = base ++ kllAggs ++ (if (summaries.columns.contains("value_hist"))
       Seq(org.apache.spark.sql.functions.udaf(graft.functions.VecSumLongAgg)
         .apply(col("value_hist")).as("value_hist"))
     else Nil)
@@ -95,8 +104,9 @@ object Sketches {
     */
   def maintain(spark: SparkSession, path: String, batch: DataFrame,
                keys: Seq[String], valueCol: String, distinctCol: String,
-               lgK: Int = 12, hist: Option[HistSpec] = None): Unit = {
-    val delta = summarize(batch, keys, valueCol, distinctCol, lgK, hist)
+               lgK: Int = 12, hist: Option[HistSpec] = None,
+               kllK: Option[Int] = None): Unit = {
+    val delta = summarize(batch, keys, valueCol, distinctCol, lgK, hist, kllK)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
@@ -127,25 +137,34 @@ object Sketches {
     */
   def maintainStream(path: String, stream: DataFrame, checkpoint: String,
                      keys: Seq[String], valueCol: String, distinctCol: String,
-                     lgK: Int = 12, hist: Option[HistSpec] = None): org.apache.spark.sql.streaming.StreamingQuery =
+                     lgK: Int = 12, hist: Option[HistSpec] = None,
+                     kllK: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        epoch: Long) =>
         if (!batch.isEmpty)
           maintain(batch.sparkSession, path, batch, keys, valueCol,
-            distinctCol, lgK, hist)
+            distinctCol, lgK, hist, kllK)
       }
       .start()
 
   /** Readable view of a summary: estimates materialized from the
     * sketches (plus exact algebraic measures and the derived mean).
     */
-  def report(summary: DataFrame): DataFrame =
+  def report(summary: DataFrame): DataFrame = {
+    val hasKll = summary.columns.contains("value_kll")
+    val kllCols =
+      if (hasKll) Seq(0.5, 0.9, 0.99).map(q =>
+        graft.functions.KllF.quantile(summary.sparkSession,
+          col("value_kll"), q).as(s"p${(q * 100).toInt}_v"))
+      else Nil
     summary.select(
-      summary.columns.filterNot(_ == "distinct_hll").map(col) :+
-        hll_sketch_estimate(col("distinct_hll")).as("n_distinct"): _*)
+      summary.columns.filterNot(c => c == "distinct_hll" || c == "value_kll")
+        .map(col) ++
+        (hll_sketch_estimate(col("distinct_hll")).as("n_distinct") +: kllCols): _*)
       .withColumn("mean_v", col("sum_v") / col("n_rows"))
+  }
 
   /** Quantile read off a summary histogram: the value at the lower edge
     * of the bin where the cumulative count crosses `q * total` — exact

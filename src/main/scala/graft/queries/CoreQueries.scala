@@ -250,6 +250,36 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // A6+ — mergeable KLL quantile sketch (the §2.10 reserved
+    // TypedImperativeAggregate), gate-shaped: sketch l_extendedprice once
+    // (bounded state per group: O(k·log(n/k)) doubles at any n), read
+    // seven quantiles, then verify each against its EXACT rank in one
+    // second pass — the output is the integer verdict (within the 2%
+    // deterministic-ladder envelope; actual error ~0.3%), so the oracle
+    // needs no sketch, only the row count. A regression in sketch error
+    // flips within_2pct to 0 and hash-fails the gate.
+    "q_quantile_sketch" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast("double").as("v"))
+      val bytes = li.agg(graft.functions.KllF.sketchAgg(s, col("v"))
+        .as("sk")).head().getAs[Array[Byte]]("sk")
+      val sk = graft.functions.KllState.deserialize(bytes)
+      val ps = Seq(1, 5, 25, 50, 75, 95, 99)
+      val est = ps.map(p => p -> sk.quantile(p / 100.0)).toMap
+      // one pass for all seven exact ranks (conditional sums), plus the
+      // exact total — never a per-quantile scan
+      val rankAggs = ps.map(p =>
+        sum(when(col("v") <= est(p), 1L).otherwise(0L)).as(s"r$p"))
+      val row = li.agg(count(lit(1)).as("n"), rankAggs: _*).head()
+      val n = row.getAs[Long]("n").toDouble
+      ps.map { p =>
+        val rank = row.getAs[Long](s"r$p").toDouble
+        (p, row.getAs[Long]("n"),
+          if (math.abs(rank / n - p / 100.0) <= 0.02) 1 else 0)
+      }.toDF("q_pct", "n_rows", "within_2pct").orderBy("q_pct")
+    }),
+
     // A7+ — full cube over the region/nation hierarchy.
     "q_cube" -> ((s, d) => {
       Tables.customer(s, d)
@@ -675,6 +705,12 @@ object CoreQueries {
       """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation, COUNT(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""",
     "q_percentile" ->
       """SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90, ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // the sketch cannot run in SQL; the CONTRACT can: n_rows is exact and
+    // within_2pct must be 1 at every probed quantile (Spark computes the
+    // verdict against exact ranks; a sketch-error regression flips it)
+    "q_quantile_sketch" ->
+      ("""SELECT CAST(t.q_pct AS INT) AS q_pct, (SELECT COUNT(*) FROM lineitem) AS n_rows, CAST(1 AS INT) AS within_2pct """ +
+        """FROM (VALUES (1), (5), (25), (50), (75), (95), (99)) t(q_pct) ORDER BY q_pct"""),
     "q_cube" ->
       """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(c_mktsegment, 'ALL') AS segment, COUNT(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY CUBE(r_name, c_mktsegment) ORDER BY 1, 2""",
     "q_measure_series" ->

@@ -66,13 +66,13 @@ object SummaryBench {
       val mSec = time {
         graft.ops.Sketches.maintain(spark, s"$dir/summary",
           spark.read.parquet(s"$dir/batch_$i"), keys, "value", "user_id",
-          hist = hist)
+          hist = hist, kllK = Some(256))
       }
       val rSec = time {
         val sofar = (0 to i).map(j => spark.read.parquet(s"$dir/batch_$j"))
           .reduce(_ unionByName _)
         graft.ops.Sketches.summarize(sofar, keys, "value", "user_id",
-          hist = hist).collect()
+          hist = hist, kllK = Some(256)).collect()
       }
       maintainTotal += mSec; rescanTotal += rSec
       println(f"after batch ${i + 1}%2d: maintain=$mSec%5.2fs  rescan-history=$rSec%5.2fs")
