@@ -132,6 +132,46 @@ object Bucketing {
       .write.options(options).mode("overwrite").parquet(path)
   }
 
+  /** Compact a micro-batch-littered parquet directory AND restore its
+    * Z-order layout in the same rewrite — maintenance for a fact table
+    * that is appended in small batches but read through multi-axis box
+    * predicates: appends land unsorted litter; periodic compaction both
+    * merges the small files (fewer tasks, bigger row groups) and re-sorts
+    * the whole directory on the Z curve so the box-pruning the layout was
+    * chosen for keeps working. One read + one shuffle (the same shuffle
+    * any layout write pays); file count is sized from the directory's
+    * actual bytes. Swap is the staged-rename protocol of
+    * `Sketches.maintain` (single-writer; readers retry on transient
+    * missing-path during the rename pair).
+    *
+    * Returns (data files before, data files after).
+    */
+  def compactZOrdered(spark: SparkSession, path: String, zCols: Seq[String],
+                      bits: Int = 12, targetFileBytes: Long = 128L << 20,
+                      options: Map[String, String] = Map.empty): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: Path) = fs.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val files = dataFiles(p)
+    val before = files.length
+    val parts = math.max(1,
+      math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+    val staged = new Path(path + "__zcompact_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    writeZOrdered(spark.read.parquet(path), staged.toString, zCols, bits,
+      parts, options)
+    val old = new Path(path + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(p, old), s"could not stage aside $path")
+    require(fs.rename(staged, p), s"could not swap compacted layout into $path")
+    fs.delete(old, true)
+    (before, dataFiles(p).length)
+  }
+
   /** Persist `df` as a bucketed, sorted managed table. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit =

@@ -113,6 +113,76 @@ object ExtQueries {
         count(col("p_ts")).as("n_purchase_after"))
     }),
 
+    // Funnel with per-stage CONVERSION RATES — the table a product
+    // analyst actually reads: each stage's user count plus its conversion
+    // from the previous stage in integer basis points (the engine-proof
+    // integer-output rule; never a rounded DOUBLE). Same single-Exchange
+    // window stack as q_event_funnel; the stage table is 4 rows, so the
+    // lag over it is trivially bounded.
+    "q_funnel_rates" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val perUser = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("s_ts",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("c_ts",
+          min(when(col("event_type") === "click" && col("ts") > col("s_ts"),
+            col("ts"))).over(w))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"),
+            col("ts"))).over(w))
+        .groupBy("user_id").agg(max("s_ts").as("s_ts"),
+          max("c_ts").as("c_ts"), max("p_ts").as("p_ts"))
+      val agg = perUser.agg(
+        count(lit(1)).as("n_total"),
+        count(col("s_ts")).as("n_signup"),
+        count(col("c_ts")).as("n_click"),
+        count(col("p_ts")).as("n_purchase"))
+      val stages = agg.select(explode(array(
+          struct(lit(0).as("stage_id"), lit("total").as("stage"),
+            col("n_total").as("n_users")),
+          struct(lit(1).as("stage_id"), lit("signup").as("stage"),
+            col("n_signup").as("n_users")),
+          struct(lit(2).as("stage_id"), lit("click_after").as("stage"),
+            col("n_click").as("n_users")),
+          struct(lit(3).as("stage_id"), lit("purchase_after").as("stage"),
+            col("n_purchase").as("n_users")))).as("st"))
+        .select(col("st.*"))
+      val ws = Window.orderBy("stage_id") // 4 rows by construction
+      stages.withColumn("prev", lag("n_users", 1).over(ws))
+        .select(col("stage_id"), col("stage"), col("n_users"),
+          when(col("prev").isNull || col("prev") === 0, lit(null))
+            .otherwise(round(col("n_users") * lit(10000.0) / col("prev"))
+              .cast("long")).as("conv_bp"))
+        .orderBy("stage_id")
+    }),
+
+    // Cohort retention RATES: each (cohort, age) cell as basis points of
+    // its cohort's base (offset-0) population — the normalized matrix
+    // analysts plot. The base row set is cohort-bounded, so the join back
+    // is a broadcast; outputs stay integer (bp) for engine-proof hashing.
+    "q_retention_rates" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val weekMs = 604800000L
+      val w = Window.partitionBy("user_id")
+      val cells = Tables.events(s, d).select(col("user_id"), col("ts_ms"))
+        .withColumn("first_ms", min("ts_ms").over(w))
+        .select(col("user_id"),
+          expr(s"first_ms div $weekMs").as("cohort_week"),
+          (expr(s"ts_ms div $weekMs") - expr(s"first_ms div $weekMs"))
+            .as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+      val base = cells.filter(col("week_offset") === 0)
+        .select(col("cohort_week"), col("n_users").as("n_base"))
+      cells.join(broadcast(base), Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_offset"), col("n_users"),
+          round(col("n_users") * lit(10000.0) / col("n_base"))
+            .cast("long").as("retention_bp"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Cohort retention: users grouped by their first-seen week, counted
     // per activity-week offset — the (cohort x age) retention matrix.
     // Cohort assignment is one min-over-user window sharing the same
@@ -424,6 +494,27 @@ object ExtQueries {
         """c AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t > c_ts THEN t END) OVER (PARTITION BY user_id) AS p_ts FROM b), """ +
         """u AS (SELECT user_id, MAX(s_ts) AS s_ts, MAX(c_ts) AS c_ts, MAX(p_ts) AS p_ts FROM c GROUP BY user_id) """ +
         """SELECT COUNT(s_ts) AS n_signup, COUNT(c_ts) AS n_click_after, COUNT(p_ts) AS n_purchase_after FROM u"""),
+    "q_funnel_rates" ->
+      ("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events), """ +
+        """a AS (SELECT *, MIN(CASE WHEN event_type = 'signup' THEN t END) OVER (PARTITION BY user_id) AS s_ts FROM e), """ +
+        """b AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND t > s_ts THEN t END) OVER (PARTITION BY user_id) AS c_ts FROM a), """ +
+        """c AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t > c_ts THEN t END) OVER (PARTITION BY user_id) AS p_ts FROM b), """ +
+        """u AS (SELECT user_id, MAX(s_ts) AS s_ts, MAX(c_ts) AS c_ts, MAX(p_ts) AS p_ts FROM c GROUP BY user_id), """ +
+        """agg AS (SELECT COUNT(*) AS n_total, COUNT(s_ts) AS n_signup, COUNT(c_ts) AS n_click, COUNT(p_ts) AS n_purchase FROM u), """ +
+        """st AS (SELECT 0 AS stage_id, 'total' AS stage, n_total AS n_users FROM agg """ +
+        """UNION ALL SELECT 1, 'signup', n_signup FROM agg """ +
+        """UNION ALL SELECT 2, 'click_after', n_click FROM agg """ +
+        """UNION ALL SELECT 3, 'purchase_after', n_purchase FROM agg), """ +
+        """r AS (SELECT *, LAG(n_users) OVER (ORDER BY stage_id) AS prev FROM st) """ +
+        """SELECT stage_id, stage, n_users, CASE WHEN prev IS NULL OR prev = 0 THEN NULL ELSE CAST(ROUND(n_users * 10000.0 / prev) AS BIGINT) END AS conv_bp FROM r ORDER BY stage_id"""),
+    "q_retention_rates" ->
+      ("""WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events), """ +
+        """f AS (SELECT user_id, ms, MIN(ms) OVER (PARTITION BY user_id) AS first_ms FROM e), """ +
+        """cells AS (SELECT first_ms // 604800000 AS cohort_week, ms // 604800000 - first_ms // 604800000 AS week_offset, """ +
+        """CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM f GROUP BY 1, 2), """ +
+        """base AS (SELECT cohort_week, n_users AS n_base FROM cells WHERE week_offset = 0) """ +
+        """SELECT c.cohort_week, c.week_offset, c.n_users, CAST(ROUND(c.n_users * 10000.0 / b.n_base) AS BIGINT) AS retention_bp """ +
+        """FROM cells c JOIN base b USING (cohort_week) ORDER BY c.cohort_week, c.week_offset"""),
     "q_cohort_retention" ->
       ("""WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events), """ +
         """f AS (SELECT user_id, ms, MIN(ms) OVER (PARTITION BY user_id) AS first_ms FROM e) """ +

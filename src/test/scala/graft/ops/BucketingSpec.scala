@@ -166,6 +166,48 @@ class BucketingSpec extends SparkTestBase {
         s"xsort decoded $xsScan, z decoded $zScan")
   }
 
+  test("compactZOrdered: litter merges, rows survive, box-pruning is restored") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("zcompact_spec").toString
+    val path = s"$dir/facts"
+    val n = 200000L
+    val df = spark.range(n).select(
+      col("id").as("row_id"),
+      pmod(xxhash64(col("id")), lit(n)).as("x"),
+      pmod(xxhash64(col("id"), lit(7)), lit(n)).as("y"))
+    // micro-batch litter: 30 unsorted appends of ~6.7k rows each
+    (0 until 30).foreach(i =>
+      df.filter(pmod(col("row_id"), lit(30)) === i).coalesce(1)
+        .write.mode("append").parquet(path))
+    val opts = Map("parquet.block.size" -> (64 * 1024).toString,
+      "parquet.page.size" -> (16 * 1024).toString)
+    val (before, after) = Bucketing.compactZOrdered(spark, path,
+      Seq("x", "y"), bits = 12, targetFileBytes = 1L << 20, options = opts)
+    assert(before >= 30, s"litter expected, found $before files")
+    assert(after < before / 3, s"compaction must merge litter: $before -> $after")
+    // every row survives the swap exactly once
+    val out = spark.read.parquet(path)
+    assert(out.count() === n)
+    assert(out.agg(sum("row_id")).head().getLong(0) === n * (n - 1) / 2)
+    // and the rewritten layout prunes a 10%x10% box (litter cannot:
+    // every unsorted file overlaps every box)
+    val box = col("x").between(n * 45 / 100, n * 55 / 100 - 1) &&
+      col("y").between(n * 45 / 100, n * 55 / 100 - 1)
+    val q = out.filter(box)
+    val rows = q.collect().length.toLong
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scanned = plan.collect {
+      case s: FileSourceScanExec => s.metrics("numOutputRows").value
+    }.sum
+    assert(rows > 0L)
+    assert(scanned * 2 <= n,
+      s"compacted z layout must skip most of the corpus on a 1% box: decoded $scanned of $n")
+  }
+
   test("writeZOrdered rejects empty / all-null z-columns with a clear error") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("zguard_spec").toString
