@@ -266,18 +266,20 @@ object Graph {
       // dangling nodes hold rank but emit no edge contributions: their
       // mass re-enters uniformly. A non-dangling node emits exactly its
       // rank (rank/out_deg summed over out_deg edges), so
-      // dangling mass = total mass − Σ in_sum — one scalar off the cached
-      // contribs, never a second pass over the rank table (total mass is
-      // exactly n every round: the update below re-normalizes to n by
+      // dangling mass = total mass − Σ in_sum — a one-row aggregate over
+      // the CACHED contribs, broadcast into the update plan (no separate
+      // driver action; never a second pass over the rank table; total
+      // mass is exactly n every round: the update re-normalizes to n by
       // construction).
-      val emitted = contribs.agg(coalesce(sum("in_sum"), lit(0.0)))
-        .head().getDouble(0)
-      val danglingMass = math.max(0.0, n - emitted)
+      val dangling = contribs
+        .agg(greatest(lit(0.0), lit(n) - coalesce(sum("in_sum"), lit(0.0)))
+          .as("dangling_mass"))
       val next = nodes.join(contribs, Seq("node_id"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node_id"),
           (lit(1.0 - damping) +
             lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
-              lit(danglingMass / n))).as("rank"))
+              col("dangling_mass") / lit(n))).as("rank"))
         .localCheckpoint()
       Bridge.unpersistLocalCheckpoint(ranks)
       Bridge.unpersistLocalCheckpoint(contribs)
