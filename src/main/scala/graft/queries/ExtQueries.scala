@@ -160,8 +160,11 @@ object ExtQueries {
 
     // Cohort retention RATES: each (cohort, age) cell as basis points of
     // its cohort's base (offset-0) population — the normalized matrix
-    // analysts plot. The base row set is cohort-bounded, so the join back
-    // is a broadcast; outputs stay integer (bp) for engine-proof hashing.
+    // analysts plot. The base comes from a window OVER the aggregated
+    // (cohort-bounded) matrix, not a join back — a filter+join re-executes
+    // the corpus lineage and doubles the user_id shuffle (PlanAuditSpec
+    // caught exactly that on the first cut); outputs stay integer (bp)
+    // for engine-proof hashing.
     "q_retention_rates" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val weekMs = 604800000L
@@ -174,9 +177,9 @@ object ExtQueries {
             .as("week_offset"))
         .groupBy("cohort_week", "week_offset")
         .agg(countDistinct("user_id").as("n_users"))
-      val base = cells.filter(col("week_offset") === 0)
-        .select(col("cohort_week"), col("n_users").as("n_base"))
-      cells.join(broadcast(base), Seq("cohort_week"))
+      val wc = Window.partitionBy("cohort_week")
+      cells.withColumn("n_base",
+          max(when(col("week_offset") === 0, col("n_users"))).over(wc))
         .select(col("cohort_week"), col("week_offset"), col("n_users"),
           round(col("n_users") * lit(10000.0) / col("n_base"))
             .cast("long").as("retention_bp"))
@@ -512,9 +515,9 @@ object ExtQueries {
         """f AS (SELECT user_id, ms, MIN(ms) OVER (PARTITION BY user_id) AS first_ms FROM e), """ +
         """cells AS (SELECT first_ms // 604800000 AS cohort_week, ms // 604800000 - first_ms // 604800000 AS week_offset, """ +
         """CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM f GROUP BY 1, 2), """ +
-        """base AS (SELECT cohort_week, n_users AS n_base FROM cells WHERE week_offset = 0) """ +
-        """SELECT c.cohort_week, c.week_offset, c.n_users, CAST(ROUND(c.n_users * 10000.0 / b.n_base) AS BIGINT) AS retention_bp """ +
-        """FROM cells c JOIN base b USING (cohort_week) ORDER BY c.cohort_week, c.week_offset"""),
+        """b AS (SELECT *, MAX(CASE WHEN week_offset = 0 THEN n_users END) OVER (PARTITION BY cohort_week) AS n_base FROM cells) """ +
+        """SELECT cohort_week, week_offset, n_users, CAST(ROUND(n_users * 10000.0 / n_base) AS BIGINT) AS retention_bp """ +
+        """FROM b ORDER BY cohort_week, week_offset"""),
     "q_cohort_retention" ->
       ("""WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events), """ +
         """f AS (SELECT user_id, ms, MIN(ms) OVER (PARTITION BY user_id) AS first_ms FROM e) """ +

@@ -219,6 +219,43 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"no join needed for cohorting:\n$p")
   }
 
+  test("q_funnel_rates keeps the one-user-exchange window stack of the funnel") {
+    // the rate variant adds only a 4-row stage table + lag on top of the
+    // funnel aggregate — the corpus-sized work must still shuffle events
+    // exactly once on user_id, and no join may appear anywhere
+    val p = plan("q_funnel_rates")
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges === 1,
+      s"rates must reuse the single user_id shuffle, saw $userExchanges:\n$p")
+    assert(!p.contains("Join"), s"rates must not join:\n$p")
+  }
+
+  test("q_retention_rates normalizes via a cohort window — one corpus shuffle, no join") {
+    // the base population comes from a window over the cohort-bounded
+    // aggregate: a filter+join-back re-executes the corpus lineage and
+    // DOUBLES the user_id shuffle (the first cut of this query did)
+    val p = plan("q_retention_rates")
+    assert(!p.contains("Join"), s"normalization must not join:\n$p")
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges === 1,
+      s"cohort assignment must reuse one user_id shuffle:\n$p")
+  }
+
+  test("q_tokenize_stats is narrow map passes — no join, no agg, no Generate") {
+    // serving applies the trained merges per row (BpeMergesF); the only
+    // exchange allowed is the contract-mandated terminal sort
+    val p = plan("q_tokenize_stats")
+    assert(!p.contains("Join"), s"serving must not join:\n$p")
+    assert(!p.contains("Aggregate"), s"serving must not aggregate:\n$p")
+    assert(!p.contains("Generate"), s"serving must not explode:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 1, s"serving must not shuffle beyond the output sort:\n$p")
+    assert(p.contains("graft_bpe_apply") || p.contains("bpemerges"),
+      s"serving must run the linear merge expression:\n$p")
+  }
+
   test("q_grouping_id is a single expand + aggregate, one shuffle") {
     val p = plan("q_grouping_id")
     assert(p.contains("Expand"), p)
