@@ -63,6 +63,15 @@ object KllState {
     val s = deserialize(bytes)
     if (s.n == 0L) null else java.lang.Double.valueOf(s.quantile(q))
   }
+
+  /** Multi-quantile read: ONE deserialize + ONE weighted sort serve every
+    * requested quantile (report()'s p50/p90/p99 would otherwise decode
+    * and re-sort the sketch once per column). Null on an empty sketch.
+    */
+  def quantilesFromBytes(bytes: Array[Byte], qs: Array[Double]): Array[Double] = {
+    val s = deserialize(bytes)
+    if (s.n == 0L) null else s.quantiles(qs)
+  }
 }
 
 final class KllState(val k: Int) extends Serializable {
@@ -141,6 +150,39 @@ final class KllState(val k: Int) extends Serializable {
       i += 1
     }
     sorted.last._1
+  }
+
+  /** Batch [[quantile]]: one item gather + one sort answer all `qs`
+    * (walked in target-rank order, results restored to input order).
+    */
+  def quantiles(qs: Array[Double]): Array[Double] = {
+    require(n > 0L, "empty sketch")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"q must be in [0,1]: $q"))
+    val items = ArrayBuffer.empty[(Double, Long)]
+    var h = 0
+    while (h < levels.length) {
+      val w = 1L << h
+      levels(h).foreach(v => items += ((v, w)))
+      h += 1
+    }
+    val sorted = items.sortBy(_._1)
+    val order = qs.indices.sortBy(i => qs(i))
+    val out = new Array[Double](qs.length)
+    var cum = 0L
+    var i = 0
+    var oi = 0
+    while (oi < order.length && i < sorted.length) {
+      val target = math.max(1L, math.ceil(qs(order(oi)) * n).toLong)
+      while (i < sorted.length && cum + sorted(i)._2 < target) {
+        cum += sorted(i)._2; i += 1
+      }
+      out(order(oi)) = sorted(math.min(i, sorted.length - 1))._1
+      oi += 1
+    }
+    while (oi < order.length) { // any residue lands on the max item
+      out(order(oi)) = sorted.last._1; oi += 1
+    }
+    out
   }
 
   /** Exact total weight held by the ladder (== n; spec-pinned). */
@@ -242,8 +284,10 @@ case class KllMergeAgg(
           s"kll_merge expects a binary sketch column, got ${other.simpleString}")
     }
 
-  // an empty-input group yields an empty k=DefaultK sketch; merging fixes
-  // k from the first real operand (mergeIn requires equal k afterwards)
+  // an empty-input group yields an empty k=DefaultK sketch; an EMPTY
+  // buffer holds nothing to fold, so it ADOPTS the first real operand
+  // outright — this is what fixes k from the data (mergeIn requires
+  // equal k, which would spuriously reject any non-default k here)
   override def createAggregationBuffer(): KllState = KllState.empty(KllState.DefaultK)
 
   override def update(b: KllState, input: InternalRow): KllState = {
@@ -251,12 +295,14 @@ case class KllMergeAgg(
     if (v == null) b
     else {
       val o = KllState.deserialize(v.asInstanceOf[Array[Byte]])
-      if (b.n == 0L && b.k != o.k) { o.mergeIn(b); o } else { b.mergeIn(o); b }
+      if (b.n == 0L) o else { b.mergeIn(o); b }
     }
   }
 
   override def merge(b: KllState, o: KllState): KllState =
-    if (b.n == 0L && b.k != o.k) { o.mergeIn(b); o } else { b.mergeIn(o); b }
+    if (b.n == 0L) o
+    else if (o.n == 0L) b
+    else { b.mergeIn(o); b }
   override def eval(b: KllState): Any = b.serialize()
   override def serialize(b: KllState): Array[Byte] = b.serialize()
   override def deserialize(bytes: Array[Byte]): KllState = KllState.deserialize(bytes)
@@ -311,11 +357,61 @@ case class KllQuantileF(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Batch quantile read: (sketch binary, foldable array<double> of qs) →
+  * array<double>. One deserialize + one weighted sort per ROW serve all
+  * requested quantiles — the report() path selects this once and unpacks
+  * with element_at, instead of paying a decode+sort per quantile column.
+  */
+case class KllQuantilesF(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with BinaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_kll_quantiles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) if right.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kll_quantiles expects (binary, foldable array<double>), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  @transient private lazy val qsArr: Array[Double] =
+    right.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+
+  override def nullSafeEval(bytes: Any, qs: Any): Any = {
+    val r = KllState.quantilesFromBytes(bytes.asInstanceOf[Array[Byte]], qsArr)
+    if (r == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qsRef = ctx.addReferenceObj("kllQs", qsArr, "double[]")
+    nullSafeCodeGen(ctx, ev, (bytes, _) => {
+      val tmp = ctx.freshName("kllqs")
+      s"""
+         |double[] $tmp = graft.functions.KllState.quantilesFromBytes($bytes, $qsRef);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Column builders (function-registry registration, house pattern). */
 object KllF {
   private val AggName = "graft_kll_agg"
   private val MergeName = "graft_kll_merge_agg"
   private val QuantileName = "graft_kll_quantile"
+  private val QuantilesName = "graft_kll_quantiles"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -326,6 +422,8 @@ object KllF {
       KllMergeAgg(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(QuantileName, exprs =>
       KllQuantileF(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(QuantilesName, exprs =>
+      KllQuantilesF(exprs(0), exprs(1)), "built-in")
   }
 
   def sketchAgg(spark: SparkSession, value: Column,
@@ -344,5 +442,11 @@ object KllF {
     register(spark)
     org.apache.spark.sql.functions.call_function(QuantileName, sketch,
       org.apache.spark.sql.functions.lit(q))
+  }
+
+  def quantiles(spark: SparkSession, sketch: Column, qs: Seq[Double]): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.{array, call_function, lit}
+    call_function(QuantilesName, sketch, array(qs.map(lit): _*))
   }
 }

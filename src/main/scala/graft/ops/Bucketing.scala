@@ -152,6 +152,12 @@ object Bucketing {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path + "__old")
+    // crash recovery: a death inside the rename pair leaves only __old —
+    // the sole copy of the facts; restore before reading
+    if (!fs.exists(p) && fs.exists(old)) {
+      require(fs.rename(old, p), s"could not restore crashed layout $path")
+    }
     def dataFiles(dir: Path) = fs.listStatus(dir).filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
@@ -162,13 +168,17 @@ object Bucketing {
       math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
     val staged = new Path(path + "__zcompact_" +
       java.util.UUID.randomUUID().toString.take(8))
-    writeZOrdered(spark.read.parquet(path), staged.toString, zCols, bits,
-      parts, options)
-    val old = new Path(path + "__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(p, old), s"could not stage aside $path")
-    require(fs.rename(staged, p), s"could not swap compacted layout into $path")
-    fs.delete(old, true)
+    try {
+      writeZOrdered(spark.read.parquet(path), staged.toString, zCols, bits,
+        parts, options)
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(p, old), s"could not stage aside $path")
+      require(fs.rename(staged, p), s"could not swap compacted layout into $path")
+      fs.delete(old, true)
+    } finally {
+      // a failed rewrite must not accumulate orphan staging dirs
+      if (fs.exists(staged)) fs.delete(staged, true)
+    }
     (before, dataFiles(p).length)
   }
 

@@ -106,22 +106,35 @@ object Sketches {
                keys: Seq[String], valueCol: String, distinctCol: String,
                lgK: Int = 12, hist: Option[HistSpec] = None,
                kllK: Option[Int] = None): Unit = {
-    val delta = summarize(batch, keys, valueCol, distinctCol, lgK, hist, kllK)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    // crash recovery FIRST: a death inside the rename pair leaves only
+    // __old — it is the sole surviving copy of the accumulated summary,
+    // so restore it before reading (deleting it here, as pre-r9 code did,
+    // would silently reset the summary to the current delta)
+    if (!fs.exists(p) && fs.exists(old)) {
+      require(fs.rename(old, p), s"could not restore crashed summary $path")
+    }
+    val delta = summarize(batch, keys, valueCol, distinctCol, lgK, hist, kllK)
     val merged =
       if (fs.exists(p)) merge(spark.read.parquet(path).unionByName(delta), keys)
       else merge(delta, keys)
     val tmp = new org.apache.hadoop.fs.Path(
       path + "__staging_" + java.util.UUID.randomUUID().toString.take(8))
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(p)) {
-      require(fs.rename(p, old), s"could not stage aside live summary $path")
+    try {
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      // any __old here is a stale duplicate (p exists past recovery above)
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(p)) {
+        require(fs.rename(p, old), s"could not stage aside live summary $path")
+      }
+      require(fs.rename(tmp, p), s"could not swap staged summary into $path")
+      if (fs.exists(old)) fs.delete(old, true)
+    } finally {
+      // a failed write/swap must not litter staging dirs next to the data
+      if (fs.exists(tmp)) fs.delete(tmp, true)
     }
-    require(fs.rename(tmp, p), s"could not swap staged summary into $path")
-    if (fs.exists(old)) fs.delete(old, true)
   }
 
   /** Streaming twin of [[maintain]]: fold each micro-batch of a stream
@@ -154,16 +167,25 @@ object Sketches {
     */
   def report(summary: DataFrame): DataFrame = {
     val hasKll = summary.columns.contains("value_kll")
-    val kllCols =
-      if (hasKll) Seq(0.5, 0.9, 0.99).map(q =>
-        graft.functions.KllF.quantile(summary.sparkSession,
-          col("value_kll"), q).as(s"p${(q * 100).toInt}_v"))
+    val qs = Seq(0.5, 0.9, 0.99)
+    // ONE multi-quantile read per row (decode + weighted sort once), then
+    // element_at unpacking in a SECOND projection: the aliased non-cheap
+    // array survives CollapseProject, so the sketch is not re-decoded per
+    // quantile column (the lambda-CSE rule)
+    val kllArr =
+      if (hasKll) Seq(graft.functions.KllF.quantiles(summary.sparkSession,
+        col("value_kll"), qs).as("__kll_qs"))
       else Nil
-    summary.select(
+    val staged = summary.select(
       summary.columns.filterNot(c => c == "distinct_hll" || c == "value_kll")
         .map(col) ++
-        (hll_sketch_estimate(col("distinct_hll")).as("n_distinct") +: kllCols): _*)
-      .withColumn("mean_v", col("sum_v") / col("n_rows"))
+        (hll_sketch_estimate(col("distinct_hll")).as("n_distinct") +: kllArr): _*)
+    val unpacked =
+      if (hasKll) qs.zipWithIndex.foldLeft(staged) { case (df, (q, i)) =>
+        df.withColumn(s"p${(q * 100).toInt}_v", element_at(col("__kll_qs"), i + 1))
+      }.drop("__kll_qs")
+      else staged
+    unpacked.withColumn("mean_v", col("sum_v") / col("n_rows"))
   }
 
   /** Quantile read off a summary histogram: the value at the lower edge

@@ -54,6 +54,13 @@ object Bridge {
     * accumulates. Only call once nothing references the frame: a local
     * checkpoint has no lineage to recompute from.
     */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Drain the async listener bus — lets tests that count scheduler
     * events (e.g. the jobs-per-round pin on PageRank) observe every event
     * already posted. `listenerBus` is `private[spark]`; this shim is the
@@ -61,11 +68,4 @@ object Bridge {
     */
   def awaitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
-
-  def unpersistLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
 }

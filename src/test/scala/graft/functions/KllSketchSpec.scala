@@ -120,6 +120,63 @@ class KllSketchSpec extends SparkTestBase {
     assert(rep.count() === got.size.toLong)
   }
 
+  test("non-default k survives merge/maintain (empty buffer adopts the operand)") {
+    // regression: KllMergeAgg's empty DefaultK buffer used to require
+    // k-equality against the first real operand, making every kllK other
+    // than 256 throw through merge/maintain
+    val events = Tables.events(spark, Sf0001)
+    val parts = Seq(0, 1).map(i =>
+      graft.ops.Sketches.summarize(
+        events.filter(pmod(col("event_id"), lit(2)) === i),
+        Seq("event_type"), "value", "user_id", kllK = Some(128)))
+    val merged = graft.ops.Sketches.merge(
+      parts.reduce(_ unionByName _), Seq("event_type"))
+    val p50s = merged.select(col("event_type"),
+        graft.functions.KllF.quantile(spark, col("value_kll"), 0.5).as("p50"))
+      .collect()
+    assert(p50s.nonEmpty && p50s.forall(!_.isNullAt(1)))
+    val dir = java.nio.file.Files.createTempDirectory("kll_k128").toString
+    graft.ops.Sketches.maintain(spark, s"$dir/s", events,
+      Seq("event_type"), "value", "user_id", kllK = Some(128))
+    assert(spark.read.parquet(s"$dir/s").count() > 0)
+  }
+
+  test("batch quantiles == per-q quantile; report decodes the sketch once") {
+    val rnd = new scala.util.Random(31)
+    val s = KllState.empty(64)
+    (1 to 20000).foreach(_ => s.insert(rnd.nextDouble() * 1e4))
+    val qs = Array(0.9, 0.01, 0.5, 0.99, 0.1) // unsorted on purpose
+    val batch = s.quantiles(qs)
+    qs.zipWithIndex.foreach { case (q, i) =>
+      assert(batch(i) === s.quantile(q), s"q=$q batch/single disagree")
+    }
+    // empty sketch: null, not a crash
+    assert(KllState.quantilesFromBytes(KllState.empty(64).serialize(),
+      Array(0.5)) === null)
+  }
+
+  test("maintain recovers the summary from __old after a crash in the rename window") {
+    val dir = java.nio.file.Files.createTempDirectory("kll_crash").toString
+    val path = s"$dir/summary"
+    val events = Tables.events(spark, Sf0001)
+    graft.ops.Sketches.maintain(spark, path, events.filter(col("event_id") % 2 === 0),
+      Seq("event_type"), "value", "user_id")
+    val nAfterFirst = spark.read.parquet(path)
+      .agg(sum("n_rows")).head().getLong(0)
+    // simulate the crash window: live summary renamed aside, new one never landed
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    // next maintain must restore __old (NOT reset to the delta alone)
+    graft.ops.Sketches.maintain(spark, path, events.filter(col("event_id") % 2 =!= 0),
+      Seq("event_type"), "value", "user_id")
+    val total = spark.read.parquet(path).agg(sum("n_rows")).head().getLong(0)
+    assert(total === events.count(),
+      s"history lost in recovery: $total vs ${events.count()} (first batch held $nAfterFirst)")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+  }
+
   test("maintain with kllK: incremental summary percentile == rescan envelope") {
     val dir = java.nio.file.Files.createTempDirectory("kll_maintain").toString
     val path = s"$dir/summary"
