@@ -130,7 +130,7 @@ class SketchesSpec extends SparkTestBase {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double, Long)]
     val q = Sketches.maintainStream(dir,
       mem.toDF().toDF("event_type", "value", "user_id"), ckpt,
-      Keys, "value", "user_id")
+      Keys, "value", "user_id", kllK = Some(256))
     try {
       val (b1, b2) = rows.splitAt(rows.length / 2)
       mem.addData(b1.toIndexedSeq); q.processAllAvailable()
@@ -147,6 +147,22 @@ class SketchesSpec extends SparkTestBase {
         r.getAs[Long]("n_distinct")))
     assert(streamed.toSeq === scratch.toSeq,
       "streamed maintenance must equal the one-shot summary")
+    // the streamed summary's KLL column answers quantiles within the
+    // envelope (same read path as the batch-maintained spec)
+    val p50s = spark.read.parquet(dir).select(col("event_type"),
+        graft.functions.KllF.quantile(spark, col("value_kll"), 0.5).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = events.select(col("event_type"), col("value").cast("double").as("v"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    for ((et, est) <- p50s) {
+      val sorted = exact(et)
+      val n = sorted.length.toDouble
+      val lo = sorted.count(_ < est) / n
+      val hi = sorted.count(_ <= est) / n
+      val err = if (0.5 < lo) lo - 0.5 else if (0.5 > hi) 0.5 - hi else 0.0
+      assert(err <= 0.02, f"$et streamed p50 err $err%.4f")
+    }
   }
 
   test("maintain: three incremental batches == one from-scratch summary (through disk)") {
