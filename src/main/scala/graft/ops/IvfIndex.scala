@@ -551,6 +551,20 @@ object IvfIndex {
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
+    // crash recovery FIRST: a death inside a prior swap's rename pair
+    // leaves only the aside copy (.compact_old_cell=N) — restore it
+    // before compacting (pre-r9 the swap deleted old files before the
+    // new ones were in place, so that window LOST the cell's rows)
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact_old_"))
+      .foreach { aside =>
+        val cellName = aside.getPath.getName.stripPrefix(".compact_old_")
+        val live = new Path(root, cellName)
+        if (!fs.exists(live)) {
+          require(fs.rename(aside.getPath, live),
+            s"could not restore crashed cell $cellName")
+        } else fs.delete(aside.getPath, true) // stale duplicate
+      }
     val cells = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
     var (done, before, after) = (0, 0, 0)
@@ -565,16 +579,25 @@ object IvfIndex {
         // the directory name, not in the files) and rewrite coalesced;
         // coalesce not repartition: a narrow merge, no shuffle
         val staged = new Path(c.getPath.getParent, s".compact_${c.getPath.getName}")
-        spark.read.parquet(c.getPath.toString)
-          .coalesce(nOut)
-          .write.mode("overwrite").parquet(staged.toString)
-        val newFiles = dataFiles(staged)
-        // swap: drop the old data files, move the compacted ones in
-        files.foreach(f => fs.delete(f.getPath, false))
-        newFiles.foreach(f => fs.rename(f.getPath, new Path(c.getPath, f.getPath.getName)))
-        fs.delete(staged, true)
-        done += 1
-        after += newFiles.length
+        val aside = new Path(c.getPath.getParent, s".compact_old_${c.getPath.getName}")
+        try {
+          spark.read.parquet(c.getPath.toString)
+            .coalesce(nOut)
+            .write.mode("overwrite").parquet(staged.toString)
+          val nNew = dataFiles(staged).length
+          // whole-directory rename-aside swap: the cell is never a
+          // mixture of old and new files, and the aside copy survives a
+          // crash between the renames (recovered on the next call; a
+          // reader in the window sees the cell missing — retry contract,
+          // same as Sketches.maintain)
+          require(fs.rename(c.getPath, aside), s"could not stage aside ${c.getPath}")
+          require(fs.rename(staged, c.getPath), s"could not swap ${c.getPath}")
+          fs.delete(aside, true)
+          done += 1
+          after += nNew
+        } finally {
+          if (fs.exists(staged)) fs.delete(staged, true)
+        }
       }
     }
     (done, before, after)

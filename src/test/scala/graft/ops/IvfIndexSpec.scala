@@ -509,6 +509,32 @@ class IvfIndexSpec extends SparkTestBase {
     assert(done2 === 0 && b2 === a2 && b2 === after)
   }
 
+  test("compact recovers a cell stranded aside by a crash in the rename window") {
+    // regression (r9 review class): the pre-r9 swap deleted old files
+    // before moving new ones in, so a crash in between LOST the cell.
+    // The rename-aside protocol leaves .compact_old_cell=N as the sole
+    // copy in the worst window — the next compact must restore it.
+    val dir = java.nio.file.Files.createTempDirectory("ivfcrash").toString
+    val m0 = IvfIndex.build(emb.filter(col("vec_id") % 3 === 0), nlist = 4, iters = 1)
+    IvfIndex.save(m0, dir)
+    (1 until 3).foreach(i =>
+      IvfIndex.append(spark, dir, emb.filter(col("vec_id") % 3 === i)))
+    val preAssign = IvfIndex.load(spark, dir).assignments
+      .select("vec_id", "cell").orderBy("vec_id").collect().map(_.toSeq).toSeq
+    // simulate the crash window on one cell: live dir renamed aside,
+    // replacement never landed
+    val root = new org.apache.hadoop.fs.Path(s"$dir/assignments")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cell = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell=")).head.getPath
+    assert(fs.rename(cell, new org.apache.hadoop.fs.Path(root,
+      s".compact_old_${cell.getName}")))
+    IvfIndex.compact(spark, dir, maxFilesPerCell = 1000) // recovery only
+    assert(IvfIndex.load(spark, dir).assignments
+      .select("vec_id", "cell").orderBy("vec_id").collect().map(_.toSeq).toSeq
+      === preAssign, "stranded cell must be restored, not lost")
+  }
+
   test("maintained index (append + refine) preserves partial-probe recall vs a fresh build") {
     import org.apache.spark.sql.graftbridge.Bridge
     // The lifecycle specs above prove append/refine move rows EXACTLY
