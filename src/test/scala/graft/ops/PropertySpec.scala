@@ -77,4 +77,51 @@ object PropertySpec extends Properties("graft.ops") {
     got.length == probeTs.length &&
       got.forall { r => val v = r.getDouble(2); v >= lo && v <= hi }
   }
+
+  private val tokenGen: Gen[List[String]] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "x")))
+
+  property("BpeMergesF == chained mergeFold reference on random corpora") = Prop.forAll(
+    for {
+      docs <- Gen.chooseNum(1, 6).flatMap(k => Gen.listOfN(k, tokenGen))
+      merges <- Gen.someOf(Seq(("a", "b"), ("b", "a"), ("a", "a"),
+        ("c", "a"), ("ab", "c")))
+    } yield (docs, merges.toList)
+  ) { case (docs, merges) =>
+    import spark.implicits._
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "toks")
+    val out = df.select(
+        TextOps.applyMergesReference(col("toks"), merges).as("ref"),
+        TextOps.applyMerges(spark, col("toks"), merges).as("fast"))
+      .collect()
+    out.forall(r => r.getSeq[String](0) == r.getSeq[String](1))
+  }
+
+  property("KLL: exact weight, exact below capacity, 2% rank envelope above") = Prop.forAll(
+    for {
+      n <- Gen.chooseNum(1, 3000)
+      k <- Gen.oneOf(32, 64, 256)
+      seed <- Gen.chooseNum(0L, 1000L)
+    } yield (n, k, seed)
+  ) { case (n, k, seed) =>
+    val rnd = new scala.util.Random(seed)
+    val vals = Seq.fill(n)(rnd.nextDouble() * 100 - 50)
+    val s = graft.functions.KllState.empty(k)
+    vals.foreach(s.insert)
+    val sorted = vals.sorted
+    val qs = Seq(0.1, 0.5, 0.9)
+    val envelopeOk = qs.forall { q =>
+      val est = s.quantile(q)
+      val lo = sorted.count(_ < est).toDouble / n
+      val hi = sorted.count(_ <= est).toDouble / n
+      val err = if (q < lo) lo - q else if (q > hi) q - hi else 0.0
+      err <= 0.02 || (n < k && err == 0.0)
+    }
+    val exactOk = n >= k || qs.forall { q =>
+      s.quantile(q) == sorted((math.max(1, math.ceil(q * n).toLong) - 1).toInt)
+    }
+    s.totalWeight == n.toLong && envelopeOk && exactOk
+  }
 }
