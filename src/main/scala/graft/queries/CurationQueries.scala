@@ -110,21 +110,29 @@ object CurationQueries {
     // aggregates (the per-source table is domain-bounded), normalizer
     // joined back by broadcast — never a global window.
     "q_domain_mix" -> ((s, d) => {
+      // Integer-exact cross-engine contract (r10; the r8/r9 versions both
+      // hash-failed the gate by rounding an engine-divergent double):
+      //   w_i    = ROUND(sqrt(n_tokens) * 1e6) as BIGINT   per source
+      //   mix_bp = (w_i * 20000 + T) DIV (2 * T),  T = SUM(w_i) exact
+      // Why this cannot flip between engines: IEEE 754 REQUIRES sqrt to be
+      // correctly rounded (unlike pow(x, 0.5)), and *1e6 is one exact-input
+      // multiply — so the pre-round double is bit-identical in the JVM and
+      // DuckDB's C runtime. ROUND of a bit-identical double is identical.
+      // From there everything is BIGINT: the sum is exact (no accumulation-
+      // order sensitivity, unlike the old SUM(double)), and the basis-point
+      // division is round-half-up in pure integer arithmetic:
+      //   floor((w*20000 + T) / (2T)) == round(w/T * 10000).
+      // No float ever crosses the engine boundary after the sqrt.
       val perSource = Tables.documents(s, d).groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(graft.ops.TextOps.tokenCount(col("text")).cast("long"))
             .as("n_tokens"))
-        .withColumn("w_raw", pow(col("n_tokens").cast("double"), 0.5))
-      // Output in integer basis points, not a rounded DOUBLE: the r8 gate
-      // hash-failed on a driver-side DuckDB build whose float formatting
-      // diverged at the 4th decimal, so the contract is now
-      // round(ratio*10000) as BIGINT — engine-independent by construction
-      // (SURVEY §2.11 "integer outputs where possible").
-      val total = perSource.agg(sum("w_raw").as("w_total"))
+        .withColumn("w_i",
+          round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+      val total = perSource.agg(sum("w_i").as("w_total"))
       perSource.crossJoin(broadcast(total))
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          round(col("w_raw") / col("w_total") * 10000)
-            .cast("long").as("mix_bp"))
+          expr("(w_i * 20000 + w_total) div (2 * w_total)").as("mix_bp"))
         .orderBy("source")
     }),
 
@@ -391,8 +399,9 @@ object CurationQueries {
         """SELECT doc_id, lang, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= 20 ORDER BY lang, rnk"""),
     "q_domain_mix" ->
       ("""WITH t AS (SELECT source, COUNT(*) AS n_docs, SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS n_tokens FROM documents GROUP BY source), """ +
-        """s AS (SELECT source, n_docs, n_tokens, POWER(CAST(n_tokens AS DOUBLE), 0.5) AS w_raw FROM t) """ +
-        """SELECT source, n_docs, n_tokens, CAST(ROUND(w_raw / (SELECT SUM(w_raw) FROM s) * 10000) AS BIGINT) AS mix_bp FROM s ORDER BY source"""),
+        """s AS (SELECT source, n_docs, n_tokens, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_i FROM t), """ +
+        """tt AS (SELECT CAST(SUM(w_i) AS BIGINT) AS w_total FROM s) """ +
+        """SELECT source, n_docs, n_tokens, CAST((w_i * 20000 + w_total) // (2 * w_total) AS BIGINT) AS mix_bp FROM s, tt ORDER BY source"""),
     "q_chunk_overlap" ->
       ("""WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents), """ +
         """c AS (SELECT doc_id, n_tok, CASE WHEN n_tok <= 64 THEN CAST(1 AS BIGINT) ELSE (n_tok - 17) // 48 + 1 END AS n_chunks FROM t), """ +
