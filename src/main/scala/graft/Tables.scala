@@ -34,19 +34,34 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet `timestamp[ns]`, which Spark's vectorized reader
-    * rejects (`PARQUET_TYPE_ILLEGAL`). We read it as a raw nanosecond epoch
-    * long (`spark.sql.legacy.parquet.nanosAsLong`) and derive:
+  /** Events loader with a STABLE `ts` contract: epoch nanoseconds as a
+    * long, whatever the driver generated on disk. The synthetic `events.ts`
+    * has shipped as parquet `timestamp[ns]` (rounds 1-10; Spark's vectorized
+    * reader rejects it, so it is read as a raw ns long via
+    * `spark.sql.legacy.parquet.nanosAsLong`) and as `timestamp[us]`
+    * (round-11 regeneration; surfaces as TIMESTAMP_NTZ). Downstream code and
+    * every `epoch_ns(ts)` oracle assume the ns-long form, so both on-disk
+    * types normalize to it here:
     *   - `ts`      — epoch nanoseconds (long, exact; safe for ordering/compare)
     *   - `ts_ms`   — epoch milliseconds (long, integer division — exact)
     *   - `ts_utc`  — TimestampType at millisecond precision (for
     *                 window()/session_window aggregations)
     *
+    * The NTZ branch interprets naive timestamps as UTC (session timezone is
+    * pinned to UTC by Verify/Bench and every spec base), matching DuckDB's
+    * `epoch_ns`/`epoch_ms` on the same naive values; `unix_micros * 1000` is
+    * exact — no float, no sub-microsecond loss (there is none to lose).
     * Millisecond truncation matches DuckDB's `epoch_ms(ts)` for the oracle.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    val raw = table(spark, dir, "events")
+    val tsNs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ =>
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L)
+    }
+    raw.withColumn("ts", tsNs)
       .withColumn("ts_ms", expr("ts DIV 1000000"))
       .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
   }

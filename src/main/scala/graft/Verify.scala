@@ -20,8 +20,17 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(ks) => SparkEntry.queries.filter { case (n, _) => ks(n) }
-      case None     => SparkEntry.queries
+      case Some(ks) =>
+        // Fail fast on misspelled keys: a typo would otherwise select
+        // nothing and leave stale parquet from earlier full runs in
+        // outDir looking like current results.
+        val unknown = ks.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        val sel = SparkEntry.queries.filter { case (n, _) => ks(n) }
+        System.err.println(s"[verify] SPARK_GRAFT_ONLY: running ${sel.size} of ${SparkEntry.queries.size} queries")
+        sel
+      case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

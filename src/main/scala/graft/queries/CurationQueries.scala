@@ -398,7 +398,7 @@ object CurationQueries {
       ("""WITH r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk FROM documents) """ +
         """SELECT doc_id, lang, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= 20 ORDER BY lang, rnk"""),
     "q_domain_mix" ->
-      ("""WITH t AS (SELECT source, COUNT(*) AS n_docs, SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS n_tokens FROM documents GROUP BY source), """ +
+      ("""WITH t AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens FROM documents GROUP BY source), """ +
         """s AS (SELECT source, n_docs, n_tokens, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_i FROM t), """ +
         """tt AS (SELECT CAST(SUM(w_i) AS BIGINT) AS w_total FROM s) """ +
         """SELECT source, n_docs, n_tokens, CAST((w_i * 20000 + w_total) // (2 * w_total) AS BIGINT) AS mix_bp FROM s, tt ORDER BY source"""),
