@@ -236,7 +236,21 @@ object Graph {
     * count" convention, so a node's rank is its relative importance ×1).
     */
   def pageRank(edges: DataFrame, iters: Int = 10,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85, tol: Double = 0.0): DataFrame =
+    pageRankWithRounds(edges, iters, damping, tol)._1
+
+  /** [[pageRank]] plus the number of rounds actually run — the observable
+    * for the epsilon-termination contract. `tol > 0` adds an L1-delta
+    * check per round (one scalar aggregate over the two CACHED
+    * node-bounded rank frames — never a second heavy pass) and stops as
+    * soon as `Σ|rank − prev| ≤ tol`; at 100 TB a fast-converging graph
+    * then pays for the rounds it needs, not the configured ceiling.
+    * `tol = 0` skips the check entirely: bit-for-bit the fixed-iters
+    * path (pinned in GraphSpec).
+    */
+  def pageRankWithRounds(edges: DataFrame, iters: Int = 10,
+                         damping: Double = 0.85,
+                         tol: Double = 0.0): (DataFrame, Int) = {
     val e = edges.selectExpr("cast(src as long) as src", "cast(dst as long) as dst")
       .na.drop().distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node_id"))
@@ -251,7 +265,8 @@ object Graph {
       .agg(count(lit(1)).as("out_deg")).localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint()
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       // ONE heavy pass per round: ranks ⋈ out-degrees ⋈ edges, one hash
       // aggregate at the destinations — materialized eagerly so both the
       // dangling scalar and the rank update read the cached node-bounded
@@ -281,12 +296,20 @@ object Graph {
             lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
               col("dangling_mass") / lit(n))).as("rank"))
         .localCheckpoint()
+      if (tol > 0.0) {
+        val delta = next
+          .join(ranks.select(col("node_id"), col("rank").as("__prev")),
+            Seq("node_id"))
+          .agg(sum(abs(col("rank") - col("__prev"))).as("d"))
+          .head().getDouble(0)
+        converged = delta <= tol
+      }
       Bridge.unpersistLocalCheckpoint(ranks)
       Bridge.unpersistLocalCheckpoint(contribs)
       ranks = next
       i += 1
     }
-    ranks
+    (ranks, i)
   }
 
   def degrees(edges: DataFrame): DataFrame =

@@ -280,6 +280,53 @@ object CoreQueries {
       }.toDF("q_pct", "n_rows", "within_2pct").orderBy("q_pct")
     }),
 
+    // A6++ — grouped percentiles served from a MAINTAINED summary: three
+    // incremental Sketches.maintain folds (through disk, staged-swap
+    // protocol) build a per-returnflag summary, then p50/p90/p99 are
+    // answered from the stored value_kll bytes (KllQuantilesF →
+    // KllState.quantilesFromBytes) WITHOUT rescanning facts — the
+    // maintain-then-query path end-to-end. Gate shape mirrors
+    // q_quantile_sketch: each served quantile is checked against its
+    // exact rank (one conditional-sum pass over facts, done here only to
+    // produce the verdict), and the integer verdict is the output, so the
+    // oracle needs no sketch — only exact group counts and the contract
+    // that every estimate sits within the 2% rank envelope (deterministic
+    // KLL ladder, k=256, merge-safe — KllSketchSpec pins the merge-error
+    // bound that licenses asserting 1 here).
+    "q_summary_percentiles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("v"),
+        col("l_orderkey"))
+      val path = java.nio.file.Files.createTempDirectory("summary_pct")
+        .toString + "/summary"
+      (0 until 3).foreach { i =>
+        graft.ops.Sketches.maintain(s, path,
+          li.filter(pmod(col("l_orderkey"), lit(3)) === i),
+          Seq("g"), "v", "l_orderkey", kllK = Some(256))
+      }
+      // read the bytes BACK from the maintained store — the serve path a
+      // dashboard takes; one multi-quantile decode per summary row (the
+      // lambda-CSE rule), unpacked into (g, q_pct, est) rows
+      val served = s.read.parquet(path).select(col("g"),
+        graft.functions.KllF.quantiles(s, col("value_kll"),
+          Seq(0.5, 0.9, 0.99)).as("__qs"))
+      val est = Seq((50, 1), (90, 2), (99, 3)).map { case (p, i) =>
+        served.select(col("g"), lit(p).as("q_pct"),
+          element_at(col("__qs"), i).as("est"))
+      }.reduce(_ unionByName _)
+      li.join(broadcast(est), "g")
+        .groupBy(col("g"), col("q_pct"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("__rank"))
+        .select(col("g").as("l_returnflag"),
+          col("q_pct").cast("int").as("q_pct"), col("n_rows"),
+          when(abs(col("__rank").cast("double") / col("n_rows")
+            - col("q_pct").cast("double") / 100.0) <= 0.02, 1)
+            .otherwise(0).cast("int").as("within_2pct"))
+        .orderBy("l_returnflag", "q_pct")
+    }),
+
     // A7+ — full cube over the region/nation hierarchy.
     "q_cube" -> ((s, d) => {
       Tables.customer(s, d)
@@ -711,6 +758,13 @@ object CoreQueries {
     "q_quantile_sketch" ->
       ("""SELECT CAST(t.q_pct AS INT) AS q_pct, (SELECT COUNT(*) FROM lineitem) AS n_rows, CAST(1 AS INT) AS within_2pct """ +
         """FROM (VALUES (1), (5), (25), (50), (75), (95), (99)) t(q_pct) ORDER BY q_pct"""),
+    // like q_quantile_sketch: the maintained sketch cannot run in SQL, the
+    // CONTRACT can — exact per-group counts, and within_2pct must be 1 at
+    // every (group, quantile); a maintain/merge/serve regression flips it
+    "q_summary_percentiles" ->
+      ("""SELECT l_returnflag, CAST(t.q_pct AS INT) AS q_pct, COUNT(*) AS n_rows, CAST(1 AS INT) AS within_2pct """ +
+        """FROM lineitem CROSS JOIN (VALUES (50), (90), (99)) t(q_pct) """ +
+        """GROUP BY l_returnflag, t.q_pct ORDER BY l_returnflag, q_pct"""),
     "q_cube" ->
       """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(c_mktsegment, 'ALL') AS segment, COUNT(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY CUBE(r_name, c_mktsegment) ORDER BY 1, 2""",
     "q_measure_series" ->

@@ -83,6 +83,21 @@ object SummaryBench {
     val report = graft.ops.Sketches.report(
       spark.read.parquet(s"$dir/summary"))
     report.show(10, truncate = false)
+    // the maintain-then-QUERY path specifically (q_summary_percentiles
+    // shape): grouped p50/p90/p99 served from the stored KLL bytes vs the
+    // exact sort-based rescan over all facts — the at-scale argument for
+    // keeping summaries at all
+    val tServe = time {
+      graft.ops.Sketches.report(spark.read.parquet(s"$dir/summary")).collect()
+    }
+    val all = (0 until reps).map(j => spark.read.parquet(s"$dir/batch_$j"))
+      .reduce(_ unionByName _)
+    val tExact = time {
+      graft.ops.Quantiles.exactPercentiles(
+        all, "event_type", "value", Seq(0.5, 0.9, 0.99)).collect()
+    }
+    println(f"quantile read at $reps%dx history: maintained-serve=$tServe%.2fs" +
+      f"  exact-rescan=$tExact%.2fs  (${tExact / tServe}%.1fx)")
     println("SummaryBench OK")
     spark.stop()
   }

@@ -160,6 +160,37 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(a.map(_._2).sum - a.length) < 1e-6)
   }
 
+  test("pageRank: epsilon termination exits early; tol=0 is the fixed-iters path") {
+    import spark.implicits._
+    // cycle: rank 1.0 is exactly stationary, so round 1 reproduces it and
+    // the L1 delta is exactly 0.0 — the tol path must stop after 1 round
+    // instead of burning the 50-round ceiling (the at-scale win: rounds
+    // proportional to convergence, not configuration)
+    val cycle = (0 until 12).map(i => (i.toLong, ((i + 1) % 12).toLong))
+      .toDF("src", "dst")
+    val (pr, rounds) = Graph.pageRankWithRounds(cycle, iters = 50, tol = 1e-9)
+    assert(rounds === 1, s"converged cycle must exit after round 1, ran $rounds")
+    pr.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
+    // tol=0 never checks, never exits early: exactly the fixed-iters path
+    val (_, r0) = Graph.pageRankWithRounds(cycle, iters = 5, tol = 0.0)
+    assert(r0 === 5)
+    // non-trivial converging graph: early exit before the ceiling, and the
+    // early result sits within the declared tolerance band of the full run
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 400)
+      .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val (fast, rFast) = Graph.pageRankWithRounds(edges, iters = 60, tol = 1e-6)
+    assert(rFast < 60, "tolerance must terminate before the ceiling")
+    val full = Graph.pageRank(edges, iters = 60).orderBy("node_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val fastM = fast.orderBy("node_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(fastM.keySet === full.keySet)
+    val l1 = fastM.map { case (k, v) => math.abs(v - full(k)) }.sum
+    assert(l1 <= 1e-4, s"early-exit ranks drifted L1=$l1 from converged ranks")
+  }
+
   test("pageRank: jobs per extra round stay at the single-heavy-pass count") {
     // Pin of the r9 single-pass-per-round contract: each round is one
     // contribs materialization, one scalar agg off the cache, one rank

@@ -535,6 +535,33 @@ class IvfIndexSpec extends SparkTestBase {
       === preAssign, "stranded cell must be restored, not lost")
   }
 
+  test("compact discards a stale aside copy left beside a live cell") {
+    // the other kill point in the swap: death AFTER rename(staged, cell)
+    // but before delete(aside) leaves the new cell live plus a stale
+    // .compact_old_ duplicate. Recovery must keep the live cell and
+    // delete the orphan — restoring it would resurrect pre-compaction
+    // files next to the compacted ones (duplicate rows on read).
+    val dir = java.nio.file.Files.createTempDirectory("ivfstale").toString
+    val m0 = IvfIndex.build(emb.filter(col("vec_id") % 3 === 0), nlist = 4, iters = 1)
+    IvfIndex.save(m0, dir)
+    (1 until 3).foreach(i =>
+      IvfIndex.append(spark, dir, emb.filter(col("vec_id") % 3 === i)))
+    val preAssign = IvfIndex.load(spark, dir).assignments
+      .select("vec_id", "cell").orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/assignments")
+    val fs = root.getFileSystem(conf)
+    val cell = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell=")).head.getPath
+    val aside = new org.apache.hadoop.fs.Path(root, s".compact_old_${cell.getName}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, cell, fs, aside, false, conf)
+    IvfIndex.compact(spark, dir, maxFilesPerCell = 1000) // recovery only
+    assert(!fs.exists(aside), "stale aside must be deleted, not restored")
+    assert(IvfIndex.load(spark, dir).assignments
+      .select("vec_id", "cell").orderBy("vec_id").collect().map(_.toSeq).toSeq
+      === preAssign, "membership must be unchanged")
+  }
+
   test("maintained index (append + refine) preserves partial-probe recall vs a fresh build") {
     import org.apache.spark.sql.graftbridge.Bridge
     // The lifecycle specs above prove append/refine move rows EXACTLY

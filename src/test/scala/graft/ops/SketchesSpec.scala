@@ -192,4 +192,60 @@ class SketchesSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() ===
       events.select("event_type").distinct().count())
   }
+
+  test("maintain recovers the summary stranded at __old by a crash in the rename window") {
+    // kill-point injection (r9 verdict #5): in maintain's swap the one
+    // non-atomic window is between rename(p, __old) and
+    // rename(staging, p) — a death there leaves __old as the SOLE copy
+    // of the accumulated summary. Write that exact on-disk state, then
+    // assert the next maintain call restores it rather than silently
+    // resetting the summary to the incoming delta (the pre-r9 bug class).
+    val dir = java.nio.file.Files.createTempDirectory("summarycrash")
+      .toString + "/s"
+    val batches = Seq(0, 1, 2).map(i =>
+      events.filter(col("event_id") % 3 === i))
+    Sketches.maintain(spark, dir, batches(0), Keys, "value", "user_id")
+    Sketches.maintain(spark, dir, batches(1), Keys, "value", "user_id")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the crash: live summary is mid-swap — only __old exists
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(dir + "__old")))
+    Sketches.maintain(spark, dir, batches(2), Keys, "value", "user_id")
+    val got = Sketches.report(spark.read.parquet(dir)).orderBy("event_type")
+      .select(col("event_type"), col("n_rows")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = events.groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === want,
+      "post-crash maintain must fold the delta into the RESTORED summary " +
+        "(a reset-to-delta would drop two batches of counts)")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__old")),
+      "recovery must not strand the aside copy")
+  }
+
+  test("maintain discards a stale __old left beside a live summary") {
+    // the other kill point: death AFTER rename(staging, p) but before
+    // delete(__old) leaves a live (newer) summary plus a stale aside.
+    // Recovery must keep the live one and delete the orphan — restoring
+    // __old over p here would roll the summary back a batch.
+    val dir = java.nio.file.Files.createTempDirectory("summarystale")
+      .toString + "/s"
+    val batches = Seq(0, 1, 2).map(i =>
+      events.filter(col("event_id") % 3 === i))
+    Sketches.maintain(spark, dir, batches(0), Keys, "value", "user_id")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    val fs = p.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, old, false, conf)
+    Sketches.maintain(spark, dir, batches(1), Keys, "value", "user_id")
+    Sketches.maintain(spark, dir, batches(2), Keys, "value", "user_id")
+    val got = Sketches.report(spark.read.parquet(dir)).orderBy("event_type")
+      .select(col("event_type"), col("n_rows")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = events.groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === want, "stale aside must not corrupt the fold")
+    assert(!fs.exists(old), "stale aside must be deleted, not restored")
+  }
 }
