@@ -1,0 +1,41 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** BPE training scaling curve (r9 verdict #7): the SERVING expression
+  * (BpeMergesF linear fold) is measured; this measures the TRAINING
+  * fold's merge-count-vs-wall shape on the sf1-equivalent soak corpus
+  * (Soak convention: 10x sf0.1 documents under distinct ids — 50k docs).
+  * Each merge round is one explode→count pair census (driver takes ONE
+  * row) plus one corpus-wide linear rewrite, so wall should grow
+  * linearly in merges with a flat per-round cost — a super-linear bend
+  * would mean the rewritten corpus or the lineage is accumulating
+  * somewhere (the localCheckpoint/unpersist hygiene exists to prevent
+  * exactly that).
+  */
+object BpeScaleBench {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse("/root/testdata/sf0.1")
+    val cpus = graft.Bench.parseCpus(
+      args.lift(1).orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("32")).toString
+    val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, srcDir)
+      .crossJoin(spark.range(reps.toLong).select(col("id").as("__r")))
+      .withColumn("doc_id", col("doc_id") * reps + col("__r"))
+      .drop("__r").localCheckpoint()
+    println(s"corpus: ${docs.count()} documents (${reps}x $srcDir)")
+    Seq(8, 16, 32, 64).foreach { m =>
+      val t0 = System.nanoTime()
+      val (merges, _) = graft.ops.TextOps.trainPhraseMerges(
+        docs, "doc_id", "text", nMerges = m)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"merges=$m%2d: trained=${merges.size}%2d  wall=$wall%6.1fs  (${wall / merges.size}%5.2fs/merge)")
+    }
+    spark.stop()
+  }
+}
