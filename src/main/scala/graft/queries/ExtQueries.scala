@@ -76,6 +76,27 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // J6c — nearest as-of: the closest curve point on EITHER side within
+    // tolerance, ties resolving backward (sensor-alignment semantics —
+    // match each event to its nearest calibration). Completes the
+    // catalog exposure of the direction surface (backward/forward/
+    // nearest are merge-time parameters of the same AsOfJoinExec merge
+    // pass — no new plan shape); the tie-break is pinned in
+    // AsOfJoinSpec and mirrored ordinally in the oracle's ORDER BY.
+    "q_asof_nearest" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val probes = e.select(col("event_id"), col("user_id"), col("ts"))
+      val curve = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .agg(max(col("value")).as("c_val"))
+        .withColumn("c_ms", expr("c_ts DIV 1000000"))
+      graft.plans.AsOfJoinOps.asof(probes, curve, "user_id", "c_user",
+          "ts", "c_ts", direction = "nearest", tolerance = 3600L * 1000000000L)
+        .select(col("event_id"), col("c_ms").as("near_ms"),
+          col("c_val").as("near_val"))
+        .orderBy("event_id")
+    }),
+
     // J7 — multimodal join: text table ⋈ embedding table.
     "q_multimodal_join" -> ((s, d) => {
       Tables.documents(s, d)
@@ -488,6 +509,11 @@ object ExtQueries {
       """WITH curve AS (SELECT user_id, ts, MAX(value) AS value FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) SELECT e.event_id, (SELECT CAST(epoch_ms(s.ts) AS BIGINT) FROM curve s WHERE s.user_id = e.user_id AND s.ts <= e.ts ORDER BY s.ts DESC LIMIT 1) AS asof_ms, (SELECT s.value FROM curve s WHERE s.user_id = e.user_id AND s.ts <= e.ts ORDER BY s.ts DESC LIMIT 1) AS asof_val FROM events e ORDER BY e.event_id""",
     "q_asof_forward" ->
       """WITH curve AS (SELECT user_id, ts, MAX(value) AS value FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) SELECT e.event_id, (SELECT CAST(epoch_ms(s.ts) AS BIGINT) FROM curve s WHERE s.user_id = e.user_id AND epoch_ns(s.ts) >= epoch_ns(e.ts) AND epoch_ns(s.ts) - epoch_ns(e.ts) <= 3600000000000 ORDER BY s.ts ASC LIMIT 1) AS next_ms, (SELECT s.value FROM curve s WHERE s.user_id = e.user_id AND epoch_ns(s.ts) >= epoch_ns(e.ts) AND epoch_ns(s.ts) - epoch_ns(e.ts) <= 3600000000000 ORDER BY s.ts ASC LIMIT 1) AS next_val FROM events e ORDER BY e.event_id""",
+    // nearest = min |Δt| within tolerance, ties backward: ORDER BY the
+    // absolute ns distance, then s.ts ASC (equidistant candidates are one
+    // earlier + one later; ASC picks the earlier = backward tie-break)
+    "q_asof_nearest" ->
+      """WITH curve AS (SELECT user_id, ts, MAX(value) AS value FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) SELECT e.event_id, (SELECT CAST(epoch_ms(s.ts) AS BIGINT) FROM curve s WHERE s.user_id = e.user_id AND ABS(epoch_ns(s.ts) - epoch_ns(e.ts)) <= 3600000000000 ORDER BY ABS(epoch_ns(s.ts) - epoch_ns(e.ts)) ASC, s.ts ASC LIMIT 1) AS near_ms, (SELECT s.value FROM curve s WHERE s.user_id = e.user_id AND ABS(epoch_ns(s.ts) - epoch_ns(e.ts)) <= 3600000000000 ORDER BY ABS(epoch_ns(s.ts) - epoch_ns(e.ts)) ASC, s.ts ASC LIMIT 1) AS near_val FROM events e ORDER BY e.event_id""",
     "q_multimodal_join" ->
       """SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INTEGER) AS emb_dim FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id""",
     "q_event_funnel" ->
