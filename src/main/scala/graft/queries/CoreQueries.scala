@@ -396,6 +396,46 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // W4 scale path — the SAME top-3-per-customer result as
+    // q_topk_per_group, computed by the bounded map-side TopKPerGroupAgg
+    // instead of a rank window. The window variant shuffles and SORTS
+    // every order row per customer; this plan's exchange carries at most
+    // k rows per (customer, partition) and contains no Window at all
+    // (PlanAuditSpec pins the shape — the q_salted_join precedent:
+    // proving the scale route semantics-preserving IS the check, so the
+    // oracle is the window formulation's SQL verbatim).
+    "q_topk_agg" -> ((s, d) => {
+      val agg = udaf(new graft.functions.TopKPerGroupAgg(3))
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(agg(col("o_totalprice"), col("o_orderkey")).as("topk"))
+        .select(col("o_custkey"), explode(col("topk")).as("t"))
+        .select(col("o_custkey"), col("t._2").as("o_orderkey"),
+          col("t._1").as("o_totalprice"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // J4 scale path — bloom-prefiltered semi-join: urgent-order revenue
+    // over lineitem, with the fact scan pre-filtered by a broadcast
+    // bloom of the (filtered) dim keys BEFORE the shuffle. False
+    // positives pass the bloom and die in the exact semi-join, so the
+    // composition is exactly the plain semi-join (the oracle); what
+    // changes is the exchange: ~selectivity x facts rows instead of all
+    // facts — the standard 100 TB fact-scan pruning shape Spark's
+    // runtime-filter rule injects when it can, here explicit.
+    "q_bloom_semi_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val pre = graft.ops.Bloom.prefilter(Tables.lineitem(s, d),
+        col("l_orderkey"), urgent, expectedNdv = 64L * 1024)
+      pre.join(urgent, pre("l_orderkey") === urgent("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy("l_returnflag")
+    }),
+
     // W5 — global sort + limit (TakeOrderedAndProject; no full sort at scale).
     "q_sort_limit" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -777,6 +817,12 @@ object CoreQueries {
       """SELECT user_id, event_id, value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta FROM events ORDER BY user_id, event_id""",
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
+    // the aggregator route must reproduce the window formulation verbatim
+    "q_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
+    // the bloom prefilter is transparent: the oracle is the plain semi-join
+    "q_bloom_semi_join" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') GROUP BY 1 ORDER BY 1""",
     "q_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
     "q_except" ->

@@ -264,4 +264,26 @@ class PlanAuditSpec extends SparkTestBase {
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$p")
   }
+
+  test("q_topk_agg contains no Window — bounded partial aggregation replaces the rank sort") {
+    val p = plan("q_topk_agg")
+    assert(!p.contains("Window"), s"aggregator route regressed to a window:\n$p")
+    // two-phase object-hash aggregation: map-side partial top-k before the
+    // exchange is the entire point
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"partial aggregation missing (no map-side top-k):\n$p")
+  }
+
+  test("q_bloom_semi_join probes the bloom in a scan-side Filter before the join") {
+    val p = plan("q_bloom_semi_join")
+    assert(p.contains("might_contain"), s"bloom prefilter missing:\n$p")
+    // the filter must sit BELOW the join: the first might_contain line
+    // appears after the join operator line in top-down plan text
+    val lines = p.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    val bloomIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(joinIdx >= 0 && bloomIdx > joinIdx,
+      s"bloom filter not below the join (join@$joinIdx bloom@$bloomIdx):\n$p")
+  }
 }
