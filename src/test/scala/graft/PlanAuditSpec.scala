@@ -196,6 +196,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"not a generic join:\n$p")
   }
 
+  test("q_asof_nearest is served by the custom AsOfJoin physical operator") {
+    val p = plan("q_asof_nearest")
+    assert(p.contains("AsOfJoin"), s"nearest as-of must use AsOfJoinExec:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"not a generic join:\n$p")
+  }
+
+  test("q_summary_percentiles serves estimates via a broadcast, never re-shuffling facts by estimate") {
+    // the fact side pays its one groupBy exchange; the (summary-derived)
+    // 9-row estimate table must broadcast into the join — a shuffled join
+    // here would mean the serve path re-keyed the corpus on tiny data
+    val p = plan("q_summary_percentiles")
+    assert(p.contains("BroadcastHashJoin"), s"estimates must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"summary join regressed to SMJ:\n$p")
+  }
+
   test("q_event_funnel stacks its three stage windows on ONE user exchange") {
     // the funnel's scale property: stage r+1's conditional min reads
     // stage r's per-user-constant column, so all three Window passes

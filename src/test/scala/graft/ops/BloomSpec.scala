@@ -38,6 +38,14 @@ class BloomSpec extends SparkTestBase {
       .count() === 0L)
   }
 
+  test("empty dim: prefilter returns zero rows (matches the empty semi-join), no analysis error") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val none = Tables.orders(spark, Sf0001)
+      .filter(col("o_orderpriority") === "NO-SUCH-PRIORITY")
+      .select(col("o_orderkey"))
+    assert(Bloom.prefilter(li, col("l_orderkey"), none, expectedNdv = 16).count() === 0L)
+  }
+
   test("genuine pruning: the prefilter drops most non-matching rows") {
     val li = Tables.lineitem(spark, Sf0001)
     val urgent = Tables.orders(spark, Sf0001)
