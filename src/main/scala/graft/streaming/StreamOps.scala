@@ -273,4 +273,29 @@ object StreamOps {
         unix_millis(col("session_window.start")).as("session_start_ms"),
         unix_millis(col("session_window.end")).as("session_end_ms"),
         col("n_events"))
+
+  /** Stream-STREAM interval join — the attribution staple (each click
+    * joined to the same user's signups within the trailing `horizon`),
+    * and the one Structured Streaming join class the engine had not yet
+    * exercised: both sides are unbounded, so Spark must buffer each in
+    * the state store and the TIME-RANGE condition plus both watermarks
+    * are what make that state evictable — rows older than
+    * watermark − horizon can never match again and are purged. Without
+    * the range condition the state grows without bound (the documented
+    * stream-stream trap); with it, steady-state memory is
+    * O(rows-per-horizon), independent of stream length — the 100 TB/day
+    * requirement. Inner joins emit on arrival of the matching side; no
+    * watermark delay on output (unlike outer variants).
+    *
+    * Inputs: clicks (c_user, c_id, c_ts TimestampType),
+    * signups (s_user, s_ts TimestampType, s_val).
+    * StreamingSpec pins row-equality with the identical batch join and
+    * that the join runs stateful.
+    */
+  def attributionJoin(clicks: DataFrame, signups: DataFrame,
+                      horizon: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame =
+    clicks.withWatermark("c_ts", watermark)
+      .join(signups.withWatermark("s_ts", watermark),
+        expr(s"c_user = s_user AND s_ts BETWEEN c_ts - interval $horizon AND c_ts"))
 }

@@ -273,6 +273,59 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join (attribution) == identical batch join; runs stateful") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ev = Tables.events(spark, Sf0001)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    val clicksRows = side("click")
+    val signupRows = side("signup")
+    val memC = MemoryStream[(Long, Long, Long, Double)]
+    val memS = MemoryStream[(Long, Long, Long, Double)]
+    def shape(df: org.apache.spark.sql.DataFrame, p: String) = df
+      .toDF(s"${p}_user", s"${p}_id", s"${p}_ms", s"${p}_val")
+      .withColumn(s"${p}_ts", timestamp_millis(col(s"${p}_ms")))
+    val joined = StreamOps.attributionJoin(
+      shape(memC.toDF(), "c").select("c_user", "c_id", "c_ts"),
+      shape(memS.toDF(), "s").select("s_user", "s_ts", "s_val"))
+      .select(col("c_id"), col("c_user"), unix_millis(col("s_ts")).as("s_ms"),
+        col("s_val"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      // both sides arrive across two interleaved micro-batches — matches
+      // must form regardless of which side lands first
+      val (c1, c2) = clicksRows.splitAt(clicksRows.length / 2)
+      val (s1, s2) = signupRows.splitAt(signupRows.length / 2)
+      memS.addData(s1.toIndexedSeq); q.processAllAvailable()
+      memC.addData(c1.toIndexedSeq); q.processAllAvailable()
+      memC.addData(c2.toIndexedSeq); q.processAllAvailable()
+      memS.addData(s2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .orderBy("c_id", "c_user", "s_ms", "s_val").collect().map(_.toSeq).toSeq
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts_utc").as("c_ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts_utc").as("s_ts"),
+          col("value").as("s_val"))
+      val want = clicks.join(signups,
+          expr("c_user = s_user AND s_ts BETWEEN c_ts - interval 1 hour AND c_ts"))
+        .select(col("c_id"), col("c_user"), unix_millis(col("s_ts")).as("s_ms"),
+          col("s_val"))
+        .orderBy("c_id", "c_user", "s_ms", "s_val").collect().map(_.toSeq).toSeq
+      assert(want.nonEmpty, "fixture must produce at least one attribution pair")
+      assert(got === want)
+      // opposite pin to the stateless decontamination gate: a
+      // stream-stream join MUST hold buffered state
+      val prog = q.lastProgress
+      assert(prog != null && prog.stateOperators.nonEmpty,
+        "stream-stream join must run stateful")
+    } finally q.stop()
+  }
+
   test("streaming session_window: per-user session counts match batch totals") {
     val (_, stream) = streamEvents()
     val agg = StreamOps.sessionAgg(stream)
