@@ -327,6 +327,40 @@ object CoreQueries {
         .orderBy("l_returnflag", "q_pct")
     }),
 
+    // A5+ — statistical aggregates (variance / stddev / correlation), the
+    // moments family an analytics engine owes its users. Built-in
+    // stddev/corr are Welford-style merges whose accumulation ORDER is
+    // engine- and partitioning-dependent — rounding their output is the
+    // audit's forbidden class. Engine-proof construction instead (class
+    // A, VERIFY_NOTES.md): all five moment sums are EXACT DECIMAL
+    // aggregates (order-independent, cent-exact inputs so products are
+    // 4dp-exact), and the variance/correlation derivations are the
+    // IDENTICAL IEEE expression tree on both engines over those exact
+    // sums — decimal→double casts are correctly rounded, so every
+    // operand and every op is bit-identical. Full doubles out, no ROUND.
+    "q_stats_agg" -> ((s, d) => {
+      val q = dec(col("l_quantity"))
+      val p = dec(col("l_extendedprice"))
+      val nD = col("n").cast("double")
+      def d2(c: String) = col(c).cast("double")
+      val varQ = (nD * d2("sqq") - d2("sq") * d2("sq")) /
+        (nD * (col("n") - 1).cast("double"))
+      val varP = (nD * d2("spp") - d2("sp") * d2("sp")) /
+        (nD * (col("n") - 1).cast("double"))
+      val corrQP = (nD * d2("sqp") - d2("sq") * d2("sp")) /
+        (sqrt(nD * d2("sqq") - d2("sq") * d2("sq")) *
+          sqrt(nD * d2("spp") - d2("sp") * d2("sp")))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(q).as("sq"), sum(p).as("sp"),
+          sum(q * q).as("sqq"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
+        .select(col("l_returnflag"), col("n"),
+          varQ.as("var_qty"), sqrt(varQ).as("stddev_qty"),
+          varP.as("var_price"), corrQP.as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // A7+ — full cube over the region/nation hierarchy.
     "q_cube" -> ((s, d) => {
       Tables.customer(s, d)
@@ -817,6 +851,22 @@ object CoreQueries {
       """SELECT user_id, event_id, value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta FROM events ORDER BY user_id, event_id""",
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
+    // moments from exact decimal sums; the derivation is the IDENTICAL
+    // IEEE expression tree as the Spark side — bit-equal, so no ROUND
+    "q_stats_agg" ->
+      ("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n, """ +
+        """SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, """ +
+        """SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp, """ +
+        """SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq, """ +
+        """SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp, """ +
+        """SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp """ +
+        """FROM lineitem GROUP BY l_returnflag) """ +
+        """SELECT l_returnflag, n, """ +
+        """(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_qty, """ +
+        """sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS stddev_qty, """ +
+        """(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_price, """ +
+        """(CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qty_price """ +
+        """FROM m ORDER BY l_returnflag"""),
     // the aggregator route must reproduce the window formulation verbatim
     "q_topk_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
