@@ -361,6 +361,33 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // A5++ — linear-regression aggregates (slope / intercept / R²),
+    // completing the moments family: same class-A construction as
+    // q_stats_agg (exact decimal sums, identical IEEE tree on both
+    // engines, full doubles, no ROUND). price regressed on quantity per
+    // returnflag; R² as the squared covariance ratio so every term
+    // derives from the same five exact sums.
+    "q_regression" -> ((s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val nD = col("n").cast("double")
+      def d2(c: String) = col(c).cast("double")
+      val cov = nD * d2("sxy") - d2("sx") * d2("sy")
+      val vx = nD * d2("sxx") - d2("sx") * d2("sx")
+      val vy = nD * d2("syy") - d2("sy") * d2("sy")
+      val slope = cov / vx
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          slope.as("slope"),
+          ((d2("sy") - slope * d2("sx")) / nD).as("intercept"),
+          ((cov * cov) / (vx * vy)).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
     // A7+ — full cube over the region/nation hierarchy.
     "q_cube" -> ((s, d) => {
       Tables.customer(s, d)
@@ -866,6 +893,20 @@ object CoreQueries {
         """sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS stddev_qty, """ +
         """(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_price, """ +
         """(CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qty_price """ +
+        """FROM m ORDER BY l_returnflag"""),
+    // same exact-sums class-A tree as q_stats_agg; slope/intercept/R2
+    "q_regression" ->
+      ("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n, """ +
+        """SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx, """ +
+        """SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy, """ +
+        """SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx, """ +
+        """SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy, """ +
+        """SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy """ +
+        """FROM lineitem GROUP BY l_returnflag) """ +
+        """SELECT l_returnflag, n, """ +
+        """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope, """ +
+        """(CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept, """ +
+        """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2 """ +
         """FROM m ORDER BY l_returnflag"""),
     // the aggregator route must reproduce the window formulation verbatim
     "q_topk_agg" ->
