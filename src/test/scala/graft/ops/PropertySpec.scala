@@ -124,4 +124,31 @@ object PropertySpec extends Properties("graft.ops") {
     }
     s.totalWeight == n.toLong && envelopeOk && exactOk
   }
+
+  property("TopKPerGroupAgg == sort-take reference for random groups/values/k") =
+    Prop.forAll(for {
+      n <- Gen.chooseNum(1, 80)
+      groups <- Gen.chooseNum(1, 5)
+      k <- Gen.chooseNum(1, 6)
+      // a tiny value domain forces heavy ties — the tie-break path
+      vs <- Gen.listOfN(n, Gen.chooseNum(0, 8))
+    } yield (groups, k, vs)) { case (groups, k, vs) =>
+      import spark.implicits._
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        ((i % groups).toLong, i.toLong, v.toDouble)
+      }
+      val agg = org.apache.spark.sql.functions.udaf(
+        new graft.functions.TopKPerGroupAgg(k))
+      val got = rows.toDF("g", "id", "v").repartition(3)
+        .groupBy(col("g")).agg(agg(col("v"), col("id")).as("topk"))
+        .select(col("g"), explode(col("topk")).as("t"))
+        .select(col("g"), col("t._1").as("v"), col("t._2").as("id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.map(r => (r._3, r._2)).sortBy { case (v, id) => (-v, id) }
+          .take(k).map { case (v, id) => (g, v, id) }
+      }.toSet
+      got == want
+    }
 }
