@@ -151,4 +151,23 @@ object PropertySpec extends Properties("graft.ops") {
       }.toSet
       got == want
     }
+
+  property("bloom prefilter: never loses a match, composition == exact semi-join") =
+    Prop.forAll(for {
+      nFacts <- Gen.chooseNum(1, 120)
+      facts <- Gen.listOfN(nFacts, Gen.chooseNum(0L, 40L))
+      dim <- Gen.someOf(0L to 40L)
+    } yield (facts, dim.toList)) { case (facts, dimKeys) =>
+      import spark.implicits._
+      val factsDf = facts.zipWithIndex
+        .map { case (key, i) => (i.toLong, key) }.toDF("row_id", "key")
+      val dimDf = dimKeys.toDF("dk")
+      val pre = Bloom.prefilter(factsDf, col("key"), dimDf, expectedNdv = 64)
+      val composed = pre.join(dimDf, pre("key") === dimDf("dk"), "left_semi")
+        .select("row_id").collect().map(_.getLong(0)).toSet
+      val exact = facts.zipWithIndex.collect {
+        case (key, i) if dimKeys.contains(key) => i.toLong
+      }.toSet
+      composed == exact
+    }
 }
