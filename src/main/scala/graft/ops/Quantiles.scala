@@ -18,22 +18,61 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   *   3. equi-join the two straddling ranks per (group, percentile) and
   *      interpolate with Spark's weighted two-point form.
   *
-  * Memory: the window sort SPILLS (ExternalSorter), so a huge group
-  * degrades to disk-backed sorting where `percentile()`'s in-memory
-  * value buffer simply OOMs. One caveat remains at extreme scale: a
-  * single group still serializes through one sort partition — if one
-  * group alone exceeds a node's disk, the next refinement is
-  * range-partitioned global ranking (sort by (g, v), compute per-group
-  * rank offsets from partition boundaries). Interpolation matches
-  * `percentile()` / DuckDB `quantile_cont` bit-for-bit (spec'd).
+  * The grouped default (`exactPercentiles`) is RANGE-PARTITIONED: sort by
+  * (g, v) with sampled range bounds — a giant group spans many partitions
+  * because v participates in the range key — then turn per-partition
+  * (group, count) run-lengths (O(parts + groups) to the driver, since a
+  * group's rows are contiguous across at most adjacent partitions) into
+  * global per-group rank offsets, and fetch only the ≤ 2·|ps| straddling
+  * ranks per group in a second pass that reuses the sort's shuffle files.
+  * No partition ever holds more than ~n/parts rows, where the old
+  * window-rank form serialized each whole group through ONE sort
+  * partition (parallelism capped at the group count — the 100 TB
+  * scale-killer for 3-flag groupings).
+  *
+  * Routing: the ranked route collects the per-group count table and the
+  * fetched straddle values (≤ 2·|ps|·groups rows) to the driver, so it is
+  * the right shape exactly when groups are FEW and rows are MANY. Above
+  * `maxRankedGroups` distinct groups the windowed form is used instead —
+  * at that cardinality its parallelism (min(groups, parts)) is no longer
+  * the bottleneck and nothing is collected. The windowed twin stays
+  * public as the oracle cross-check (QuantilesSpec proves equality).
+  *
+  * Interpolation matches `percentile()` / DuckDB `quantile_cont`
+  * bit-for-bit (spec'd).
   */
 object Quantiles {
 
+  /** Above this many distinct groups, `exactPercentiles` uses the
+    * windowed form (enough parallelism; avoids a groups-sized driver
+    * collect). Matches the SURVEY §7.3 bounded-collect convention.
+    */
+  val maxRankedGroups = 10000
+
   /** One row per group: the requested percentiles as columns `p<i>`,
-    * ordered as given. Values are computed in double.
+    * ordered as given. Values are computed in double. Routes between the
+    * range-partitioned ranked form (few groups) and the windowed form
+    * (many groups) — see the object scaladoc.
     */
   def exactPercentiles(df: DataFrame, groupCol: String, valCol: String,
                        ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad percentiles $ps")
+    val base = df.select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val counts = base.groupBy("g").agg(count(lit(1)).as("n"))
+      .limit(maxRankedGroups + 1).collect()
+    if (counts.length > maxRankedGroups)
+      exactPercentilesWindowed(df, groupCol, valCol, ps)
+    else
+      rankedGrouped(base, counts.map(r => (r.get(0), r.getLong(1))), ps)
+  }
+
+  /** The windowed (row_number-per-group) form — kept as the oracle twin
+    * for the ranked route. Correct at any group cardinality but each
+    * group sorts through a single partition.
+    */
+  def exactPercentilesWindowed(df: DataFrame, groupCol: String, valCol: String,
+                               ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad percentiles $ps")
     val base = df.select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
@@ -139,5 +178,117 @@ object Quantiles {
       else vLo * (lo + 1.0 - pos) + fetched(hi) * (pos - lo) // Percentile's form
     })
     spark.createDataFrame(java.util.Arrays.asList(row), schema)
+  }
+
+  /** Range-partitioned grouped ranking (the grouped twin of
+    * `exactPercentilesGlobal`). `base` has columns (g, v: double, non-null
+    * v); `groupCounts` is the already-collected per-group row count
+    * (≤ maxRankedGroups entries).
+    *
+    *   1. repartitionByRange + sortWithinPartitions on (g, v): sampled
+    *      bounds, and because v is part of the range key a single giant
+    *      group SPLITS across partitions — per-partition rows ≈ n/parts,
+    *      never n/groups;
+    *   2. one pass emits per-partition (group, run-length) — groups are
+    *      contiguous within a partition and across the partition order, so
+    *      this is O(parts + groups) rows to the driver;
+    *   3. driver turns group totals into fractional positions
+    *      1 + p·(n_g−1), maps each straddling rank to (partition, local
+    *      index within that partition's slice of the group);
+    *   4. a second pass over only the partitions that hold a wanted rank
+    *      streams to those indices (≤ 2·|ps|·groups rows collected). The
+    *      second job reuses the sort's shuffle files (same RDD lineage,
+    *      map stage skipped), so the data shuffles once, scans twice.
+    */
+  private def rankedGrouped(base: DataFrame, groupCounts: Array[(Any, Long)],
+                            ps: Seq[Double]): DataFrame = {
+    val spark = base.sparkSession
+    val gField = base.schema.head
+    val schema = StructType(gField +:
+      ps.indices.map(i => StructField(s"p$i", DoubleType)))
+    if (groupCounts.isEmpty)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    val sorted = base
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+    val rdd = sorted.rdd
+    // (partition, group, run-length), partition-major then run order
+    val runs: Array[(Int, Any, Long)] = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Any, Long)]()
+      var cur: Any = null
+      var started = false
+      var c = 0L
+      while (it.hasNext) {
+        val g = it.next().get(0)
+        if (!started || g != cur) {
+          if (started) out += ((pi, cur, c))
+          cur = g; c = 1L; started = true
+        } else c += 1L
+      }
+      if (started) out += ((pi, cur, c))
+      out.iterator
+    }.collect().sortBy(_._1)
+    // per group: rows of that group BEFORE partition pi (partition order is
+    // global (g, v) order, so a group's runs are consecutive partitions)
+    val offsetOf = scala.collection.mutable.Map[(Any, Int), Long]()
+    val seenOf = scala.collection.mutable.Map[Any, Long]()
+    runs.foreach { case (pi, g, c) =>
+      val seen = seenOf.getOrElse(g, 0L)
+      offsetOf((g, pi)) = seen
+      seenOf(g) = seen + c
+    }
+    // straddling ranks per group -> (partition, local idx within the
+    // group's slice of that partition)
+    val posOf: Map[Any, Seq[Double]] = groupCounts.map { case (g, n) =>
+      g -> ps.map(p => 1.0 + p * (n - 1)).toSeq
+    }.toMap
+    val wantRanks: Seq[(Any, Long)] = groupCounts.toSeq.flatMap { case (g, _) =>
+      posOf(g).flatMap(pos =>
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.map((g, _))
+    }
+    val runsByGroup = runs.groupBy(_._2)
+    val byPart: Map[Int, Seq[(Any, Long, Long)]] = wantRanks.map { case (g, r) =>
+      // the run where this rank lands: offset < r <= offset + run count
+      val (pi, _, _) = runsByGroup(g)
+        .find { case (pi2, _, c) => offsetOf((g, pi2)) < r &&
+          r <= offsetOf((g, pi2)) + c }.get
+      (pi, (g, r - offsetOf((g, pi)) - 1, r)) // 0-based local idx in slice
+    }.groupBy(_._1).map { case (pi, xs) => (pi, xs.map(_._2)) }
+    val bc = spark.sparkContext.broadcast(byPart)
+    val fetched: Map[(Any, Long), Double] = rdd.mapPartitionsWithIndex { (pi, it) =>
+      bc.value.get(pi) match {
+        case None => Iterator.empty
+        case Some(wants) =>
+          val byG = wants.groupBy(_._1).map { case (g, xs) =>
+            (g, xs.map(t => (t._2, t._3)).sortBy(_._1))
+          }
+          val out = scala.collection.mutable.ArrayBuffer[((Any, Long), Double)]()
+          var cur: Any = null
+          var started = false
+          var idx = 0L // index within the current group's slice
+          while (it.hasNext) {
+            val row = it.next()
+            val g = row.get(0)
+            if (!started || g != cur) { cur = g; idx = 0L; started = true }
+            byG.get(g).foreach(_.foreach { case (li, r) =>
+              if (li == idx) out += (((g, r), row.getDouble(1)))
+            })
+            idx += 1L
+          }
+          out.iterator
+      }
+    }.collect().toMap
+    val rows: Seq[Row] = groupCounts.toSeq.map { case (g, _) =>
+      Row.fromSeq(g +: posOf(g).map { pos =>
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        val vLo = fetched((g, lo))
+        if (hi == lo) vLo
+        else vLo * (lo + 1.0 - pos) + fetched((g, hi)) * (pos - lo)
+      })
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 }

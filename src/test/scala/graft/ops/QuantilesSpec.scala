@@ -60,6 +60,45 @@ class QuantilesSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("ranked grouped route == windowed twin, independent of partitioning") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val want = Quantiles.exactPercentilesWindowed(li, "l_returnflag", "l_extendedprice", ps)
+      .orderBy("g").collect().map(_.toSeq)
+    // the default (ranked) route must be bit-identical across partition
+    // layouts of the input — rank arithmetic can't depend on where the
+    // range sampler happens to cut
+    for (parts <- Seq(1, 3, 11)) {
+      val got = Quantiles.exactPercentiles(
+          li.repartition(parts), "l_returnflag", "l_extendedprice", ps)
+        .orderBy("g").collect().map(_.toSeq)
+      assert(got.toSeq === want.toSeq, s"input repartition($parts)")
+    }
+  }
+
+  test("ranked grouped route: every sort partition holds a slice, not a group") {
+    // 2 groups x 20k rows into 4 shuffle partitions: if the ranked route
+    // partitioned by group alone, two partitions would hold 20k rows each;
+    // range-partitioning on (g, v) must cap every partition near n/parts.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 40000).map(i => (s"g${i % 2}", rnd.nextDouble() * 1e6)).toDF("k", "x")
+    val base = df.select(col("k").as("g"), col("x").cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val sizes = base
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.max <= 40000 / sizes.length * 2,
+      s"partition sizes ${sizes.toSeq} must be ~n/parts, not n/groups")
+    // and the answer on that same shape is still exact
+    val want = df.groupBy(col("k").as("g"))
+      .agg(expr("percentile(x, 0.5)").as("p0")).orderBy("g").collect().map(_.toSeq)
+    val got = Quantiles.exactPercentiles(df, "k", "x", Seq(0.5))
+      .orderBy("g").collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("exactPercentiles == percentile() on adversarial tie-heavy values") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

@@ -248,4 +248,27 @@ class SketchesSpec extends SparkTestBase {
     assert(got === want, "stale aside must not corrupt the fold")
     assert(!fs.exists(old), "stale aside must be deleted, not restored")
   }
+
+  test("KLL k=32 replay (n=1047, seeds 0/1): error within the k-dependent envelope") {
+    // The r11 flaky-red replay cases: at k=32 these measure ~3.4%/3.7% rank
+    // error — EXPECTED within KLL's O(1/k) envelope (max(0.02, 2.8/k) =
+    // 8.75% at k=32; KllEnvelopeSweep measured 7.55% worst over a 9000-case
+    // grid), not a sketch defect. Production serves DefaultK=256 (~0.3%).
+    for (seed <- Seq(0L, 1L)) {
+      val n = 1047
+      val rnd = new scala.util.Random(seed)
+      val vals = Seq.fill(n)(rnd.nextDouble() * 100 - 50)
+      val s = graft.functions.KllState.empty(32)
+      vals.foreach(s.insert)
+      val sorted = vals.sorted
+      for (q <- Seq(0.1, 0.5, 0.9)) {
+        val est = s.quantile(q)
+        val lo = sorted.count(_ < est).toDouble / n
+        val hi = sorted.count(_ <= est).toDouble / n
+        val err = if (q < lo) lo - q else if (q > hi) q - hi else 0.0
+        assert(err <= math.max(0.02, 2.8 / 32),
+          s"seed=$seed q=$q err=$err must sit inside the k=32 envelope")
+      }
+    }
+  }
 }
