@@ -55,6 +55,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ->epoch cast below reads through spark.sql.session.timeZone;
+    // the ts contract (and the DuckDB oracle) is only correct under UTC.
+    // Pin it here rather than trusting every caller (benches/notebooks
+    // build their own sessions): the legacy ns-long branch was
+    // timezone-independent and this branch must stay equivalent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, dir, "events")
     val tsNs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => col("ts")

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Bounded per-group top-k as a typed `Aggregator` — the map-side scale
@@ -18,7 +18,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * partitioning-independent (spec-pinned). State is a sorted Vector of
   * ≤ k (value, id) pairs; inserts short-circuit when the candidate sorts
   * at-or-after the current k-th element, so the steady-state per-row cost
-  * on a saturated buffer is one comparison.
+  * on a saturated buffer is one comparison. When the incoming row exactly
+  * ties the k-th element the skip is still multiset-equivalent to the
+  * window twin — the insert-then-take(k) it short-circuits would drop one
+  * of the two indistinguishable copies either way — so the equivalence
+  * holds for duplicate (value, id) pairs too (PropertySpec drives a
+  * tie-storm domain); only which PHYSICAL copy survives is unspecified.
+  *
+  * The buffer encoder is a struct-array ExpressionEncoder, not Kryo: the
+  * agg buffer crosses the partial-aggregation exchange, and an opaque
+  * Kryo blob there would defeat columnar layout and inflate shuffle bytes
+  * for exactly the operator whose selling point is a small shuffle.
   */
 class TopKPerGroupAgg(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
@@ -45,7 +55,7 @@ class TopKPerGroupAgg(k: Int)
     buf.sorted(ord)
 
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-    Encoders.kryo[Seq[(Double, Long)]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

@@ -41,7 +41,13 @@ object Bloom {
 
   /** `facts` rows whose `factKey` might be in `dimKeys` (exact join still
     * required downstream — this is the scan-side prefilter). `dimKeys`
-    * must be a single-column frame.
+    * must be a single-column frame (enforced — a multi-column frame would
+    * silently bloom the wrong column).
+    *
+    * EAGER-SNAPSHOT semantics: the bloom aggregate over `dimKeys` runs at
+    * CALL time, so the returned frame filters against the dim keys as of
+    * this call, not as of the downstream action — re-call after mutating
+    * the dim side.
     *
     * `might_contain` requires its bloom operand to be a CONSTANT (or
     * scalar subquery) — Spark's own runtime-filter rule materializes the
@@ -56,6 +62,8 @@ object Bloom {
                 expectedNdv: Long): DataFrame = {
     val spark = facts.sparkSession
     register(spark)
+    require(dimKeys.columns.length == 1,
+      s"prefilter needs a single-column dim frame, got ${dimKeys.columns.toSeq}")
     val keyCol = col(dimKeys.columns.head)
     val bytes = dimKeys.agg(buildAgg(spark, keyCol, expectedNdv).as("__bloom"))
       .head().getAs[Array[Byte]]("__bloom")

@@ -297,11 +297,13 @@ object Graph {
               col("dangling_mass") / lit(n))).as("rank"))
         .localCheckpoint()
       if (tol > 0.0) {
-        val delta = next
+        // sum() is NULL on an empty join (e.g. every edge dropped in
+        // na.drop) — read defensively and treat as converged-at-zero
+        val delta = Option(next
           .join(ranks.select(col("node_id"), col("rank").as("__prev")),
             Seq("node_id"))
           .agg(sum(abs(col("rank") - col("__prev"))).as("d"))
-          .head().getDouble(0)
+          .head().get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
         converged = delta <= tol
       }
       Bridge.unpersistLocalCheckpoint(ranks)

@@ -298,8 +298,15 @@ object CoreQueries {
         col("l_returnflag").as("g"),
         col("l_extendedprice").cast("double").as("v"),
         col("l_orderkey"))
-      val path = java.nio.file.Files.createTempDirectory("summary_pct")
-        .toString + "/summary"
+      // one store per (jvm, dataset dir): Bench re-invokes this function
+      // per timing iteration, and a fresh temp dir per call would leak
+      // orphaned stores under /tmp — reuse the path and rebuild in place
+      // (maintain's staged swap makes the rebuild crash-safe)
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_summary_pct_${d.hashCode.toHexString}/summary").toString
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(
+        new java.io.File(path).getParent))
       (0 until 3).foreach { i =>
         graft.ops.Sketches.maintain(s, path,
           li.filter(pmod(col("l_orderkey"), lit(3)) === i),
