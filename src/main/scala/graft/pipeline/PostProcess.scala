@@ -67,4 +67,22 @@ object PostProcess {
                       seed: Long, out: String = "strength"): DataFrame =
     df.withColumn(out,
       lit(scale) * pow(-log(lit(1.0) - rand(seed)), lit(1.0 / shape)))
+
+  /** Catalog-grade variant of [[weibullStrength]]: the uniform comes from
+    * a 20-bit slice of `xxhash64(key, seed)` instead of `rand(seed)`, so
+    * the assignment is a pure function of the KEY — identical under any
+    * partitioning, task retry, or cluster size (rand(seed)'s sequence is
+    * per-partition, which is fine for the seeded-mesh pipeline but wrong
+    * for a replayable per-particle strength table). The slice is centered
+    * (`(h + 0.5) / 2^20`) so u ∈ (0,1) strictly and the inverse CDF
+    * x = scale·(-ln(1-u))^(1/shape) is strictly positive and finite.
+    * Pure codegen column arithmetic — zero shuffle at any scale.
+    */
+  def weibullStrengthKeyed(key: Column, shape: Double, scale: Double,
+                           seed: Long): Column = {
+    val bits = 1 << 20
+    val u = (pmod(xxhash64(key, lit(seed)), lit(bits)).cast("double") +
+      lit(0.5)) / lit(bits.toDouble)
+    lit(scale) * pow(-log(lit(1.0) - u), lit(1.0 / shape))
+  }
 }

@@ -218,6 +218,51 @@ object CoreQueries {
         .orderBy("bucket")
     }),
 
+    // A6/F5 — the Weibull strength-heterogeneity hook, catalog-exposed
+    // (r11 verdict #8): the reference ships a per-particle Weibull
+    // strength input that is DORMANT in every shipped deck
+    // (`Webull.dat:1` = 0; material params `SysFile.ini:21-31`). The
+    // assignment itself: seeded inverse-CDF sampling
+    // x = scale·(-ln(1-u))^(1/shape) with u a pure function of the
+    // particle key (PostProcess.weibullStrengthKeyed — xxhash64-derived,
+    // partitioning/retry-independent, unlike rand(seed)). Gate shape is
+    // the integer-verdict pattern (q_quantile_sketch): per key-bucket,
+    // the EXACT row count plus moment verdicts against closed-form
+    // Weibull theory (mean Γ(1+1/shape)·scale; CV √(4/π−1)≈0.523 at
+    // shape 2), with 4-standard-error envelopes computed IN-QUERY from
+    // the bucket count — so the same contract holds from the 50-part
+    // sf0.001 bucket to a 100 TB one (where the envelope tightens toward
+    // zero). The sampler is deterministic, so the verdicts are
+    // reproducible facts about the keyed assignment, not a flaky draw
+    // (tools/WeibullMoments prints the calibration: worst observed
+    // deviation across sf0.001/0.01/0.1 is ~1.6σ). Pure codegen
+    // projection + one hash agg — zero extra shuffle.
+    "q_weibull_strength" -> ((s, d) => {
+      val shape = 2.0; val scale = 10.0
+      val mu = scale * math.sqrt(math.Pi) / 2.0 // Γ(1+1/2)·scale
+      val cvT = math.sqrt(4.0 / math.Pi - 1.0)
+      val st = graft.pipeline.PostProcess.weibullStrengthKeyed(
+        col("p_partkey"), shape, scale, seed = 7L)
+      val n = col("n_parts").cast("double")
+      // se(mean) = sd/√n ≈ cvT·μ/√n; se(cv) ≈ cvT·√(1/(2n) + cvT²/n)
+      val meanTol = lit(4.0 * cvT * mu) / sqrt(n)
+      val cvTol = lit(4.0 * cvT) * sqrt(lit(0.5) / n + lit(cvT * cvT) / n)
+      Tables.part(s, d)
+        .select(pmod(col("p_partkey"), lit(4)).cast("long").as("bucket"),
+          st.as("strength"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_parts"),
+          avg("strength").as("m"),
+          stddev_samp("strength").as("sd"),
+          min("strength").as("mn"))
+        .select(col("bucket"), col("n_parts"),
+          when(abs(col("m") - mu) <= meanTol, 1).otherwise(0).as("mean_ok"),
+          when(abs(col("sd") / col("m") - cvT) <= cvTol, 1).otherwise(0)
+            .as("cv_ok"),
+          when(col("mn") > 0.0, 1).otherwise(0).as("min_pos"))
+        .orderBy("bucket")
+    }),
+
     // A7 — rollup hierarchy totals (region → nation).
     "q_rollup" -> ((s, d) => {
       Tables.customer(s, d)
@@ -856,6 +901,14 @@ object CoreQueries {
       """SELECT l_returnflag, CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS w_avg_disc FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice/50000) AS BIGINT) AS bucket, COUNT(*) AS cnt, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders GROUP BY 1 ORDER BY 1""",
+    // the seeded sampler cannot run in SQL; the CONTRACT can — exact
+    // bucket counts, and every moment verdict must be 1 (Spark computes
+    // the verdicts against closed-form Weibull theory; a sampler
+    // regression flips them)
+    "q_weibull_strength" ->
+      ("""SELECT CAST(p_partkey % 4 AS BIGINT) AS bucket, COUNT(*) AS n_parts, """ +
+        """CAST(1 AS INT) AS mean_ok, CAST(1 AS INT) AS cv_ok, CAST(1 AS INT) AS min_pos """ +
+        """FROM part GROUP BY 1 ORDER BY 1"""),
     "q_rollup" ->
       """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation, COUNT(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""",
     "q_percentile" ->

@@ -341,23 +341,43 @@ object CurationQueries {
         .orderBy("rank")
     }),
 
-    // Tokenizer SERVING: apply the trained merge list corpus-wide
-    // (TextOps.applyMerges — the same codegen fold training used) and
-    // emit per-document token stats: count before, count after, distinct
-    // units after. The operator a data engineer actually runs AFTER
-    // training; narrow map passes only, no shuffle beyond the terminal
-    // sort. Rows-only like q_bpe_merges (the merge list is data-trained,
-    // so no engine-independent SQL twin exists); train==serve equivalence
-    // is pinned in OpsSpec.
+    // Tokenizer SERVING, integer-verdict gate shape (the
+    // q_quantile_sketch pattern, r11 verdict #6): apply the trained
+    // merge list corpus-wide (TextOps.applyMerges — the same codegen
+    // expression training used) and emit, per document, the
+    // SQL-expressible whitespace token count plus a serve_ok verdict
+    // that cross-checks the served tokens IN-QUERY:
+    //   (a) every doc: splitting the merged units back on MergeSep and
+    //       flattening must reproduce the original token array exactly
+    //       (content + order conservation — a merge only glues adjacent
+    //       tokens, so reconstruction is lossless); skipped only for a
+    //       doc whose raw text already contains MergeSep (none in the
+    //       corpus, but the check must not false-negative on one);
+    //   (b) every doc: |merged| <= |toks| and |distinct merged| <=
+    //       |merged| (monotone bounds);
+    //   (c) a deterministic 1-in-50 doc_id sample: merged units must
+    //       equal the spec-pinned mergeFold REFERENCE chain
+    //       (applyMergesReference) — the quadratic oracle semantics,
+    //       bounded to the sample so the gate stays linear-cost (codegen
+    //       OR short-circuits the fold for the other 49/50).
+    // The oracle then needs no merge table: row set + n_tok are plain
+    // SQL over `documents`, serve_ok is the constant 1 contract.
     "q_tokenize_stats" -> ((s, d) => {
       val merges = sharedMerges(s, d)
+      val sep = graft.ops.TextOps.MergeSep
       val toks = graft.ops.TextOps.tokens(col("text"))
-      Tables.documents(s, d).select(col("doc_id"),
-          size(toks).as("n_tok"),
-          graft.ops.TextOps.applyMerges(s, toks, merges).as("mtoks"))
-        .select(col("doc_id"), col("n_tok"),
-          size(col("mtoks")).as("n_tok_merged"),
-          size(array_distinct(col("mtoks"))).as("n_vocab_merged"))
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        toks.as("toks"),
+        graft.ops.TextOps.applyMerges(s, toks, merges).as("mtoks"))
+      val rebuilt = flatten(transform(col("mtoks"), t => split(t, sep)))
+      val boundsOk = size(col("mtoks")) <= size(col("toks")) &&
+        size(array_distinct(col("mtoks"))) <= size(col("mtoks"))
+      val reconOk = col("text").contains(sep) || (rebuilt === col("toks"))
+      val refOk = (pmod(col("doc_id"), lit(50)) =!= 0) ||
+        (graft.ops.TextOps.applyMergesReference(col("toks"), merges) ===
+          col("mtoks"))
+      base.select(col("doc_id"), size(col("toks")).as("n_tok"),
+          when(boundsOk && reconOk && refOk, 1).otherwise(0).as("serve_ok"))
         .orderBy("doc_id")
     })
   )
@@ -455,6 +475,14 @@ object CurationQueries {
         """corpus AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 100 <> 0), """ +
         """hits AS (SELECT doc_id, COUNT(DISTINCT c.shingle) AS n_hits FROM corpus c JOIN bench b ON c.shingle = b.shingle GROUP BY doc_id) """ +
         """SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, CAST(COALESCE(h.n_hits, 0) > 0 AS INTEGER) AS contaminated """ +
-        """FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id WHERE d.doc_id % 100 <> 0 ORDER BY d.doc_id""")
+        """FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id WHERE d.doc_id % 100 <> 0 ORDER BY d.doc_id"""),
+    // serve_ok = 1 is the contract: the Spark side verifies the served
+    // tokens in-query (reconstruction + bounds for every doc, mergeFold
+    // reference equality on the 1-in-50 sample) and emits the integer
+    // verdict; the oracle checks the row set and the SQL-expressible
+    // n_tok, and pins the verdict constant
+    "q_tokenize_stats" ->
+      ("""SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tok, """ +
+        """1 AS serve_ok FROM documents ORDER BY doc_id""")
   )
 }

@@ -29,12 +29,21 @@ object BpeScaleBench {
       .withColumn("doc_id", col("doc_id") * reps + col("__r"))
       .drop("__r").localCheckpoint()
     println(s"corpus: ${docs.count()} documents (${reps}x $srcDir)")
+    // both routes at every point: `inc` is the maintained-pair-count
+    // default (r11 verdict #7), `rec` the full-recount reference twin —
+    // the ratio IS the deliverable (the merge lists must also agree,
+    // asserted here so the bench doubles as a full-scale equivalence run)
     Seq(8, 16, 32, 64).foreach { m =>
       val t0 = System.nanoTime()
-      val (merges, _) = graft.ops.TextOps.trainPhraseMerges(
+      val (mi, _) = graft.ops.TextOps.trainPhraseMerges(
         docs, "doc_id", "text", nMerges = m)
-      val wall = (System.nanoTime() - t0) / 1e9
-      println(f"merges=$m%2d: trained=${merges.size}%2d  wall=$wall%6.1fs  (${wall / merges.size}%5.2fs/merge)")
+      val tInc = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (mr, _) = graft.ops.TextOps.trainPhraseMergesRecount(
+        docs, "doc_id", "text", nMerges = m)
+      val tRec = (System.nanoTime() - t1) / 1e9
+      require(mi == mr, s"trainer divergence at m=$m: $mi vs $mr")
+      println(f"merges=$m%2d: trained=${mi.size}%2d  inc=$tInc%6.1fs  rec=$tRec%6.1fs  speedup=${tRec / tInc}%4.2fx")
     }
     spark.stop()
   }

@@ -37,4 +37,21 @@ class QueriesSpec extends SparkTestBase {
       assert(df.count() >= 0)
     }
   }
+
+  // Integer-verdict queries promise constant-1 verdict columns to the
+  // oracle; the gate only sees sf0.01, so pin the verdicts at sf0.001 too
+  // (small-n is the HARDER case for the statistical ones).
+  test("q_weibull_strength: every moment verdict is 1 at sf0.001") {
+    import org.apache.spark.sql.functions.col
+    val bad = SparkEntry.queries("q_weibull_strength")(spark, Sf0001)
+      .filter(col("mean_ok") =!= 1 || col("cv_ok") =!= 1 || col("min_pos") =!= 1)
+    assert(bad.count() === 0, bad.collect().mkString(", "))
+  }
+
+  test("q_tokenize_stats: serve_ok is 1 for every document at sf0.001") {
+    import org.apache.spark.sql.functions.col
+    val bad = SparkEntry.queries("q_tokenize_stats")(spark, Sf0001)
+      .filter(col("serve_ok") =!= 1)
+    assert(bad.count() === 0, bad.collect().mkString(", "))
+  }
 }

@@ -102,6 +102,28 @@ object PropertySpec extends Properties("graft.ops") {
     out.forall(r => r.getSeq[String](0) == r.getSeq[String](1))
   }
 
+  // The incremental trainer (maintained pair-count table, r11 verdict #7)
+  // must be indistinguishable from the full-recount reference: identical
+  // merge sequence (argmax + tie-break + stop rule) AND identical final
+  // corpus. Small alphabet so repeated pairs (hence multi-round merges,
+  // count ties, and mid-train stops) all actually occur.
+  property("incremental trainPhraseMerges == full-recount reference") = Prop.forAll(
+    for {
+      docs <- Gen.chooseNum(1, 5).flatMap(k => Gen.listOfN(k, tokenGen))
+      n <- Gen.chooseNum(1, 4)
+    } yield (docs, n)
+  ) { case (docs, n) =>
+    import spark.implicits._
+    val df = docs.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val (mi, ci) = TextOps.trainPhraseMerges(df, "doc_id", "text", n)
+    val (mr, cr) = TextOps.trainPhraseMergesRecount(df, "doc_id", "text", n)
+    val corpusOf = (c: org.apache.spark.sql.DataFrame) =>
+      c.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    mi == mr && corpusOf(ci) == corpusOf(cr)
+  }
+
   // The rank envelope is k-DEPENDENT: KLL's error is O(1/k), and a flat 2%
   // is only a k=256 property. k=32 admits ~5–7% worst-case; the replay
   // (n=1047, k=32, seed=0) measures 3.4% at q=0.5 and seed=1 gives 3.7% at

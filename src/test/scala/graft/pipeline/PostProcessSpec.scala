@@ -66,4 +66,26 @@ class PostProcessSpec extends SparkTestBase {
     assert(math.abs(m.getDouble(0) - theoreticalMean) < 0.3)
     assert(m.getDouble(1) > 0)
   }
+
+  test("keyed Weibull sampler: partitioning-independent, strictly positive, moments near theory") {
+    import spark.implicits._
+    val shape = 2.0; val scale = 10.0
+    def strengths(parts: Int): Map[Long, Double] =
+      spark.range(20000).repartition(parts).toDF("id")
+        .select(col("id"), PostProcess.weibullStrengthKeyed(
+          col("id"), shape, scale, seed = 7L).as("strength"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s1 = strengths(4)
+    // same VALUE PER KEY under a different partitioning — the property
+    // rand(seed) lacks and the reason the catalog key uses this sampler
+    assert(s1 === strengths(13))
+    val vals = s1.values.toSeq
+    assert(vals.forall(v => v > 0 && java.lang.Double.isFinite(v)))
+    val mean = vals.sum / vals.size
+    val theoreticalMean = scale * math.sqrt(math.Pi) / 2
+    assert(math.abs(mean - theoreticalMean) < 0.3)
+    val sd = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / (vals.size - 1))
+    val cvTheory = math.sqrt(4 / math.Pi - 1) // ≈ 0.5227
+    assert(math.abs(sd / mean - cvTheory) < 0.05)
+  }
 }
