@@ -76,6 +76,42 @@ object TimeOps {
         sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** CDC state-run compaction — a change log to a type-2 (SCD2) interval
+    * table: per key, consecutive events carrying the same state collapse
+    * into one run with `[valid_from, valid_to)` validity (valid_to null
+    * for the currently-open run) and the run's event count. The
+    * warehouse "latest dimension snapshot with history" builder, from
+    * the same event stream the sessionize/retention family reads.
+    *
+    * Change detection uses null-safe equality (`<=>`) so the first row
+    * of a key and any null states behave exactly like SQL's
+    * `IS DISTINCT FROM`. Scale shape: both windows AND the run-group
+    * aggregate hash-partition on `user_id` alone — per-key data is
+    * user-history-bounded, the key space is huge, and the single
+    * shuffle is reused across all three steps (grouping on
+    * (user_id, run_id) is satisfied by the user_id partitioning).
+    *
+    * @param events frame with user_id, ts_ms, event_id, event_type
+    * @return (user_id, run_id, state, valid_from_ms, valid_to_ms, n_events)
+    */
+  def stateRuns(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val runs = events
+      .withColumn("chg",
+        when(!(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1)
+          .otherwise(0))
+      .withColumn("run_id",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(first(col("event_type")).as("state"),
+        min(col("ts_ms")).as("valid_from_ms"),
+        count(lit(1)).as("n_events"))
+    val wRun = Window.partitionBy("user_id").orderBy("run_id")
+    runs.withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(wRun))
+      .select(col("user_id"), col("run_id"), col("state"),
+        col("valid_from_ms"), col("valid_to_ms"), col("n_events"))
+  }
+
   /** J6 full piecewise-linear load-curve interpolation (the reference's
     * value-at-time-t between surrounding curve points,
     * `BiaxialCompressionTest/MLSLD00.dat:33-39` 3-point force ramp).

@@ -236,6 +236,19 @@ object ExtQueries {
         .orderBy("user_id", "session_idx")
     }),
 
+    // G5+ — CDC state-run compaction (TimeOps.stateRuns): the events
+    // change log becomes a type-2 (SCD2) interval table — per user,
+    // consecutive same-state events collapse into [valid_from, valid_to)
+    // runs, open run's valid_to null. One user_id shuffle reused across
+    // both windows and the run aggregate; the warehouse dimension-history
+    // builder from the same stream sessionize reads.
+    "q_scd2_compact" -> ((s, d) => {
+      graft.ops.TimeOps.stateRuns(
+        Tables.events(s, d).select(col("user_id"), col("ts_ms"),
+          col("event_id"), col("event_type")))
+        .orderBy("user_id", "run_id")
+    }),
+
     // G6 — tumbling-window aggregate (batch twin of the streaming agg).
     "q_tumbling_window" -> ((s, d) => {
       TimeOps.tumblingAgg(Tables.events(s, d))
@@ -551,6 +564,14 @@ object ExtQueries {
         """CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM f GROUP BY 1, 2 ORDER BY 1, 2"""),
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events), f AS (SELECT user_id, event_id, ms, CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000 THEN 1 ELSE 0 END AS new_s FROM e), g AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM f) SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_scd2_compact" ->
+      ("""WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events), """ +
+        """c AS (SELECT user_id, event_id, ts_ms, event_type, CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e), """ +
+        """r AS (SELECT user_id, ts_ms, event_type, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM c), """ +
+        """g AS (SELECT user_id, CAST(run_id AS BIGINT) AS run_id, MIN(event_type) AS state, MIN(ts_ms) AS valid_from_ms, COUNT(*) AS n_events FROM r GROUP BY 1, 2) """ +
+        """SELECT user_id, run_id, state, valid_from_ms, """ +
+        """LEAD(valid_from_ms) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_ms, n_events """ +
+        """FROM g ORDER BY user_id, run_id"""),
     "q_tumbling_window" ->
       """SELECT CAST(FLOOR(epoch_ms(ts)/3600000)*3600000 AS BIGINT) AS window_start_ms, event_type, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_embedding_topk" ->

@@ -2,15 +2,17 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** BPE training scaling curve (r9 verdict #7): the SERVING expression
-  * (BpeMergesF linear fold) is measured; this measures the TRAINING
-  * fold's merge-count-vs-wall shape on the sf1-equivalent soak corpus
-  * (Soak convention: 10x sf0.1 documents under distinct ids — 50k docs).
-  * Each merge round is one explode→count pair census (driver takes ONE
-  * row) plus one corpus-wide linear rewrite, so wall should grow
-  * linearly in merges with a flat per-round cost — a super-linear bend
-  * would mean the rewritten corpus or the lineage is accumulating
-  * somewhere (the localCheckpoint/unpersist hygiene exists to prevent
+/** BPE training scaling curve (r9 verdict #7; r11 verdict #7 rebuilt the
+  * default trainer) on the sf1-equivalent soak corpus (Soak convention:
+  * 10x sf0.1 documents under distinct ids — 50k docs). Measures BOTH
+  * routes at each point: the incremental+speculative default
+  * (event-local deltas via BpeDeltasF, batched disjoint speculation with
+  * exact argmax verification, lazy corpus materialization) and the
+  * full-recount reference twin — and asserts their merge lists are
+  * IDENTICAL, so the bench doubles as a full-scale equivalence run. The
+  * r12 curve: 2.5x at 8 merges rising to 7.3x at 64 (SCALE.md table);
+  * super-linear bends in either route mean lineage or corpus
+  * accumulation (the localCheckpoint/unpersist hygiene exists to prevent
   * exactly that).
   */
 object BpeScaleBench {

@@ -123,6 +123,74 @@ class OpsSpec extends SparkTestBase {
     assert(distinctCnt.filter(col("n") =!= col("m") + 1).count() === 0)
   }
 
+  test("BpeDeltasF event deltas == explicit per-step pair multiset diff on real docs") {
+    val docs = Tables.documents(spark, Sf0001).limit(200)
+    val merges = TextOps.trainPhraseMerges(docs, "doc_id", "text", 4)._1
+    assert(merges.nonEmpty)
+    var df = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t0"))
+    for (j <- 1 to merges.size)
+      df = df.withColumn(s"t$j",
+        TextOps.applyMerges(spark, col(s"t${j - 1}"), Seq(merges(j - 1))))
+    val rows = df.withColumn("dp",
+      graft.functions.BpeDeltasF.deltas(spark, col("t0"), merges)).collect()
+    var eventRows = 0L
+    rows.foreach { r =>
+      val ts = (0 to merges.size).map(j => r.getSeq[String](r.fieldIndex(s"t$j")))
+      val dp = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("dp"))
+      eventRows += dp.size
+      def pairs(s: Seq[String]): Map[(String, String), Long] =
+        s.zip(s.drop(1)).groupBy(identity)
+          .map { case (k, v) => k -> v.size.toLong }
+      for (j <- 1 to merges.size) {
+        val before = pairs(ts(j - 1)); val after = pairs(ts(j))
+        val want = (before.keySet ++ after.keySet).iterator
+          .map(k => k -> (after.getOrElse(k, 0L) - before.getOrElse(k, 0L)))
+          .filter(_._2 != 0L).toMap
+        val got = dp.filter(_.getInt(3) == j)
+          .groupBy(p => (p.getString(0), p.getString(1)))
+          .map { case (k, v) => k -> v.map(_.getLong(2)).sum }
+          .filter(_._2 != 0L)
+        assert(got === want, s"doc ${r.get(0)} step $j")
+      }
+    }
+    assert(eventRows > 0, "no merge events in the fixture — test is vacuous")
+  }
+
+  test("stateRuns: closed-form SCD2 intervals; invariants on real events") {
+    import spark.implicits._
+    // closed-form: user 1 = A A B A (3 runs), user 2 = single open run
+    val log = Seq(
+      (1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"),
+      (1L, 30L, 102L, "B"), (1L, 40L, 103L, "A"),
+      (2L, 15L, 104L, "X"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val runs = TimeOps.stateRuns(log).orderBy("user_id", "run_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+    assert(runs.toSeq === Seq(
+      (1L, 1L, "A", 10L, 30L, 2L), (1L, 2L, "B", 30L, 40L, 1L),
+      (1L, 3L, "A", 40L, -1L, 1L), (2L, 1L, "X", 15L, -1L, 1L)))
+    // real events: exactly one open run per user, intervals non-overlapping
+    // and contiguous (each valid_to equals the next run's valid_from),
+    // adjacent runs never share a state, event counts conserve
+    val e = Tables.events(spark, Sf0001).select(
+      col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+    val real = TimeOps.stateRuns(e).cache()
+    assert(real.filter(col("valid_to_ms").isNull).count() ===
+      e.select("user_id").distinct().count())
+    assert(real.agg(sum("n_events")).head().getLong(0) === e.count())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("run_id")
+    val chained = real
+      .withColumn("next_from", lead(col("valid_from_ms"), 1).over(w))
+      .withColumn("next_state", lead(col("state"), 1).over(w))
+    assert(chained.filter(col("next_from").isNotNull &&
+      col("valid_to_ms") =!= col("next_from")).count() === 0)
+    assert(chained.filter(col("next_state").isNotNull &&
+      (col("state") <=> col("next_state"))).count() === 0)
+    real.unpersist()
+  }
+
   test("asofCurveLookup: null before first signup, exact at signup rows") {
     val e = Tables.events(spark, Sf0001)
     val asof = TimeOps.asofCurveLookup(e)
