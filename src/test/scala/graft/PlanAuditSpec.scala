@@ -290,6 +290,27 @@ class PlanAuditSpec extends SparkTestBase {
       s"partial aggregation missing (no map-side top-k):\n$p")
   }
 
+  test("q_scd2_compact reuses ONE user_id exchange across both windows and the run aggregate") {
+    val p = plan("q_scd2_compact")
+    // both Window passes and the groupBy(user_id, run_id) are satisfied by
+    // the same hashpartitioning(user_id); only the terminal orderBy adds a
+    // range exchange — 3+ exchanges would mean the run aggregate stopped
+    // reusing the window partitioning (the 100 TB regression to catch)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (user_id hash + terminal sort), got $exchanges:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_weibull_strength is a projection + one hash aggregate — no window, no join, no extra shuffle") {
+    val p = plan("q_weibull_strength")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    // hash agg on 4 buckets: map-side partial rows make the exchange tiny;
+    // one agg exchange + the terminal sort exchange
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_bloom_semi_join probes the bloom in a scan-side Filter before the join") {
     val p = plan("q_bloom_semi_join")
     assert(p.contains("might_contain"), s"bloom prefilter missing:\n$p")
