@@ -27,6 +27,25 @@ object CoreQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** Exact-decimal → double via integer/fraction split:
+    * double(floor(x)) + double(x − floor(x)). A direct decimal→double
+    * cast stops being cross-engine deterministic once the decimal's raw
+    * (unscaled) value exceeds 2^53 — DuckDB converts int128 raws through
+    * double(raw)/double(scale), which double-rounds (measured 1 ulp off
+    * the correctly-rounded value on adversarial fuzz), while Spark's
+    * BigDecimal path rounds once. In the split, each part's raw stays
+    * below 2^53 (integer part exact, fraction raw < 10^scale), so both
+    * conversions are EXACT or correctly rounded identically, and the one
+    * final add is correctly rounded — identical bits on both engines.
+    * Valid while floor(x) < 2^53 ≈ 9.0e15 (second-moment sums reach
+    * ~2.4e15 at sf0.1 — holds with margin; a corpus-scale deployment
+    * would emit integer-scaled stats instead, per VERIFY_NOTES).
+    */
+  private def dSplit(name: String): org.apache.spark.sql.Column = {
+    val c = col(name)
+    floor(c).cast("double") + (c - floor(c)).cast("double")
+  }
+
   val queries: Map[String, Q] = Map(
     // S1/S9/P1 — scan + projection; Catalyst prunes the parquet read to the
     // 4 referenced columns (the reference's PosItem.ini 28→4 mask).
@@ -395,13 +414,19 @@ object CoreQueries {
       val p = dec(col("l_extendedprice"))
       val nD = col("n").cast("double")
       def d2(c: String) = col(c).cast("double")
-      val varQ = (nD * d2("sqq") - d2("sq") * d2("sq")) /
+      // second-moment sums convert via the exact integer/fraction split
+      // (dSplit): their raw decimal exceeds 2^53 where DuckDB's
+      // int128→double is double-rounded (adversarial fuzz seed 7 measured
+      // a 1-ulp divergence on SUM(p*p) raw ≈ 3.7e16) — the split keeps
+      // every conversion exact and the add correctly rounded on BOTH
+      // engines. First moments stay direct casts (raw < 2^53).
+      val varQ = (nD * dSplit("sqq") - d2("sq") * d2("sq")) /
         (nD * (col("n") - 1).cast("double"))
-      val varP = (nD * d2("spp") - d2("sp") * d2("sp")) /
+      val varP = (nD * dSplit("spp") - d2("sp") * d2("sp")) /
         (nD * (col("n") - 1).cast("double"))
-      val corrQP = (nD * d2("sqp") - d2("sq") * d2("sp")) /
-        (sqrt(nD * d2("sqq") - d2("sq") * d2("sq")) *
-          sqrt(nD * d2("spp") - d2("sp") * d2("sp")))
+      val corrQP = (nD * dSplit("sqp") - d2("sq") * d2("sp")) /
+        (sqrt(nD * dSplit("sqq") - d2("sq") * d2("sq")) *
+          sqrt(nD * dSplit("spp") - d2("sp") * d2("sp")))
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
@@ -424,9 +449,11 @@ object CoreQueries {
       val y = dec(col("l_extendedprice"))
       val nD = col("n").cast("double")
       def d2(c: String) = col(c).cast("double")
-      val cov = nD * d2("sxy") - d2("sx") * d2("sy")
-      val vx = nD * d2("sxx") - d2("sx") * d2("sx")
-      val vy = nD * d2("syy") - d2("sy") * d2("sy")
+      // second moments via dSplit — same 2^53 conversion argument as
+      // q_stats_agg
+      val cov = nD * dSplit("sxy") - d2("sx") * d2("sy")
+      val vx = nD * dSplit("sxx") - d2("sx") * d2("sx")
+      val vy = nD * dSplit("syy") - d2("sy") * d2("sy")
       val slope = cov / vx
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -947,13 +974,22 @@ object CoreQueries {
         """SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq, """ +
         """SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp, """ +
         """SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp """ +
-        """FROM lineitem GROUP BY l_returnflag) """ +
+        """FROM lineitem GROUP BY l_returnflag), """ +
+        // second moments to double via the exact integer/fraction split
+        // (see the Spark twin's dSplit: a direct CAST double-rounds in
+        // DuckDB once the raw decimal exceeds 2^53)
+        """dd AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd, CAST(n - 1 AS DOUBLE) AS n1d, """ +
+        """CAST(sq AS DOUBLE) AS sqd, CAST(sp AS DOUBLE) AS spd, """ +
+        """CAST(FLOOR(sqq) AS DOUBLE) + CAST(sqq - FLOOR(sqq) AS DOUBLE) AS sqqd, """ +
+        """CAST(FLOOR(spp) AS DOUBLE) + CAST(spp - FLOOR(spp) AS DOUBLE) AS sppd, """ +
+        """CAST(FLOOR(sqp) AS DOUBLE) + CAST(sqp - FLOOR(sqp) AS DOUBLE) AS sqpd """ +
+        """FROM m) """ +
         """SELECT l_returnflag, n, """ +
-        """(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_qty, """ +
-        """sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS stddev_qty, """ +
-        """(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_price, """ +
-        """(CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qty_price """ +
-        """FROM m ORDER BY l_returnflag"""),
+        """(nd * sqqd - sqd * sqd) / (nd * n1d) AS var_qty, """ +
+        """sqrt((nd * sqqd - sqd * sqd) / (nd * n1d)) AS stddev_qty, """ +
+        """(nd * sppd - spd * spd) / (nd * n1d) AS var_price, """ +
+        """(nd * sqpd - sqd * spd) / (sqrt(nd * sqqd - sqd * sqd) * sqrt(nd * sppd - spd * spd)) AS corr_qty_price """ +
+        """FROM dd ORDER BY l_returnflag"""),
     // same exact-sums class-A tree as q_stats_agg; slope/intercept/R2
     "q_regression" ->
       ("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n, """ +
@@ -962,12 +998,19 @@ object CoreQueries {
         """SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx, """ +
         """SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy, """ +
         """SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy """ +
-        """FROM lineitem GROUP BY l_returnflag) """ +
+        """FROM lineitem GROUP BY l_returnflag), """ +
+        // same split-conversion CTE as q_stats_agg
+        """dd AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd, """ +
+        """CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, """ +
+        """CAST(FLOOR(sxx) AS DOUBLE) + CAST(sxx - FLOOR(sxx) AS DOUBLE) AS sxxd, """ +
+        """CAST(FLOOR(syy) AS DOUBLE) + CAST(syy - FLOOR(syy) AS DOUBLE) AS syyd, """ +
+        """CAST(FLOOR(sxy) AS DOUBLE) + CAST(sxy - FLOOR(sxy) AS DOUBLE) AS sxyd """ +
+        """FROM m) """ +
         """SELECT l_returnflag, n, """ +
-        """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope, """ +
-        """(CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept, """ +
-        """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2 """ +
-        """FROM m ORDER BY l_returnflag"""),
+        """(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope, """ +
+        """(syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd AS intercept, """ +
+        """((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r2 """ +
+        """FROM dd ORDER BY l_returnflag"""),
     // the aggregator route must reproduce the window formulation verbatim
     "q_topk_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
