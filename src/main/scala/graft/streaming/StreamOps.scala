@@ -30,6 +30,48 @@ class RunningMaxProcessor
   }
 }
 
+/** Per-key state for [[StreamOps.stateRunsTWS]] — the streaming CDC
+  * state-run (SCD2) maintainer: one `ValueState` tuple
+  * (run_id, state, valid_from_ms, n_events) for the currently-OPEN run.
+  * A row whose event_type differs from the open run's state (null-safe,
+  * matching the batch twin's `<=>` change detection) closes the run —
+  * emitted as (user_id, run_id, state, valid_from_ms, valid_to_ms,
+  * n_events) — and opens the next. Closed runs are immutable history
+  * (append mode); exactly one open run per key lives in the store, so
+  * state is O(keys) regardless of stream length.
+  */
+class StateRunsProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long, String),
+      (Long, Long, String, Long, Long, Long)] {
+  @transient private var run: ValueState[(Long, String, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    run = getHandle.getValueState[(Long, String, Long, Long)]("run",
+      Encoders.product[(Long, String, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, String)],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long, String, Long, Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, Long, Long, Long)]
+    var cur = if (run.exists()) Option(run.get()) else None
+    // same per-key order as the batch twin: (ts_ms, event_id)
+    rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ms, _, et) =>
+      cur match {
+        case None => cur = Some((1L, et, ms, 1L))
+        case Some((rid, st, from, n)) =>
+          if (st == et) cur = Some((rid, st, from, n + 1L))
+          else {
+            out += ((key, rid, st, from, ms, n))
+            cur = Some((rid + 1L, et, ms, 1L))
+          }
+      }
+    }
+    cur.foreach(run.update)
+    out.iterator
+  }
+}
+
 /** Session expiry on Spark 4's timer surface, with the HYBRID close
   * contract real sessionization needs: sessions close EITHER when a later
   * event reveals a gap (input-driven — emitted right from
@@ -190,6 +232,25 @@ object StreamOps {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .transformWithState(new RunningMaxProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming twin of `TimeOps.stateRuns` (CDC → SCD2 compaction) via
+    * [[StateRunsProcessor]]: input a streaming Dataset of
+    * (user_id, ts_ms, event_id, event_type); emits each run the moment a
+    * state CHANGE closes it — (user_id, run_id, state, valid_from_ms,
+    * valid_to_ms, n_events) — while the open run per key waits in
+    * RocksDB. Stream output ≡ the batch twin's closed rows
+    * (valid_to_ms IS NOT NULL) for in-order per-key arrival
+    * (StreamingSpec pins it across multi-batch feeds). The maintenance
+    * shape a 100 TB dimension-history pipeline needs: per-event work is
+    * O(1), state is one open run per key, and history rows never
+    * rewrite.
+    */
+  def stateRunsTWS(events: Dataset[(Long, Long, Long, String)])
+      : Dataset[(Long, Long, String, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new StateRunsProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** Timer-based session expiry via [[SessionExpiryProcessor]]: input a

@@ -203,6 +203,47 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stateRunsTWS: streamed closed runs == batch stateRuns closed rows across multi-batch feeds") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val e = Tables.events(spark, Sf0001).select(
+        col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      // feed in global (ts_ms, event_id) order — in-order per key — split
+      // into three micro-batches so runs open and close ACROSS batches
+      val rows = e.as[(Long, Long, Long, String)].collect()
+        .sortBy(r => (r._2, r._3))
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val q = StreamOps.stateRunsTWS(mem.toDS())
+        .toDF("user_id", "run_id", "state", "valid_from_ms", "valid_to_ms", "n_events")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("scd2_tws_out").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        val got = spark.table("scd2_tws_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+        val want = graft.ops.TimeOps.stateRuns(e)
+          .filter(col("valid_to_ms").isNotNull).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+        assert(want.nonEmpty, "fixture produced no closed runs — vacuous")
+        assert(got === want)
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running max (Spark 4 StatefulProcessor) == flatMapGroupsWithState twin") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
