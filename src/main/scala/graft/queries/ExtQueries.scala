@@ -297,6 +297,36 @@ object ExtQueries {
         .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
     }),
 
+    // G7 — the partial-probe recall CONTRACT, gate-exposed (until r12 the
+    // actual ANN trade — nprobe < nlist — lived only in IvfIndexSpec and
+    // SCALE.md; the oracle-backed keys all probe fully). One batch search
+    // at nprobe=4 of nlist=16 against the exact full-probe answer, both
+    // through the shared model; the verdict is BATCH-MEAN recall@10 over
+    // 10 probes >= 0.35 — calibrated by tools/AnnRecallProbe (deterministic
+    // seeded build; measured means 0.50–0.55 across sf0.001/0.01/0.1,
+    // where broken cell RANKING would collapse toward the ~0.25 uniform-
+    // cell baseline). Per-probe recall is legitimately spiky (0.2–1.0) —
+    // the mean is the stable regression signal. Scale shape: two
+    // inverted-file passes (4/16 then 16/16 of the corpus) + a 100-row
+    // join — the recall audit a production index runs after every
+    // maintenance cycle.
+    "q_ann_recall" -> ((s, d) => {
+      val probes = (0L until 10L).toSeq
+      val m = sharedModel(s, d)
+      val exact = graft.ops.IvfIndex.searchTopKBatch(m, probes, k = 10, nprobe = 16)
+        .select(col("probe_id"), col("vec_id"))
+      val part = graft.ops.IvfIndex.searchTopKBatch(m, probes, k = 10, nprobe = 4)
+        .select(col("probe_id"), col("vec_id"))
+      val hit = exact.join(part, Seq("probe_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      val tot = exact.agg(count(lit(1)).as("n_exact"))
+      hit.crossJoin(tot).select(
+        lit(probes.size).as("n_probes"),
+        col("n_exact"),
+        when(col("n_hit").cast("double") / col("n_exact").cast("double")
+          >= 0.35, 1).otherwise(0).as("mean_recall_ok"))
+    }),
+
     // G7 persisted-index serving — the SAME batch contract as q_ann_batch
     // but routed through the FULL index maintenance cycle: build + save on
     // the even half of the corpus, then the odd half arrives later via
@@ -578,6 +608,12 @@ object ExtQueries {
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_ann_filtered" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_sum(list_transform(list_zip(e.embedding, p.pe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cos_sim FROM embeddings e, p WHERE e.vec_id <> 0 AND e.label BETWEEN 2 AND 5 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    // the partial-probe search cannot run in SQL; the CONTRACT can —
+    // exact top-k row count (10 probes × k=10 on a corpus with > 11
+    // vectors) and the batch-mean recall verdict constant
+    "q_ann_recall" ->
+      ("""SELECT CAST(10 AS INT) AS n_probes, CAST(100 AS BIGINT) AS n_exact, """ +
+        """CAST(1 AS INT) AS mean_recall_ok"""),
     // identical contract to q_ann_filtered — the Spark side differs only
     // in serving through the inverted file at full probe (exact)
     "q_ann_filtered_ivf" ->
