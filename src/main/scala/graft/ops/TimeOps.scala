@@ -76,6 +76,37 @@ object TimeOps {
         sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Per-key interval UNION (coverage): each event opens a fixed-length
+    * activity interval [ts, ts+lenMs); overlapping-or-touching intervals
+    * merge, and the result is each key's merged-interval count and total
+    * covered time — the classic sweep (sort by start, running max of
+    * prior ends, a gap opens a new group) as two window passes + two
+    * aggregations that ALL reuse one user_id shuffle. The
+    * "active-time/uptime" aggregate every sessionized dataset needs,
+    * complementary to [[sessionize]] (which counts events, not covered
+    * wall-clock).
+    *
+    * @param events frame with user_id, ts_ms, event_id
+    * @return (user_id, n_intervals, covered_ms)
+    */
+  def intervalUnion(events: DataFrame, lenMs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("st"), col("event_id"))
+    val iv = events.select(col("user_id"), col("event_id"),
+      col("ts_ms").as("st"), (col("ts_ms") + lenMs).as("en"))
+    val marked = iv
+      .withColumn("pmax",
+        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pmax").isNull || col("st") > col("pmax"), 1).otherwise(0))
+      .withColumn("grp",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("grp"))
+      .agg(min("st").as("s"), max("en").as("e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("e") - col("s")).as("covered_ms"))
+  }
+
   /** CDC state-run compaction — a change log to a type-2 (SCD2) interval
     * table: per key, consecutive events carrying the same state collapse
     * into one run with `[valid_from, valid_to)` validity (valid_to null

@@ -830,6 +830,25 @@ object CoreQueries {
         .orderBy("node_id")
     }),
 
+    // G3+ — exact triangle count over the same-order part co-occurrence
+    // graph (the q_self_join_pairs edge set), via Graph.triangleCount's
+    // degree-ordered orientation: each edge directs low→high
+    // (degree, id) rank, bounding every out-degree by O(√m) so the wedge
+    // join never squares a celebrity node, and rank-ordered wedge spokes
+    // make the closing-edge probe one EQUI-join. The oracle counts the
+    // same triangles with the simple a<b<c three-way join — identical
+    // count, quadratic-prone shape DuckDB can afford at gate scale.
+    "q_triangle_count" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      graft.ops.Graph.triangleCount(edges)
+    }),
+
     // A7+ — grouping-set bitmask exposure (rollup family: which grouping
     // produced each row, the engine's per-level output tagging).
     "q_grouping_id" -> ((s, d) => {
@@ -1045,6 +1064,13 @@ object CoreQueries {
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_elem, ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm, ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4) AS head_sum FROM embeddings ORDER BY vec_id""",
     "q_edge_degree" ->
       """SELECT l_partkey AS node_id, COUNT(DISTINCT l_orderkey) AS degree, COUNT(*) AS n_edges FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // simple a<b<c three-way join — same count as the degree-ordered
+    // orientation, in the shape DuckDB can afford at gate scale
+    "q_triangle_count" ->
+      ("""WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), """ +
+        """nodes AS (SELECT COUNT(DISTINCT n) AS n_nodes FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)), """ +
+        """tri AS (SELECT COUNT(*) AS n_triangles FROM e ab JOIN e bc ON ab.v = bc.u JOIN e ac ON ac.u = ab.u AND ac.v = bc.v) """ +
+        """SELECT n_nodes, (SELECT COUNT(*) FROM e) AS n_edges, n_triangles FROM nodes, tri"""),
     "q_grouping_id" ->
       """SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(c_mktsegment, 'ALL') AS segment, CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid, COUNT(*) AS n_cust FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY CUBE(n_name, c_mktsegment) ORDER BY nation, segment, gid""",
     "q_qualify" ->

@@ -249,6 +249,18 @@ object ExtQueries {
         .orderBy("user_id", "run_id")
     }),
 
+    // G5+ — interval union / covered time (TimeOps.intervalUnion): each
+    // event opens a 30-min activity interval; overlaps merge per user and
+    // the output is merged-interval count + total covered wall-clock —
+    // the uptime aggregate sessionize doesn't give you. One user_id
+    // shuffle reused across both windows and both aggregations.
+    "q_interval_union" -> ((s, d) => {
+      graft.ops.TimeOps.intervalUnion(
+        Tables.events(s, d).select(col("user_id"), col("ts_ms"), col("event_id")),
+        lenMs = 1800000L)
+        .orderBy("user_id")
+    }),
+
     // G6 — tumbling-window aggregate (batch twin of the streaming agg).
     "q_tumbling_window" -> ((s, d) => {
       TimeOps.tumblingAgg(Tables.events(s, d))
@@ -594,6 +606,12 @@ object ExtQueries {
         """CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM f GROUP BY 1, 2 ORDER BY 1, 2"""),
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events), f AS (SELECT user_id, event_id, ms, CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000 THEN 1 ELSE 0 END AS new_s FROM e), g AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM f) SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_interval_union" ->
+      ("""WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS st, CAST(epoch_ms(ts) AS BIGINT) + 1800000 AS en FROM events), """ +
+        """c AS (SELECT user_id, event_id, st, en, MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM e), """ +
+        """r AS (SELECT user_id, st, en, SUM(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY st, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM c), """ +
+        """m AS (SELECT user_id, grp, MIN(st) AS s, MAX(en) AS e FROM r GROUP BY 1, 2) """ +
+        """SELECT user_id, COUNT(*) AS n_intervals, CAST(SUM(e - s) AS BIGINT) AS covered_ms FROM m GROUP BY 1 ORDER BY 1"""),
     "q_scd2_compact" ->
       ("""WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events), """ +
         """c AS (SELECT user_id, event_id, ts_ms, event_type, CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e), """ +

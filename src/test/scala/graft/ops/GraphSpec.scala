@@ -223,4 +223,31 @@ class GraphSpec extends SparkTestBase {
     val j5 = countJobs(5)
     assert(j5 - j2 <= 32, s"jobs grew by ${j5 - j2} over 3 extra rounds")
   }
+
+  test("triangleCount: closed-form graphs == naive O(n^3) count; orientation/dup/self-loop robust") {
+    import spark.implicits._
+    def count(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = Graph.triangleCount(edges.toDF("src", "dst")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // triangle 1-2-3 plus a pendant 3-4: exactly one triangle
+    assert(count(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))) === ((4L, 4L, 1L)))
+    // K4 has 4 triangles; feed with reversed/duplicate edges + a self-loop
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L; if a != b } yield (a, b)
+    assert(count(k4 ++ Seq((2L, 2L), (1L, 2L))) === ((4L, 6L, 4L)))
+    // square without diagonals: zero triangles
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) === ((4L, 4L, 0L)))
+    // random graph vs naive triple-loop reference
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 120).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(e => e._1 != e._2)
+    val norm = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = norm.toSet
+    val nodes = norm.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var naive = 0L
+    for (i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size)
+      if (adj((nodes(i), nodes(j))) && adj((nodes(j), nodes(k))) && adj((nodes(i), nodes(k))))
+        naive += 1
+    assert(count(edges) === ((nodes.size.toLong, norm.size.toLong, naive)))
+  }
 }

@@ -156,6 +156,29 @@ class OpsSpec extends SparkTestBase {
     assert(eventRows > 0, "no merge events in the fixture — test is vacuous")
   }
 
+  test("intervalUnion: closed-form merges; coverage bounds on real events") {
+    import spark.implicits._
+    // user 1: [0,10) [5,15) [15,25) merge into one [0,25); [40,50) separate
+    // user 2: single [7,17)
+    val ev = Seq((1L, 0L, 100L), (1L, 5L, 101L), (1L, 15L, 102L),
+        (1L, 40L, 103L), (2L, 7L, 104L))
+      .toDF("user_id", "ts_ms", "event_id")
+    val got = TimeOps.intervalUnion(ev, lenMs = 10L).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 35L), (2L, 1L, 10L)))
+    // real events: covered_ms per user is bounded by [len, n_events*len]
+    // and n_intervals by [1, n_events]
+    val e = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+    val len = 1800000L
+    val real = TimeOps.intervalUnion(e, len)
+      .join(e.groupBy("user_id").agg(count(lit(1)).as("n_ev")), "user_id")
+    assert(real.filter(col("covered_ms") < len ||
+      col("covered_ms") > col("n_ev") * len).count() === 0)
+    assert(real.filter(col("n_intervals") < 1 ||
+      col("n_intervals") > col("n_ev")).count() === 0)
+  }
+
   test("stateRuns: closed-form SCD2 intervals; invariants on real events") {
     import spark.implicits._
     // closed-form: user 1 = A A B A (3 runs), user 2 = single open run
