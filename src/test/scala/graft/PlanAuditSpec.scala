@@ -301,6 +301,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
+  test("q_interval_union stacks windows and both aggregations on ONE user_id exchange") {
+    val p = plan("q_interval_union")
+    // windows + groupBy(user, grp) + groupBy(user) all reuse
+    // hashpartitioning(user_id); only the terminal sort adds an exchange
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("q_weibull_strength is a projection + one hash aggregate — no window, no join, no extra shuffle") {
     val p = plan("q_weibull_strength")
     assert(!p.contains("Window") && !p.contains("Join"), p)

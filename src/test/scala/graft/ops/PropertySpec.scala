@@ -124,6 +124,38 @@ object PropertySpec extends Properties("graft.ops") {
     mi == mr && corpusOf(ci) == corpusOf(cr)
   }
 
+  // Interval union against the obvious driver-side sweep: same merged
+  // count and covered length for random per-user event times (duplicates
+  // and touching intervals included — ts range small so they occur).
+  property("intervalUnion == naive sweep on random event sets") = Prop.forAll(
+    for {
+      n <- Gen.chooseNum(1, 40)
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 200L))
+      len <- Gen.chooseNum(1L, 50L)
+    } yield (ts, len)
+  ) { case (ts, len) =>
+    import spark.implicits._
+    val ev = ts.zipWithIndex.map { case (t, i) => (1L + i % 3, t, i.toLong) }
+      .toDF("user_id", "ts_ms", "event_id")
+    val got = TimeOps.intervalUnion(ev, len).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = ts.zipWithIndex.groupBy { case (_, i) => 1L + i % 3 }
+      .map { case (u, rows) =>
+        val sorted = rows.map(_._1).sorted
+        var nIv = 0L; var covered = 0L
+        var curS = -1L; var curE = -1L
+        sorted.foreach { t =>
+          if (curS < 0 || t > curE) {
+            if (curS >= 0) covered += curE - curS
+            nIv += 1; curS = t; curE = t + len
+          } else curE = math.max(curE, t + len)
+        }
+        covered += curE - curS
+        u -> ((nIv, covered))
+      }
+    got == want
+  }
+
   // The rank envelope is k-DEPENDENT: KLL's error is O(1/k), and a flat 2%
   // is only a k=256 property. k=32 admits ~5–7% worst-case; the replay
   // (n=1047, k=32, seed=0) measures 3.4% at q=0.5 and seed=1 gives 3.7% at
