@@ -55,17 +55,26 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The NTZ->epoch cast below reads through spark.sql.session.timeZone;
-    // the ts contract (and the DuckDB oracle) is only correct under UTC.
-    // Pin it here rather than trusting every caller (benches/notebooks
-    // build their own sessions): the legacy ns-long branch was
-    // timezone-independent and this branch must stay equivalent.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, dir, "events")
+    // The generator writes `ts` as UTC instants. The NTZ branch extracts
+    // epoch-µs from the stored WALL-CLOCK components (date / hour /
+    // minute / fractional second) — the only conversion that is
+    // timezone-independent BY CONSTRUCTION, like the legacy ns-long
+    // branch: every timestamp-function route (cast(TimestampType),
+    // to_utc_timestamp, from_utc_timestamp) first coerces NTZ→LTZ
+    // through spark.sql.session.timeZone (tools/TzProbe demonstrates all
+    // three shifting under a non-UTC session), and r11's global
+    // conf.set("...timeZone", "UTC") pin silently changed every other
+    // computation in the caller's session (ADVICE r12 review; TablesSpec
+    // pins tz-independence under America/New_York).
+    def ntzWallMicros(c: org.apache.spark.sql.Column) =
+      unix_date(c.cast("date")) * lit(86400000000L) +
+        hour(c) * lit(3600000000L) +
+        minute(c) * lit(60000000L) +
+        (date_part(lit("SECOND"), c) * lit(1000000)).cast("long")
     val tsNs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => col("ts")
-      case _ =>
-        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L)
+      case _ => ntzWallMicros(col("ts")) * lit(1000L)
     }
     raw.withColumn("ts", tsNs)
       .withColumn("ts_ms", expr("ts DIV 1000000"))

@@ -49,6 +49,18 @@ object Quantiles {
     */
   val maxRankedGroups = 10000
 
+  /** Canonicalize a collected group key the way Spark's groupBy does:
+    * -0.0 folds into 0.0 (double and float). Raw sorted rows keep the
+    * sign bit, so every driver-side map keyed by group must go through
+    * this or a -0.0 row misses its 0.0 group entry. (NaN needs no help:
+    * boxed Double.equals treats all NaNs as equal, matching grouping.)
+    */
+  private def normKey(x: Any): Any = x match {
+    case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+    case other => other
+  }
+
   /** One row per group: the requested percentiles as columns `p<i>`,
     * ordered as given. Values are computed in double. Routes between the
     * range-partitioned ranked form (few groups) and the windowed form
@@ -59,12 +71,18 @@ object Quantiles {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad percentiles $ps")
     val base = df.select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
+    // routing probe: one bounded-collect aggregation. When it overflows,
+    // the windowed route recomputes its own counts — a second aggregation
+    // scan, accepted deliberately: it only hits the >maxRankedGroups path,
+    // where the windowed form's full per-group sort dwarfs one hash agg,
+    // and the alternative (an approx-distinct pre-probe) would tax the
+    // few-group hot path with an extra scan instead (r12 review note).
     val counts = base.groupBy("g").agg(count(lit(1)).as("n"))
       .limit(maxRankedGroups + 1).collect()
     if (counts.length > maxRankedGroups)
       exactPercentilesWindowed(df, groupCol, valCol, ps)
     else
-      rankedGrouped(base, counts.map(r => (r.get(0), r.getLong(1))), ps)
+      rankedGrouped(base, counts.map(r => (normKey(r.get(0)), r.getLong(1))), ps)
   }
 
   /** The windowed (row_number-per-group) form — kept as the oracle twin
@@ -213,14 +231,19 @@ object Quantiles {
         col("g"), col("v"))
       .sortWithinPartitions("g", "v")
     val rdd = sorted.rdd
-    // (partition, group, run-length), partition-major then run order
+    // (partition, group, run-length), partition-major then run order.
+    // Group keys are normalized (normKey): Spark's groupBy folds -0.0 and
+    // 0.0 (and NaN bit patterns) into ONE group, but the raw sorted rows
+    // keep their original values — run detection on raw doubles would
+    // split that group into runs keyed by values groupCounts doesn't
+    // contain (r12 review).
     val runs: Array[(Int, Any, Long)] = rdd.mapPartitionsWithIndex { (pi, it) =>
       val out = scala.collection.mutable.ArrayBuffer[(Int, Any, Long)]()
       var cur: Any = null
       var started = false
       var c = 0L
       while (it.hasNext) {
-        val g = it.next().get(0)
+        val g = normKey(it.next().get(0))
         if (!started || g != cur) {
           if (started) out += ((pi, cur, c))
           cur = g; c = 1L; started = true
@@ -260,20 +283,33 @@ object Quantiles {
       bc.value.get(pi) match {
         case None => Iterator.empty
         case Some(wants) =>
-          val byG = wants.groupBy(_._1).map { case (g, xs) =>
-            (g, xs.map(t => (t._2, t._3)).sortBy(_._1))
-          }
+          val byG: Map[Any, Array[(Long, Long)]] = wants.groupBy(_._1)
+            .map { case (g, xs) =>
+              (g, xs.map(t => (t._2, t._3)).sortBy(_._1).toArray)
+            }
+          // cursor walk, same as exactPercentilesGlobal's bounded pass:
+          // groups are contiguous within the partition, so one
+          // (array, cursor) per current group suffices, and the task
+          // stops as soon as every wanted rank is served instead of
+          // streaming the rest of the partition (r12 review)
           val out = scala.collection.mutable.ArrayBuffer[((Any, Long), Double)]()
+          var remaining = wants.size
           var cur: Any = null
           var started = false
           var idx = 0L // index within the current group's slice
-          while (it.hasNext) {
+          var arr: Array[(Long, Long)] = Array.empty
+          var wi = 0
+          while (it.hasNext && remaining > 0) {
             val row = it.next()
-            val g = row.get(0)
-            if (!started || g != cur) { cur = g; idx = 0L; started = true }
-            byG.get(g).foreach(_.foreach { case (li, r) =>
-              if (li == idx) out += (((g, r), row.getDouble(1)))
-            })
+            val g = normKey(row.get(0))
+            if (!started || g != cur) {
+              cur = g; idx = 0L; started = true
+              arr = byG.getOrElse(g, Array.empty); wi = 0
+            }
+            while (wi < arr.length && arr(wi)._1 == idx) {
+              out += (((cur, arr(wi)._2), row.getDouble(1)))
+              wi += 1; remaining -= 1
+            }
             idx += 1L
           }
           out.iterator

@@ -275,11 +275,11 @@ object TextOps {
         var stopAfterPrefix = false
         if (bsz > 1) {
           val js = ss.range(2L, bsz + 1L).select(col("id").cast("int").as("j"))
-          val base = counts.crossJoin(js)
+          val cjBase = counts.crossJoin(js)
             .select(col("j"), col("a"), col("b"), col("n"))
           val dPref = dAgg.join(js, col("step") <= col("j") - 1)
             .groupBy("j", "a", "b").agg(sum("dn").as("d"))
-          val cj = base.join(dPref, Seq("j", "a", "b"), "full_outer")
+          val cj = cjBase.join(dPref, Seq("j", "a", "b"), "full_outer")
             .select(col("j"), col("a"), col("b"),
               (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("nj"))
             .filter(col("nj") > 0L)

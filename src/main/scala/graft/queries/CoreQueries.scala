@@ -27,6 +27,17 @@ object CoreQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** One shutdown-hook per scratch directory this process creates (a
+    * TrieMap so Bench's repeated invocations don't stack hooks).
+    */
+  private val reapHooks = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def reapOnExit(dir: java.io.File): Unit =
+    reapHooks.getOrElseUpdate(dir.getPath, {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.hadoop.fs.FileUtil.fullyDelete(dir): Unit))
+      true
+    })
+
   /** Exact-decimal → double via integer/fraction split:
     * double(floor(x)) + double(x − floor(x)). A direct decimal→double
     * cast stops being cross-engine deterministic once the decimal's raw
@@ -362,15 +373,21 @@ object CoreQueries {
         col("l_returnflag").as("g"),
         col("l_extendedprice").cast("double").as("v"),
         col("l_orderkey"))
-      // one store per (jvm, dataset dir): Bench re-invokes this function
-      // per timing iteration, and a fresh temp dir per call would leak
-      // orphaned stores under /tmp — reuse the path and rebuild in place
-      // (maintain's staged swap makes the rebuild crash-safe)
-      val path = new java.io.File(
+      // one store per (PROCESS, dataset dir): Bench re-invokes this
+      // function per timing iteration, and a fresh temp dir per call
+      // would leak orphaned stores under /tmp — reuse the path and
+      // rebuild in place (maintain's staged swap makes the rebuild
+      // crash-safe). The pid in the path keeps concurrent processes
+      // sharing /tmp from fullyDelete-ing each other's half-built store
+      // (r12 review); a shutdown hook reaps the one dir per process
+      // (File.deleteOnExit cannot remove a non-empty directory).
+      val parent = new java.io.File(
         sys.props("java.io.tmpdir"),
-        s"graft_summary_pct_${d.hashCode.toHexString}/summary").toString
-      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(
-        new java.io.File(path).getParent))
+        s"graft_summary_pct_${d.hashCode.toHexString}_" +
+          ProcessHandle.current().pid())
+      reapOnExit(parent)
+      val path = new java.io.File(parent, "summary").toString
+      org.apache.hadoop.fs.FileUtil.fullyDelete(parent)
       (0 until 3).foreach { i =>
         graft.ops.Sketches.maintain(s, path,
           li.filter(pmod(col("l_orderkey"), lit(3)) === i),

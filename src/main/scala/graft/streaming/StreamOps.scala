@@ -58,7 +58,11 @@ class StateRunsProcessor
     // same per-key order as the batch twin: (ts_ms, event_id)
     rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ms, _, et) =>
       cur match {
-        case None => cur = Some((1L, et, ms, 1L))
+        // a NULL first state opens run 0, not 1 — mirroring the batch
+        // twin exactly, where the first row's change flag is
+        // !(NULL <=> NULL) = 0 so the running sum starts at 0 (and the
+        // DuckDB oracle's IS DISTINCT FROM does the same)
+        case None => cur = Some((if (et == null) 0L else 1L, et, ms, 1L))
         case Some((rid, st, from, n)) =>
           if (st == et) cur = Some((rid, st, from, n + 1L))
           else {

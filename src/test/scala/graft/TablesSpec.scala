@@ -43,5 +43,15 @@ class TablesSpec extends SparkTestBase {
     // and the contract is literally epoch ns / epoch ms of the instants
     assert(fromLong.map(_._2) === rows.map(_._2))
     assert(fromLong.map(_._3) === rows.map(_._2 / 1000000L))
+    // the NTZ branch must be timezone-INDEPENDENT: r11 pinned the session
+    // to UTC globally (a side effect on every other computation in the
+    // caller's session); r12 converts via to_utc_timestamp(ntz, "UTC"),
+    // which must yield the same instants under any session timezone
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(load("ntz") === fromNtz,
+        "NTZ normalization depends on spark.sql.session.timeZone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 }

@@ -112,4 +112,22 @@ class QuantilesSpec extends SparkTestBase {
       .orderBy("g").collect().map(_.toSeq)
     assert(got.toSeq === want.toSeq)
   }
+
+  test("double group keys: -0.0 and 0.0 are ONE group (ranked == windowed == percentile)") {
+    import spark.implicits._
+    // Spark's groupBy normalizes -0.0 into 0.0 while raw sorted rows keep
+    // the sign bit; the ranked route's driver-side run maps must agree
+    // (r12 review: un-normalized keys threw NoSuchElementException here)
+    val rows = Seq.tabulate(40)(i =>
+      (if (i % 2 == 0) -0.0 else 0.0, i.toDouble)) ++
+      Seq.tabulate(10)(i => (1.5, 100.0 + i))
+    val df = rows.toDF("k", "x").repartition(7)
+    val got = Quantiles.exactPercentiles(df, "k", "x", Seq(0.25, 0.9))
+      .orderBy("g").collect().map(_.toSeq)
+    val want = df.groupBy(col("k").as("g"))
+      .agg(expr("percentile(x, 0.25)").as("p0"), expr("percentile(x, 0.9)").as("p1"))
+      .orderBy("g").collect().map(_.toSeq)
+    assert(got.length === 2) // one zero group + the 1.5 group
+    assert(got.toSeq === want.toSeq)
+  }
 }

@@ -236,6 +236,30 @@ class StreamingSpec extends SparkTestBase {
         assert(want.nonEmpty, "fixture produced no closed runs — vacuous")
         assert(got === want)
       } finally q.stop()
+      // NULL-first-state run_id parity: the batch twin's first change flag
+      // is !(NULL <=> NULL) = 0, so a key opening on a null state starts
+      // at run_id 0 — the processor must mirror it (r12 review)
+      val memN = MemoryStream[(Long, Long, Long, String)]
+      val qN = StreamOps.stateRunsTWS(memN.toDS())
+        .toDF("user_id", "run_id", "state", "valid_from_ms", "valid_to_ms", "n_events")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("scd2_tws_null_out").start()
+      try {
+        memN.addData(Seq((9L, 10L, 1L, null), (9L, 20L, 2L, "A"), (9L, 30L, 3L, null)))
+        qN.processAllAvailable()
+        val gotN = spark.table("scd2_tws_null_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+        val batchN = graft.ops.TimeOps.stateRuns(
+          Seq((9L, 10L, 1L, null.asInstanceOf[String]), (9L, 20L, 2L, "A"),
+            (9L, 30L, 3L, null.asInstanceOf[String]))
+            .toDF("user_id", "ts_ms", "event_id", "event_type"))
+          .filter(col("valid_to_ms").isNotNull).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+        assert(gotN === batchN)
+        assert(gotN.map(_._2) === Set(0L, 1L)) // runs 0 (null) and 1 ("A") closed
+      } finally qN.stop()
     } finally {
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
