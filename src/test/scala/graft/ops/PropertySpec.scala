@@ -124,6 +124,44 @@ object PropertySpec extends Properties("graft.ops") {
     mi == mr && corpusOf(ci) == corpusOf(cr)
   }
 
+  // SCD2 state-run compaction against the obvious driver-side fold:
+  // random per-user state logs (small alphabet incl. nulls so same-state
+  // runs, null runs, and ties-by-order all occur) must produce identical
+  // (run_id, state, valid_from, valid_to, n_events) tables.
+  property("stateRuns == naive per-user fold on random change logs") = Prop.forAll(
+    for {
+      n <- Gen.chooseNum(1, 40)
+      states <- Gen.listOfN(n, Gen.oneOf("A", "B", "C", null))
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 60L))
+    } yield states.zip(ts)
+  ) { log =>
+    import spark.implicits._
+    val rows = log.zipWithIndex.map { case ((st, t), i) =>
+      (1L + i % 2, t, i.toLong, st)
+    }
+    val df = rows.toDF("user_id", "ts_ms", "event_id", "event_type")
+    val got = TimeOps.stateRuns(df).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))).toSet
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      // fold into (state, from, n) runs; first run id mirrors the
+      // !(NULL <=> NULL) quirk: 0 when the first state is null
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      sorted.foreach { case (_, t, _, st) =>
+        if (runs.nonEmpty && runs.last._1 == st)
+          runs(runs.size - 1) = runs.last.copy(_3 = runs.last._3 + 1)
+        else runs += ((st, t, 1L))
+      }
+      val rid0 = if (sorted.head._4 == null) 0L else 1L
+      runs.zipWithIndex.map { case ((st, from, n), i) =>
+        val to = if (i + 1 < runs.size) runs(i + 1)._2 else -1L
+        (u, rid0 + i, st, from, to, n)
+      }
+    }.toSet
+    got == want
+  }
+
   // Interval union against the obvious driver-side sweep: same merged
   // count and covered length for random per-user event times (duplicates
   // and touching intervals included — ts range small so they occur).
