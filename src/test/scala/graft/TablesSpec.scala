@@ -45,13 +45,57 @@ class TablesSpec extends SparkTestBase {
     assert(fromLong.map(_._3) === rows.map(_._2 / 1000000L))
     // the NTZ branch must be timezone-INDEPENDENT: r11 pinned the session
     // to UTC globally (a side effect on every other computation in the
-    // caller's session); r12 converts via to_utc_timestamp(ntz, "UTC"),
-    // which must yield the same instants under any session timezone
+    // caller's session); r12 replaced that with ntzWallMicros — epoch-us
+    // extracted from the stored wall-clock COMPONENTS (date/hour/minute/
+    // fractional second), the one route that never coerces NTZ→LTZ
+    // through spark.sql.session.timeZone — which must therefore yield the
+    // same instants under any session timezone
     val prevTz = spark.conf.get("spark.sql.session.timeZone")
     try {
       spark.conf.set("spark.sql.session.timeZone", "America/New_York")
       assert(load("ntz") === fromNtz,
         "NTZ normalization depends on spark.sql.session.timeZone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("events loader reads a true timestamp[ns] file without leaking nanosAsLong into the session") {
+    // shape 3: genuine parquet timestamp[ns] (pyarrow-written fixture —
+    // Spark cannot write this type itself), the exact rounds-1-10 driver
+    // shape. Same five instants as the synthetic shapes above.
+    val fixture = getClass.getResource("/events_ns").getPath
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    assert(spark.conf.getOption(key).isEmpty || spark.conf.get(key) == "false",
+      "precondition: suite session does not carry the legacy flag")
+    val got = Tables.events(spark, fixture)
+      .select(col("event_id"), col("ts"), col("ts_ms"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val wantNs = Seq(0L, 1000000L, 1500000000L, 86400L * 1000000000L,
+      86400L * 1000000000L + 1000L)
+    assert(got.map(_._1) === wantNs)
+    assert(got.map(_._2) === wantNs.map(_ / 1000000L))
+    // the flag was scoped to the read: the caller's session is unchanged
+    assert(spark.conf.getOption(key).isEmpty || spark.conf.get(key) == "false",
+      "Tables.events must not mutate the caller's session conf (VERDICT r12 #2)")
+  }
+
+  test("epochMs extracts tz-independent epochs from NTZ date columns") {
+    // l_shipdate/o_orderdate surface as TIMESTAMP_NTZ; epochMs must give
+    // the same epoch under any session timezone (wall-clock-component
+    // route, not the former cast(TimestampType)+unix_millis coercion)
+    import spark.implicits._
+    val df = Seq(0L, 1500L, 86400000L, 86400000L + 123L, 1755080000123L)
+      .toDF("ms")
+      .withColumn("ntz", timestamp_millis(col("ms")).cast(TimestampNTZType))
+    def eval(): Seq[(Long, Long)] = df.select(col("ms"), Tables.epochMs(col("ntz")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val underDefault = eval()
+    assert(underDefault.forall { case (ms, got) => ms == got },
+      s"epochMs must equal the source epoch-ms exactly: $underDefault")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      assert(eval() === underDefault, "epochMs depends on the session timezone")
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 }
