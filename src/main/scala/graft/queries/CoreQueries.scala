@@ -31,7 +31,7 @@ object CoreQueries {
     * TrieMap so Bench's repeated invocations don't stack hooks).
     */
   private val reapHooks = scala.collection.concurrent.TrieMap.empty[String, Boolean]
-  private def reapOnExit(dir: java.io.File): Unit =
+  private[queries] def reapOnExit(dir: java.io.File): Unit =
     reapHooks.getOrElseUpdate(dir.getPath, {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.hadoop.fs.FileUtil.fullyDelete(dir): Unit))

@@ -354,8 +354,18 @@ object ExtQueries {
       val emb = Tables.embeddings(s, d)
       val model = graft.ops.IvfIndex.build(
         emb.filter(col("vec_id") % 2 === 0), nlist = 16, iters = 1)
-      val dir = java.nio.file.Files.createTempDirectory("graft_ann_persist")
-      dir.toFile.deleteOnExit()
+      // one index dir per (process, dataset), rebuilt in place — a fresh
+      // temp dir per invocation orphaned one directory per bench
+      // iteration (deleteOnExit cannot remove a non-empty dir; VERDICT
+      // r12 #1). Same pid-scoped reapOnExit pattern as
+      // q_summary_percentiles: pid keeps concurrent processes apart, the
+      // shutdown hook fullyDeletes the one dir per process.
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_ann_persist_${d.hashCode.toHexString}_" +
+          ProcessHandle.current().pid())
+      CoreQueries.reapOnExit(dir)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
       graft.ops.IvfIndex.save(model, dir.toString)
       graft.ops.IvfIndex.append(s, dir.toString, emb.filter(col("vec_id") % 2 =!= 0))
       val loaded = graft.ops.IvfIndex.load(s, dir.toString)
