@@ -143,6 +143,51 @@ object TimeOps {
         col("valid_from_ms"), col("valid_to_ms"), col("n_events"))
   }
 
+  /** Late-correction merge for [[stateRuns]] — incremental SCD2
+    * maintenance under out-of-order CDC delivery: a late batch may insert
+    * events ANYWHERE in a key's history, re-opening closed runs, splitting
+    * them, or fusing neighbours. Rather than diffing run boundaries
+    * in-place (a split run's `n_events` cannot be apportioned from the
+    * run table alone — the per-event times inside the run are gone), the
+    * merge recomputes exactly the AFFECTED keys from the event archive
+    * and passes every other key's runs through untouched:
+    *
+    *   1. affected  = distinct keys in the late batch (broadcast — a CDC
+    *      correction batch is minutes of data, its key set is
+    *      driver-memory-bounded by contract);
+    *   2. untouched = existingRuns ANTI-JOIN affected — a scan-local
+    *      broadcast anti join, the 100 TB run table never shuffles;
+    *   3. recomputed = stateRuns(archive SEMI-JOIN affected ∪ late) — the
+    *      archive read prunes to affected keys (scan-local broadcast semi
+    *      join; on a key-bucketed archive this is a pruned read), and the
+    *      one user_id shuffle carries only affected-key history.
+    *
+    * Exactness: an untouched key's event set is identical in both worlds,
+    * so its rows (run_id included) equal the full recompute's; an affected
+    * key is LITERALLY the full recompute. Hence
+    * `stateRunsMerge(stateRuns(A), A, L) ≡ stateRuns(A ∪ L)` row-for-row
+    * (PropertySpec pins it on random splits). Assumes exactly-once
+    * delivery — a replayed event duplicates in the union exactly as it
+    * would in the batch recompute.
+    *
+    * @param existingRuns prior [[stateRuns]] output (the compacted SCD2 table)
+    * @param archive      the event log `existingRuns` was computed from
+    *                     (user_id, ts_ms, event_id, event_type)
+    * @param lateEvents   the correction batch, same columns as `archive`
+    */
+  def stateRunsMerge(existingRuns: DataFrame, archive: DataFrame,
+                     lateEvents: DataFrame): DataFrame = {
+    val cols = Seq("user_id", "ts_ms", "event_id", "event_type").map(col)
+    val affected = lateEvents.select(col("user_id")).distinct()
+    val untouched = existingRuns
+      .join(broadcast(affected), Seq("user_id"), "left_anti")
+    val recomputed = stateRuns(
+      archive.select(cols: _*)
+        .join(broadcast(affected), Seq("user_id"), "left_semi")
+        .unionByName(lateEvents.select(cols: _*)))
+    untouched.unionByName(recomputed)
+  }
+
   /** J6 full piecewise-linear load-curve interpolation (the reference's
     * value-at-time-t between surrounding curve points,
     * `BiaxialCompressionTest/MLSLD00.dat:33-39` 3-point force ramp).

@@ -249,6 +249,28 @@ object ExtQueries {
         .orderBy("user_id", "run_id")
     }),
 
+    // G5+ — SCD2 late-correction merge (TimeOps.stateRunsMerge): real CDC
+    // delivers out-of-order corrections that re-open compacted history.
+    // The split simulates a correction day — users in residue class
+    // 3 mod 7 get their event_id%13==0 events LATE — so both merge paths
+    // run: ~6/7 of keys pass through the broadcast anti join untouched
+    // (their run_ids must survive verbatim), affected keys recompute from
+    // the key-pruned archive ∪ late union on one user_id shuffle. The
+    // oracle is the full recompute over ALL events (identical SQL to
+    // q_scd2_compact) — merge ≡ recompute IS the contract
+    // (PropertySpec pins it on random splits).
+    "q_scd2_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts_ms"),
+        col("event_id"), col("event_type"))
+      val isLate = pmod(col("user_id"), lit(7)) === 3 &&
+        pmod(col("event_id"), lit(13)) === 0
+      val onTime = ev.filter(!isLate)
+      val late = ev.filter(isLate)
+      graft.ops.TimeOps.stateRunsMerge(
+        graft.ops.TimeOps.stateRuns(onTime), onTime, late)
+        .orderBy("user_id", "run_id")
+    }),
+
     // G5+ — interval union / covered time (TimeOps.intervalUnion): each
     // event opens a 30-min activity interval; overlaps merge per user and
     // the output is merged-interval count + total covered wall-clock —
@@ -623,6 +645,15 @@ object ExtQueries {
         """m AS (SELECT user_id, grp, MIN(st) AS s, MAX(en) AS e FROM r GROUP BY 1, 2) """ +
         """SELECT user_id, COUNT(*) AS n_intervals, CAST(SUM(e - s) AS BIGINT) AS covered_ms FROM m GROUP BY 1 ORDER BY 1"""),
     "q_scd2_compact" ->
+      ("""WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events), """ +
+        """c AS (SELECT user_id, event_id, ts_ms, event_type, CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e), """ +
+        """r AS (SELECT user_id, ts_ms, event_type, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM c), """ +
+        """g AS (SELECT user_id, CAST(run_id AS BIGINT) AS run_id, MIN(event_type) AS state, MIN(ts_ms) AS valid_from_ms, COUNT(*) AS n_events FROM r GROUP BY 1, 2) """ +
+        """SELECT user_id, run_id, state, valid_from_ms, """ +
+        """LEAD(valid_from_ms) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_ms, n_events """ +
+        """FROM g ORDER BY user_id, run_id"""),
+    // merge ≡ full recompute is the contract: same SQL as q_scd2_compact
+    "q_scd2_merge" ->
       ("""WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events), """ +
         """c AS (SELECT user_id, event_id, ts_ms, event_type, CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e), """ +
         """r AS (SELECT user_id, ts_ms, event_type, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM c), """ +

@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
-  TTLConfig, ValueState}
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Per-key state for [[StreamOps.runningMaxPerUserTWS]]: one `ValueState`
@@ -74,6 +74,87 @@ class StateRunsProcessor
     cur.foreach(run.update)
     out.iterator
   }
+}
+
+/** Per-key state for [[StreamOps.stateRunsLateTWS]] — the SCD2 maintainer
+  * that HONORS THE WATERMARK: where [[StateRunsProcessor]] assumes
+  * in-order per-key arrival (an emitted run cannot be retracted, so a
+  * late event that lands inside already-compacted history silently
+  * diverges from batch), this twin buffers events in a `ListState` until
+  * the watermark proves no earlier event can still arrive, then folds
+  * them in (ts_ms, event_id) order through the open-run `ValueState` —
+  * the exact batch fold, delayed just long enough to be safe.
+  *
+  * Drain rule: an event folds only once `ts_ms < watermark`; Spark drops
+  * rows later than the watermark before the operator, so every future
+  * arrival has ts ≥ watermark > every folded ts — the fold order is
+  * final and closed-run output ≡ the batch twin's closed rows for ANY
+  * arrival order within the allowed lateness (StreamingSpec pins it on
+  * out-of-order multi-batch feeds; beyond-watermark stragglers are the
+  * batch path's job — [[graft.ops.TimeOps.stateRunsMerge]]).
+  *
+  * One event-time timer per key, armed at (min buffered ts + 1), drains
+  * the buffer as the watermark advances even when the key sees no
+  * further input. State per key: the open run + only the not-yet-final
+  * suffix of events — watermark-bounded, so O(keys × lateness window).
+  */
+class StateRunsLateProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long, String, java.sql.Timestamp),
+      (Long, Long, String, Long, Long, Long)] {
+  @transient private var buf: ListState[(Long, Long, String)] = _
+  @transient private var run: ValueState[(Long, String, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[(Long, Long, String)]("buf",
+      Encoders.product[(Long, Long, String)], TTLConfig.NONE)
+    run = getHandle.getValueState[(Long, String, Long, Long)]("run",
+      Encoders.product[(Long, String, Long, Long)], TTLConfig.NONE)
+  }
+
+  /** Fold every buffered event with ts_ms < wm through the open run, emit
+    * runs closed by the fold, keep the rest buffered, re-arm the timer.
+    */
+  private def drain(key: Long, wmMs: Long)
+      : Iterator[(Long, Long, String, Long, Long, Long)] = {
+    val all = buf.get().toArray
+    val (ready, pending) = all.partition(_._1 < wmMs)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, Long, Long, Long)]
+    if (ready.nonEmpty) {
+      var cur = if (run.exists()) Option(run.get()) else None
+      ready.sortBy(e => (e._1, e._2)).foreach { case (ms, _, et) =>
+        cur match {
+          // NULL first state opens run 0 — the batch twin's !(NULL <=> NULL)
+          case None => cur = Some((if (et == null) 0L else 1L, et, ms, 1L))
+          case Some((rid, st, from, n)) =>
+            if (st == et) cur = Some((rid, st, from, n + 1L))
+            else {
+              out += ((key, rid, st, from, ms, n))
+              cur = Some((rid + 1L, et, ms, 1L))
+            }
+        }
+      }
+      cur.foreach(run.update)
+      if (pending.isEmpty) buf.clear() else buf.put(pending)
+    }
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    if (pending.nonEmpty)
+      getHandle.registerTimer(pending.map(_._1).min + 1L)
+    out.iterator
+  }
+
+  override def handleInputRows(key: Long,
+                               rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long, String, Long, Long, Long)] = {
+    buf.appendList(rows.map(r => (r._2, r._3, r._4)).toArray)
+    drain(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expired: ExpiredTimerInfo)
+      : Iterator[(Long, Long, String, Long, Long, Long)] =
+    drain(key, timerValues.getCurrentWatermarkInMs())
 }
 
 /** Session expiry on Spark 4's timer surface, with the HYBRID close
@@ -255,6 +336,28 @@ object StreamOps {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .transformWithState(new StateRunsProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Watermark-honoring twin of [[stateRunsTWS]] via
+    * [[StateRunsLateProcessor]]: events may arrive out of order within
+    * `delay`; each is buffered until the watermark proves its fold
+    * position final, so closed-run output ≡ batch for ANY within-lateness
+    * arrival order (the in-order twin diverges there — an emitted run
+    * cannot be retracted). Input: a streaming Dataset of
+    * (user_id, ts_ms, event_id, event_type). Requires the RocksDB state
+    * store provider.
+    */
+  def stateRunsLateTWS(events: Dataset[(Long, Long, Long, String)],
+                       delay: String = "10 seconds")
+      : Dataset[(Long, Long, String, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.toDF("user_id", "ts_ms", "event_id", "event_type")
+      .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts_utc", delay)
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new StateRunsLateProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Timer-based session expiry via [[SessionExpiryProcessor]]: input a

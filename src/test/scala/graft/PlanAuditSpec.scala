@@ -301,6 +301,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
+  test("q_scd2_merge routes both key-set joins through broadcasts — untouched runs and the archive never shuffle for them") {
+    val p = plan("q_scd2_merge")
+    // the affected-key set joins BROADCAST into the anti (untouched runs
+    // pass through scan-local) and the semi (archive read prunes to
+    // affected keys); a SortMergeJoin on either would shuffle the 100 TB
+    // side for a minutes-sized correction batch
+    assert(!p.contains("SortMergeJoin"), s"key-set join regressed to a shuffle join:\n$p")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj == 2, s"expected exactly 2 broadcast key-set joins (anti + semi), got $bhj:\n$p")
+    // shuffles: one user_id hash per stateRuns leg (existing + recompute),
+    // the affected-distinct agg, and the terminal sort — anything more
+    // means a leg stopped reusing its partitioning
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 5, s"expected <=5 exchanges, got $exchanges:\n$p")
+  }
+
   test("q_interval_union stacks windows and both aggregations on ONE user_id exchange") {
     val p = plan("q_interval_union")
     // windows + groupBy(user, grp) + groupBy(user) all reuse

@@ -162,6 +162,38 @@ object PropertySpec extends Properties("graft.ops") {
     got == want
   }
 
+  // Late-correction merge: recomputing only the affected keys and
+  // passing untouched runs through must be row-identical (run_id
+  // included) to the full recompute over archive ∪ late, for ANY random
+  // split of the log into on-time and late — including all-late users
+  // (archive side empty for that key), empty late batches (merge ≡
+  // existing), and late events landing inside compacted runs (splits,
+  // fuses, re-opened history).
+  property("stateRunsMerge == full stateRuns recompute on random late splits") = Prop.forAll(
+    for {
+      n <- Gen.chooseNum(1, 40)
+      states <- Gen.listOfN(n, Gen.oneOf("A", "B", "C", null))
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 60L))
+      late <- Gen.listOfN(n, Gen.prob(0.3))
+    } yield states.zip(ts).zip(late)
+  ) { log =>
+    import spark.implicits._
+    val rows = log.zipWithIndex.map { case (((st, t), isLate), i) =>
+      (1L + i % 3, t, i.toLong, st, isLate)
+    }
+    val all = rows.map(r => (r._1, r._2, r._3, r._4))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val onTime = rows.filter(!_._5).map(r => (r._1, r._2, r._3, r._4))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val late = rows.filter(_._5).map(r => (r._1, r._2, r._3, r._4))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))).toSet
+    val merged = TimeOps.stateRunsMerge(TimeOps.stateRuns(onTime), onTime, late)
+    rowSet(merged) == rowSet(TimeOps.stateRuns(all))
+  }
+
   // Interval union against the obvious driver-side sweep: same merged
   // count and covered length for random per-user event times (duplicates
   // and touching intervals included — ts range small so they occur).

@@ -268,6 +268,88 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stateRunsLateTWS: out-of-order arrival within the watermark still matches batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // hand-built feed: e2 (ts=2000) arrives a batch AFTER e3 (ts=3500) —
+      // out of order, but still >= the watermark (1500 after batch 1 with
+      // a 2 s delay), so the buffer must fold it back into place; the
+      // in-order twin would have mis-compacted this feed
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val q = StreamOps.stateRunsLateTWS(mem.toDS(), delay = "2 seconds")
+        .toDF("user_id", "run_id", "state", "valid_from_ms", "valid_to_ms", "n_events")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("scd2_late_out").start()
+      try {
+        mem.addData(Seq((1L, 1000L, 1L, "A"), (1L, 3500L, 3L, "B")))
+        q.processAllAvailable()
+        mem.addData(Seq((1L, 2000L, 2L, "A"), (1L, 6000L, 4L, "C")))
+        q.processAllAvailable()
+        // watermark sentinel (other key) pushes the drain past every row;
+        // the pending (6000, C) then folds via the event-time TIMER in the
+        // no-data batch — no further input for key 1
+        mem.addData(Seq((99L, 20000L, 9L, "X")))
+        q.processAllAvailable()
+        val got = spark.table("scd2_late_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+        val want = graft.ops.TimeOps.stateRuns(
+          Seq((1L, 1000L, 1L, "A"), (1L, 2000L, 2L, "A"), (1L, 3500L, 3L, "B"),
+            (1L, 6000L, 4L, "C"), (99L, 20000L, 9L, "X"))
+            .toDF("user_id", "ts_ms", "event_id", "event_type"))
+          .filter(col("valid_to_ms").isNotNull).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+        assert(want === Set((1L, 1L, "A", 1000L, 3500L, 2L),
+          (1L, 2L, "B", 3500L, 6000L, 1L)), "fixture sanity")
+        assert(got === want)
+      } finally q.stop()
+
+      // real events, fully SHUFFLED arrival: with delay >= the whole ts
+      // span nothing is ever dropped, everything buffers, and a far-future
+      // sentinel drains the lot — closed output must equal the batch
+      // twin's closed rows despite arbitrary arrival order
+      val e = Tables.events(spark, Sf0001).select(
+        col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      val rows = e.as[(Long, Long, Long, String)].collect()
+      val shuffled = new scala.util.Random(20260814L).shuffle(rows.toVector)
+      val spanMs = rows.map(_._2).max - rows.map(_._2).min
+      val memR = MemoryStream[(Long, Long, Long, String)]
+      val qR = StreamOps.stateRunsLateTWS(memR.toDS(),
+          delay = s"${spanMs / 1000 + 1} seconds")
+        .toDF("user_id", "run_id", "state", "valid_from_ms", "valid_to_ms", "n_events")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("scd2_late_real_out").start()
+      try {
+        shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).foreach { chunk =>
+          memR.addData(chunk)
+          qR.processAllAvailable()
+        }
+        memR.addData(Seq((999999L, rows.map(_._2).max + 2 * spanMs + 10000L, 0L, "X")))
+        qR.processAllAvailable()
+        val gotR = spark.table("scd2_late_real_out")
+          .filter(col("user_id") =!= 999999L).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+        val wantR = graft.ops.TimeOps.stateRuns(e)
+          .filter(col("valid_to_ms").isNotNull).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+        assert(wantR.nonEmpty, "fixture produced no closed runs — vacuous")
+        assert(gotR === wantR)
+      } finally qR.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running max (Spark 4 StatefulProcessor) == flatMapGroupsWithState twin") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
