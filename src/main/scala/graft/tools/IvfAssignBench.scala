@@ -60,19 +60,25 @@ object IvfAssignBench {
     // warm
     corpus.write.format("noop").mode("overwrite").save()
 
-    for (nlist <- Seq(16, 64, 128, 256, 1024, 4096)) {
+    // production cell counts (VERDICT r12 #6): at 100 TB nlist is
+    // 10⁴–10⁵; sweep past the 4096 default guard with packed FORCED
+    // (maxPackedCells = nlist) to find where the plan-literal route stops
+    // being compute-bound — cold-vs-warm separates the per-query
+    // planning/codegen cost (paid once per job) from per-row throughput
+    for (nlist <- Seq(16, 64, 128, 256, 1024, 4096, 8192, 16384)) {
       val cents = hashVectors(spark, nlist.toLong, 64, "cell", "centroid", seed = 7L)
         .localCheckpoint()
       // run twice: first pays expression planning + literal embedding,
       // second is steady state — both matter (the first is per-QUERY cost,
       // which a 100 TB job pays once; the second is per-row cost)
       time(s"nlist=$nlist packed cold",
-        graft.ops.IvfIndex.assign(corpus, cents))
+        graft.ops.IvfIndex.assign(corpus, cents, maxPackedCells = nlist))
       time(s"nlist=$nlist packed warm",
-        graft.ops.IvfIndex.assign(corpus, cents))
+        graft.ops.IvfIndex.assign(corpus, cents, maxPackedCells = nlist))
       time(s"nlist=$nlist max_by fallback",
         graft.ops.IvfIndex.assign(corpus, cents, maxPackedCells = 0))
-      println(f"  scored rows (corpus x nlist): ${n * nlist}%,d")
+      println(f"  scored rows (corpus x nlist): ${n * nlist}%,d; " +
+        f"centroid literal ${nlist * 64 * 4}%,d bytes")
     }
     spark.stop()
   }
