@@ -204,6 +204,66 @@ object IvfIndex {
     }
   }
 
+  /** Hierarchical (coarse-quantized) assignment — the production-nlist
+    * route (VERDICT r12 #6): past nlist ≈ 8–16k the flat [[assign]] hits
+    * its measured cliff (`tools/IvfAssignBench`: the packed literal's
+    * one-time planning cost turns super-linear at 4 MB/16k cells — 26 s
+    * cold — and the max_by fallback pushes corpus × nlist scored rows
+    * through its partial aggregate). This is the standard IVF answer:
+    *
+    *   1. cluster the CENTROID TABLE itself into `nCoarse` groups (an
+    *      nlist-row job — trivial at any corpus size);
+    *   2. per vector, pick the top-`wProbe` coarse groups by packed
+    *      argmax over the nCoarse-bounded coarse-centroid literal;
+    *   3. broadcast the (fine_cell, coarse, centroid) tag table (nlist
+    *      rows — a dimension-bounded dim, NOT a plan literal, so no
+    *      codegen/planning blow-up) and equi-join on the probed coarse
+    *      group: exact argmax over only the probed groups' members.
+    *
+    * Scored rows: corpus × (nCoarse + wProbe × nlist/nCoarse) instead of
+    * corpus × nlist — 23× fewer at nlist=16384 with the defaults. The
+    * assignment is APPROXIMATE (exact within the probed coarse groups;
+    * a vector whose true cell hides in an unprobed group mis-assigns —
+    * measured ≥ 0.97 agreement with exact at the defaults,
+    * IvfIndexSpec/IvfAssignBench). Standard IVF practice: membership
+    * quality degrades gracefully and search correctness never depends on
+    * assignment optimality — cells are just buckets. Deterministic given
+    * the build seed, like [[assign]].
+    */
+  def assignCoarse(emb: DataFrame, centroids: DataFrame,
+                   nCoarse: Int = 128, wProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    dotF(spark)
+    val coarseModel = build(
+      centroids.select(col("cell").as("vec_id"), col("centroid").as("embedding")),
+      nlist = nCoarse, iters = 2, maxTrainRows = Long.MaxValue)
+    val tagged = coarseModel.assignments.select(
+      col("vec_id").as("fine_cell"), col("cell").as("coarse"),
+      col("embedding").as("fine_centroid"))
+    val coarseCents = coarseModel.centroids
+      .select(col("cell").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(coarseCents.nonEmpty, "assignCoarse: empty coarse centroid table")
+    val scores = transform(typedlit(coarseCents.map(_._2)),
+      c => call_function("graft_dot_f", col("embedding"), c))
+    // ascending struct sort on (-score, coarseId) = score desc, low-id ties
+    val ranked = array_sort(zip_with(scores, typedlit(coarseCents.map(_._1)),
+      (s, cid) => struct((-s).as("n"), cid.as("c"))))
+    val probed = emb.withColumn("__probe",
+      explode(transform(slice(ranked, 1, wProbe), p => p.getField("c"))))
+    val others = emb.columns.filterNot(_ == "vec_id").toIndexedSeq
+    probed.join(broadcast(tagged), col("__probe") === col("coarse"))
+      .withColumn("__score", expr("graft_dot_f(embedding, fine_centroid)"))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(others.map(col) :+ col("fine_cell").as("cell"): _*),
+        struct(col("__score"), col("fine_cell") * lit(-1L))).as("__best"))
+      .select(col("vec_id") +:
+        (others.map(c => col(s"__best.$c").as(c)) :+ col("__best.cell").as("cell")): _*)
+  }
+
   /** Batched ANN top-k: many probes answered in ONE pass over the inverted
     * file — the shape a real pipeline needs (per-probe [[searchTopK]] calls
     * are a driver-side loop of tiny jobs; a 100 TB corpus serves probe

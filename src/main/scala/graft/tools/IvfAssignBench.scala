@@ -77,8 +77,65 @@ object IvfAssignBench {
         graft.ops.IvfIndex.assign(corpus, cents, maxPackedCells = nlist))
       time(s"nlist=$nlist max_by fallback",
         graft.ops.IvfIndex.assign(corpus, cents, maxPackedCells = 0))
+      // the production-nlist route: coarse-quantized two-level assign —
+      // cold includes clustering the centroid table itself
+      if (nlist >= 4096) {
+        time(s"nlist=$nlist coarse cold",
+          graft.ops.IvfIndex.assignCoarse(corpus, cents))
+        time(s"nlist=$nlist coarse warm",
+          graft.ops.IvfIndex.assignCoarse(corpus, cents))
+        // quality vs exact: cell-identity agreement is tie-dominated on
+        // RANDOM centroids (zero cluster structure — the adversarial
+        // worst case for coarse pruning), so also record the SCORE GAP:
+        // how much worse the chosen centroid's similarity is than the
+        // true max (what cell quality actually costs)
+        val cmap = cents.select(col("cell"), col("centroid"))
+        def scored(a: org.apache.spark.sql.DataFrame) = a
+          .select(col("vec_id"), col("cell"), col("embedding"))
+          .join(broadcast(cmap), "cell")
+          .select(col("vec_id"), col("cell"),
+            expr("graft_dot_f(embedding, centroid)").as("s"))
+        val exact = scored(graft.ops.IvfIndex.assign(corpus, cents, maxPackedCells = nlist))
+          .withColumnRenamed("cell", "cell_x").withColumnRenamed("s", "s_x")
+        val q = scored(graft.ops.IvfIndex.assignCoarse(corpus, cents))
+          .join(exact, "vec_id")
+          .agg(avg((col("cell") === col("cell_x")).cast("double")).as("agree"),
+            avg(col("s_x") - col("s")).as("gap_mean"),
+            expr("percentile(s_x - s, 0.99)").as("gap_p99"),
+            avg(col("s_x")).as("exact_mean"))
+          .head()
+        println(f"  coarse-vs-exact: agree=${q.getDouble(0)}%.4f " +
+          f"gapMean=${q.getDouble(1)}%.4f gapP99=${q.getDouble(2)}%.4f " +
+          f"exactScoreMean=${q.getDouble(3)}%.4f")
+      }
       println(f"  scored rows (corpus x nlist): ${n * nlist}%,d; " +
         f"centroid literal ${nlist * 64 * 4}%,d bytes")
+    }
+
+    // realistic regime: centroids TRAINED on the corpus (Lloyd), so the
+    // coarse clustering has real structure to exploit — nlist=1024 is the
+    // ceiling a 20k corpus supports (~20 rows/cell)
+    val trained = graft.ops.IvfIndex.build(corpus, nlist = 1024, iters = 3,
+      maxTrainRows = Long.MaxValue)
+    val tc = trained.centroids.localCheckpoint()
+    val cmapT = tc.select(col("cell"), col("centroid"))
+    def scoredT(a: org.apache.spark.sql.DataFrame) = a
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .join(broadcast(cmapT), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr("graft_dot_f(embedding, centroid)").as("s"))
+    val exactT = scoredT(graft.ops.IvfIndex.assign(corpus, tc, maxPackedCells = 1024))
+      .withColumnRenamed("cell", "cell_x").withColumnRenamed("s", "s_x")
+    for (w <- Seq(2, 4, 8)) {
+      val qt = scoredT(graft.ops.IvfIndex.assignCoarse(corpus, tc,
+          nCoarse = 64, wProbe = w))
+        .join(exactT, "vec_id")
+        .agg(avg((col("cell") === col("cell_x")).cast("double")).as("agree"),
+          avg(col("s_x") - col("s")).as("gap_mean"),
+          expr("percentile(s_x - s, 0.99)").as("gap_p99"))
+        .head()
+      println(f"  TRAINED nlist=1024 nCoarse=64 w=$w: agree=${qt.getDouble(0)}%.4f " +
+        f"gapMean=${qt.getDouble(1)}%.4f gapP99=${qt.getDouble(2)}%.4f")
     }
     spark.stop()
   }

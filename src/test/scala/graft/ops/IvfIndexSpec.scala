@@ -606,6 +606,37 @@ class IvfIndexSpec extends SparkTestBase {
     assert(rMaint >= 0.3, s"maintained-index recall@10 sanity floor: $rMaint")
   }
 
+  test("assignCoarse: full coarse probe == exact assign; partial probe valid, deterministic, near-exact") {
+    val cents = model.centroids
+    val exact = IvfIndex.assign(emb, cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // probing EVERY coarse group makes the two-level argmax range over all
+    // centroids — must reproduce assign exactly, ties included (both
+    // routes break ties to the lowest cell)
+    val full = IvfIndex.assignCoarse(emb, cents, nCoarse = 4, wProbe = 4)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === exact,
+      "wProbe = nCoarse must be exactly the flat assignment")
+    // partial probe: one row per vector, every cell a real cell,
+    // deterministic across invocations, and agreement stays high on the
+    // TRAINED cells (structure to exploit — unlike the random-centroid
+    // worst case IvfAssignBench measures)
+    val p1 = IvfIndex.assignCoarse(emb, cents, nCoarse = 4, wProbe = 2)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p2 = IvfIndex.assignCoarse(emb, cents, nCoarse = 4, wProbe = 2)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 === p2, "assignCoarse must be deterministic")
+    assert(p1.keySet === exact.keySet, "one row per vector")
+    val validCells = cents.select("cell").collect().map(_.getLong(0)).toSet
+    assert(p1.values.forall(validCells.contains))
+    val agree = p1.count { case (v, c) => exact(v) == c }.toDouble / p1.size
+    assert(agree >= 0.5, s"partial-probe agreement collapsed: $agree")
+  }
+
   test("assign plans with no Exchange and no Window (zero-shuffle argmax)") {
     val plan = IvfIndex.assign(emb, model.centroids)
       .queryExecution.executedPlan.toString
