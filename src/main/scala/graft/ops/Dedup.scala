@@ -101,6 +101,22 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                         numBands: Int = 2, rowsPerBand: Int = 2,
                         shingleN: Int = 3): DataFrame = {
+    val banded = lshBandTable(docs, idCol, textCol, numBands, rowsPerBand, shingleN)
+    val other = banded.select(col("doc_id").as("doc_b"), col("band").as("band_b"))
+    banded.join(other, col("band") === col("band_b") && col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** The (doc_id, band) table [[lshCandidatePairs]] self-joins — exposed
+    * because at corpus scale this table is a PERSISTED INDEX: computing it
+    * is the expensive step (shingle → minhash → band), and an ingest
+    * pipeline stores it once per document instead of re-deriving history
+    * on every arriving batch (see [[lshIncrementalCandidates]]).
+    */
+  def lshBandTable(docs: DataFrame, idCol: String, textCol: String,
+                   numBands: Int = 2, rowsPerBand: Int = 2,
+                   shingleN: Int = 3): DataFrame = {
     require(numBands >= 1 && rowsPerBand >= 1,
       s"invalid banding ${numBands}x$rowsPerBand")
     val sig = minhashSignatures(docs, idCol, textCol, shingleN,
@@ -112,10 +128,42 @@ object Dedup {
       else
         xxhash64((lit(b.toLong) +: comps): _*).cast("string")
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
-    val other = banded.select(col("doc_id").as("doc_b"), col("band").as("band_b"))
-    banded.join(other, col("band") === col("band_b") && col("doc_id") < col("doc_b"))
-      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
+  }
+
+  /** Incremental near-dup candidates: an ARRIVING batch against a stored
+    * band index plus itself — the continuous-ingest shape
+    * (`lshCandidatePairs` over history ∪ batch would re-self-join the
+    * whole corpus for every batch). `storedBands` is a persisted
+    * [[lshBandTable]] (same banding parameters — the band hash is part of
+    * the index contract, like IVF's frozen centroids); `newBands` is the
+    * arriving batch's table, computed batch-side only.
+    *
+    * One equi-join: new bands probe (stored ∪ new) on the band key —
+    * history NEVER self-joins, so per-batch cost is
+    * |new bands| × bucket occupancy regardless of corpus size. new↔new
+    * pairs surface from the union side (found from either end, normalized
+    * and deduped); old↔old pairs are by definition already known. Returns
+    * normalized (doc_a < doc_b) distinct pairs where at least one side is
+    * an arrival — exactly `lshCandidatePairs(history ∪ batch)` restricted
+    * to arrival-touching pairs (OpsSpec pins the equivalence; the
+    * `q_dedup_incremental` oracle is that restriction in SQL).
+    */
+  def lshIncrementalCandidates(storedBands: DataFrame,
+                               newBands: DataFrame): DataFrame = {
+    // the BATCH side broadcasts (bounded by the ingest-batch contract,
+    // like the SCD2 merge's key set) and the stored index STREAMS through
+    // the probe side — the hash table is never built on the 100 TB side,
+    // and the index scan stays scan-local (no shuffle of history per
+    // batch). new↔new pairs are found from both ends; least/greatest
+    // normalization + distinct collapses them.
+    val nb = newBands.select(col("doc_id").as("doc_n"), col("band").as("band_n"))
+    val all = storedBands.select(col("doc_id"), col("band"))
+      .unionByName(newBands.select(col("doc_id"), col("band")))
+    all.join(broadcast(nb),
+        col("band") === col("band_n") && col("doc_id") =!= col("doc_n"))
+      .select(least(col("doc_id"), col("doc_n")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_n")).as("doc_b"))
       .distinct()
   }
 }

@@ -473,6 +473,33 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // North star — INCREMENTAL near-dup candidates against a persisted
+    // band index (Dedup.lshIncrementalCandidates): the continuous-ingest
+    // shape — even doc_ids are the indexed history (band table built,
+    // written to parquet, read BACK — the serving path), odd doc_ids are
+    // the arriving batch. One equi-join of the batch's bands against
+    // (stored ∪ batch); history never self-joins, so per-batch cost is
+    // independent of corpus size. Oracle = the full-corpus band-pair SQL
+    // restricted to pairs touching an arrival — incremental ≡ restricted
+    // full recompute IS the contract (OpsSpec pins it too).
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val arrivals = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_band_index_${d.hashCode.toHexString}_" +
+          ProcessHandle.current().pid())
+      CoreQueries.reapOnExit(dir)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
+      Dedup.lshBandTable(history, "doc_id", "text")
+        .write.mode("overwrite").parquet(dir.toString)
+      val stored = s.read.parquet(dir.toString)
+      Dedup.lshIncrementalCandidates(stored,
+          Dedup.lshBandTable(arrivals, "doc_id", "text"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // North star — 32-bit SimHash document fingerprints.
     "q_simhash" -> ((s, d) => {
       TextOps.simhash32(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
@@ -716,6 +743,15 @@ object ExtQueries {
         """sig AS (SELECT doc_id, MIN(substr(md5(s), 1, 8)) AS mh0, MIN(substr(md5(s), 9, 8)) AS mh1, MIN(substr(md5(s), 17, 8)) AS mh2, MIN(substr(md5(s), 25, 8)) AS mh3 FROM sh GROUP BY doc_id), """ +
         """band AS (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM sig) """ +
         """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b ON a.b = b.b AND a.doc_id < b.doc_id ORDER BY 1, 2"""),
+    // the full-corpus band pairs restricted to arrival-touching pairs:
+    // incremental ≡ restricted full recompute is the contract
+    "q_dedup_incremental" ->
+      ("""WITH tok AS (SELECT doc_id, """ + tokSql + """ AS t FROM documents), """ +
+        """sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), """ +
+        """sig AS (SELECT doc_id, MIN(substr(md5(s), 1, 8)) AS mh0, MIN(substr(md5(s), 9, 8)) AS mh1, MIN(substr(md5(s), 17, 8)) AS mh2, MIN(substr(md5(s), 25, 8)) AS mh3 FROM sh GROUP BY doc_id), """ +
+        """band AS (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM sig) """ +
+        """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b ON a.b = b.b AND a.doc_id < b.doc_id """ +
+        """WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1 ORDER BY 1, 2"""),
     "q_simhash" -> simhashSql,
     "q_ngram_jaccard" ->
       ("""WITH tok AS (SELECT doc_id, """ + tokSql + """ AS t FROM documents), """ +

@@ -317,6 +317,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges <= 5, s"expected <=5 exchanges, got $exchanges:\n$p")
   }
 
+  test("q_dedup_incremental broadcasts the arrival bands — the stored index never shuffle-joins") {
+    val p = plan("q_dedup_incremental")
+    // the batch side is the build/broadcast side; a SortMergeJoin here
+    // would shuffle the whole stored band index for every ingest batch
+    assert(!p.contains("SortMergeJoin"), s"band probe regressed to a shuffle join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_interval_union stacks windows and both aggregations on ONE user_id exchange") {
     val p = plan("q_interval_union")
     // windows + groupBy(user, grp) + groupBy(user) all reuse

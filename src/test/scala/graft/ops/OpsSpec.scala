@@ -52,6 +52,27 @@ class OpsSpec extends SparkTestBase {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("lshIncrementalCandidates == full-corpus pairs restricted to arrival-touching pairs") {
+    // the incremental contract on REAL documents: splitting the corpus
+    // into indexed history and an arriving batch, the one-sided join must
+    // reproduce exactly the arrival-touching subset of the full
+    // self-join — no pair lost (a new doc matching old history), no
+    // old↔old pair resurfacing, new↔new pairs found once
+    val docs = Tables.documents(spark, Sf0001)
+    val history = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val got = Dedup.lshIncrementalCandidates(
+        Dedup.lshBandTable(history, "doc_id", "text"),
+        Dedup.lshBandTable(arrivals, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = full.filter { case (a, b) => a % 2 == 1 || b % 2 == 1 }
+    assert(want.nonEmpty, "fixture produced no arrival-touching pairs — vacuous")
+    assert(got === want)
+    assert(got.forall { case (a, b) => a < b })
+  }
+
   test("LSH recall on planted near-dups rises with band count") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
