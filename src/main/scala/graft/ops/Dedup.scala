@@ -131,6 +131,47 @@ object Dedup {
     sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
   }
 
+  /** Row-local [[lshBandTable]]: identical (doc_id, band) rows, computed
+    * WITHOUT the explode → groupBy signature aggregation — each minhash
+    * component is `array_min` over the doc's own shingle array inside one
+    * projection, so the whole derivation is a stateless narrow map
+    * (OpsSpec pins frame equality with the grouped form on real docs).
+    * This is what a STREAMING ingest must use: a per-doc groupBy on an
+    * unbounded stream is forever-growing state, while this form is a
+    * plain append-mode projection ([[graft.streaming.StreamOps
+    * .dedupIncrementalStream]]). Batch callers may prefer it too — zero
+    * shuffle vs one — the grouped form stays as the oracle-shaped twin.
+    */
+  def lshBandTableLocal(docs: DataFrame, idCol: String, textCol: String,
+                        numBands: Int = 2, rowsPerBand: Int = 2,
+                        shingleN: Int = 3): DataFrame = {
+    require(numBands >= 1 && rowsPerBand >= 1,
+      s"invalid banding ${numBands}x$rowsPerBand")
+    val numHashes = numBands * rowsPerBand
+    val sh = array_distinct(graft.functions.WordShinglesF.shingles(
+      docs.sparkSession, split(trim(col(textCol)), "\\s+"), shingleN))
+    // per-component min over the doc's shingles — multiset min == set min,
+    // so array_distinct here matches the grouped form's min over the
+    // exploded (undistincted) shingle rows exactly
+    val comps: Seq[org.apache.spark.sql.Column] =
+      if (numHashes <= 4)
+        (0 until numHashes).map(s =>
+          array_min(transform(col("__sh"), x => substring(md5(x), s * 8 + 1, 8))))
+      else
+        (0 until numHashes).map(s =>
+          array_min(transform(col("__sh"), x => xxhash64(x, lit(s)))))
+    val bandKeys = (0 until numBands).map { b =>
+      val cs = (0 until rowsPerBand).map(j => col(s"__mh${b * rowsPerBand + j}"))
+      if (numHashes <= 4) md5(concat((lit(s"b$b|") +: cs): _*))
+      else xxhash64((lit(b.toLong) +: cs): _*).cast("string")
+    }
+    docs.select(col(idCol).as("doc_id"), sh.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc_id") +: comps.zipWithIndex.map {
+        case (c, i) => c.as(s"__mh$i") }: _*)
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
+  }
+
   /** Incremental near-dup candidates: an ARRIVING batch against a stored
     * band index plus itself — the continuous-ingest shape
     * (`lshCandidatePairs` over history ∪ batch would re-self-join the

@@ -428,6 +428,29 @@ object StreamOps {
       .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
   }
 
+  /** Streaming incremental near-dedup — the arriving-documents twin of
+    * `q_dedup_incremental`: each micro-batch of documents derives its
+    * (doc_id, band) rows via the row-local
+    * [[graft.ops.Dedup.lshBandTableLocal]] (a stateless projection — the
+    * grouped band table would be forever-growing per-doc aggregation
+    * state) and inner-joins the STATIC stored band index on the band key.
+    * Zero streaming state, append mode, restartable at micro-batch
+    * granularity. Emits one (doc_id, matched_doc) row per shared band —
+    * a pair sharing both bands appears twice; the downstream index-update
+    * batch job dedupes when it compacts (the spec compares SETS against
+    * the batch twin). At corpus scale the static side is a band-bucketed
+    * parquet table, so the per-batch join co-locates on the bucket key
+    * instead of reshuffling history.
+    */
+  def dedupIncrementalStream(docs: DataFrame,
+                             storedBands: DataFrame): DataFrame = {
+    val nb = graft.ops.Dedup.lshBandTableLocal(docs, "doc_id", "text")
+    nb.join(storedBands.select(col("doc_id").as("matched_doc"),
+        col("band").as("band_o")),
+        col("band") === col("band_o") && col("doc_id") =!= col("matched_doc"))
+      .select(col("doc_id"), col("matched_doc"))
+  }
+
   /** G5 — gap-based sessionization via the built-in `session_window`
     * (state-store backed; the batch twin derives session ids with windows).
     */

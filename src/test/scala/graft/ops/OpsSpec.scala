@@ -73,6 +73,21 @@ class OpsSpec extends SparkTestBase {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("lshBandTableLocal == grouped lshBandTable on real docs (both hash families)") {
+    // the row-local (zero-shuffle, stream-safe) derivation must produce
+    // the exact same (doc_id, band) rows as the explode→groupBy form —
+    // multiset min == set min per component, same tokenize/filter rules
+    val docs = Tables.documents(spark, Sf0001)
+    for ((nb, rpb) <- Seq((2, 2), (4, 2))) { // md5-chunk family; xxhash64 family
+      val grouped = Dedup.lshBandTable(docs, "doc_id", "text", nb, rpb)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val local = Dedup.lshBandTableLocal(docs, "doc_id", "text", nb, rpb)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(grouped.nonEmpty, "fixture produced no bands — vacuous")
+      assert(local === grouped, s"banding ${nb}x$rpb diverged")
+    }
+  }
+
   test("LSH recall on planted near-dups rises with band count") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

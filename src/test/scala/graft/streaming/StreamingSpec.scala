@@ -268,6 +268,40 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("dedupIncrementalStream: arriving micro-batches vs the static band index == batch pairs") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, Sf0001)
+    val history = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val stored = graft.ops.Dedup.lshBandTable(history, "doc_id", "text")
+      .cache()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupIncrementalStream(
+        mem.toDF().toDF("doc_id", "text"), stored)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_inc_out").start()
+    try {
+      arrivals.grouped(math.max(1, arrivals.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("dedup_inc_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin: arrival bands × stored bands on the band key
+      val want = graft.ops.Dedup.lshBandTableLocal(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text")
+        .join(stored.select(col("doc_id").as("matched_doc"), col("band")), "band")
+        .select("doc_id", "matched_doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "fixture produced no cross-matches — vacuous")
+      assert(got === want)
+      // every emission is arrival-vs-history: odd doc_id, even match
+      assert(got.forall { case (d, m) => d % 2 == 1 && m % 2 == 0 })
+    } finally q.stop()
+  }
+
   test("stateRunsLateTWS: out-of-order arrival within the watermark still matches batch") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
