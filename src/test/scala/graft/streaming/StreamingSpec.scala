@@ -384,6 +384,65 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stateRunsLateTWS: checkpointed restart restores buffer + open runs — stream still == batch") {
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = java.nio.file.Files.createTempDirectory("scd2src").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("scd2ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("scd2out").toString
+      val e = Tables.events(spark, Sf0001).select(
+        col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      val rows = e.as[(Long, Long, Long, String)].collect()
+      val tsCut = rows.map(_._2).sorted.apply(rows.length / 2)
+      val span = rows.map(_._2).max - rows.map(_._2).min
+      // split BY TIME so phase-2 arrivals can never be behind the
+      // phase-1 watermark (any positive delay keeps wm below the cut);
+      // shuffle within each phase — out-of-order inside the lateness
+      val rnd = new scala.util.Random(13L)
+      val p1 = rnd.shuffle(rows.filter(_._2 < tsCut).toVector)
+      val p2 = rnd.shuffle(rows.filter(_._2 >= tsCut).toVector) :+
+        ((999999L, rows.map(_._2).max + 2 * span + 10000L, 0L, "X"))
+      val schema = p1.toDF("user_id", "ts_ms", "event_id", "event_type").schema
+      p1.toDF("user_id", "ts_ms", "event_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b0")
+      def start() = StreamOps.stateRunsLateTWS(
+          spark.readStream.schema(schema).parquet(s"$srcDir/*")
+            .as[(Long, Long, Long, String)],
+          delay = "2 seconds")
+        .toDF("user_id", "run_id", "state", "valid_from_ms", "valid_to_ms", "n_events")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).start()
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // phase 2 (plus the far-future flush sentinel) lands while the query
+      // is DOWN; the restart must restore the RocksDB buffer + open runs
+      // and finish the fold exactly once
+      p2.toDF("user_id", "ts_ms", "event_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val got = spark.read.parquet(outDir)
+        .filter(col("user_id") =!= 999999L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      val want = graft.ops.TimeOps.stateRuns(e)
+        .filter(col("valid_to_ms").isNotNull).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(want.nonEmpty, "fixture produced no closed runs — vacuous")
+      assert(got === want)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running max (Spark 4 StatefulProcessor) == flatMapGroupsWithState twin") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
