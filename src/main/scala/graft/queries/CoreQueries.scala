@@ -344,14 +344,23 @@ object CoreQueries {
       val est = ps.map(p => p -> sk.quantile(p / 100.0)).toMap
       // one pass for all seven exact ranks (conditional sums), plus the
       // exact total — never a per-quantile scan
-      val rankAggs = ps.map(p =>
-        sum(when(col("v") <= est(p), 1L).otherwise(0L)).as(s"r$p"))
+      // under ties the rank of the estimate is an INTERVAL
+      // [count(< est), count(<= est)] — the KLL guarantee is that SOME
+      // rank of the returned value lies within ±2% of the target, so the
+      // verdict is interval-intersection, not point distance (a
+      // constant-valued column — the degenerate-fuzz pack — makes
+      // count(<= est) = n for every quantile, which the old point check
+      // wrongly flagged)
+      val rankAggs = ps.flatMap(p => Seq(
+        sum(when(col("v") <= est(p), 1L).otherwise(0L)).as(s"rhi$p"),
+        sum(when(col("v") < est(p), 1L).otherwise(0L)).as(s"rlo$p")))
       val row = li.agg(count(lit(1)).as("n"), rankAggs: _*).head()
       val n = row.getAs[Long]("n").toDouble
       ps.map { p =>
-        val rank = row.getAs[Long](s"r$p").toDouble
-        (p, row.getAs[Long]("n"),
-          if (math.abs(rank / n - p / 100.0) <= 0.02) 1 else 0)
+        val rhi = row.getAs[Long](s"rhi$p").toDouble
+        val rlo = row.getAs[Long](s"rlo$p").toDouble
+        val ok = !(rhi / n < p / 100.0 - 0.02 || rlo / n > p / 100.0 + 0.02)
+        (p, row.getAs[Long]("n"), if (ok) 1 else 0)
       }.toDF("q_pct", "n_rows", "within_2pct").orderBy("q_pct")
     }),
 
@@ -403,15 +412,21 @@ object CoreQueries {
         served.select(col("g"), lit(p).as("q_pct"),
           element_at(col("__qs"), i).as("est"))
       }.reduce(_ unionByName _)
+      // tie-aware rank-interval verdict — same rule as q_quantile_sketch
+      // (the rank of est under ties is [count(<), count(<=)]; the
+      // envelope holds if that interval intersects target ± 2%)
       li.join(broadcast(est), "g")
         .groupBy(col("g"), col("q_pct"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("__rank"))
+          sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("__rhi"),
+          sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("__rlo"))
         .select(col("g").as("l_returnflag"),
           col("q_pct").cast("int").as("q_pct"), col("n_rows"),
-          when(abs(col("__rank").cast("double") / col("n_rows")
-            - col("q_pct").cast("double") / 100.0) <= 0.02, 1)
-            .otherwise(0).cast("int").as("within_2pct"))
+          when(col("__rhi").cast("double") / col("n_rows")
+              < col("q_pct").cast("double") / 100.0 - 0.02 ||
+            col("__rlo").cast("double") / col("n_rows")
+              > col("q_pct").cast("double") / 100.0 + 0.02, 0)
+            .otherwise(1).cast("int").as("within_2pct"))
         .orderBy("l_returnflag", "q_pct")
     }),
 
@@ -437,13 +452,20 @@ object CoreQueries {
       // a 1-ulp divergence on SUM(p*p) raw ≈ 3.7e16) — the split keeps
       // every conversion exact and the add correctly rounded on BOTH
       // engines. First moments stay direct casts (raw < 2^53).
-      val varQ = (nD * dSplit("sqq") - d2("sq") * d2("sq")) /
-        (nD * (col("n") - 1).cast("double"))
-      val varP = (nD * dSplit("spp") - d2("sp") * d2("sp")) /
-        (nD * (col("n") - 1).cast("double"))
-      val corrQP = (nD * dSplit("sqp") - d2("sq") * d2("sp")) /
-        (sqrt(nD * dSplit("sqq") - d2("sq") * d2("sq")) *
-          sqrt(nD * dSplit("spp") - d2("sp") * d2("sp")))
+      // n = 1 groups zero the variance denominator and CONSTANT columns
+      // zero the correlation denominator (the degenerate-fuzz pack):
+      // NULL on both engines instead of an ANSI divide-by-zero crash —
+      // guards sit on the exact doubles the divisions use, and CaseWhen
+      // short-circuits so the guarded branch never evaluates
+      val varDen = nD * (col("n") - 1).cast("double")
+      val varQ = when(varDen === 0, lit(null)).otherwise(
+        (nD * dSplit("sqq") - d2("sq") * d2("sq")) / varDen)
+      val varP = when(varDen === 0, lit(null)).otherwise(
+        (nD * dSplit("spp") - d2("sp") * d2("sp")) / varDen)
+      val corrDen = sqrt(nD * dSplit("sqq") - d2("sq") * d2("sq")) *
+        sqrt(nD * dSplit("spp") - d2("sp") * d2("sp"))
+      val corrQP = when(corrDen === 0, lit(null)).otherwise(
+        (nD * dSplit("sqp") - d2("sq") * d2("sp")) / corrDen)
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
@@ -471,7 +493,12 @@ object CoreQueries {
       val cov = nD * dSplit("sxy") - d2("sx") * d2("sy")
       val vx = nD * dSplit("sxx") - d2("sx") * d2("sx")
       val vy = nD * dSplit("syy") - d2("sy") * d2("sy")
-      val slope = cov / vx
+      // zero-variance x (a CONSTANT regressor — every row equal, the
+      // degenerate-fuzz pack) makes every ratio 0/0: emit NULL on both
+      // engines instead of an ANSI divide-by-zero crash; the guard is on
+      // the EXACT double the division uses, and CaseWhen short-circuits
+      // so the guarded branch never evaluates
+      val slope = when(vx === 0, lit(null)).otherwise(cov / vx)
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
@@ -480,7 +507,8 @@ object CoreQueries {
         .select(col("l_returnflag"), col("n"),
           slope.as("slope"),
           ((d2("sy") - slope * d2("sx")) / nD).as("intercept"),
-          ((cov * cov) / (vx * vy)).as("r2"))
+          when(vx === 0 || vy === 0, lit(null))
+            .otherwise((cov * cov) / (vx * vy)).as("r2"))
         .orderBy("l_returnflag")
     }),
 
@@ -1027,11 +1055,14 @@ object CoreQueries {
         """CAST(FLOOR(spp) AS DOUBLE) + CAST(spp - FLOOR(spp) AS DOUBLE) AS sppd, """ +
         """CAST(FLOOR(sqp) AS DOUBLE) + CAST(sqp - FLOOR(sqp) AS DOUBLE) AS sqpd """ +
         """FROM m) """ +
+        // NULL guards mirror the Spark twin: n = 1 zeroes the variance
+        // denominator, constant columns zero the correlation denominator
         """SELECT l_returnflag, n, """ +
-        """(nd * sqqd - sqd * sqd) / (nd * n1d) AS var_qty, """ +
-        """sqrt((nd * sqqd - sqd * sqd) / (nd * n1d)) AS stddev_qty, """ +
-        """(nd * sppd - spd * spd) / (nd * n1d) AS var_price, """ +
-        """(nd * sqpd - sqd * spd) / (sqrt(nd * sqqd - sqd * sqd) * sqrt(nd * sppd - spd * spd)) AS corr_qty_price """ +
+        """CASE WHEN nd * n1d = 0 THEN NULL ELSE (nd * sqqd - sqd * sqd) / (nd * n1d) END AS var_qty, """ +
+        """CASE WHEN nd * n1d = 0 THEN NULL ELSE sqrt((nd * sqqd - sqd * sqd) / (nd * n1d)) END AS stddev_qty, """ +
+        """CASE WHEN nd * n1d = 0 THEN NULL ELSE (nd * sppd - spd * spd) / (nd * n1d) END AS var_price, """ +
+        """CASE WHEN sqrt(nd * sqqd - sqd * sqd) * sqrt(nd * sppd - spd * spd) = 0 THEN NULL ELSE """ +
+        """(nd * sqpd - sqd * spd) / (sqrt(nd * sqqd - sqd * sqd) * sqrt(nd * sppd - spd * spd)) END AS corr_qty_price """ +
         """FROM dd ORDER BY l_returnflag"""),
     // same exact-sums class-A tree as q_stats_agg; slope/intercept/R2
     "q_regression" ->
@@ -1049,10 +1080,13 @@ object CoreQueries {
         """CAST(FLOOR(syy) AS DOUBLE) + CAST(syy - FLOOR(syy) AS DOUBLE) AS syyd, """ +
         """CAST(FLOOR(sxy) AS DOUBLE) + CAST(sxy - FLOOR(sxy) AS DOUBLE) AS sxyd """ +
         """FROM m) """ +
+        // NULL guards mirror the Spark twin: constant x zeroes vx,
+        // constant y zeroes vy (degenerate-fuzz pack)
         """SELECT l_returnflag, n, """ +
-        """(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope, """ +
-        """(syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd AS intercept, """ +
-        """((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r2 """ +
+        """CASE WHEN nd * sxxd - sxd * sxd = 0 THEN NULL ELSE (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END AS slope, """ +
+        """CASE WHEN nd * sxxd - sxd * sxd = 0 THEN NULL ELSE (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd END AS intercept, """ +
+        """CASE WHEN (nd * sxxd - sxd * sxd) = 0 OR (nd * syyd - syd * syd) = 0 THEN NULL ELSE """ +
+        """((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END AS r2 """ +
         """FROM dd ORDER BY l_returnflag"""),
     // the aggregator route must reproduce the window formulation verbatim
     "q_topk_agg" ->

@@ -4,18 +4,32 @@ directory, then the caller runs graft.Verify + check.py on it. Surfaces
 data-dependent Spark-vs-DuckDB divergence (rounding ties, null paths,
 duplicate keys) that the fixed fixtures can't.
 
-Usage: python3 tools/fuzz_data.py <outDir> <seed> [rows] [--adversarial]
+Usage: python3 tools/fuzz_data.py <outDir> <seed> [rows] [--adversarial|--degenerate]
 
 --adversarial skews every distribution at its degenerate edge: one hot
 key carrying most rows, near-constant value columns (tie storms for
 sorts/windows/percentiles), duplicate event timestamps, empty/1-char/
 unicode/whitespace documents, duplicate embedding vectors.
+
+--degenerate is the distribution-collapse pack (VERDICT r12 #7):
+single-row dimension tables (1 region/nation/customer/supplier), every
+value column CONSTANT (total tie storms), ALL events on one user at ONE
+timestamp with one event_type, all documents byte-identical, all
+embedding vectors identical, constant labels. Tables stay at their
+documented MINIMUM sizes rather than empty — q_ann_recall's contract
+needs >11 vectors, weibull's moment verdict needs ~10 parts per bucket
+— so empty paths are exercised through filters that select nothing
+(label BETWEEN 2 AND 5 over constant-0 labels, 'signup' as-of lookups
+over a constant event_type) instead of through tables the contracts
+exclude.
 """
 import sys, random, json, datetime
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-def main(out, seed, n=3000, adversarial=False):
+def main(out, seed, n=3000, adversarial=False, degenerate=False):
+    if degenerate:
+        return main_degenerate(out, seed, n)
     rnd = random.Random(seed)
     words = ["the","fast","key","order","sort","table","scan","merge","part",
              "window","small","hash","join","spark","group","query","row",
@@ -129,7 +143,81 @@ def main(out, seed, n=3000, adversarial=False):
         pq.write_table(pa.table(cols), f"{out}/{name}.parquet")
     print(f"wrote fuzz data to {out} (seed={seed}, lineitem={nL})")
 
+def main_degenerate(out, seed, n=3000):
+    rnd = random.Random(seed)
+    t0 = datetime.datetime(2024, 1, 1)
+    nP, nO, nL = 40, 3, max(60, n // 10)
+    nE, nD = max(50, n // 60), 24
+    region = {"r_regionkey": pa.array([0], pa.int32()),
+              "r_name": pa.array(["REGION_0"])}
+    nation = {"n_nationkey": pa.array([0], pa.int32()),
+              "n_name": pa.array(["NATION_00"]),
+              "n_regionkey": pa.array([0], pa.int32())}
+    customer = {"c_custkey": pa.array([0], pa.int64()),
+                "c_name": pa.array(["Customer#000000000"]),
+                "c_nationkey": pa.array([0], pa.int32()),
+                "c_acctbal": pa.array([100.0]),
+                "c_mktsegment": pa.array(["AUTO"])}
+    supplier = {"s_suppkey": pa.array([0], pa.int64()),
+                "s_name": pa.array(["Supplier#0000"]),
+                "s_nationkey": pa.array([0], pa.int32()),
+                "s_acctbal": pa.array([100.0])}
+    # parts keep distinct PRIMARY KEYS (the weibull draw is keyed on
+    # p_partkey — identical keys would collapse the iid sample the
+    # in-query moment envelope assumes) but every attribute is constant
+    part = {"p_partkey": pa.array(range(nP), pa.int64()),
+            "p_name": pa.array(["the fast key order"] * nP),
+            "p_brand": pa.array(["Brand#11"] * nP),
+            "p_type": pa.array(["THE FAST KEY"] * nP),
+            "p_size": pa.array([7] * nP, pa.int32()),
+            "p_retailprice": pa.array([1000.0] * nP)}
+    fixed_dt = datetime.datetime(1997, 6, 15)
+    orders = {"o_orderkey": pa.array(range(nO), pa.int64()),
+              "o_custkey": pa.array([0] * nO, pa.int64()),
+              "o_orderstatus": pa.array(["F"] * nO),
+              "o_totalprice": pa.array([5000.0] * nO),
+              "o_orderdate": pa.array([fixed_dt] * nO, pa.timestamp("ms")),
+              "o_orderpriority": pa.array(["1-URGENT"] * nO)}
+    # duplicate (orderkey, linenumber) pairs stay ON PURPOSE (the trap)
+    lineitem = {"l_orderkey": pa.array([i % nO for i in range(nL)], pa.int64()),
+                "l_partkey": pa.array([i % nP for i in range(nL)], pa.int64()),
+                "l_suppkey": pa.array([0] * nL, pa.int64()),
+                "l_linenumber": pa.array([rnd.randrange(1, 5) for _ in range(nL)], pa.int32()),
+                "l_quantity": pa.array([1.0] * nL),
+                "l_extendedprice": pa.array([100.0] * nL),
+                "l_discount": pa.array([0.0] * nL),
+                "l_tax": pa.array([0.0] * nL),
+                "l_returnflag": pa.array(["A"] * nL),
+                "l_linestatus": pa.array(["F"] * nL),
+                "l_shipdate": pa.array([fixed_dt] * nL, pa.timestamp("ms"))}
+    events = {"event_id": pa.array(range(nE), pa.int64()),
+              "ts": pa.array([t0] * nE, pa.timestamp("ns")),
+              "user_id": pa.array([0] * nE, pa.int64()),
+              "event_type": pa.array(["view"] * nE),
+              "value": pa.array([1.0] * nE),
+              "props": pa.array(["{\"k\": 1}"] * nE)}
+    documents = {"doc_id": pa.array(range(nD), pa.int64()),
+                 "text": pa.array(["the fast key order sort table scan merge"] * nD),
+                 "lang": pa.array(["en"] * nD),
+                 "source": pa.array(["src0"] * nD),
+                 "n_chars": pa.array([40] * nD, pa.int64())}
+    v = [rnd.gauss(0, 1) for _ in range(16)]
+    s = sum(x * x for x in v) ** 0.5
+    one = [float(x / s) for x in v]
+    embeddings = {"vec_id": pa.array(range(nD), pa.int64()),
+                  "embedding": pa.array([list(one)] * nD, pa.list_(pa.float32())),
+                  "label": pa.array([0] * nD, pa.int32())}
+    import os
+    os.makedirs(out, exist_ok=True)
+    for name, cols in [("region", region), ("nation", nation), ("customer", customer),
+                       ("supplier", supplier), ("part", part), ("orders", orders),
+                       ("lineitem", lineitem), ("events", events),
+                       ("documents", documents), ("embeddings", embeddings)]:
+        pq.write_table(pa.table(cols), f"{out}/{name}.parquet")
+    print(f"wrote DEGENERATE fuzz data to {out} (seed={seed}, lineitem={nL})")
+
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--adversarial"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     main(args[0], int(args[1]), int(args[2]) if len(args) > 2 else 3000,
-         adversarial="--adversarial" in sys.argv)
+         adversarial="--adversarial" in sys.argv,
+         degenerate="--degenerate" in sys.argv)
