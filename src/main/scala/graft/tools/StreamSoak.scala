@@ -163,6 +163,69 @@ object StreamSoak {
             (col("session_end_ms") - GapMs).as("end_ms")), "session_window")
       } finally q.stop()
     }
+    // ---- path 3 (r13): watermark-honoring SCD2 under OUT-OF-ORDER
+    // arrival at scale ----
+    // Feed: the full (user, ts, event_id, event_type) log, shuffled
+    // WITHIN each micro-batch and with a random 10% of every batch HELD
+    // BACK into the next one — real cross-batch lateness, bounded by one
+    // chunk's time span (~5 days at this chunk size), under a 7-day
+    // allowed lateness so nothing is dropped. State expectation: the
+    // RocksDB buffer holds only the not-yet-final suffix (≈ the lateness
+    // window) plus one open run per key — NOT the stream's history.
+    {
+      val baseFull = graft.Tables.events(spark, srcDir)
+        .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+        .orderBy("ts_ms", "event_id")
+        .as[(Long, Long, Long, String)].collect()
+      val fullChunks = baseFull.grouped(5000).toSeq
+      val rnd = new scala.util.Random(20260814L)
+      val delayDays = 7L
+      val wantRuns = graft.ops.TimeOps.stateRuns(eventsNx)
+        .filter(col("valid_to_ms").isNotNull).localCheckpoint()
+      val wantRunsN = wantRuns.count()
+      println(s"== stateRunsLateTWS (out-of-order, RocksDB) ==  batch closed runs: $wantRunsN")
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("soak_scd2l").toString
+      val outDir = java.nio.file.Files.createTempDirectory("soak_scd2l_out").toString
+      val q = graft.streaming.StreamOps.stateRunsLateTWS(mem.toDS(),
+          delay = s"${delayDays * 86400} seconds")
+        .toDF("user_id", "run_id", "state", "valid_from_ms", "valid_to_ms", "n_events")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+      val t0 = System.nanoTime()
+      try {
+        var holdback = Vector.empty[(Long, Long, Long, String)]
+        fullChunks.foreach { c =>
+          val expanded = c.toIndexedSeq.flatMap { case (u, ts, id, et) =>
+            (0 until reps).map(r => (u + r * Stride, ts, id + r * Stride, et)) }
+          val (late, now) = expanded.partition(_ => rnd.nextDouble() < 0.1)
+          val batch = rnd.shuffle(now ++ holdback)
+          holdback = late.toVector
+          mem.addData(batch)
+          q.processAllAvailable()
+        }
+        mem.addData(holdback)
+        q.processAllAvailable()
+        // far-future sentinel advances the watermark past every real
+        // event; a nudge batch lets the timers drain every buffer
+        val far = maxTs + delayDays * 86400000L * 3
+        mem.addData(Seq((-1L, far, -1L, "X")))
+        q.processAllAvailable()
+        mem.addData(Seq((-1L, far + 1, -2L, "X")))
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        progressSummary(q, sec, baseFull.length.toLong * reps)
+        val got = spark.read.parquet(outDir).filter(col("user_id") >= 0)
+        val gotN = got.count()
+        val missing = wantRuns.exceptAll(got).count()
+        val extra = got.exceptAll(wantRuns).count()
+        println(s"  emitted=$gotN  stream==batch: ${gotN == wantRunsN && missing == 0 && extra == 0}")
+        require(gotN == wantRunsN && missing == 0 && extra == 0,
+          s"SCD2-late mismatch: batch=$wantRunsN stream=$gotN missing=$missing extra=$extra")
+      } finally q.stop()
+    }
     println("StreamSoak OK")
     spark.stop()
   }
