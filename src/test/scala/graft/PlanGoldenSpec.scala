@@ -30,7 +30,8 @@ class PlanGoldenSpec extends SparkTestBase {
     java.nio.file.Paths.get("src/test/resources/plan_golden.json")
 
   private val kinds = Seq("Exchange", "BroadcastExchange", "Sort",
-    "SortMergeJoin", "BroadcastHashJoin", "Generate", "CartesianProduct")
+    "SortMergeJoin", "BroadcastHashJoin", "Generate", "CartesianProduct",
+    "ReadCols", "PushedFilters")
 
   /** First operator token of a plan line: strip the tree-drawing prefix,
     * take the leading identifier. Exact token equality keeps `Sort`
@@ -39,11 +40,39 @@ class PlanGoldenSpec extends SparkTestBase {
   private def opToken(line: String): String =
     line.dropWhile(c => !c.isLetter).takeWhile(_.isLetterOrDigit)
 
+  /** Top-level comma count + 1 of a bracketed list body, depth-aware
+    * (`struct<a:int,b:array<float>>` is 2 fields, not 3); empty body = 0.
+    */
+  private def topLevelCount(body: String): Int = {
+    val t = body.trim
+    if (t.isEmpty) 0
+    else {
+      var depth = 0; var n = 1
+      t.foreach {
+        case '<' | '(' | '[' => depth += 1
+        case '>' | ')' | ']' => depth -= 1
+        case ',' if depth == 0 => n += 1
+        case _ =>
+      }
+      n
+    }
+  }
+
+  /** Operator counts plus two scan-health measures the operator counts
+    * can't see: the summed ReadSchema field count across all scans (a
+    * pruning regression widens it without touching any operator) and the
+    * summed PushedFilters entry count (a lost pushdown shrinks it).
+    */
   private def counts(name: String): Map[String, Int] = {
-    val tokens = SparkEntry.queries(name)(spark, Sf0001)
+    val plan = SparkEntry.queries(name)(spark, Sf0001)
       .queryExecution.executedPlan.toString
-      .linesIterator.map(opToken).toSeq
-    kinds.map(k => k -> tokens.count(_ == k)).toMap
+    val tokens = plan.linesIterator.map(opToken).toSeq
+    val readCols = "ReadSchema: struct<((?:[^<>]|<[^<>]*>)*)>".r
+      .findAllMatchIn(plan).map(m => topLevelCount(m.group(1))).sum
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(m => topLevelCount(m.group(1))).sum
+    kinds.dropRight(2).map(k => k -> tokens.count(_ == k)).toMap +
+      ("ReadCols" -> readCols) + ("PushedFilters" -> pushed)
   }
 
   private def renderLine(name: String, c: Map[String, Int]): String =
