@@ -84,6 +84,14 @@ class PlanGoldenSpec extends SparkTestBase {
       kinds.map(k => s""""$k":(\\d+)""").mkString(",") + """\}""").r
 
   test("every catalog key's plan-shape counts match the checked-in golden") {
+    // suites share one SparkSession (and one CacheManager): another
+    // suite's .cache() of a base table substitutes InMemoryTableScan
+    // into these plans and shifts ReadCols/operator counts depending on
+    // SUITE ORDER. Clear the cache so the golden always sees the
+    // from-disk plans (suites run sequentially in the forked test JVM —
+    // sbt's testForkedParallel defaults false — so this cannot race;
+    // later suites lazily re-materialize).
+    spark.sharedState.cacheManager.clearCache()
     val names = SparkEntry.queries.keys.toSeq.sorted
     val got = names.map(n => n -> counts(n))
     if (sys.env.get("GRAFT_PLAN_GOLDEN_REGEN").contains("1")) {
