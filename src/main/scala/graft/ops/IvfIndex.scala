@@ -25,6 +25,30 @@ object IvfIndex {
 
   final case class Model(centroids: DataFrame, assignments: DataFrame)
 
+  /** Assignment route for [[build]]/[[append]]: [[FlatAssign]] is the
+    * exact argmax over every centroid (the default — correct at any
+    * nlist, compute-bound through ~8k cells); [[CoarseAssign]] is the
+    * hierarchical coarse-quantizer route for PRODUCTION cell counts
+    * (nlist ≥ ~10⁴, where the flat packed literal's planning cost turns
+    * super-linear — SCALE.md r13 sweep). Coarse assignment is
+    * approximate (exact within the probed coarse groups; `wProbe` is the
+    * quality dial) — standard IVF practice, FAISS-style: cells are
+    * buckets, membership optimality is a quality knob, never a
+    * correctness condition. `wProbe = nCoarse` probes every group and is
+    * pinned EXACTLY equal to [[FlatAssign]] (IvfIndexSpec).
+    */
+  sealed trait AssignRoute
+  case object FlatAssign extends AssignRoute
+  final case class CoarseAssign(nCoarse: Int = 128, wProbe: Int = 4)
+      extends AssignRoute
+
+  private def assignBy(route: AssignRoute)(emb: DataFrame,
+                                           centroids: DataFrame): DataFrame =
+    route match {
+      case FlatAssign            => assign(emb, centroids)
+      case CoarseAssign(nc, w)   => assignCoarse(emb, centroids, nc, w)
+    }
+
   /** Bounded-cost row-count estimate: count `sampleParts` partitions of the
     * UNDECODED scan (`queryExecution.toRdd` — no row conversion) and
     * extrapolate by partition count. Building an index on a 100 TB corpus
@@ -86,7 +110,8 @@ object IvfIndex {
     * Only the final full-corpus `assign` (a map pass) touches every row.
     */
   def build(emb: DataFrame, nlist: Int, iters: Int = 3, seed: Long = 42L,
-            maxTrainRows: Long = 1L << 18): Model = {
+            maxTrainRows: Long = 1L << 18,
+            route: AssignRoute = FlatAssign): Model = {
     val spark = emb.sparkSession
     dotF(spark)
     require(maxTrainRows >= nlist, s"maxTrainRows ($maxTrainRows) < nlist ($nlist)")
@@ -130,7 +155,7 @@ object IvfIndex {
       .select(col("cell"), col("embedding").as("centroid"))
     for (i <- 0 until iters) {
       val prev = centroids
-      centroids = ckpt(trainRound(train, centroids))
+      centroids = ckpt(trainRound(train, centroids, route))
       // round r's checkpoint supersedes round r-1's; release it eagerly
       // (ADVICE r6). Guarded to i > 0: the round-0 input is the
       // (un-checkpointed) init PLAN, whose tree contains `train` —
@@ -138,7 +163,7 @@ object IvfIndex {
       if (i > 0)
         org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
     }
-    val model = Model(centroids, ckpt(assign(emb, centroids)))
+    val model = Model(centroids, ckpt(assignBy(route)(emb, centroids)))
     // the training sample has served its purpose once the final centroids
     // and the full-corpus assignment are materialized
     if (trainIsCkpt)
@@ -153,9 +178,10 @@ object IvfIndex {
     * PlanAuditSpec), vs the naive posexplode update's corpus×dim rows
     * through two. Empty cells drop out, exactly as Lloyd prescribes.
     */
-  def trainRound(train: DataFrame, centroids: DataFrame): DataFrame = {
+  def trainRound(train: DataFrame, centroids: DataFrame,
+                 route: AssignRoute = FlatAssign): DataFrame = {
     val vecMean = udaf(graft.functions.VecMeanAgg)
-    assign(train, centroids)
+    assignBy(route)(train, centroids)
       .groupBy("cell")
       .agg(vecMean(col("embedding")).as("centroid"))
   }
@@ -448,9 +474,10 @@ object IvfIndex {
     * Caller owns vec_id uniqueness across appends (same as any fact-table
     * append).
     */
-  def append(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
+  def append(spark: SparkSession, path: String, newVecs: DataFrame,
+             route: AssignRoute = FlatAssign): Unit = {
     val centroids = spark.read.parquet(s"$path/centroids")
-    val assigned = assign(newVecs, centroids)
+    val assigned = assignBy(route)(newVecs, centroids)
     // a quantized index stays quantized: encode arrivals under the SAVED
     // params (the quantization grid / codebook is part of the index
     // contract, like the frozen centroids — refitting per append would

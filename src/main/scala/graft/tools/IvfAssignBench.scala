@@ -137,6 +137,17 @@ object IvfAssignBench {
       println(f"  TRAINED nlist=1024 nCoarse=64 w=$w: agree=${qt.getDouble(0)}%.4f " +
         f"gapMean=${qt.getDouble(1)}%.4f gapP99=${qt.getDouble(2)}%.4f")
     }
+
+    // end-to-end BUILD through the route surface: the Lloyd rounds and the
+    // final full-corpus assignment all take the coarse path
+    for (route <- Seq("flat" -> graft.ops.IvfIndex.FlatAssign,
+        "coarse" -> graft.ops.IvfIndex.CoarseAssign())) {
+      val t0 = System.nanoTime()
+      graft.ops.IvfIndex.build(corpus, nlist = 1024, iters = 2,
+          maxTrainRows = Long.MaxValue, route = route._2)
+        .assignments.write.format("noop").mode("overwrite").save()
+      println(f"  build nlist=1024 iters=2 route=${route._1}%-6s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    }
     spark.stop()
   }
 }

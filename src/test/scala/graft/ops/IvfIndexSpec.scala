@@ -637,6 +637,22 @@ class IvfIndexSpec extends SparkTestBase {
     assert(agree >= 0.5, s"partial-probe agreement collapsed: $agree")
   }
 
+  test("build(route = CoarseAssign with full probe) == build(FlatAssign) exactly") {
+    // the route surface must not change the model when the coarse
+    // assignment probes every group — same centroids after every Lloyd
+    // round, same final membership, ties included
+    val flat = IvfIndex.build(emb, nlist = 8, iters = 2)
+    val coarse = IvfIndex.build(emb, nlist = 8, iters = 2,
+      route = IvfIndex.CoarseAssign(nCoarse = 4, wProbe = 4))
+    def cents(m: IvfIndex.Model) = m.centroids
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    def cells(m: IvfIndex.Model) = m.assignments
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cents(coarse) === cents(flat))
+    assert(cells(coarse) === cells(flat))
+  }
+
   test("assign plans with no Exchange and no Window (zero-shuffle argmax)") {
     val plan = IvfIndex.assign(emb, model.centroids)
       .queryExecution.executedPlan.toString
