@@ -207,6 +207,42 @@ object Dedup {
     * to arrival-touching pairs (OpsSpec pins the equivalence; the
     * `q_dedup_incremental` oracle is that restriction in SQL).
     */
+  /** One full ingest step against a PERSISTED band index at `path`:
+    * compute the arriving batch's bands, probe them against the stored
+    * index ([[lshIncrementalCandidates]]), and append them INTO the index
+    * so the next batch sees this one as history. Returns the candidate
+    * pairs for this batch.
+    *
+    * Sharded-ingest completeness: a pair (a, b) is arrival-touching in
+    * exactly ONE batch — the one its LATER member arrives in (the earlier
+    * member is already indexed) — so the UNION of every batch's
+    * candidates equals `lshCandidatePairs` over the whole corpus, found
+    * once each (OpsSpec pins it over a 3-batch feed of real docs).
+    *
+    * Ordering safety: the stored read freezes its file listing BEFORE the
+    * append (Spark's InMemoryFileIndex lists at read time), and the
+    * batch's bands are localCheckpointed (batch-sized) so the returned
+    * plan and the appended files come from one computation — the
+    * candidates never see the batch through the index side.
+    */
+  def bandIndexIngest(path: String, arrivals: DataFrame,
+                      idCol: String, textCol: String,
+                      numBands: Int = 2, rowsPerBand: Int = 2,
+                      shingleN: Int = 3): DataFrame = {
+    val spark = arrivals.sparkSession
+    val newBands = lshBandTable(arrivals, idCol, textCol,
+      numBands, rowsPerBand, shingleN).localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stored =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newBands.schema)
+    val candidates = lshIncrementalCandidates(stored, newBands)
+    newBands.write.mode("append").parquet(path)
+    candidates
+  }
+
   def lshIncrementalCandidates(storedBands: DataFrame,
                                newBands: DataFrame): DataFrame = {
     // the BATCH side broadcasts (bounded by the ingest-batch contract,

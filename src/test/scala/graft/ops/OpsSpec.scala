@@ -73,6 +73,25 @@ class OpsSpec extends SparkTestBase {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("bandIndexIngest: 3-batch sharded ingest finds every full-corpus pair exactly once") {
+    // each pair must surface in exactly one batch — the one its later
+    // member arrives in — so the union of per-batch candidates equals the
+    // full self-join's pairs, with no batch re-finding another's pair
+    val docs = Tables.documents(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("band_ingest").toString + "/idx"
+    val batches = (0 until 3).map(i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val perBatch = batches.map(b =>
+      Dedup.bandIndexIngest(dir, b, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val full = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty, "fixture produced no pairs — vacuous")
+    assert(perBatch.reduce(_ ++ _) === full)
+    // exactly once: batches are pairwise disjoint on pairs
+    assert(perBatch.combinations(2).forall { case Seq(a, b) => (a & b).isEmpty })
+  }
+
   test("lshBandTableLocal == grouped lshBandTable on real docs (both hash families)") {
     // the row-local (zero-shuffle, stream-safe) derivation must produce
     // the exact same (doc_id, band) rows as the explode→groupBy form —
