@@ -83,14 +83,20 @@ object Tables {
     * what execution consumes). No session state survives the call.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val prior = spark.conf.getOption(NanosAsLongKey)
-    spark.conf.set(NanosAsLongKey, "true")
-    val raw =
+    // the set/restore window is serialized (r13 review): two concurrent
+    // events() calls could otherwise capture each other's "true" as the
+    // prior value and re-leak the flag into the session — the exact
+    // hygiene bug the scoping exists to fix. The lock covers only the
+    // eager schema inference (ms-scale); execution happens outside it.
+    val raw = Tables.synchronized {
+      val prior = spark.conf.getOption(NanosAsLongKey)
+      spark.conf.set(NanosAsLongKey, "true")
       try table(spark, dir, "events")
       finally prior match {
         case Some(v) => spark.conf.set(NanosAsLongKey, v)
         case None    => spark.conf.unset(NanosAsLongKey)
       }
+    }
     val tsNs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => col("ts")
       case _                                   => ntzWallMicros(col("ts")) * lit(1000L)

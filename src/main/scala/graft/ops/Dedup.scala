@@ -220,10 +220,17 @@ object Dedup {
     * once each (OpsSpec pins it over a 3-batch feed of real docs).
     *
     * Ordering safety: the stored read freezes its file listing BEFORE the
-    * append (Spark's InMemoryFileIndex lists at read time), and the
-    * batch's bands are localCheckpointed (batch-sized) so the returned
-    * plan and the appended files come from one computation — the
-    * candidates never see the batch through the index side.
+    * append (Spark's InMemoryFileIndex lists at read time), so the
+    * returned candidates never see the batch through the index side; the
+    * batch's bands are evaluated twice (once into the append, once under
+    * the returned plan) and the derivation is hash-deterministic, so both
+    * evaluations are identical — no checkpoint, nothing pinned in
+    * executor storage across ingest batches (r13 review find). The stored
+    * read passes the band schema EXPLICITLY: an all-short-docs or empty
+    * first batch appends a directory with no data files, and
+    * schema-INFERENCE over it would throw on every later ingest —
+    * permanently poisoning the index path (r13 review find; OpsSpec pins
+    * the empty-first-batch sequence).
     */
   def bandIndexIngest(path: String, arrivals: DataFrame,
                       idCol: String, textCol: String,
@@ -231,11 +238,12 @@ object Dedup {
                       shingleN: Int = 3): DataFrame = {
     val spark = arrivals.sparkSession
     val newBands = lshBandTable(arrivals, idCol, textCol,
-      numBands, rowsPerBand, shingleN).localCheckpoint()
+      numBands, rowsPerBand, shingleN)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stored =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        spark.read.schema(newBands.schema).parquet(path)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newBands.schema)
     val candidates = lshIncrementalCandidates(stored, newBands)

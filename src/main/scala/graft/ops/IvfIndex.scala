@@ -219,14 +219,10 @@ object IvfIndex {
       emb.withColumn("cell", -best.getField("c"))
     } else {
       val others = emb.columns.filterNot(_ == "vec_id").toIndexedSeq
-      emb.crossJoin(broadcast(centroids))
-        .withColumn("__score", expr("graft_dot_f(embedding, centroid)"))
-        .groupBy("vec_id")
-        .agg(max_by(
-          struct(others.map(col) :+ col("cell"): _*),
-          struct(col("__score"), col("cell") * lit(-1L))).as("__best"))
-        .select(col("vec_id") +:
-          (others.map(c => col(s"__best.$c").as(c)) :+ col("__best.cell").as("cell")): _*)
+      argmaxPerVec(
+        emb.crossJoin(broadcast(centroids))
+          .withColumn("__score", expr("graft_dot_f(embedding, centroid)")),
+        others, "cell")
     }
   }
 
@@ -263,15 +259,30 @@ object IvfIndex {
     val coarseModel = build(
       centroids.select(col("cell").as("vec_id"), col("centroid").as("embedding")),
       nlist = nCoarse, iters = 2, maxTrainRows = Long.MaxValue)
-    val tagged = coarseModel.assignments.select(
+    // build() already checkpoints assignments — this projection over it is
+    // re-used by the member-set collect and the join without recompute
+    val taggedRows = coarseModel.assignments.select(
       col("vec_id").as("fine_cell"), col("cell").as("coarse"),
       col("embedding").as("fine_centroid"))
+    // MEMBER groups only (r13 review find): a coarse cell can survive the
+    // Lloyd rounds yet end the FINAL assignment memberless; if every one
+    // of a vector's top-w probed groups were such a cell, the inner join
+    // would produce zero rows and the vector would silently VANISH from
+    // the assignment (index data loss, not mere approximation).
+    // Restricting the probe ranking to groups with >= 1 member makes the
+    // top-1 probe always yield candidates — every vector assigns, by
+    // construction. The member set is <= nCoarse longs (dim-bounded
+    // collect, like the centroid table itself).
+    val memberGroups = taggedRows.select("coarse").distinct()
+      .collect().map(_.getLong(0)).toSet
     val coarseCents = coarseModel.centroids
       .select(col("cell").cast("long"), col("centroid"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .filter(c => memberGroups.contains(c._1))
       .sortBy(_._1)
     require(coarseCents.nonEmpty, "assignCoarse: empty coarse centroid table")
+    val tagged = taggedRows
     val scores = transform(typedlit(coarseCents.map(_._2)),
       c => call_function("graft_dot_f", col("embedding"), c))
     // ascending struct sort on (-score, coarseId) = score desc, low-id ties
@@ -280,15 +291,25 @@ object IvfIndex {
     val probed = emb.withColumn("__probe",
       explode(transform(slice(ranked, 1, wProbe), p => p.getField("c"))))
     val others = emb.columns.filterNot(_ == "vec_id").toIndexedSeq
-    probed.join(broadcast(tagged), col("__probe") === col("coarse"))
-      .withColumn("__score", expr("graft_dot_f(embedding, fine_centroid)"))
-      .groupBy("vec_id")
+    argmaxPerVec(
+      probed.join(broadcast(tagged), col("__probe") === col("coarse"))
+        .withColumn("__score", expr("graft_dot_f(embedding, fine_centroid)")),
+      others, "fine_cell")
+  }
+
+  /** Shared per-vector argmax unpack for [[assign]]'s max_by fallback and
+    * [[assignCoarse]]: one partial-aggregated groupBy(vec_id) keeping the
+    * best-scored candidate row (ties to the lowest cell), original columns
+    * restored plus `cell`.
+    */
+  private def argmaxPerVec(scored: DataFrame, others: IndexedSeq[String],
+                           cellCol: String): DataFrame =
+    scored.groupBy("vec_id")
       .agg(max_by(
-        struct(others.map(col) :+ col("fine_cell").as("cell"): _*),
-        struct(col("__score"), col("fine_cell") * lit(-1L))).as("__best"))
+        struct(others.map(col) :+ col(cellCol).as("cell"): _*),
+        struct(col("__score"), col(cellCol) * lit(-1L))).as("__best"))
       .select(col("vec_id") +:
         (others.map(c => col(s"__best.$c").as(c)) :+ col("__best.cell").as("cell")): _*)
-  }
 
   /** Batched ANN top-k: many probes answered in ONE pass over the inverted
     * file — the shape a real pipeline needs (per-probe [[searchTopK]] calls

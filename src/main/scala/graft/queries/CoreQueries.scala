@@ -38,6 +38,23 @@ object CoreQueries {
       true
     })
 
+  /** The pid-scoped scratch-dir contract in ONE place (r13 review: the
+    * idiom had been copy-pasted at three sites): one directory per
+    * (process, dataset dir, purpose) — the pid keeps concurrent processes
+    * sharing /tmp from fullyDelete-ing each other's half-built state, a
+    * shutdown hook reaps the one dir per process (File.deleteOnExit
+    * cannot remove a non-empty directory), and the caller gets it
+    * pre-cleared for an in-place rebuild.
+    */
+  private[queries] def pidScopedDir(prefix: String, d: String): java.io.File = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"${prefix}_${d.hashCode.toHexString}_" + ProcessHandle.current().pid())
+    reapOnExit(dir)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
+    dir
+  }
+
   /** Exact-decimal → double via integer/fraction split:
     * double(floor(x)) + double(x − floor(x)). A direct decimal→double
     * cast stops being cross-engine deterministic once the decimal's raw
@@ -390,13 +407,8 @@ object CoreQueries {
       // sharing /tmp from fullyDelete-ing each other's half-built store
       // (r12 review); a shutdown hook reaps the one dir per process
       // (File.deleteOnExit cannot remove a non-empty directory).
-      val parent = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_summary_pct_${d.hashCode.toHexString}_" +
-          ProcessHandle.current().pid())
-      reapOnExit(parent)
+      val parent = pidScopedDir("graft_summary_pct", d)
       val path = new java.io.File(parent, "summary").toString
-      org.apache.hadoop.fs.FileUtil.fullyDelete(parent)
       (0 until 3).foreach { i =>
         graft.ops.Sketches.maintain(s, path,
           li.filter(pmod(col("l_orderkey"), lit(3)) === i),

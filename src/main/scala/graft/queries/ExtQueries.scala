@@ -382,12 +382,7 @@ object ExtQueries {
       // r12 #1). Same pid-scoped reapOnExit pattern as
       // q_summary_percentiles: pid keeps concurrent processes apart, the
       // shutdown hook fullyDeletes the one dir per process.
-      val dir = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_ann_persist_${d.hashCode.toHexString}_" +
-          ProcessHandle.current().pid())
-      CoreQueries.reapOnExit(dir)
-      org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
+      val dir = CoreQueries.pidScopedDir("graft_ann_persist", d)
       graft.ops.IvfIndex.save(model, dir.toString)
       graft.ops.IvfIndex.append(s, dir.toString, emb.filter(col("vec_id") % 2 =!= 0))
       val loaded = graft.ops.IvfIndex.load(s, dir.toString)
@@ -486,12 +481,7 @@ object ExtQueries {
       val docs = Tables.documents(s, d)
       val history = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
       val arrivals = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-      val dir = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_band_index_${d.hashCode.toHexString}_" +
-          ProcessHandle.current().pid())
-      CoreQueries.reapOnExit(dir)
-      org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
+      val dir = CoreQueries.pidScopedDir("graft_band_index", d)
       Dedup.lshBandTable(history, "doc_id", "text")
         .write.mode("overwrite").parquet(dir.toString)
       val stored = s.read.parquet(dir.toString)

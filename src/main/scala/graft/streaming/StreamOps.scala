@@ -441,6 +441,14 @@ object StreamOps {
     * the batch twin). At corpus scale the static side is a band-bucketed
     * parquet table, so the per-batch join co-locates on the bucket key
     * instead of reshuffling history.
+    *
+    * CONTRACT (r13 review): this stream flags arrivals against the
+    * INDEXED snapshot only — two near-dups that both arrive after the
+    * snapshot was taken are NOT paired here (statelessness is the point:
+    * an in-stream pair memory is unbounded state). Intra-stream pairs
+    * are the index-update job's responsibility — the periodic
+    * [[graft.ops.Dedup.bandIndexIngest]] batch both finds them
+    * (its union side) and refreshes the snapshot this stream probes.
     */
   def dedupIncrementalStream(docs: DataFrame,
                              storedBands: DataFrame): DataFrame = {

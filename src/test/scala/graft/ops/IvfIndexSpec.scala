@@ -635,6 +635,13 @@ class IvfIndexSpec extends SparkTestBase {
     assert(p1.values.forall(validCells.contains))
     val agree = p1.count { case (v, c) => exact(v) == c }.toDouble / p1.size
     assert(agree >= 0.5, s"partial-probe agreement collapsed: $agree")
+    // NO vector may vanish at the DEFAULT params either (r13 review: a
+    // memberless-but-probed coarse group used to drop its vectors from
+    // the inner join; the probe ranking is now restricted to member
+    // groups, so every vector assigns by construction) — defaults force
+    // nCoarse(128) > cells(16), the empty-coarse-cell-heavy shape
+    val defCount = IvfIndex.assignCoarse(emb, cents).count()
+    assert(defCount === emb.count(), "assignCoarse dropped vectors at default params")
   }
 
   test("build(route = CoarseAssign with full probe) == build(FlatAssign) exactly") {

@@ -92,6 +92,25 @@ class OpsSpec extends SparkTestBase {
     assert(perBatch.combinations(2).forall { case Seq(a, b) => (a & b).isEmpty })
   }
 
+  test("bandIndexIngest survives an empty first batch (no poisoned index dir)") {
+    import spark.implicits._
+    // every doc under shingleN tokens -> zero band rows; the append still
+    // creates the directory (with no data files), and the NEXT ingest
+    // must read it as empty instead of dying on schema inference
+    // (r13 review find — explicit-schema read)
+    val dir = java.nio.file.Files.createTempDirectory("band_empty").toString + "/idx"
+    val shorts = Seq((1L, "too short"), (2L, "tiny")).toDF("doc_id", "text")
+    val first = Dedup.bandIndexIngest(dir, shorts, "doc_id", "text").collect()
+    assert(first.isEmpty)
+    val real = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val second = Dedup.bandIndexIngest(dir, real, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(second === Set((10L, 11L)), s"got $second")
+  }
+
   test("lshBandTableLocal == grouped lshBandTable on real docs (both hash families)") {
     // the row-local (zero-shuffle, stream-safe) derivation must produce
     // the exact same (doc_id, band) rows as the explode→groupBy form —
