@@ -62,6 +62,60 @@ object PropertySpec extends Properties("graft.ops") {
     binned == naive
   }
 
+  // the stream-safe row-local band derivation must equal the grouped
+  // (oracle-shaped) form on ARBITRARY corpora — not just the fixed
+  // fixture: empty/whitespace docs, exactly-n-token docs, repeated
+  // tokens, unicode, duplicate texts (both hash families)
+  property("lshBandTableLocal == grouped lshBandTable on random corpora") = Prop.forAll(
+    for {
+      n <- Gen.chooseNum(1, 15)
+      texts <- Gen.listOfN(n, Gen.oneOf(
+        Gen.const(""), Gen.const("   "), Gen.const("a b c"),
+        Gen.const("héllo wörld 你好 tōken"),
+        Gen.chooseNum(1, 9).flatMap(k =>
+          Gen.listOfN(k, Gen.oneOf("the", "fast", "key", "sort", "a"))
+            .map(_.mkString(" ")))))
+      bands <- Gen.oneOf((2, 2), (4, 2))
+    } yield (texts, bands)
+  ) { case (texts, (nb, rpb)) =>
+    import spark.implicits._
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    rows(Dedup.lshBandTableLocal(docs, "doc_id", "text", nb, rpb)) ==
+      rows(Dedup.lshBandTable(docs, "doc_id", "text", nb, rpb))
+  }
+
+  // full-probe coarse assignment must be EXACTLY flat assignment on
+  // arbitrary shapes: nCoarse above/below/equal the cell count, duplicate
+  // vectors, single-vector corpora — ties included
+  property("assignCoarse(wProbe = nCoarse) == assign on random corpora/shapes") = Prop.forAll(
+    for {
+      n <- Gen.chooseNum(1, 24)
+      dup <- Gen.prob(0.3)
+      nlist <- Gen.chooseNum(1, 6)
+      nCoarse <- Gen.oneOf(1, 2, 4, 8)
+    } yield (n, dup, nlist, nCoarse)
+  ) { case (n, dup, nlist, nCoarse) =>
+    import spark.implicits._
+    val vecs = (0 until n).map { i =>
+      val src = if (dup) i / 2 else i
+      val raw = (0 until 8).map(j =>
+        (((src * 31 + j * 17) % 13) - 6).toFloat)
+      val nrm = math.sqrt(raw.map(x => x * x).sum).toFloat max 1e-6f
+      (i.toLong, raw.map(_ / nrm))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val cents = IvfIndex.build(emb, nlist = math.min(nlist, n), iters = 1,
+      maxTrainRows = Long.MaxValue).centroids
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    cells(IvfIndex.assignCoarse(emb, cents, nCoarse, wProbe = nCoarse)) ==
+      cells(IvfIndex.assign(emb, cents))
+  }
+
   property("interpolated values stay inside the knot envelope") = Prop.forAll(
     for {
       n <- Gen.chooseNum(2, 8)
