@@ -351,7 +351,9 @@ object ExtQueries {
         .select(col("probe_id"), col("vec_id"))
       val part = graft.ops.IvfIndex.searchTopKBatch(m, probes, k = 10, nprobe = 4)
         .select(col("probe_id"), col("vec_id"))
-      val hit = exact.join(part, Seq("probe_id", "vec_id"))
+      // both sides are probes×k (100-row) frames; broadcasting the served
+      // side removes the catalog's only SortMergeJoin (plan golden)
+      val hit = exact.join(broadcast(part), Seq("probe_id", "vec_id"))
         .agg(count(lit(1)).as("n_hit"))
       val tot = exact.agg(count(lit(1)).as("n_exact"))
       hit.crossJoin(tot).select(
