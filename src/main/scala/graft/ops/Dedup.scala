@@ -241,6 +241,7 @@ object Dedup {
       numBands, rowsPerBand, shingleN)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverBandIndex(fs, path) // heal a crashed compact before reading
     val stored =
       if (fs.exists(new org.apache.hadoop.fs.Path(path)))
         spark.read.schema(newBands.schema).parquet(path)
@@ -249,6 +250,65 @@ object Dedup {
     val candidates = lshIncrementalCandidates(stored, newBands)
     newBands.write.mode("append").parquet(path)
     candidates
+  }
+
+  /** Compact the band index: [[bandIndexIngest]] appends one small
+    * parquet file per batch, and a long ingest degrades the probe scan
+    * into a many-small-files read — the same lifecycle problem
+    * [[IvfIndex.compact]] solves for the inverted file. Rewrites the
+    * index into `targetParts` files via a STAGED SWAP:
+    *
+    *   1. write the compacted copy to `<path>.tmp` (idempotent overwrite);
+    *   2. rename `<path>` → `<path>.aside`;
+    *   3. rename `<path>.tmp` → `<path>`;
+    *   4. delete the aside.
+    *
+    * A crash at any point is recoverable and NEVER loses the index:
+    * after 1 the live index is untouched (stale tmp is overwritten next
+    * time); after 2 the complete tmp plus the aside exist — recovery
+    * promotes the tmp; after 3 only the aside lingers — recovery deletes
+    * it. [[recoverBandIndex]] runs the recovery on entry to BOTH compact
+    * and ingest, so an ingest after a crashed compact heals first
+    * (OpsSpec pins the after-2 crash state end to end).
+    */
+  def bandIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                       path: String, targetParts: Int = 1): Unit = {
+    require(targetParts >= 1, s"targetParts must be >= 1, got $targetParts")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverBandIndex(fs, path)
+    if (fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+      val aside = new org.apache.hadoop.fs.Path(path + ".aside")
+      spark.read.schema(bandSchema).parquet(path)
+        .repartition(targetParts)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.rename(p, aside)
+      fs.rename(tmp, p)
+      fs.delete(aside, true)
+    }
+  }
+
+  /** The (doc_id, band) index schema — explicit so reads never run
+    * schema inference (a data-file-less directory would fail it).
+    */
+  private[graft] val bandSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Heal a band index left mid-[[bandIndexCompact]] by a crash: promote
+    * a complete tmp when the live dir is gone, then clear leftovers.
+    */
+  private[graft] def recoverBandIndex(fs: org.apache.hadoop.fs.FileSystem,
+                                      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val aside = new org.apache.hadoop.fs.Path(path + ".aside")
+    if (!fs.exists(p) && fs.exists(tmp)) fs.rename(tmp, p)
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   def lshIncrementalCandidates(storedBands: DataFrame,

@@ -92,6 +92,47 @@ class OpsSpec extends SparkTestBase {
     assert(perBatch.combinations(2).forall { case Seq(a, b) => (a & b).isEmpty })
   }
 
+  test("bandIndexCompact coalesces files, preserves candidates, and recovers a mid-swap crash") {
+    val docs = Tables.documents(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("band_compact").toString + "/idx"
+    // three ingests -> >= 3 small file groups in the index
+    (0 until 3).foreach(i =>
+      Dedup.bandIndexIngest(dir, docs.filter(pmod(col("doc_id"), lit(4)) === i),
+        "doc_id", "text").collect())
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    assert(before >= 3, s"expected one file group per ingest, saw $before")
+    // candidates of the NEXT batch must be identical before/after compact
+    val batch4 = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+    def probe() = Dedup.lshIncrementalCandidates(
+        spark.read.schema(Dedup.bandSchema).parquet(dir),
+        Dedup.lshBandTable(batch4, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantPairs = probe()
+    assert(wantPairs.nonEmpty, "fixture produced no candidates — vacuous")
+    Dedup.bandIndexCompact(spark, dir)
+    assert(dataFiles() === 1, "compact must coalesce to targetParts files")
+    assert(probe() === wantPairs, "compact changed the candidate set")
+    // crash between rename(path->aside) and rename(tmp->path): the live
+    // dir is GONE, the complete tmp and the aside both exist — the next
+    // ingest must heal (promote tmp, drop aside) and serve correctly
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".aside"))
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(dir + ".aside"), fs,
+      new org.apache.hadoop.fs.Path(dir + ".tmp"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    val healedPairs = Dedup.bandIndexIngest(dir, batch4, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(healedPairs === wantPairs, "post-crash ingest lost index history")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".aside")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".tmp")))
+  }
+
   test("bandIndexIngest survives an empty first batch (no poisoned index dir)") {
     import spark.implicits._
     // every doc under shingleN tokens -> zero band rows; the append still
