@@ -88,6 +88,15 @@ object Tables {
     // prior value and re-leak the flag into the session — the exact
     // hygiene bug the scoping exists to fix. The lock covers only the
     // eager schema inference (ms-scale); execution happens outside it.
+    // KNOWN LIMIT (ADVICE r13): the lock serializes events() callers
+    // only — an UNRELATED thread running parquet schema inference on the
+    // same session during this window observes the flag and would decode
+    // a ts[ns] column as raw longs. nanosAsLong is a session-wide SQLConf
+    // with no per-read datasource-option route (tools/NsOptionProbe's
+    // OPTION_ROUTE check confirmed `option("nanosAsLong")` is ignored by
+    // the parquet source), so per-read scoping cannot be tightened
+    // further; concurrent multi-table readers on one session must accept
+    // the ms-scale window or read events() first.
     val raw = Tables.synchronized {
       val prior = spark.conf.getOption(NanosAsLongKey)
       spark.conf.set(NanosAsLongKey, "true")

@@ -231,6 +231,9 @@ object Dedup {
     * schema-INFERENCE over it would throw on every later ingest —
     * permanently poisoning the index path (r13 review find; OpsSpec pins
     * the empty-first-batch sequence).
+    *
+    * Writers are SINGLE-WRITER: see the contract on [[bandIndexCompact]] —
+    * ingest and compact on one index must be serialized by the caller.
     */
   def bandIndexIngest(path: String, arrivals: DataFrame,
                       idCol: String, textCol: String,
@@ -270,6 +273,17 @@ object Dedup {
     * it. [[recoverBandIndex]] runs the recovery on entry to BOTH compact
     * and ingest, so an ingest after a crashed compact heals first
     * (OpsSpec pins the after-2 crash state end to end).
+    *
+    * SINGLE-WRITER CONTRACT (ADVICE r13): the index admits ONE writer at a
+    * time — ingest and compact must be serialized by the caller (the same
+    * contract every log-structured index write path carries; a streaming
+    * ingest's natural home is the single-threaded `foreachBatch` loop with
+    * compaction between batches). A concurrent ingest's append between the
+    * compacted snapshot read and the swap would be discarded with the
+    * aside, and a concurrent process's [[recoverBandIndex]] would delete
+    * this compactor's in-flight tmp. Readers need no coordination: probes
+    * freeze their file listing at read time and both swap renames are
+    * atomic directory moves.
     */
   def bandIndexCompact(spark: org.apache.spark.sql.SparkSession,
                        path: String, targetParts: Int = 1): Unit = {
@@ -283,11 +297,25 @@ object Dedup {
       spark.read.schema(bandSchema).parquet(path)
         .repartition(targetParts)
         .write.mode("overwrite").parquet(tmp.toString)
-      fs.rename(p, aside)
-      fs.rename(tmp, p)
+      renameOrThrow(fs, p, aside)
+      renameOrThrow(fs, tmp, p)
       fs.delete(aside, true)
     }
   }
+
+  /** `FileSystem.rename` signals failure by returning FALSE on several
+    * implementations (HDFS semantics), not by throwing — an unchecked
+    * rename in the staged swap would silently proceed to the aside delete
+    * with the index left in the aside state (VERDICT r13 #2). Throwing
+    * converts a failed swap step into a crash at a recoverable point: the
+    * tmp copy is complete, so the next [[recoverBandIndex]] heals.
+    */
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"band index swap: rename $src -> $dst returned false")
 
   /** The (doc_id, band) index schema — explicit so reads never run
     * schema inference (a data-file-less directory would fail it).
@@ -306,7 +334,7 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val aside = new org.apache.hadoop.fs.Path(path + ".aside")
-    if (!fs.exists(p) && fs.exists(tmp)) fs.rename(tmp, p)
+    if (!fs.exists(p) && fs.exists(tmp)) renameOrThrow(fs, tmp, p)
     if (fs.exists(aside)) fs.delete(aside, true)
     if (fs.exists(tmp)) fs.delete(tmp, true)
   }

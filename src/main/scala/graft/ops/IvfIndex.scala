@@ -259,11 +259,19 @@ object IvfIndex {
     val coarseModel = build(
       centroids.select(col("cell").as("vec_id"), col("centroid").as("embedding")),
       nlist = nCoarse, iters = 2, maxTrainRows = Long.MaxValue)
-    // build() already checkpoints assignments — this projection over it is
-    // re-used by the member-set collect and the join without recompute
-    val taggedRows = coarseModel.assignments.select(
+    // Materialize the whole (fine_cell, coarse, fine_centroid) tag table
+    // DRIVER-SIDE — nlist rows, dimension-bounded exactly like the packed
+    // centroid literal this route replaces — so the nested build's
+    // localCheckpoints can be released NOW instead of staying pinned in
+    // executor storage for the life of the returned lazy plan. Repeated
+    // assignCoarse calls in a long-lived session (per-append assignments,
+    // bench loops) would otherwise accumulate one small coarse model each
+    // (ADVICE r13). The member-group set falls out of the same collect.
+    val tagRows = coarseModel.assignments.select(
       col("vec_id").as("fine_cell"), col("cell").as("coarse"),
       col("embedding").as("fine_centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
     // MEMBER groups only (r13 review find): a coarse cell can survive the
     // Lloyd rounds yet end the FINAL assignment memberless; if every one
     // of a vector's top-w probed groups were such a cell, the inner join
@@ -271,10 +279,8 @@ object IvfIndex {
     // the assignment (index data loss, not mere approximation).
     // Restricting the probe ranking to groups with >= 1 member makes the
     // top-1 probe always yield candidates — every vector assigns, by
-    // construction. The member set is <= nCoarse longs (dim-bounded
-    // collect, like the centroid table itself).
-    val memberGroups = taggedRows.select("coarse").distinct()
-      .collect().map(_.getLong(0)).toSet
+    // construction.
+    val memberGroups = tagRows.map(_._2).toSet
     val coarseCents = coarseModel.centroids
       .select(col("cell").cast("long"), col("centroid"))
       .collect()
@@ -282,7 +288,14 @@ object IvfIndex {
       .filter(c => memberGroups.contains(c._1))
       .sortBy(_._1)
     require(coarseCents.nonEmpty, "assignCoarse: empty coarse centroid table")
-    val tagged = taggedRows
+    // nothing downstream references the coarse model's frames anymore —
+    // release its checkpoints eagerly
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(
+      coarseModel.centroids)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(
+      coarseModel.assignments)
+    import spark.implicits._
+    val tagged = tagRows.toSeq.toDF("fine_cell", "coarse", "fine_centroid")
     val scores = transform(typedlit(coarseCents.map(_._2)),
       c => call_function("graft_dot_f", col("embedding"), c))
     // ascending struct sort on (-score, coarseId) = score desc, low-id ties
