@@ -232,28 +232,92 @@ object Dedup {
     * permanently poisoning the index path (r13 review find; OpsSpec pins
     * the empty-first-batch sequence).
     *
+    * ON-DISK LAYOUT (r14): the index is hive-partitioned by
+    * `bkt = xxhash64(band) mod buckets` — band-hash buckets, the parquet
+    * analog of `bucketBy` without a metastore. The probe prunes its read
+    * to the batch's touched buckets at PLANNING time (static partition
+    * filter), so per-batch probe I/O is proportional to the touched slice
+    * of the index, not the whole corpus history. `buckets` is part of the
+    * index contract (frozen at creation, like the banding parameters);
+    * per-batch file count rises to ≤ buckets small files, which is what
+    * [[bandIndexCompact]] exists to fold back to one file per bucket.
+    *
     * Writers are SINGLE-WRITER: see the contract on [[bandIndexCompact]] —
     * ingest and compact on one index must be serialized by the caller.
     */
   def bandIndexIngest(path: String, arrivals: DataFrame,
                       idCol: String, textCol: String,
                       numBands: Int = 2, rowsPerBand: Int = 2,
-                      shingleN: Int = 3): DataFrame = {
+                      shingleN: Int = 3, buckets: Int = 64): DataFrame = {
     val spark = arrivals.sparkSession
     val newBands = lshBandTable(arrivals, idCol, textCol,
       numBands, rowsPerBand, shingleN)
+      .withColumn("bkt", bktOf(buckets))
+    val candidates = probeAgainstIndex(spark, path, newBands, buckets)
+    newBands.write.mode("append").partitionBy("bkt").parquet(path)
+    candidates
+  }
+
+  /** Read-only [[bandIndexIngest]]: probe `arrivals` against the stored
+    * index WITHOUT appending them — serving-side duplicate lookup (is
+    * this batch near-anything-indexed?) and the bench's repeated-probe
+    * loop. Same pruned read, same candidate contract.
+    */
+  def bandIndexProbe(path: String, arrivals: DataFrame,
+                     idCol: String, textCol: String,
+                     numBands: Int = 2, rowsPerBand: Int = 2,
+                     shingleN: Int = 3, buckets: Int = 64): DataFrame = {
+    val spark = arrivals.sparkSession
+    val newBands = lshBandTable(arrivals, idCol, textCol,
+      numBands, rowsPerBand, shingleN)
+      .withColumn("bkt", bktOf(buckets))
+    probeAgainstIndex(spark, path, newBands, buckets)
+  }
+
+  /** Shared probe core: heal, prune the stored read to the batch's
+    * touched buckets, candidate-join. `newBands` carries (doc_id, band,
+    * bkt).
+    *
+    * Bucketed probe (VERDICT r13 #1): candidate pairs only arise on EQUAL
+    * band hashes, and bkt is a pure function of the band, so the stored
+    * side can be pruned to the batch's touched buckets BEFORE any join.
+    * The touched set is collected (<= buckets ints — bounded like the
+    * broadcast batch itself) and pushed as a static `bkt IN (...)`
+    * partition filter: planning-time directory pruning, so a probe
+    * against a 100 TB index lists and reads only the band buckets this
+    * batch can possibly collide in (same discipline as IvfIndex.save's
+    * cell-partitioned inverted file). OpsSpec pins partitionCount ==
+    * touched-bucket count on the executed scan.
+    */
+  private def probeAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                path: String, newBands: DataFrame,
+                                buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverBandIndex(fs, path) // heal a crashed compact before reading
+    val touched = newBands.select("bkt").distinct()
+      .collect().map(_.getInt(0)).sorted
     val stored =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        spark.read.schema(newBands.schema).parquet(path)
+      if (touched.isEmpty) // all-short batch: zero bands, zero candidates
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandSchema)
+      else if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        spark.read.schema(bandSchemaBkt).parquet(path)
+          .filter(col("bkt").isInCollection(touched.toSeq))
+          .select("doc_id", "band")
       else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newBands.schema)
-    val candidates = lshIncrementalCandidates(stored, newBands)
-    newBands.write.mode("append").parquet(path)
-    candidates
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandSchema)
+    lshIncrementalCandidates(stored, newBands.select("doc_id", "band"))
   }
+
+  /** The band-bucket partition key: a fixed hash of the band string into
+    * `buckets` directories. Part of the index contract like the banding
+    * parameters themselves — every ingest/compact on one index must use
+    * the same bucket count.
+    */
+  private def bktOf(buckets: Int): Column =
+    pmod(xxhash64(col("band")), lit(buckets.toLong)).cast("int")
 
   /** Compact the band index: [[bandIndexIngest]] appends one small
     * parquet file per batch, and a long ingest degrades the probe scan
@@ -294,9 +358,13 @@ object Dedup {
     if (fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
       val aside = new org.apache.hadoop.fs.Path(path + ".aside")
-      spark.read.schema(bandSchema).parquet(path)
-        .repartition(targetParts)
-        .write.mode("overwrite").parquet(tmp.toString)
+      // repartition BY bkt: each bucket lands wholly in one task, so the
+      // partitionBy write emits exactly one file per non-empty bucket —
+      // the ideal compacted state for the pruned probe (targetParts only
+      // bounds the shuffle width)
+      spark.read.schema(bandSchemaBkt).parquet(path)
+        .repartition(targetParts, col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(tmp.toString)
       renameOrThrow(fs, p, aside)
       renameOrThrow(fs, tmp, p)
       fs.delete(aside, true)
@@ -325,6 +393,15 @@ object Dedup {
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("band",
       org.apache.spark.sql.types.StringType)))
+
+  /** [[bandSchema]] plus the `bkt` partition column of the bucketed
+    * on-disk layout ([[bandIndexIngest]]). Partition columns resolve by
+    * name against the directory structure when passed in an explicit
+    * read schema.
+    */
+  private[graft] val bandSchemaBkt = org.apache.spark.sql.types.StructType(
+    bandSchema.fields :+ org.apache.spark.sql.types.StructField("bkt",
+      org.apache.spark.sql.types.IntegerType))
 
   /** Heal a band index left mid-[[bandIndexCompact]] by a crash: promote
     * a complete tmp when the live dir is gone, then clear leftovers.

@@ -483,12 +483,13 @@ object ExtQueries {
       val docs = Tables.documents(s, d)
       val history = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
       val arrivals = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      // r14: drive the REAL persisted-index path — history ingested into
+      // the bucketed band index (hive-partitioned by band-hash bucket),
+      // arrivals probed through the pruned read (static bkt IN (...)
+      // partition filter — the probe lists only touched buckets)
       val dir = CoreQueries.pidScopedDir("graft_band_index", d)
-      Dedup.lshBandTable(history, "doc_id", "text")
-        .write.mode("overwrite").parquet(dir.toString)
-      val stored = s.read.parquet(dir.toString)
-      Dedup.lshIncrementalCandidates(stored,
-          Dedup.lshBandTable(arrivals, "doc_id", "text"))
+      Dedup.bandIndexIngest(dir.toString, history, "doc_id", "text")
+      Dedup.bandIndexProbe(dir.toString, arrivals, "doc_id", "text")
         .orderBy("doc_a", "doc_b")
     }),
 

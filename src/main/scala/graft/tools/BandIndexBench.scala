@@ -32,14 +32,17 @@ object BandIndexBench {
         .write.format("noop").mode("overwrite").save()
     }
     println(f"$nBatches ingests: ${(System.nanoTime() - t0) / 1e9}%.1fs total")
-    def files() = new java.io.File(dir).listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    // r14 bucketed layout: data files live under bkt= partition dirs
+    def files(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
     val probeBatch = docs.filter(pmod(col("doc_id"), lit(nBatches)) === 0)
     def timeProbe(label: String): Double = {
       val t = System.nanoTime()
-      graft.ops.Dedup.lshIncrementalCandidates(
-          spark.read.schema(graft.ops.Dedup.bandSchema).parquet(dir),
-          graft.ops.Dedup.lshBandTable(probeBatch, "doc_id", "text"))
+      graft.ops.Dedup.bandIndexProbe(dir, probeBatch, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t) / 1e9
       println(f"$label%-28s files=${files()}%4d  probe=${s}%6.2fs")

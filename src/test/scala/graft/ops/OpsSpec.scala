@@ -99,20 +99,25 @@ class OpsSpec extends SparkTestBase {
     (0 until 3).foreach(i =>
       Dedup.bandIndexIngest(dir, docs.filter(pmod(col("doc_id"), lit(4)) === i),
         "doc_id", "text").collect())
-    def dataFiles() = new java.io.File(dir).listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
+    // r14 bucketed layout: data files live under bkt= partition dirs
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    def dataFiles() = walk(new java.io.File(dir))
+    def bktDirs() = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bkt="))
     val before = dataFiles()
     assert(before >= 3, s"expected one file group per ingest, saw $before")
     // candidates of the NEXT batch must be identical before/after compact
     val batch4 = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
-    def probe() = Dedup.lshIncrementalCandidates(
-        spark.read.schema(Dedup.bandSchema).parquet(dir),
-        Dedup.lshBandTable(batch4, "doc_id", "text"))
+    def probe() = Dedup.bandIndexProbe(dir, batch4, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val wantPairs = probe()
     assert(wantPairs.nonEmpty, "fixture produced no candidates — vacuous")
     Dedup.bandIndexCompact(spark, dir)
-    assert(dataFiles() === 1, "compact must coalesce to targetParts files")
+    assert(dataFiles() === bktDirs(),
+      "compact must coalesce to one file per non-empty bucket")
+    assert(dataFiles() <= before, "compact must not grow the file count")
     assert(probe() === wantPairs, "compact changed the candidate set")
     // crash between rename(path->aside) and rename(tmp->path): the live
     // dir is GONE, the complete tmp and the aside both exist — the next
@@ -131,6 +136,56 @@ class OpsSpec extends SparkTestBase {
     assert(healedPairs === wantPairs, "post-crash ingest lost index history")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".aside")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".tmp")))
+  }
+
+  test("bandIndexProbe prunes the stored read to the batch's touched buckets (static partition filter)") {
+    // the r14 bucketed layout's point: a probe against a 100 TB index
+    // must list/read only the band buckets the batch can collide in —
+    // planning-time directory pruning, same discipline as the IVF
+    // cell-partitioned inverted file
+    val docs = Tables.documents(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("band_prune").toString + "/idx"
+    (0 until 2).foreach(i =>
+      Dedup.bandIndexIngest(dir, docs.filter(pmod(col("doc_id"), lit(2)) === i),
+        "doc_id", "text").collect())
+    // a SMALL batch — a realistic micro-ingest touches a sliver of the
+    // bucket space; that sliver is exactly what the probe may read
+    val batch = docs.filter(pmod(col("doc_id"), lit(211)) === 5)
+    // expected touched buckets, derived through the same contract hash
+    val touched = Dedup.lshBandTable(batch, "doc_id", "text")
+      .select(pmod(xxhash64(col("band")), lit(64L)).cast("int").as("bkt"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val existing = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+      .map(_.getName.stripPrefix("bkt=").toInt).toSet
+    val expectedDirs = (touched & existing).size
+    assert(expectedDirs > 0 && existing.size > expectedDirs,
+      s"fixture vacuous: touched=$expectedDirs of ${existing.size} buckets")
+    val probe = Dedup.bandIndexProbe(dir, batch, "doc_id", "text")
+    val plan = probe.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("band_prune")) => s
+    }
+    assert(scans.nonEmpty, s"no index scan found in:\n$plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(f =>
+        f.toString.contains("bkt") && f.toString.contains("IN")),
+      s"touched buckets must be a static partition filter, got ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount === expectedDirs,
+      s"probe must scan only the $expectedDirs touched buckets of " +
+        s"${existing.size}, scanned ${scan.selectedPartitions.partitionCount}")
+    // and pruning loses nothing: pruned probe == probe over the full read
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.lshIncrementalCandidates(
+        spark.read.schema(Dedup.bandSchemaBkt).parquet(dir).select("doc_id", "band"),
+        Dedup.lshBandTable(batch, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got === full)
   }
 
   test("bandIndexIngest survives an empty first batch (no poisoned index dir)") {
