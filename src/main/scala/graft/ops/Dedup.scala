@@ -232,6 +232,12 @@ object Dedup {
     * permanently poisoning the index path (r13 review find; OpsSpec pins
     * the empty-first-batch sequence).
     *
+    * BAND DERIVATION (r14): the batch's bands come from [[ingestBands]] —
+    * the grouped derivation over an id-repartitioned batch, which bounds
+    * the signature aggregation's peak task under compression-skewed input
+    * AND lets ReuseExchange compute the derivation once across the probe
+    * plan's references (rationale and measurements on [[ingestBands]]).
+    *
     * ON-DISK LAYOUT (r14): the index is hive-partitioned by
     * `bkt = xxhash64(band) mod buckets` — band-hash buckets, the parquet
     * analog of `bucketBy` without a metastore. The probe prunes its read
@@ -248,14 +254,31 @@ object Dedup {
   def bandIndexIngest(path: String, arrivals: DataFrame,
                       idCol: String, textCol: String,
                       numBands: Int = 2, rowsPerBand: Int = 2,
-                      shingleN: Int = 3, buckets: Int = 64): DataFrame = {
+                      shingleN: Int = 3, buckets: Int = 16): DataFrame = {
     val spark = arrivals.sparkSession
-    val newBands = lshBandTable(arrivals, idCol, textCol,
-      numBands, rowsPerBand, shingleN)
-      .withColumn("bkt", bktOf(buckets))
+    val newBands = ckptBands(ingestBands(arrivals, idCol, textCol,
+      numBands, rowsPerBand, shingleN, buckets))
     val candidates = probeAgainstIndex(spark, path, newBands, buckets)
-    newBands.write.mode("append").partitionBy("bkt").parquet(path)
+    appendBands(newBands, path)
     candidates
+  }
+
+  /** Write-only [[bandIndexIngest]]: append `arrivals` into the index
+    * WITHOUT probing — the bulk-load/bootstrap shape (seeding an index
+    * from an existing corpus whose internal pairs are already known, or
+    * not wanted). One derivation job, one bucketed write; skips the
+    * probe's touched-bucket collect and candidate plan entirely.
+    */
+  def bandIndexAppend(path: String, arrivals: DataFrame,
+                      idCol: String, textCol: String,
+                      numBands: Int = 2, rowsPerBand: Int = 2,
+                      shingleN: Int = 3, buckets: Int = 16): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(arrivals.sparkSession.sparkContext.hadoopConfiguration)
+    recoverBandIndex(fs, path)
+    appendBands(ingestBands(arrivals, idCol, textCol,
+      numBands, rowsPerBand, shingleN, buckets), path)
   }
 
   /** Read-only [[bandIndexIngest]]: probe `arrivals` against the stored
@@ -266,11 +289,10 @@ object Dedup {
   def bandIndexProbe(path: String, arrivals: DataFrame,
                      idCol: String, textCol: String,
                      numBands: Int = 2, rowsPerBand: Int = 2,
-                     shingleN: Int = 3, buckets: Int = 64): DataFrame = {
+                     shingleN: Int = 3, buckets: Int = 16): DataFrame = {
     val spark = arrivals.sparkSession
-    val newBands = lshBandTable(arrivals, idCol, textCol,
-      numBands, rowsPerBand, shingleN)
-      .withColumn("bkt", bktOf(buckets))
+    val newBands = ckptBands(ingestBands(arrivals, idCol, textCol,
+      numBands, rowsPerBand, shingleN, buckets))
     probeAgainstIndex(spark, path, newBands, buckets)
   }
 
@@ -291,24 +313,32 @@ object Dedup {
     */
   private def probeAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                 path: String, newBands: DataFrame,
-                                buckets: Int): DataFrame = {
+                                buckets: Int): DataFrame =
+    lshIncrementalCandidates(prunedStored(spark, path, newBands, buckets),
+      newBands.select("doc_id", "band"))
+
+  /** The pruned stored-index read described on [[probeAgainstIndex]]'s
+    * callers: heal, collect the batch's touched buckets, read only those
+    * partition directories. Returns a (doc_id, band) frame.
+    */
+  private def prunedStored(spark: org.apache.spark.sql.SparkSession,
+                           path: String, newBands: DataFrame,
+                           buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverBandIndex(fs, path) // heal a crashed compact before reading
     val touched = newBands.select("bkt").distinct()
       .collect().map(_.getInt(0)).sorted
-    val stored =
-      if (touched.isEmpty) // all-short batch: zero bands, zero candidates
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandSchema)
-      else if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        spark.read.schema(bandSchemaBkt).parquet(path)
-          .filter(col("bkt").isInCollection(touched.toSeq))
-          .select("doc_id", "band")
-      else spark.createDataFrame(
+    if (touched.isEmpty) // all-short batch: zero bands, zero candidates
+      spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandSchema)
-    lshIncrementalCandidates(stored, newBands.select("doc_id", "band"))
+    else if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.schema(bandSchemaBkt).parquet(path)
+        .filter(col("bkt").isInCollection(touched.toSeq))
+        .select("doc_id", "band")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandSchema)
   }
 
   /** The band-bucket partition key: a fixed hash of the band string into
@@ -318,6 +348,63 @@ object Dedup {
     */
   private def bktOf(buckets: Int): Column =
     pmod(xxhash64(col("band")), lit(buckets.toLong)).cast("int")
+
+  /** The ingest path's band derivation: the grouped [[lshBandTable]] over
+    * a batch REPARTITIONED by doc id. The repartition does two jobs at
+    * once (tools/PeakProbe, 100× corpus):
+    *
+    *   - BOUNDS the signature aggregation's peak task. Parquet splits by
+    *     COMPRESSED bytes, and a crawl-grade duplicate corpus compresses
+    *     brutally (the 100× soak's 500k docs fit ONE 5 MB file), so a
+    *     single scan task can explode an unbounded number of docs into
+    *     the grouped sort-aggregate — measured 1,264 MB peak (VERDICT
+    *     r13 #1, the real culprit behind the "pair-distinct" peak).
+    *     Hash-spreading docs across shuffle.partitions first caps the
+    *     aggregate at batch/parts docs per task (24 MB measured).
+    *   - The exchange SATISFIES groupBy(doc_id)'s distribution, so the
+    *     aggregation adds no second shuffle, and ReuseExchange dedups
+    *     the derivation across the probe plan's multiple references to
+    *     the batch bands (the row-local form, having no exchange, was
+    *     measured 2.3× the wall here — recomputed per reference).
+    *
+    * The shuffled payload is the batch's raw text — bounded by the
+    * ingest-batch contract, never the corpus.
+    */
+  private def ingestBands(arrivals: DataFrame, idCol: String,
+                          textCol: String, numBands: Int, rowsPerBand: Int,
+                          shingleN: Int, buckets: Int): DataFrame =
+    lshBandTable(arrivals.repartition(col(idCol)), idCol, textCol,
+      numBands, rowsPerBand, shingleN)
+      .withColumn("bkt", bktOf(buckets))
+
+  /** Materialize a batch's band table ONCE for the ingest/probe flow:
+    * the table is referenced by up to three consumers (touched-bucket
+    * collect, the candidate plan's union+broadcast, the append), each a
+    * separate ACTION, and cross-job re-derivation tripled the per-batch
+    * wall once the bucketed layout added the touched collect (measured
+    * 3.2 s vs the r13 flat path's 1.55 s at sf0.1). The checkpoint is
+    * batch-bounded by the ingest contract and lives only until the
+    * caller releases the returned candidates frame (ContextCleaner
+    * reclaims the blocks); under the single-writer serial-loop contract
+    * at most one batch's bands are pinned at a time — the r13
+    * no-pinned-state note is superseded by this bounded, caller-scoped
+    * form. Constraint set dropped like every checkpoint in this codebase
+    * (see IvfIndex.ckpt's rationale).
+    */
+  private def ckptBands(nb: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.dropCheckpointConstraints(
+      nb.localCheckpoint())
+
+  /** Append a batch's bands into the bucketed index with ONE file per
+    * touched bucket: a partitionBy write from N shuffle partitions
+    * otherwise emits up to N files per bucket per ingest (measured 2,048
+    * files after one sf0.1 ingest — the many-small-files degradation the
+    * compactor exists to fix, created in a single batch). The repartition
+    * is one exchange of the batch's band rows — batch-bounded.
+    */
+  private def appendBands(newBands: DataFrame, path: String): Unit =
+    newBands.repartition(col("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(path)
 
   /** Compact the band index: [[bandIndexIngest]] appends one small
     * parquet file per batch, and a long ingest degrades the probe scan
@@ -414,6 +501,122 @@ object Dedup {
     if (!fs.exists(p) && fs.exists(tmp)) renameOrThrow(fs, tmp, p)
     if (fs.exists(aside)) fs.delete(aside, true)
     if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** [[lshIncrementalCandidatesBounded]]'s result: the candidate pairs
+    * plus a per-hot-band accounting of what the cap suppressed —
+    * `(band, occupancy, n_new, emitted, suppressed)`. `suppressed` counts
+    * that band's arrival-touching pairs not emitted (pair counts are
+    * per-band; one pair sharing two bands is accounted in each).
+    */
+  final case class BoundedCandidates(pairs: DataFrame, overflow: DataFrame)
+
+  /** [[lshIncrementalCandidates]] with a HOT-BAND CAP (VERDICT r13 #1):
+    * a band bucket holding m docs emits O(m·n_new) candidate pairs, and a
+    * real crawl serves buckets where m is unbounded (near-identical spam,
+    * boilerplate, planted duplicates) — at 100× planted density the
+    * all-pairs form's pair-distinct held a 1.26 GB peak task, the largest
+    * in the whole scale evidence. Bands whose occupancy (stored + new
+    * members) exceeds `maxBucket` switch from all-pairs to a STAR: each
+    * arriving member pairs with the bucket representative (the min doc_id
+    * over ALL members), plus one bridge pair (rep_all, rep_stored) when
+    * the overall min is itself an arrival — so per hot band the output is
+    * n_new + 1 rows instead of O(occupancy²).
+    *
+    * Semantics trade, stated plainly: candidate COMPLETENESS inside a
+    * saturated bucket is given up (a~rep may fail downstream verification
+    * where a~b would have passed), candidate-graph CONNECTIVITY is kept —
+    * every member of a hot bucket stays transitively linked through the
+    * representative chain across batches (each doc links to the min at
+    * its arrival time; successive mins link to each other via the bridge;
+    * OpsSpec pins multi-batch connectivity with descending ids). For
+    * dup-CLUSTERING consumers (LSH → connected components → canonical)
+    * that is exactly what matters; consumers needing verified pairwise
+    * completeness must keep the exact form and pay its quadratic output.
+    * The `overflow` frame makes the cap OBSERVABLE — no silent truncation:
+    * which bands saturated, how many pairs were suppressed.
+    *
+    * Scale shape: occupancy is ONE map-combined aggregation over the
+    * touched slice (one combined row per touched band per partition); the
+    * hot set is bounded by the batch's band count, so it broadcasts; cold
+    * bands run the unchanged all-pairs join with hot bands anti-filtered
+    * out scan-locally. Peak task memory is now bounded by
+    * maxBucket · n_new per cold band instead of the hottest bucket's
+    * square.
+    */
+  def lshIncrementalCandidatesBounded(storedBands: DataFrame,
+                                      newBands: DataFrame,
+                                      maxBucket: Int = 1024): BoundedCandidates = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val allT = storedBands.select(col("doc_id"), col("band"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newBands.select(col("doc_id"), col("band"))
+        .withColumn("is_new", lit(true)))
+    val touched = newBands.select(col("band")).distinct()
+    val occ = allT
+      .join(broadcast(touched.withColumnRenamed("band", "band_t")),
+        col("band") === col("band_t"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("occupancy"),
+        min(col("doc_id")).as("rep_all"),
+        min(when(!col("is_new"), col("doc_id"))).as("rep_stored"),
+        sum(when(col("is_new"), lit(1L)).otherwise(lit(0L))).as("n_new"))
+    val hot = occ.filter(col("occupancy") > maxBucket)
+    val hotBands = hot.select("band")
+    // cold bands: the unchanged exact all-pairs probe join
+    val allCold = allT.join(broadcast(hotBands), Seq("band"), "left_anti")
+    val nbCold = newBands.select(col("doc_id").as("doc_n"), col("band").as("band_n"))
+      .join(broadcast(hotBands.withColumnRenamed("band", "band_n")),
+        Seq("band_n"), "left_anti")
+    val exact = allCold.join(broadcast(nbCold),
+        col("band") === col("band_n") && col("doc_id") =!= col("doc_n"))
+      .select(least(col("doc_id"), col("doc_n")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_n")).as("doc_b"))
+    // hot bands: arrivals star onto the bucket representative
+    val star = allT
+      .join(broadcast(hot.select(col("band").as("band_h"), col("rep_all"))),
+        col("band") === col("band_h"))
+      .filter(col("is_new") && col("doc_id") =!= col("rep_all"))
+      .select(least(col("doc_id"), col("rep_all")).as("doc_a"),
+        greatest(col("doc_id"), col("rep_all")).as("doc_b"))
+    // a NEW overall min links to the stored component's old min
+    val bridge = hot
+      .filter(col("rep_stored").isNotNull && col("rep_stored") =!= col("rep_all"))
+      .select(least(col("rep_all"), col("rep_stored")).as("doc_a"),
+        greatest(col("rep_all"), col("rep_stored")).as("doc_b"))
+    val pairs = exact.unionByName(star).unionByName(bridge).distinct()
+    val repAllIsNew = col("rep_stored").isNull || col("rep_stored") =!= col("rep_all")
+    val emitted =
+      (col("n_new") - when(repAllIsNew, lit(1L)).otherwise(lit(0L))) +
+        when(col("rep_stored").isNotNull && col("rep_stored") =!= col("rep_all"),
+          lit(1L)).otherwise(lit(0L))
+    // the difference of two n(n-1) terms is even, so the halving is exact;
+    // `/` on long columns is double division in Spark — cast back
+    val touching = ((col("occupancy") * (col("occupancy") - 1) -
+      (col("occupancy") - col("n_new")) * (col("occupancy") - col("n_new") - 1))
+      / lit(2)).cast("long")
+    val overflow = hot.select(col("band"), col("occupancy"), col("n_new"),
+      emitted.as("emitted"), (touching - emitted).as("suppressed"))
+    BoundedCandidates(pairs, overflow)
+  }
+
+  /** [[bandIndexIngest]] with the hot-band cap: probe through
+    * [[lshIncrementalCandidatesBounded]], then append the batch into the
+    * bucketed index. Same layout, same single-writer contract.
+    */
+  def bandIndexIngestBounded(path: String, arrivals: DataFrame,
+                             idCol: String, textCol: String,
+                             numBands: Int = 2, rowsPerBand: Int = 2,
+                             shingleN: Int = 3, buckets: Int = 16,
+                             maxBucket: Int = 1024): BoundedCandidates = {
+    val spark = arrivals.sparkSession
+    val newBands = ckptBands(ingestBands(arrivals, idCol, textCol,
+      numBands, rowsPerBand, shingleN, buckets))
+    val stored = prunedStored(spark, path, newBands, buckets)
+    val bounded = lshIncrementalCandidatesBounded(
+      stored, newBands.select("doc_id", "band"), maxBucket)
+    appendBands(newBands, path)
+    bounded
   }
 
   def lshIncrementalCandidates(storedBands: DataFrame,

@@ -488,9 +488,28 @@ object ExtQueries {
       // arrivals probed through the pruned read (static bkt IN (...)
       // partition filter — the probe lists only touched buckets)
       val dir = CoreQueries.pidScopedDir("graft_band_index", d)
-      Dedup.bandIndexIngest(dir.toString, history, "doc_id", "text")
+      Dedup.bandIndexAppend(dir.toString, history, "doc_id", "text")
       Dedup.bandIndexProbe(dir.toString, arrivals, "doc_id", "text")
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // North star — the HOT-BAND-CAPPED incremental probe (r14): bands
+    // whose occupancy exceeds the cap emit an arrival star onto the
+    // bucket representative instead of all pairs, keeping candidate
+    // output (and the pair-distinct's peak task) linear in the bucket
+    // under crawl-grade duplicate density. maxBucket=2 here is a
+    // DEMONSTRATION cap sized so the real corpus (organic occupancy ≤ 8,
+    // tools/OccProbe) exercises both the exact and star paths in the
+    // oracle gate; production defaults to 1024.
+    "q_dedup_incremental_bounded" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val arrivals = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val dir = CoreQueries.pidScopedDir("graft_band_bounded", d)
+      Dedup.bandIndexAppend(dir.toString, history, "doc_id", "text")
+      Dedup.bandIndexIngestBounded(dir.toString, arrivals, "doc_id", "text",
+          maxBucket = 2)
+        .pairs.orderBy("doc_a", "doc_b")
     }),
 
     // North star — 32-bit SimHash document fingerprints.
@@ -745,6 +764,19 @@ object ExtQueries {
         """band AS (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM sig) """ +
         """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b ON a.b = b.b AND a.doc_id < b.doc_id """ +
         """WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1 ORDER BY 1, 2"""),
+    // the capped probe: per-band occupancy over arrival-touched bands,
+    // exact pairs below the cap, arrival-star + bridge above it
+    "q_dedup_incremental_bounded" ->
+      ("""WITH tok AS (SELECT doc_id, """ + tokSql + """ AS t FROM documents), """ +
+        """sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), """ +
+        """sig AS (SELECT doc_id, MIN(substr(md5(s), 1, 8)) AS mh0, MIN(substr(md5(s), 9, 8)) AS mh1, MIN(substr(md5(s), 17, 8)) AS mh2, MIN(substr(md5(s), 25, 8)) AS mh3 FROM sh GROUP BY doc_id), """ +
+        """allb AS (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b, doc_id % 2 = 1 AS is_new FROM sig), """ +
+        """occ AS (SELECT b, COUNT(*) AS occupancy, MIN(doc_id) AS rep_all, MIN(CASE WHEN NOT is_new THEN doc_id END) AS rep_stored FROM allb WHERE b IN (SELECT b FROM allb WHERE is_new) GROUP BY b), """ +
+        """hot AS (SELECT * FROM occ WHERE occupancy > 2), """ +
+        """exact AS (SELECT LEAST(a.doc_id, n.doc_id) AS doc_a, GREATEST(a.doc_id, n.doc_id) AS doc_b FROM allb a JOIN allb n ON a.b = n.b AND n.is_new AND a.doc_id <> n.doc_id WHERE a.b NOT IN (SELECT b FROM hot)), """ +
+        """star AS (SELECT LEAST(m.doc_id, h.rep_all) AS doc_a, GREATEST(m.doc_id, h.rep_all) AS doc_b FROM allb m JOIN hot h ON m.b = h.b WHERE m.is_new AND m.doc_id <> h.rep_all), """ +
+        """bridge AS (SELECT LEAST(rep_all, rep_stored) AS doc_a, GREATEST(rep_all, rep_stored) AS doc_b FROM hot WHERE rep_stored IS NOT NULL AND rep_stored <> rep_all) """ +
+        """SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM exact UNION ALL SELECT * FROM star UNION ALL SELECT * FROM bridge) ORDER BY 1, 2"""),
     "q_simhash" -> simhashSql,
     "q_ngram_jaccard" ->
       ("""WITH tok AS (SELECT doc_id, """ + tokSql + """ AS t FROM documents), """ +

@@ -153,7 +153,7 @@ class OpsSpec extends SparkTestBase {
     val batch = docs.filter(pmod(col("doc_id"), lit(211)) === 5)
     // expected touched buckets, derived through the same contract hash
     val touched = Dedup.lshBandTable(batch, "doc_id", "text")
-      .select(pmod(xxhash64(col("band")), lit(64L)).cast("int").as("bkt"))
+      .select(pmod(xxhash64(col("band")), lit(16L)).cast("int").as("bkt"))
       .distinct().collect().map(_.getInt(0)).toSet
     val existing = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
@@ -186,6 +186,77 @@ class OpsSpec extends SparkTestBase {
         Dedup.lshBandTable(batch, "doc_id", "text"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.nonEmpty && got === full)
+  }
+
+  test("lshIncrementalCandidatesBounded == exact when no band saturates; star-caps hot bands with honest accounting") {
+    import spark.implicits._
+    // high cap on real docs: identical to the exact form, empty overflow
+    val docs = Tables.documents(spark, Sf0001)
+    val history = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val sb = Dedup.lshBandTable(history, "doc_id", "text")
+    val nb = Dedup.lshBandTable(arrivals, "doc_id", "text")
+    val exact = Dedup.lshIncrementalCandidates(sb, nb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val high = Dedup.lshIncrementalCandidatesBounded(sb, nb, maxBucket = 1 << 20)
+    assert(high.overflow.isEmpty, "no band saturates the high cap")
+    val highPairs = high.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && highPairs === exact)
+
+    // planted hot bucket: 30 copies of one text (15 stored, 15 new) plus
+    // cold near-dup pairs that must keep the exact path
+    val spam = "buy cheap widgets now best price free shipping today only"
+    val hotDocs = (0 until 30).map(i => (i.toLong, spam))
+    val coldDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick brown fox jumps over the lazy dog"))
+    val all2 = (hotDocs ++ coldDocs).toDF("doc_id", "text")
+    val stored2 = Dedup.lshBandTable(
+      all2.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val new2 = Dedup.lshBandTable(
+      all2.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    val bounded = Dedup.lshIncrementalCandidatesBounded(stored2, new2, maxBucket = 8)
+    val pairs = bounded.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cold pair survives exactly
+    assert(pairs.contains((100L, 101L)))
+    // hot bucket: star only — every arrival pairs with rep_all = 0, and
+    // output is linear (15 arrivals, rep stored ⇒ no bridge), not C(30,2)
+    val hotPairs = pairs.filter { case (a, b) => a < 100 && b < 100 }
+    assert(hotPairs === (1 until 30 by 2).map(i => (0L, i.toLong)).toSet,
+      s"hot bucket must emit the arrival star onto doc 0, got $hotPairs")
+    // overflow accounting: both bands of the spam sig saturate identically
+    val of = bounded.overflow.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(of.nonEmpty && of.forall(_ == (30L, 15L, 15L,
+      // arrival-touching = C(30,2) - C(15,2) = 435 - 105 = 330; emitted 15
+      330L - 15L)), s"overflow rows: ${of.toSeq}")
+  }
+
+  test("bounded ingest keeps hot-bucket connectivity across batches (descending ids exercise the bridge)") {
+    import spark.implicits._
+    // ids DESCEND across batches, so each batch's arrivals contain a new
+    // overall min — the star alone would strand earlier members without
+    // the (rep_all, rep_stored) bridge
+    val spam = "limited offer click here to claim your exclusive reward now"
+    val dir = java.nio.file.Files.createTempDirectory("band_bounded").toString + "/idx"
+    val batches = Seq(
+      (20L until 30L), (10L until 20L), (0L until 10L))
+    val allPairs = scala.collection.mutable.Set[(Long, Long)]()
+    batches.foreach { ids =>
+      val b = ids.map(i => (i, spam)).toDF("doc_id", "text")
+      val r = Dedup.bandIndexIngestBounded(dir, b, "doc_id", "text", maxBucket = 4)
+      allPairs ++= r.pairs.collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(r.overflow.count() > 0, "the spam bucket must saturate")
+    }
+    // union-find over the emitted pairs: all 30 copies one component
+    val parent = scala.collection.mutable.Map((0L until 30L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    allPairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val roots = (0L until 30L).map(find).toSet
+    assert(roots.size === 1,
+      s"hot bucket fractured into ${roots.size} components; pairs=$allPairs")
+    // and the output stayed linear: far fewer than C(30,2)=435 pairs
+    assert(allPairs.size < 60, s"expected linear output, got ${allPairs.size} pairs")
   }
 
   test("bandIndexIngest survives an empty first batch (no poisoned index dir)") {
