@@ -408,7 +408,12 @@ object IvfIndex {
     */
   def save(model: Model, path: String): Unit = {
     model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    model.assignments.write.mode("overwrite").partitionBy("cell")
+    // repartition BY cell before the partitioned write: an unrepartitioned
+    // partitionBy emits one file per (task, cell) — measured 15,248 files
+    // for a 20k-vector/8k-cell save (tools/IvfProdBench), 65 s of commit
+    // overhead for 5 MB of data. One corpus shuffle buys one file per cell.
+    model.assignments.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assignments")
   }
 
@@ -430,6 +435,7 @@ object IvfIndex {
       .withColumn("codes",
         Quantize.sq8Encode(model.assignments, col("embedding"), params))
       .drop("embedding")
+      .repartition(col("cell")) // one file per cell (see save)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assignments")
     import spark.implicits._
@@ -456,14 +462,71 @@ object IvfIndex {
       .withColumn("pq_codes", call_function("graft_pq_encode",
         col("embedding"), typedlit(pq.codebook), lit(pq.dsub)))
       .drop("embedding")
+      .repartition(col("cell")) // one file per cell (see save)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assignments")
+    writePqSidecar(spark, path, pq)
+  }
+
+  private def writePqSidecar(spark: SparkSession, path: String,
+                             pq: Pq.PqModel): Unit = {
     import spark.implicits._
     Seq((pq.m, pq.dsub, pq.k, pq.codebook.toSeq))
       .toDF("m", "dsub", "k", "codebook")
       .select(col("m"), col("dsub"), col("k"),
         col("codebook").cast("array<float>").as("codebook"))
       .write.mode("overwrite").parquet(s"$path/pq_params")
+  }
+
+  /** [[saveQuantizedPq]] in the CELL-BUCKETED layout for production cell
+    * counts: one directory per cell stops scaling past nlist ≈ 1k — the
+    * partitioned write commits nlist files, and every subsequent read
+    * pays partition DISCOVERY over nlist directories (tools/IvfProdBench:
+    * 19.5 s warm ADC search at nlist=8192, dominated by listing ~7,600
+    * dirs — and an object store pays it in LIST requests). Here cells
+    * group into `cellBuckets` directories (`cbkt = cell mod B`) with
+    * `cell` kept as a DATA column, sorted within files so each cell is a
+    * contiguous run of row groups: the probed-cell read prunes to the
+    * touched buckets (static partition filter) and pushes `cell IN (...)`
+    * into the parquet scan (row-group min/max skip). The trade: a probe
+    * touching C cells reads min(C, B) directories but only the matching
+    * row groups inside them — coarser directory pruning, same row-level
+    * selectivity, constant file count. [[searchTopKBatchAdc]] /
+    * [[append]] / [[load]] / [[compact]] auto-detect the layout via the
+    * sidecar; nlist ≤ ~1k should keep the per-cell layout (finer static
+    * pruning at no listing cost — the r13 decision table's regime).
+    */
+  def saveQuantizedPqBucketed(model: Model, path: String, pq: Pq.PqModel,
+                              cellBuckets: Int = 256): Unit = {
+    require(cellBuckets >= 1, s"cellBuckets must be >= 1, got $cellBuckets")
+    val spark = model.centroids.sparkSession
+    model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    graft.functions.PqF.register(spark)
+    model.assignments
+      .withColumn("pq_codes", call_function("graft_pq_encode",
+        col("embedding"), typedlit(pq.codebook), lit(pq.dsub)))
+      .drop("embedding")
+      .withColumn("cbkt", cbktOf(cellBuckets))
+      .repartition(col("cbkt"))
+      .sortWithinPartitions("cell")
+      .write.mode("overwrite").partitionBy("cbkt")
+      .parquet(s"$path/assignments")
+    writePqSidecar(spark, path, pq)
+    import spark.implicits._
+    Seq(cellBuckets).toDF("cell_buckets")
+      .write.mode("overwrite").parquet(s"$path/layout")
+  }
+
+  private def cbktOf(cellBuckets: Int): org.apache.spark.sql.Column =
+    pmod(col("cell"), lit(cellBuckets.toLong)).cast("int")
+
+  /** The bucketed-layout sidecar, if this index uses it. */
+  private def layoutCellBuckets(spark: SparkSession,
+                                path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/layout")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$path/layout").head().getInt(0))
   }
 
   /** The SQ8 sidecar of a saved index, if the index is quantized. */
@@ -530,7 +593,14 @@ object IvfIndex {
         case None => assigned
       }
     }
-    out.write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
+    layoutCellBuckets(spark, path) match {
+      case Some(b) => // bucketed index: arrivals land in their cbkt dirs
+        out.withColumn("cbkt", cbktOf(b))
+          .repartition(col("cbkt")).sortWithinPartitions("cell")
+          .write.mode("append").partitionBy("cbkt").parquet(s"$path/assignments")
+      case None =>
+        out.write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
+    }
   }
 
   /** Split oversized cells IN PLACE — the rebalance the drift study
@@ -686,8 +756,12 @@ object IvfIndex {
             s"could not restore crashed cell $cellName")
         } else fs.delete(aside.getPath, true) // stale duplicate
       }
+    // per-cell layout lists cell= dirs; the bucketed layout's cbkt= dirs
+    // compact identically (read dir, coalesce, whole-dir rename swap)
     val cells = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.startsWith("cell=") ||
+          st.getPath.getName.startsWith("cbkt=")))
     var (done, before, after) = (0, 0, 0)
     cells.foreach { c =>
       val files = dataFiles(c.getPath)
@@ -729,6 +803,7 @@ object IvfIndex {
     */
   def load(spark: SparkSession, path: String): Model = {
     val asg = spark.read.parquet(s"$path/assignments")
+      .drop("cbkt") // bucketed layout's partition column; no-op otherwise
       .withColumn("cell", col("cell").cast("long"))
     // quantized index: reconstruct the embedding column inline (codegen
     // decode — the scan still reads only the byte codes off disk)
@@ -820,7 +895,18 @@ object IvfIndex {
     }
     val probeCells = probeCellRows.toDF("cell", "probe_id", "lut")
     val cellList = probeCellRows.map(_._1).distinct
-    spark.read.parquet(s"$path/assignments")
+    val asgRaw = spark.read.parquet(s"$path/assignments")
+    // bucketed layout: prune to touched cell-buckets (static partition
+    // filter over cellBuckets dirs), then the cell IN filter below pushes
+    // into the parquet row groups; per-cell layout: the cell filter IS
+    // the static partition prune
+    val asg = layoutCellBuckets(spark, path) match {
+      case Some(b) =>
+        val bkts = cellList.map(c => (c % b).toInt).distinct
+        asgRaw.filter(col("cbkt").isInCollection(bkts)).drop("cbkt")
+      case None => asgRaw
+    }
+    asg
       .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell").isInCollection(cellList)) // static partition prune
       .join(broadcast(probeCells), Seq("cell"))
