@@ -54,6 +54,45 @@ object Bench {
       }
     val names = SparkEntry.queries.keySet.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // Post-AQE shape observability (VERDICT r13 #6): the static plan
+    // golden can't see runtime re-plans (a broadcast demoted, a skew
+    // split), so record per-key operator counts from the EXECUTED plan of
+    // each timed run — the listener sees the write command's
+    // QueryExecution after AQE finalizes its stages. Last action wins per
+    // key, which is the timed noop save. Informational artifact, not a
+    // gate: written to SPARK_GRAFT_PLANSTATS_OUT (default PLANSTATS.json)
+    // so round-over-round runtime drift is diffable next to the golden.
+    val planStats = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val currentKey = new java.util.concurrent.atomic.AtomicReference[String]("")
+    def opCountsJson(root: org.apache.spark.sql.execution.SparkPlan): String = {
+      val m = scala.collection.mutable.Map.empty[String, Int]
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        m.updateWith(p.getClass.getSimpleName.stripSuffix("$")) {
+          c => Some(c.getOrElse(0) + 1) }
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case _ => ()
+        }
+        p.children.foreach(walk)
+      }
+      walk(root)
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+    }
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        val k = currentKey.get()
+        if (k.nonEmpty) planStats.put(k, opCountsJson(qe.executedPlan))
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    })
     def runOnce(name: String): Option[Throwable] =
       // noop sink: every output column is evaluated and serialized — unlike
       // count(), which lets Catalyst prune the projections being measured
@@ -70,9 +109,11 @@ object Bench {
     // A failed query records -1 (never a normal-looking tiny time) and is
     // listed in "errors" so a regression can't slip through a green total.
     val results = names.map { name =>
+      currentKey.set(name)
       val t0 = System.nanoTime()
       val err = runOnce(name)
       val secs = (System.nanoTime() - t0) / 1e9
+      currentKey.set("")
       val v = if (err.isEmpty) secs else -1.0
       // one JSON line per query AS IT COMPLETES: the driver's tail-capture
       // of a single giant summary line is head-truncated (BENCH_r0*.json
@@ -119,6 +160,18 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"errors":$errs,"sf":"$sfDir","queries":$q}""".getBytes("UTF-8"))
     }
+    // drain async listener events, then persist the executed-plan counts
+    org.apache.spark.sql.graftbridge.Bridge.awaitListenerBusEmpty(spark.sparkContext)
+    val statsOut = sys.env.getOrElse("SPARK_GRAFT_PLANSTATS_OUT", "PLANSTATS.json")
+    try {
+      import scala.jdk.CollectionConverters._
+      val body = planStats.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{\n", ",\n", "\n}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(statsOut),
+        body.getBytes("UTF-8"))
+      println(s"""{"planstats":"$statsOut","keys":${planStats.size}}""")
+    } catch { case t: Throwable =>
+      System.err.println(s"PLANSTATS write failed: $t") }
     spark.stop()
   }
 }

@@ -157,6 +157,143 @@ class StateRunsLateProcessor
     drain(key, timerValues.getCurrentWatermarkInMs())
 }
 
+/** Watermark-honoring sessionization — [[SessionExpiryProcessor]]'s late
+  * twin, built on the [[StateRunsLateProcessor]] buffer-until-final
+  * pattern (VERDICT r13 #3): events buffer in `ListState` and fold into
+  * the open session only once the watermark makes their position FINAL
+  * (no admissible event can still land before them), so out-of-order
+  * arrival within the allowed lateness produces exactly the batch
+  * sessionization — the contract gap the in-order processor documents
+  * (an emitted close cannot be retracted) closes by never emitting until
+  * the close is provably final. Two close conditions, both on finalized
+  * data: a finalized later event reveals a gap, or the watermark passes
+  * `last + gap` (any future admissible event must then start a NEW
+  * session, so the open one is final). State per key: the not-yet-final
+  * event suffix (≈ lateness window) + one open (n_events, last_ms) pair.
+  * Emits (user_id, n_events, session_end_ms) per closed session.
+  */
+class SessionLateProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, (Long, Long, java.sql.Timestamp),
+      (Long, Long, Long)] {
+  @transient private var buf: ListState[Long] = _
+  @transient private var sess: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[Long]("buf", Encoders.scalaLong, TTLConfig.NONE)
+    sess = getHandle.getValueState[(Long, Long)]("sess",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+  }
+
+  private def drain(key: Long, wmMs: Long): Iterator[(Long, Long, Long)] = {
+    val all = buf.get().toArray
+    val (ready, pending) = all.partition(_ < wmMs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var (c, last) =
+      if (sess.exists()) sess.get() else (0L, Long.MinValue)
+    ready.sorted.foreach { ms =>
+      if (last != Long.MinValue && ms - last > gapMs) {
+        out += ((key, c, last)) // a finalized later event revealed the gap
+        c = 0L
+      }
+      c += 1
+      if (ms > last) last = ms
+    }
+    if (ready.nonEmpty) {
+      if (pending.isEmpty) buf.clear() else buf.put(pending)
+    }
+    // watermark-driven close: final once no admissible event can extend it
+    if (c > 0 && wmMs > last + gapMs) {
+      out += ((key, c, last))
+      c = 0L; last = Long.MinValue
+      sess.clear()
+    } else if (c > 0) sess.update((c, last))
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    val wakes = (if (pending.nonEmpty) Seq(pending.min + 1L) else Nil) ++
+      (if (c > 0) Seq(last + gapMs + 1L) else Nil)
+    if (wakes.nonEmpty) getHandle.registerTimer(wakes.min)
+    out.iterator
+  }
+
+  override def handleInputRows(key: Long,
+                               rows: Iterator[(Long, Long, java.sql.Timestamp)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    buf.appendList(rows.map(_._2).toArray)
+    drain(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[(Long, Long, Long)] =
+    drain(key, timerValues.getCurrentWatermarkInMs())
+}
+
+/** Watermark-honoring interval union — [[graft.ops.TimeOps.intervalUnion]]'s
+  * streaming twin on the same buffer-until-final pattern: each event
+  * contributes [ts, ts+len); overlapping-or-touching finalized intervals
+  * merge into the open run; the run closes once the watermark passes its
+  * END (a future admissible event has ts >= wm > end, so it must open a
+  * new run — exactly the batch sweep's `st > pmax` rule). Emits one row
+  * per CLOSED merged interval: (user_id, s_ms, e_ms, n_events); the
+  * batch twin's per-user (n_intervals, covered_ms) aggregate is a
+  * downstream groupBy over these.
+  */
+class IntervalUnionLateProcessor(lenMs: Long)
+    extends StatefulProcessor[Long, (Long, Long, java.sql.Timestamp),
+      (Long, Long, Long, Long)] {
+  @transient private var buf: ListState[Long] = _
+  @transient private var run: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[Long]("buf", Encoders.scalaLong, TTLConfig.NONE)
+    run = getHandle.getValueState[(Long, Long, Long)]("run",
+      Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+  }
+
+  private def drain(key: Long, wmMs: Long): Iterator[(Long, Long, Long, Long)] = {
+    val all = buf.get().toArray
+    val (ready, pending) = all.partition(_ < wmMs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var cur: Option[(Long, Long, Long)] =
+      if (run.exists()) Some(run.get()) else None
+    ready.sorted.foreach { ms =>
+      cur match {
+        case None => cur = Some((ms, ms + lenMs, 1L))
+        case Some((s, e, n)) =>
+          if (ms > e) { // gap: the finalized event opens a new run
+            out += ((key, s, e, n))
+            cur = Some((ms, ms + lenMs, 1L))
+          } else cur = Some((s, math.max(e, ms + lenMs), n + 1L))
+      }
+    }
+    if (ready.nonEmpty) {
+      if (pending.isEmpty) buf.clear() else buf.put(pending)
+    }
+    cur match {
+      case Some((s, e, n)) if wmMs > e => // no admissible event can touch it
+        out += ((key, s, e, n))
+        cur = None
+        run.clear()
+      case Some(r) => run.update(r)
+      case None => ()
+    }
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    val wakes = (if (pending.nonEmpty) Seq(pending.min + 1L) else Nil) ++
+      cur.map(_._2 + 1L).toSeq
+    if (wakes.nonEmpty) getHandle.registerTimer(wakes.min)
+    out.iterator
+  }
+
+  override def handleInputRows(key: Long,
+                               rows: Iterator[(Long, Long, java.sql.Timestamp)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    buf.appendList(rows.map(_._2).toArray)
+    drain(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] =
+    drain(key, timerValues.getCurrentWatermarkInMs())
+}
+
 /** Session expiry on Spark 4's timer surface, with the HYBRID close
   * contract real sessionization needs: sessions close EITHER when a later
   * event reveals a gap (input-driven — emitted right from
@@ -370,7 +507,10 @@ object StreamOps {
     * The stream ≡ batch guarantee holds for in-order per-key arrival
     * (the `watermark` default of "0 seconds"); raising the delay admits
     * late events the hybrid close contract cannot retract emitted
-    * sessions for — see [[SessionExpiryProcessor.handleInputRows]].
+    * sessions for — see [[SessionExpiryProcessor.handleInputRows]]. For
+    * out-of-order feeds use [[sessionLateTWS]], the buffer-until-final
+    * twin that holds stream ≡ batch under any arrival order within the
+    * lateness window (at the cost of buffering the not-yet-final suffix).
     */
   def sessionExpiryTWS(events: Dataset[(Long, Long)], gapMs: Long,
                        watermark: String = "0 seconds"): Dataset[(Long, Long, Long)] = {
@@ -381,6 +521,42 @@ object StreamOps {
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .transformWithState(new SessionExpiryProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[sessionExpiryTWS]]'s late twin via [[SessionLateProcessor]]:
+    * buffers within the `delay` lateness window and folds events only
+    * when final, so out-of-order per-key arrival still produces exactly
+    * the batch sessionization's closed sessions (StreamingSpec pins it
+    * on shuffled real feeds and across a checkpointed restart).
+    */
+  def sessionLateTWS(events: Dataset[(Long, Long)], gapMs: Long,
+                     delay: String = "10 seconds"): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.toDF("user_id", "ts_ms")
+      .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts_utc", delay)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionLateProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Streaming interval union via [[IntervalUnionLateProcessor]]: emits
+    * each CLOSED merged [s, e) interval with its event count; per-user
+    * coverage aggregates are a downstream groupBy. Late-tolerant within
+    * `delay`, like the other buffer-until-final twins.
+    */
+  def intervalUnionLateTWS(events: Dataset[(Long, Long)], lenMs: Long,
+                           delay: String = "10 seconds")
+      : Dataset[(Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.toDF("user_id", "ts_ms")
+      .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts_utc", delay)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new IntervalUnionLateProcessor(lenMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
@@ -458,6 +634,34 @@ object StreamOps {
         col("band") === col("band_o") && col("doc_id") =!= col("matched_doc"))
       .select(col("doc_id"), col("matched_doc"))
   }
+
+  /** End-to-end STREAMING ingest against the PERSISTED band index — the
+    * continuous-ingest loop [[graft.ops.Dedup.bandIndexIngest]] was built
+    * for, driven from a stream: each micro-batch probes the index through
+    * the bucket-PRUNED read (static `bkt IN` partition filter over the
+    * batch's touched buckets) and appends itself so the next batch sees
+    * it as history. `foreachBatch` executes batches SERIALLY, which is
+    * exactly the index's single-writer contract — the streaming runtime
+    * provides the serialization the batch API documents as the caller's
+    * job. Unlike [[dedupIncrementalStream]] (stateless snapshot-probe,
+    * misses arrival↔arrival pairs), this finds every pair exactly once
+    * across the feed (the sharded-ingest completeness property —
+    * StreamingSpec pins the stream's union against the full-corpus batch
+    * self-join). Candidates land in `outPath` tagged with the batch id;
+    * delivery is at-least-once on restart (a replayed batch re-emits its
+    * pairs and re-appends its bands — band duplicates don't change the
+    * candidate SET, and downstream consumers dedupe pairs by nature).
+    */
+  def dedupIndexIngestStream(docs: DataFrame, indexPath: String,
+                             outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Dedup.bandIndexIngest(indexPath, batch, "doc_id", "text")
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outPath)
+      }.start()
 
   /** G5 — gap-based sessionization via the built-in `session_window`
     * (state-store backed; the batch twin derives session ids with windows).

@@ -226,6 +226,99 @@ object StreamSoak {
           s"SCD2-late mismatch: batch=$wantRunsN stream=$gotN missing=$missing extra=$extra")
       } finally q.stop()
     }
+    // ---- path 4 (r14): late-tolerant SESSIONIZATION under the same
+    // out-of-order feed (VERDICT r13 #3) ----
+    {
+      val rnd = new scala.util.Random(20260814L)
+      val delayDays = 7L
+      println(s"== sessionLateTWS (out-of-order, RocksDB) ==  batch sessions: $wantN")
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory("soak_sessl").toString
+      val outDir = java.nio.file.Files.createTempDirectory("soak_sessl_out").toString
+      val q = graft.streaming.StreamOps.sessionLateTWS(mem.toDS(), GapMs,
+          delay = s"${delayDays * 86400} seconds")
+        .toDF("user_id", "n_events", "session_end_ms")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+      val t0 = System.nanoTime()
+      try {
+        var holdback = Vector.empty[(Long, Long)]
+        chunks.foreach { c =>
+          val expanded = c.toIndexedSeq.flatMap { case (u, ts) =>
+            (0 until reps).map(r => (u + r * Stride, ts)) }
+          val (late, now) = expanded.partition(_ => rnd.nextDouble() < 0.1)
+          val batch = rnd.shuffle(now ++ holdback)
+          holdback = late.toVector
+          mem.addData(batch)
+          q.processAllAvailable()
+        }
+        mem.addData(holdback)
+        q.processAllAvailable()
+        val far = maxTs + delayDays * 86400000L * 3
+        mem.addData(Seq((-1L, far)))
+        q.processAllAvailable()
+        mem.addData(Seq((-1L, far + 1)))
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        progressSummary(q, sec, base.length.toLong * reps)
+        assertStreamEqBatch(spark.read.parquet(outDir).filter(col("user_id") >= 0)
+          .withColumnRenamed("session_end_ms", "end_ms"), "session-late")
+      } finally q.stop()
+    }
+
+    // ---- path 5 (r14): late-tolerant INTERVAL UNION, same feed ----
+    {
+      val rnd = new scala.util.Random(20260814L)
+      val delayDays = 7L
+      val lenMs = 600000L
+      val wantIu = graft.ops.TimeOps.intervalUnion(eventsNx, lenMs).localCheckpoint()
+      val wantIuN = wantIu.count()
+      println(s"== intervalUnionLateTWS (out-of-order, RocksDB) ==  batch users: $wantIuN")
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory("soak_iul").toString
+      val outDir = java.nio.file.Files.createTempDirectory("soak_iul_out").toString
+      val q = graft.streaming.StreamOps.intervalUnionLateTWS(mem.toDS(), lenMs,
+          delay = s"${delayDays * 86400} seconds")
+        .toDF("user_id", "s_ms", "e_ms", "n_events")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+      val t0 = System.nanoTime()
+      try {
+        var holdback = Vector.empty[(Long, Long)]
+        chunks.foreach { c =>
+          val expanded = c.toIndexedSeq.flatMap { case (u, ts) =>
+            (0 until reps).map(r => (u + r * Stride, ts)) }
+          val (late, now) = expanded.partition(_ => rnd.nextDouble() < 0.1)
+          val batch = rnd.shuffle(now ++ holdback)
+          holdback = late.toVector
+          mem.addData(batch)
+          q.processAllAvailable()
+        }
+        mem.addData(holdback)
+        q.processAllAvailable()
+        val far = maxTs + delayDays * 86400000L * 3
+        mem.addData(Seq((-1L, far)))
+        q.processAllAvailable()
+        mem.addData(Seq((-1L, far + 1)))
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        progressSummary(q, sec, base.length.toLong * reps)
+        // every run closed after the sentinel: per-user aggregate over the
+        // emissions must equal the oracle-gated batch intervalUnion
+        val gotAgg = spark.read.parquet(outDir).filter(col("user_id") >= 0)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("e_ms") - col("s_ms")).as("covered_ms"))
+        val gotN2 = gotAgg.count()
+        val missing = wantIu.exceptAll(gotAgg).count()
+        val extra = gotAgg.exceptAll(wantIu).count()
+        println(s"  users=$gotN2  stream==batch: ${gotN2 == wantIuN && missing == 0 && extra == 0}")
+        require(gotN2 == wantIuN && missing == 0 && extra == 0,
+          s"interval-late mismatch: batch=$wantIuN stream=$gotN2 missing=$missing extra=$extra")
+      } finally q.stop()
+    }
     println("StreamSoak OK")
     spark.stop()
   }

@@ -384,6 +384,230 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("dedupIndexIngestStream: streamed micro-batch ingest finds every full-corpus pair exactly once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the streaming twin of OpsSpec's 3-batch sharded-ingest property:
+    // foreachBatch serializes the single-writer loop, each batch probes
+    // the bucket-pruned index and appends itself
+    val docs = Tables.documents(spark, Sf0001)
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val dir = java.nio.file.Files.createTempDirectory("stream_ingest").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupIndexIngestStream(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$dir/idx", s"$dir/out", s"$dir/ckpt")
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.read.parquet(s"$dir/out")
+      val gotPairs = got.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = graft.ops.Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(full.nonEmpty, "fixture produced no pairs — vacuous")
+      assert(gotPairs === full)
+      // exactly once: no pair found by two different batches
+      assert(got.groupBy("doc_a", "doc_b")
+        .agg(countDistinct("batch_id").as("n"))
+        .filter(col("n") > 1).count() === 0)
+    } finally q.stop()
+  }
+
+  test("sessionLateTWS: fully shuffled arrival still matches batch sessionize (in-order twin's contract gap closed)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gap = 1800000L
+      val e = Tables.events(spark, Sf0001).select(col("user_id"), col("ts_ms"))
+      val rows = e.as[(Long, Long)].collect()
+      val shuffled = new scala.util.Random(14L).shuffle(rows.toVector)
+      val span = rows.map(_._2).max - rows.map(_._2).min
+      val mem = MemoryStream[(Long, Long)]
+      val q = StreamOps.sessionLateTWS(mem.toDS(), gap,
+          delay = s"${span / 1000 + 1} seconds")
+        .toDF("user_id", "n_events", "session_end_ms")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sess_late_out").start()
+      try {
+        shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk)
+          q.processAllAvailable()
+        }
+        // the far-future sentinel drives the watermark past last+gap for
+        // every user — ALL sessions close, including each user's final one
+        mem.addData(Seq((999999L, rows.map(_._2).max + 3 * (span + gap))))
+        q.processAllAvailable()
+        val got = spark.table("sess_late_out")
+          .filter(col("user_id") =!= 999999L).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val want = graft.ops.TimeOps.sessionize(
+            e.withColumn("event_id", lit(0L)), gap)
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n"), max(col("ts_ms")).as("last"))
+          .select("user_id", "n", "last").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(want.nonEmpty, "fixture produced no sessions — vacuous")
+        assert(got === want)
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("intervalUnionLateTWS: shuffled arrival closed intervals == the batch sweep's merged intervals") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val len = 600000L
+      val e = Tables.events(spark, Sf0001).select(col("user_id"), col("ts_ms"))
+      val rows = e.as[(Long, Long)].collect()
+      val shuffled = new scala.util.Random(15L).shuffle(rows.toVector)
+      val span = rows.map(_._2).max - rows.map(_._2).min
+      val mem = MemoryStream[(Long, Long)]
+      val q = StreamOps.intervalUnionLateTWS(mem.toDS(), len,
+          delay = s"${span / 1000 + 1} seconds")
+        .toDF("user_id", "s_ms", "e_ms", "n_events")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("iu_late_out").start()
+      try {
+        shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk)
+          q.processAllAvailable()
+        }
+        mem.addData(Seq((999999L, rows.map(_._2).max + 3 * (span + len))))
+        q.processAllAvailable()
+        val got = spark.table("iu_late_out")
+          .filter(col("user_id") =!= 999999L).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        // independent oracle: the merge sweep folded locally per user
+        val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          var cur: Option[(Long, Long, Long)] = None
+          es.map(_._2).sorted.foreach { ms =>
+            cur match {
+              case None => cur = Some((ms, ms + len, 1L))
+              case Some((s, en, n)) =>
+                if (ms > en) { out += ((u, s, en, n)); cur = Some((ms, ms + len, 1L)) }
+                else cur = Some((s, math.max(en, ms + len), n + 1L))
+            }
+          }
+          cur.foreach { case (s, en, n) => out += ((u, s, en, n)) }
+          out
+        }.toSet
+        assert(want.nonEmpty, "fixture produced no intervals — vacuous")
+        assert(got === want)
+        // and the per-user aggregate over the emissions equals the batch
+        // intervalUnion (every run is closed after the sentinel)
+        val aggGot = spark.table("iu_late_out")
+          .filter(col("user_id") =!= 999999L)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("e_ms") - col("s_ms")).as("covered_ms"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val aggWant = graft.ops.TimeOps.intervalUnion(
+            e.withColumn("event_id", lit(0L)), len)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(aggGot === aggWant)
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("sessionLateTWS + intervalUnionLateTWS: checkpointed restart mid-stream — still == batch") {
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gap = 1800000L; val len = 600000L
+      val e = Tables.events(spark, Sf0001).select(col("user_id"), col("ts_ms"))
+      val rows = e.as[(Long, Long)].collect()
+      val tsCut = rows.map(_._2).sorted.apply(rows.length / 2)
+      val span = rows.map(_._2).max - rows.map(_._2).min
+      val rnd = new scala.util.Random(16L)
+      val p1 = rnd.shuffle(rows.filter(_._2 < tsCut).toVector)
+      val p2 = rnd.shuffle(rows.filter(_._2 >= tsCut).toVector) :+
+        ((999999L, rows.map(_._2).max + 3 * (span + gap)))
+      val schema = p1.toDF("user_id", "ts_ms").schema
+      for (which <- Seq("sess", "iu")) {
+        val srcDir = java.nio.file.Files.createTempDirectory(s"${which}src").toString
+        val ckpt = java.nio.file.Files.createTempDirectory(s"${which}ckpt").toString
+        val outDir = java.nio.file.Files.createTempDirectory(s"${which}out").toString
+        p1.toDF("user_id", "ts_ms")
+          .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b0")
+        def start() = {
+          val src = spark.readStream.schema(schema).parquet(s"$srcDir/*")
+            .as[(Long, Long)]
+          val out =
+            if (which == "sess")
+              StreamOps.sessionLateTWS(src, gap, delay = "2 seconds")
+                .toDF("user_id", "a", "b").withColumn("c", lit(0L))
+            else
+              StreamOps.intervalUnionLateTWS(src, len, delay = "2 seconds")
+                .toDF("user_id", "a", "b", "c")
+          out.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet").option("path", outDir).start()
+        }
+        val q1 = start()
+        try q1.processAllAvailable() finally q1.stop()
+        p2.toDF("user_id", "ts_ms")
+          .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+        val got = spark.read.parquet(outDir)
+          .filter(col("user_id") =!= 999999L)
+          .select("user_id", "a", "b", "c").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        val want =
+          if (which == "sess")
+            graft.ops.TimeOps.sessionize(e.withColumn("event_id", lit(0L)), gap)
+              .groupBy(col("user_id"), col("session_idx"))
+              .agg(count(lit(1)).as("n"), max(col("ts_ms")).as("last"))
+              .select(col("user_id"), col("n"), col("last"), lit(0L).as("c"))
+              .collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+          else rows.groupBy(_._1).flatMap { case (u, es) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            var cur: Option[(Long, Long, Long)] = None
+            es.map(_._2).sorted.foreach { ms =>
+              cur match {
+                case None => cur = Some((ms, ms + len, 1L))
+                case Some((s, en, n)) =>
+                  if (ms > en) { out += ((u, s, en, n)); cur = Some((ms, ms + len, 1L)) }
+                  else cur = Some((s, math.max(en, ms + len), n + 1L))
+              }
+            }
+            cur.foreach { case (s, en, n) => out += ((u, s, en, n)) }
+            out
+          }.toSet
+        assert(want.nonEmpty, s"$which: vacuous fixture")
+        assert(got === want, s"$which: restart diverged from batch")
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateRunsLateTWS: checkpointed restart restores buffer + open runs — stream still == batch") {
     import spark.implicits._
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

@@ -4,12 +4,20 @@ directory, then the caller runs graft.Verify + check.py on it. Surfaces
 data-dependent Spark-vs-DuckDB divergence (rounding ties, null paths,
 duplicate keys) that the fixed fixtures can't.
 
-Usage: python3 tools/fuzz_data.py <outDir> <seed> [rows] [--adversarial|--degenerate]
+Usage: python3 tools/fuzz_data.py <outDir> <seed> [rows] [--adversarial|--degenerate|--hotband]
 
 --adversarial skews every distribution at its degenerate edge: one hot
 key carrying most rows, near-constant value columns (tie storms for
 sorts/windows/percentiles), duplicate event timestamps, empty/1-char/
 unicode/whitespace documents, duplicate embedding vectors.
+
+--hotband is the crawl-duplicate pack (VERDICT r13 #7 / r14 item 1):
+a single spam text carries ~40% of the documents (one saturated LSH
+band bucket -- the candidate-pair blow-up shape the bounded incremental
+probe caps), five medium near-identical families carry another ~20%,
+and the rest stay organic. Exercises the hot-band star path of
+q_dedup_incremental_bounded and the quadratic contrast keys against
+their oracles at adversarial duplicate density.
 
 --degenerate is the distribution-collapse pack (VERDICT r12 #7):
 single-row dimension tables (1 region/nation/customer/supplier), every
@@ -27,7 +35,7 @@ import sys, random, json, datetime
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-def main(out, seed, n=3000, adversarial=False, degenerate=False):
+def main(out, seed, n=3000, adversarial=False, degenerate=False, hotband=False):
     if degenerate:
         return main_degenerate(out, seed, n)
     rnd = random.Random(seed)
@@ -110,6 +118,14 @@ def main(out, seed, n=3000, adversarial=False, degenerate=False):
     # inject exact duplicates (doc-dedup path)
     for i in range(0, nD, 17):
         if i+1 < nD: texts[i+1] = texts[i]
+    if hotband:
+        spam = "free offer click now best deal limited time act today " * 2
+        fams = ["medium family %d repeated content appearing again and again here" % k
+                for k in range(5)]
+        for i in range(nD):
+            r = rnd.random()
+            if r < 0.4: texts[i] = spam
+            elif r < 0.6: texts[i] = rnd.choice(fams)
     if adversarial:
         degenerate = ["", " ", "a", "  \t  ", "h\u00e9llo w\u00f6rld \u4f60\u597d",
                       "the the the the the the the the", "\u00df\u00df \u00df\u00df",
@@ -220,4 +236,5 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     main(args[0], int(args[1]), int(args[2]) if len(args) > 2 else 3000,
          adversarial="--adversarial" in sys.argv,
+         hotband="--hotband" in sys.argv,
          degenerate="--degenerate" in sys.argv)
