@@ -113,6 +113,12 @@ object Bench {
       val t0 = System.nanoTime()
       val err = runOnce(name)
       val secs = (System.nanoTime() - t0) / 1e9
+      // drain the async listener bus BEFORE clearing the key: the timed
+      // noop save's onSuccess may still be queued, and clearing first
+      // would drop or misattribute its plan counts (r14 review). Outside
+      // the timing capture.
+      org.apache.spark.sql.graftbridge.Bridge.awaitListenerBusEmpty(
+        spark.sparkContext)
       currentKey.set("")
       val v = if (err.isEmpty) secs else -1.0
       // one JSON line per query AS IT COMPLETES: the driver's tail-capture

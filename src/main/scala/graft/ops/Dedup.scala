@@ -260,6 +260,7 @@ object Dedup {
       numBands, rowsPerBand, shingleN, buckets))
     val candidates = probeAgainstIndex(spark, path, newBands, buckets)
     appendBands(newBands, path)
+    stampLayout(spark, path, buckets)
     candidates
   }
 
@@ -277,8 +278,10 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(arrivals.sparkSession.sparkContext.hadoopConfiguration)
     recoverBandIndex(fs, path)
+    bandLayout(fs, path, buckets)
     appendBands(ingestBands(arrivals, idCol, textCol,
       numBands, rowsPerBand, shingleN, buckets), path)
+    LayoutSidecar.stampOrCheck(fs, path, buckets)
   }
 
   /** Read-only [[bandIndexIngest]]: probe `arrivals` against the stored
@@ -328,6 +331,7 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverBandIndex(fs, path) // heal a crashed compact before reading
+    bandLayout(fs, path, buckets)
     val touched = newBands.select("bkt").distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) // all-short batch: zero bands, zero candidates
@@ -344,10 +348,55 @@ object Dedup {
   /** The band-bucket partition key: a fixed hash of the band string into
     * `buckets` directories. Part of the index contract like the banding
     * parameters themselves — every ingest/compact on one index must use
-    * the same bucket count.
+    * the same bucket count, and that count is PERSISTED in the layout
+    * sidecar ([[LayoutSidecar]]) so a mismatched caller fails loudly
+    * instead of silently pruning away colliding buckets (r14 review).
     */
   private def bktOf(buckets: Int): Column =
     pmod(xxhash64(col("band")), lit(buckets.toLong)).cast("int")
+
+  /** Validate-or-stamp the index's bucket count; throws on a caller
+    * mismatch AND on a pre-r14 flat-layout index (whose rows the bucketed
+    * reader would silently drop — migrate with [[bandIndexMigrate]]).
+    */
+  private def stampLayout(spark: org.apache.spark.sql.SparkSession,
+                          path: String, buckets: Int): Unit =
+    LayoutSidecar.stampOrCheck(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), path, buckets)
+
+  private def bandLayout(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                         buckets: Int): Unit =
+    LayoutSidecar.check(fs, path, buckets,
+      legacyHint = "pre-r14 flat band index — rewrite it with " +
+        "Dedup.bandIndexMigrate(spark, path, buckets) before probing")
+
+  /** One-time migration of a pre-r14 FLAT band index into the bucketed
+    * layout: same staged swap as [[bandIndexCompact]] (crash-recoverable
+    * via [[recoverBandIndex]] at every entry point), rewriting the rows
+    * under `bkt=` directories and stamping the layout sidecar. Without
+    * this, a flat index probed by the bucketed reader returns an EMPTY
+    * stored side (the missing bkt column reads null and the partition
+    * filter drops every row) — silent candidate loss (r14 review).
+    */
+  def bandIndexMigrate(spark: org.apache.spark.sql.SparkSession,
+                       path: String, buckets: Int = 16): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverBandIndex(fs, path)
+    if (fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+      spark.read.schema(bandSchema).parquet(path)
+        .withColumn("bkt", bktOf(buckets))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(tmp.toString)
+      LayoutSidecar.stamp(fs, tmp.toString, buckets)
+      val aside = new org.apache.hadoop.fs.Path(path + ".aside")
+      renameOrThrow(fs, p, aside)
+      renameOrThrow(fs, tmp, p)
+      fs.delete(aside, true)
+    }
+  }
 
   /** The ingest path's band derivation: the grouped [[lshBandTable]] over
     * a batch REPARTITIONED by doc id. The repartition does two jobs at
@@ -442,6 +491,9 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverBandIndex(fs, path)
+    val stamped = LayoutSidecar.requireStamped(fs, path,
+      "pre-r14 flat band index — rewrite it with Dedup.bandIndexMigrate " +
+        "before compacting")
     if (fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
       val aside = new org.apache.hadoop.fs.Path(path + ".aside")
@@ -452,6 +504,7 @@ object Dedup {
       spark.read.schema(bandSchemaBkt).parquet(path)
         .repartition(targetParts, col("bkt"))
         .write.mode("overwrite").partitionBy("bkt").parquet(tmp.toString)
+      stamped.foreach(b => LayoutSidecar.stamp(fs, tmp.toString, b))
       renameOrThrow(fs, p, aside)
       renameOrThrow(fs, tmp, p)
       fs.delete(aside, true)
@@ -557,10 +610,15 @@ object Dedup {
       .join(broadcast(touched.withColumnRenamed("band", "band_t")),
         col("band") === col("band_t"))
       .groupBy("band")
-      .agg(count(lit(1)).as("occupancy"),
+      // DISTINCT members, not rows: a replayed at-least-once ingest can
+      // leave duplicate (doc_id, band) rows in the index, and row-counted
+      // occupancy would flip a band past the cap spuriously, silently
+      // shrinking the emitted candidate set (r14 review). On a clean
+      // index the two counts are identical (one row per doc per band).
+      .agg(count_distinct(col("doc_id")).as("occupancy"),
         min(col("doc_id")).as("rep_all"),
         min(when(!col("is_new"), col("doc_id"))).as("rep_stored"),
-        sum(when(col("is_new"), lit(1L)).otherwise(lit(0L))).as("n_new"))
+        count_distinct(when(col("is_new"), col("doc_id"))).as("n_new"))
     val hot = occ.filter(col("occupancy") > maxBucket)
     val hotBands = hot.select("band")
     // cold bands: the unchanged exact all-pairs probe join
@@ -616,6 +674,7 @@ object Dedup {
     val bounded = lshIncrementalCandidatesBounded(
       stored, newBands.select("doc_id", "band"), maxBucket)
     appendBands(newBands, path)
+    stampLayout(spark, path, buckets)
     bounded
   }
 

@@ -407,6 +407,7 @@ object IvfIndex {
     * (pinned in IvfIndexSpec, measured in `tools/IvfPruneBench`).
     */
   def save(model: Model, path: String): Unit = {
+    clearLayoutSidecar(model.centroids.sparkSession, path)
     model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     // repartition BY cell before the partitioned write: an unrepartitioned
     // partitionBy emits one file per (task, cell) — measured 15,248 files
@@ -430,6 +431,7 @@ object IvfIndex {
   def saveQuantized(model: Model, path: String,
                     params: Quantize.Sq8Params): Unit = {
     val spark = model.centroids.sparkSession
+    clearLayoutSidecar(spark, path)
     model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     model.assignments
       .withColumn("codes",
@@ -456,6 +458,7 @@ object IvfIndex {
     */
   def saveQuantizedPq(model: Model, path: String, pq: Pq.PqModel): Unit = {
     val spark = model.centroids.sparkSession
+    clearLayoutSidecar(spark, path)
     model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     graft.functions.PqF.register(spark)
     model.assignments
@@ -519,6 +522,16 @@ object IvfIndex {
 
   private def cbktOf(cellBuckets: Int): org.apache.spark.sql.Column =
     pmod(col("cell"), lit(cellBuckets.toLong)).cast("int")
+
+  /** A NON-bucketed save over a previously-bucketed path must remove the
+    * stale layout sidecar, or layout auto-detection would filter on a
+    * cbkt column the rewritten assignments no longer have (r14 review).
+    */
+  private def clearLayoutSidecar(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/layout")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 
   /** The bucketed-layout sidecar, if this index uses it. */
   private def layoutCellBuckets(spark: SparkSession,
@@ -776,9 +789,15 @@ object IvfIndex {
         val staged = new Path(c.getPath.getParent, s".compact_${c.getPath.getName}")
         val aside = new Path(c.getPath.getParent, s".compact_old_${c.getPath.getName}")
         try {
-          spark.read.parquet(c.getPath.toString)
-            .coalesce(nOut)
-            .write.mode("overwrite").parquet(staged.toString)
+          // bucketed dirs must keep cell-sorted files: the layout's
+          // row-group min/max cell skipping depends on it (r14 review —
+          // a plain coalesce interleaves cell ranges across row groups)
+          val rows = spark.read.parquet(c.getPath.toString).coalesce(nOut)
+          val resorted =
+            if (c.getPath.getName.startsWith("cbkt="))
+              rows.sortWithinPartitions("cell")
+            else rows
+          resorted.write.mode("overwrite").parquet(staged.toString)
           val nNew = dataFiles(staged).length
           // whole-directory rename-aside swap: the cell is never a
           // mixture of old and new files, and the aside copy survives a

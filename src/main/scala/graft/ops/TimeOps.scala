@@ -214,12 +214,26 @@ object TimeOps {
   def writeKeyBucketedArchive(events: DataFrame, path: String,
                               buckets: Int = 64): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(events.sparkSession.sparkContext.hadoopConfiguration)
+    archiveLayout(fs, path, buckets)
     events.select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
       .withColumn("ubkt",
         pmod(xxhash64(col("user_id")), lit(buckets.toLong)).cast("int"))
       .repartition(col("ubkt"))
       .write.mode("append").partitionBy("ubkt").parquet(path)
+    LayoutSidecar.stampOrCheck(fs, path, buckets)
   }
+
+  /** The archive's frozen bucket count, stamped at creation and validated
+    * on every write/read (r14 review: a modulus mismatch would silently
+    * prune directories that DO hold affected-key history).
+    */
+  private def archiveLayout(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String, buckets: Int): Unit =
+    LayoutSidecar.check(fs, path, buckets,
+      legacyHint = "archive written without a layout sidecar — rewrite it " +
+        "with TimeOps.writeKeyBucketedArchive into a fresh path")
 
   /** [[stateRunsMerge]] against a key-bucketed archive — the pruned-read
     * form of step 3 that the flat merge's scaladoc promises (VERDICT r13
@@ -239,6 +253,9 @@ object TimeOps {
                              lateEvents: DataFrame,
                              buckets: Int = 64): DataFrame = {
     val spark = lateEvents.sparkSession
+    archiveLayout(new org.apache.hadoop.fs.Path(archivePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      archivePath, buckets)
     val cols = Seq("user_id", "ts_ms", "event_id", "event_type").map(col)
     val touched = lateEvents
       .select(col("user_id"),

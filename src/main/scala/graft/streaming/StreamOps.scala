@@ -649,8 +649,10 @@ object StreamOps {
     * StreamingSpec pins the stream's union against the full-corpus batch
     * self-join). Candidates land in `outPath` tagged with the batch id;
     * delivery is at-least-once on restart (a replayed batch re-emits its
-    * pairs and re-appends its bands — band duplicates don't change the
-    * candidate SET, and downstream consumers dedupe pairs by nature).
+    * pairs and re-appends its bands — band duplicates change neither the
+    * candidate SET nor the bounded probe's occupancy accounting, which
+    * counts DISTINCT members; downstream consumers dedupe pairs by
+    * nature).
     */
   def dedupIndexIngestStream(docs: DataFrame, indexPath: String,
                              outPath: String, checkpoint: String)

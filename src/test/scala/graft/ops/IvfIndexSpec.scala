@@ -658,6 +658,12 @@ class IvfIndexSpec extends SparkTestBase {
     assert(done > 0 && after < before, s"compacted $done: $before -> $after")
     assert(adc(s"$base/bkt") === postAppend,
       "compact changed the served results")
+    // a NON-bucketed re-save over the bucketed path must clear the stale
+    // layout sidecar, or auto-detection filters on a cbkt column the
+    // rewritten assignments no longer have (r14 review #2)
+    IvfIndex.saveQuantizedPq(model, s"$base/bkt", pq)
+    assert(adc(s"$base/bkt") === want,
+      "per-cell re-save over a bucketed path must serve correctly")
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
   }
 

@@ -259,6 +259,62 @@ class OpsSpec extends SparkTestBase {
     assert(allPairs.size < 60, s"expected linear output, got ${allPairs.size} pairs")
   }
 
+  test("layout guards: legacy flat index refused then migrated; bucket-count mismatch refused") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different sentence about spark engines here"))
+      .toDF("doc_id", "text")
+    // a pre-r14 FLAT index: band rows written directly at the path
+    val dir = java.nio.file.Files.createTempDirectory("band_legacy").toString + "/idx"
+    Dedup.lshBandTable(docs.filter(col("doc_id") =!= 2L), "doc_id", "text")
+      .write.parquet(dir)
+    val probe2 = docs.filter(col("doc_id") === 2L)
+    // the bucketed reader would silently return ZERO stored rows on this
+    // layout — it must refuse instead (r14 review #1)
+    val e1 = intercept[IllegalStateException] {
+      Dedup.bandIndexProbe(dir, probe2, "doc_id", "text") }
+    assert(e1.getMessage.contains("bandIndexMigrate"))
+    intercept[IllegalStateException] { Dedup.bandIndexCompact(spark, dir) }
+    // migration rewrites into the bucketed layout; the probe then finds
+    // the cross-batch duplicate it would have silently lost
+    Dedup.bandIndexMigrate(spark, dir)
+    val got = Dedup.bandIndexProbe(dir, probe2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)), s"post-migration probe lost pairs: $got")
+    // bucket count is frozen at creation: a mismatched caller fails loudly
+    // instead of pruning away colliding directories (r14 review #4)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.bandIndexProbe(dir, probe2, "doc_id", "text", buckets = 32) }
+    assert(e2.getMessage.contains("frozen"))
+    intercept[IllegalArgumentException] {
+      Dedup.bandIndexIngest(dir, probe2, "doc_id", "text", buckets = 8) }
+    // compact preserves the stamped layout across the staged swap
+    Dedup.bandIndexCompact(spark, dir)
+    assert(Dedup.bandIndexProbe(dir, probe2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("bounded occupancy counts DISTINCT members: replayed duplicate band rows cannot flip a band hot") {
+    import spark.implicits._
+    // 4 distinct docs in one band, every stored row tripled (an
+    // at-least-once replay): row count 9 > maxBucket=5 but distinct
+    // members 4 <= 5 — the band must stay on the EXACT path
+    val text = "the quick brown fox jumps over the lazy dog"
+    val stored = Dedup.lshBandTable(
+      Seq((1L, text), (2L, text), (3L, text)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val storedDup = stored.unionByName(stored).unionByName(stored)
+    val nb = Dedup.lshBandTable(Seq((4L, text)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val r = Dedup.lshIncrementalCandidatesBounded(storedDup, nb, maxBucket = 5)
+    assert(r.overflow.isEmpty,
+      "duplicate rows must not inflate occupancy past the cap")
+    val pairs = r.pairs.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs === Set((1L, 4L), (2L, 4L), (3L, 4L)))
+  }
+
   test("bandIndexIngest survives an empty first batch (no poisoned index dir)") {
     import spark.implicits._
     // every doc under shingleN tokens -> zero band rows; the append still
