@@ -512,6 +512,21 @@ object ExtQueries {
         .pairs.orderBy("doc_a", "doc_b")
     }),
 
+    // North star — the cap's OBSERVABILITY frame, oracle-gated in its own
+    // right: which bands saturated, their true occupancy, and exactly how
+    // many arrival-touching pairs the star suppressed. "No silent
+    // truncation" as a checked contract, not a doc sentence.
+    "q_dedup_overflow_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val arrivals = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      Dedup.lshIncrementalCandidatesBounded(
+          Dedup.lshBandTable(history.repartition(col("doc_id")), "doc_id", "text"),
+          Dedup.lshBandTable(arrivals.repartition(col("doc_id")), "doc_id", "text"),
+          maxBucket = 2)
+        .overflow.orderBy("band")
+    }),
+
     // North star — 32-bit SimHash document fingerprints.
     "q_simhash" -> ((s, d) => {
       TextOps.simhash32(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
@@ -777,6 +792,19 @@ object ExtQueries {
         """star AS (SELECT LEAST(m.doc_id, h.rep_all) AS doc_a, GREATEST(m.doc_id, h.rep_all) AS doc_b FROM allb m JOIN hot h ON m.b = h.b WHERE m.is_new AND m.doc_id <> h.rep_all), """ +
         """bridge AS (SELECT LEAST(rep_all, rep_stored) AS doc_a, GREATEST(rep_all, rep_stored) AS doc_b FROM hot WHERE rep_stored IS NOT NULL AND rep_stored <> rep_all) """ +
         """SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM exact UNION ALL SELECT * FROM star UNION ALL SELECT * FROM bridge) ORDER BY 1, 2"""),
+    // the cap's overflow accounting: per saturated band, the occupancy,
+    // arrival count, star+bridge emissions, and suppressed pair count
+    "q_dedup_overflow_report" ->
+      ("""WITH tok AS (SELECT doc_id, """ + tokSql + """ AS t FROM documents), """ +
+        """sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), """ +
+        """sig AS (SELECT doc_id, MIN(substr(md5(s), 1, 8)) AS mh0, MIN(substr(md5(s), 9, 8)) AS mh1, MIN(substr(md5(s), 17, 8)) AS mh2, MIN(substr(md5(s), 25, 8)) AS mh3 FROM sh GROUP BY doc_id), """ +
+        """allb AS (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b, doc_id % 2 = 1 AS is_new FROM sig), """ +
+        """occ AS (SELECT b, COUNT(DISTINCT doc_id) AS occupancy, MIN(doc_id) AS rep_all, MIN(CASE WHEN NOT is_new THEN doc_id END) AS rep_stored, COUNT(DISTINCT CASE WHEN is_new THEN doc_id END) AS n_new FROM allb WHERE b IN (SELECT b FROM allb WHERE is_new) GROUP BY b), """ +
+        """hot AS (SELECT * FROM occ WHERE occupancy > 2) """ +
+        """SELECT b AS band, occupancy, n_new, """ +
+        """(n_new - CASE WHEN rep_stored IS NULL OR rep_stored <> rep_all THEN 1 ELSE 0 END) + CASE WHEN rep_stored IS NOT NULL AND rep_stored <> rep_all THEN 1 ELSE 0 END AS emitted, """ +
+        """CAST((occupancy * (occupancy - 1) - (occupancy - n_new) * (occupancy - n_new - 1)) / 2 AS BIGINT) - ((n_new - CASE WHEN rep_stored IS NULL OR rep_stored <> rep_all THEN 1 ELSE 0 END) + CASE WHEN rep_stored IS NOT NULL AND rep_stored <> rep_all THEN 1 ELSE 0 END) AS suppressed """ +
+        """FROM hot ORDER BY band"""),
     "q_simhash" -> simhashSql,
     "q_ngram_jaccard" ->
       ("""WITH tok AS (SELECT doc_id, """ + tokSql + """ AS t FROM documents), """ +
