@@ -658,6 +658,27 @@ object Dedup {
     BoundedCandidates(pairs, overflow)
   }
 
+  /** One-shot [[lshCandidatePairs]] with the hot-band cap — the batch
+    * self-join form for crawl-grade duplicate density: with an empty
+    * stored side every doc is an "arrival", so
+    * [[lshIncrementalCandidatesBounded]]'s machinery reduces exactly to
+    * the one-shot semantics (occupancy = band size, exact pairs below the
+    * cap, a star onto the band minimum above it, same overflow
+    * accounting). OpsSpec pins equality with the exact form under a high
+    * cap and the star shape on a planted bucket.
+    */
+  def lshCandidatePairsBounded(docs: DataFrame, idCol: String,
+                               textCol: String, numBands: Int = 2,
+                               rowsPerBand: Int = 2, shingleN: Int = 3,
+                               maxBucket: Int = 1024): BoundedCandidates = {
+    val bands = lshBandTable(docs.repartition(col(idCol)), idCol, textCol,
+      numBands, rowsPerBand, shingleN)
+    val empty = docs.sparkSession.createDataFrame(
+      docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      bandSchema)
+    lshIncrementalCandidatesBounded(empty, bands, maxBucket)
+  }
+
   /** [[bandIndexIngest]] with the hot-band cap: probe through
     * [[lshIncrementalCandidatesBounded]], then append the batch into the
     * bucketed index. Same layout, same single-writer contract.

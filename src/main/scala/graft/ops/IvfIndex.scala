@@ -481,6 +481,37 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$path/pq_params")
   }
 
+  /** [[saveQuantized]]'s cell-bucketed sibling — the SQ8 counterpart of
+    * [[saveQuantizedPqBucketed]] (same writer cliff: 215 s / 16k files at
+    * nlist=16384 in IvfProdBench). [[load]] reconstructs embeddings and
+    * drops the bucket column, so the decode serving path runs unchanged;
+    * the probed-cell filter pushes into row-group min/max inside the
+    * constant-count bucket directories.
+    */
+  def saveQuantizedBucketed(model: Model, path: String,
+                            params: Quantize.Sq8Params,
+                            cellBuckets: Int = 256): Unit = {
+    require(cellBuckets >= 1, s"cellBuckets must be >= 1, got $cellBuckets")
+    val spark = model.centroids.sparkSession
+    model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    model.assignments
+      .withColumn("codes",
+        Quantize.sq8Encode(model.assignments, col("embedding"), params))
+      .drop("embedding")
+      .withColumn("cbkt", cbktOf(cellBuckets))
+      .repartition(col("cbkt"))
+      .sortWithinPartitions("cell")
+      .write.mode("overwrite").partitionBy("cbkt")
+      .parquet(s"$path/assignments")
+    import spark.implicits._
+    Seq((params.offset.toSeq, params.scale.toSeq)).toDF("offset", "scale")
+      .select(col("offset").cast("array<float>").as("offset"),
+        col("scale").cast("array<float>").as("scale"))
+      .write.mode("overwrite").parquet(s"$path/sq8_params")
+    Seq(cellBuckets).toDF("cell_buckets")
+      .write.mode("overwrite").parquet(s"$path/layout")
+  }
+
   /** [[saveQuantizedPq]] in the CELL-BUCKETED layout for production cell
     * counts: one directory per cell stops scaling past nlist ≈ 1k — the
     * partitioned write commits nlist files, and every subsequent read

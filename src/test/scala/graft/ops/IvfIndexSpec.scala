@@ -667,6 +667,22 @@ class IvfIndexSpec extends SparkTestBase {
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
   }
 
+  test("bucketed SQ8 layout: load+search equal to the per-cell layout") {
+    val params = Quantize.fitSq8(model.assignments, "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ivf_sq8bkt").toString
+    IvfIndex.saveQuantized(model, s"$base/flat", params)
+    IvfIndex.saveQuantizedBucketed(model, s"$base/bkt", params, cellBuckets = 4)
+    def search(p: String) = {
+      val m = IvfIndex.load(spark, p)
+      IvfIndex.searchTopKBatch(m, Seq(0L, 7L), k = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val want = search(s"$base/flat")
+    assert(want.nonEmpty && search(s"$base/bkt") === want,
+      "bucketed SQ8 layout changed decode-serving results")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
+  }
+
   test("assignCoarse: full coarse probe == exact assign; partial probe valid, deterministic, near-exact") {
     val cents = model.centroids
     val exact = IvfIndex.assign(emb, cents)

@@ -296,6 +296,28 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("lshCandidatePairsBounded: one-shot form == exact pairs under a high cap; stars a planted bucket") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+    val exact = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val high = Dedup.lshCandidatePairsBounded(docs, "doc_id", "text",
+      maxBucket = 1 << 20)
+    assert(high.overflow.isEmpty)
+    assert(exact.nonEmpty &&
+      high.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === exact)
+    // planted hot bucket: 20 identical docs, cap 8 — star onto doc 0
+    val spam = (0 until 20).map(i =>
+      (i.toLong, "same spam text repeated for every single document here"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.lshCandidatePairsBounded(spam, "doc_id", "text",
+      maxBucket = 8)
+    val pairs = capped.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (1 until 20).map(i => (0L, i.toLong)).toSet,
+      s"expected the star onto doc 0, got $pairs")
+    assert(capped.overflow.count() > 0)
+  }
+
   test("bounded occupancy counts DISTINCT members: replayed duplicate band rows cannot flip a band hot") {
     import spark.implicits._
     // 4 distinct docs in one band, every stored row tripled (an
