@@ -44,10 +44,13 @@ object IvfProdBench {
       val model = t("build(coarse, iters=2)") {
         graft.ops.IvfIndex.build(corpus, nlist, iters = 2, route = route) }
       val dir = java.nio.file.Files.createTempDirectory(s"ivfprod_$nlist").toString
+      val params = graft.ops.Quantize.fitSq8(model.assignments, "embedding")
       t("saveQuantized (SQ8)") {
-        val params = graft.ops.Quantize.fitSq8(model.assignments, "embedding")
         graft.ops.IvfIndex.saveQuantized(model, s"$dir/sq8", params) }
       println(s"  sq8 files=${countFiles(s"$dir/sq8")}")
+      t("saveQuantizedBucketed (SQ8)") {
+        graft.ops.IvfIndex.saveQuantizedBucketed(model, s"$dir/sq8b", params) }
+      println(s"  sq8b files=${countFiles(s"$dir/sq8b")}")
       val pq = t("Pq.fit (m=8)") { graft.ops.Pq.fit(corpus, m = 8, iters = 2) }
       t("saveQuantizedPq (m=8)") {
         graft.ops.IvfIndex.saveQuantizedPq(model, s"$dir/pq", pq) }
