@@ -658,6 +658,39 @@ object Dedup {
     BoundedCandidates(pairs, overflow)
   }
 
+  /** GENERIC persisted-index surface (r14): the bucketed band index is
+    * not text-specific — any (doc_id, band-string) derivation can live in
+    * one (hyperplane-LSH embedding signatures do,
+    * [[Similarity.embIndexIngest]]). These two entry points take
+    * PRECOMPUTED band frames; the text wrappers above are thin
+    * compositions over them with [[lshBandTable]].
+    */
+  def bandIndexAppendPrecomputed(path: String, bands: DataFrame,
+                                 buckets: Int = 16): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = bands.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverBandIndex(fs, path)
+    bandLayout(fs, path, buckets)
+    appendBands(bands.select(col("doc_id"), col("band"))
+      .withColumn("bkt", bktOf(buckets)), path)
+    LayoutSidecar.stampOrCheck(fs, path, buckets)
+  }
+
+  /** The bucket-PRUNED stored read for precomputed PROBE bands: heals,
+    * validates the layout, lists only the probe's touched buckets.
+    * Returns (doc_id, band) — the caller owns the candidate join (e.g.
+    * the embedding path's asymmetric multi-probe join).
+    */
+  def bandIndexPrunedStored(path: String, probeBands: DataFrame,
+                            buckets: Int = 16): DataFrame = {
+    val spark = probeBands.sparkSession
+    prunedStored(spark, path,
+      probeBands.select(col("doc_id"), col("band"))
+        .withColumn("bkt", bktOf(buckets)), buckets)
+  }
+
   /** One-shot [[lshCandidatePairs]] with the hot-band cap — the batch
     * self-join form for crawl-grade duplicate density: with an empty
     * stored side every doc is an "arrival", so
@@ -697,6 +730,94 @@ object Dedup {
     appendBands(newBands, path)
     stampLayout(spark, path, buckets)
     bounded
+  }
+
+  /** Hot-bucket cap for an ASYMMETRIC probe (r14): the searched side is
+    * the band MEMBER set — `(doc_id, band, is_new)`, stored index rows
+    * (is_new=false) plus the batch's own home rows (is_new=true) — and
+    * the probe side a `(doc_id, band)` PROBE set whose rows need not be
+    * members of the bands they probe (the embedding index's 1-bit-flip
+    * multi-probe, [[Similarity.embIndexIngestBounded]]). Text banding is
+    * the symmetric special case (probes == the batch's member rows);
+    * this generalizes [[lshIncrementalCandidatesBounded]]'s star cap: a
+    * band whose DISTINCT-member occupancy exceeds `maxBucket` emits one
+    * pair per prober onto the band representative (min member id over
+    * stored ∪ new) plus the (rep_all, rep_stored) bridge when the overall
+    * min is itself new — per hot band ≤ n_probe + 1 rows instead of
+    * O(occupancy · n_probe). The completeness-for-connectivity trade and
+    * its rationale are [[lshIncrementalCandidatesBounded]]'s, verbatim;
+    * connectivity across batches holds by the same rep-chain argument
+    * because every arrival home-probes its own bucket
+    * (SimilaritySpec mirrors OpsSpec's descending-id pin).
+    *
+    * Overflow accounting (exact, per band; a pair surfacing via two bands
+    * is accounted in each): with m = occupancy, p = distinct probers,
+    * q = probers that are themselves members of the band, the unordered
+    * member↔prober pairs touching the band are m·p − q − q(q−1)/2
+    * (member==prober self-pairs removed once, both-sides-member-prober
+    * pairs counted from both ends halved); emitted =
+    * p − [rep_all probes the band] + [bridge row emitted]. Every
+    * accounting join runs on the touched slice — bounded by the batch's
+    * probe set, never the index.
+    */
+  def boundedProbeCandidates(searched: DataFrame, probes: DataFrame,
+                             maxBucket: Int = 1024): BoundedCandidates = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val pr = probes.select(col("doc_id").as("doc_n"), col("band").as("band_n"))
+    val touched = pr.select(col("band_n").as("band")).distinct()
+    val occ = searched
+      .join(broadcast(touched), Seq("band"))
+      .groupBy("band")
+      // DISTINCT members for the same replayed-ingest reason as the
+      // symmetric form (and union-time duplicates of stored∪home rows)
+      .agg(count_distinct(col("doc_id")).as("occupancy"),
+        min(col("doc_id")).as("rep_all"),
+        min(when(!col("is_new"), col("doc_id"))).as("rep_stored"))
+    val hot = occ.filter(col("occupancy") > maxBucket)
+    val hotBands = hot.select("band")
+    // cold bands: the unchanged exact asymmetric probe join
+    val cold = searched.join(broadcast(hotBands), Seq("band"), "left_anti")
+    val prCold = pr.join(broadcast(hotBands.withColumnRenamed("band", "band_n")),
+      Seq("band_n"), "left_anti")
+    val exact = cold.join(broadcast(prCold),
+        col("band") === col("band_n") && col("doc_id") =!= col("doc_n"))
+      .select(least(col("doc_id"), col("doc_n")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_n")).as("doc_b"))
+    // hot bands: probers star onto the band representative
+    val prHot = pr.join(broadcast(hot.select(col("band").as("band_n"),
+        col("rep_all"), col("rep_stored"))), Seq("band_n"))
+    val star = prHot.filter(col("doc_n") =!= col("rep_all"))
+      .select(least(col("doc_n"), col("rep_all")).as("doc_a"),
+        greatest(col("doc_n"), col("rep_all")).as("doc_b"))
+    val bridge = hot
+      .filter(col("rep_stored").isNotNull && col("rep_stored") =!= col("rep_all"))
+      .select(least(col("rep_all"), col("rep_stored")).as("doc_a"),
+        greatest(col("rep_all"), col("rep_stored")).as("doc_b"))
+    val pairs = exact.unionByName(star).unionByName(bridge).distinct()
+    // exact per-band accounting over the (bounded) hot slice
+    val pStats = prHot.groupBy("band_n")
+      .agg(count_distinct(col("doc_n")).as("n_probe"),
+        count_distinct(when(col("doc_n") === col("rep_all"), col("doc_n")))
+          .as("rep_probes"))
+    val qStats = searched.join(broadcast(hotBands), Seq("band"))
+      .select(col("band").as("band_n"), col("doc_id").as("doc_n"))
+      .join(pr, Seq("band_n", "doc_n"))
+      .groupBy("band_n")
+      .agg(count_distinct(col("doc_n")).as("q"))
+    val bridgeFlag = when(col("rep_stored").isNotNull &&
+      col("rep_stored") =!= col("rep_all"), lit(1L)).otherwise(lit(0L))
+    val overflow = hot
+      .join(pStats.withColumnRenamed("band_n", "band"), Seq("band"), "left")
+      .join(qStats.withColumnRenamed("band_n", "band"), Seq("band"), "left")
+      .withColumn("n_probe", coalesce(col("n_probe"), lit(0L)))
+      .withColumn("q", coalesce(col("q"), lit(0L)))
+      .withColumn("emitted", col("n_probe") -
+        coalesce(col("rep_probes"), lit(0L)) + bridgeFlag)
+      .withColumn("touching", (col("occupancy") * col("n_probe") - col("q") -
+        (col("q") * (col("q") - 1) / lit(2)).cast("long")))
+      .select(col("band"), col("occupancy"), col("n_probe"),
+        col("emitted"), (col("touching") - col("emitted")).as("suppressed"))
+    BoundedCandidates(pairs, overflow)
   }
 
   def lshIncrementalCandidates(storedBands: DataFrame,

@@ -109,6 +109,142 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** The (doc_id, band) HOME-bucket table of an embedding frame: one row
+    * per vector, band = the `bits`-bit hyperplane signature as a string —
+    * the embedding analog of [[Dedup.lshBandTable]], sharing the same
+    * persisted-index machinery ([[Dedup.bandIndexAppendPrecomputed]]).
+    */
+  def embBandTable(emb: DataFrame, idCol: String, embCol: String,
+                   bits: Int = 8, seed: Long = 42L,
+                   dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+            else emb.select(size(col(embCol))).head().getInt(0)
+    emb.select(col(idCol).as("doc_id"),
+      hyperplaneSig(emb, embCol, d, bits, seed).cast("string").as("band"))
+  }
+
+  /** [[embBandTable]] plus every 1-bit flip — the multi-probe PROBE side
+    * (recovers pairs straddling one hyperplane, exactly
+    * [[topPairsPerBlockBounded]]'s contract).
+    */
+  def embProbeTable(emb: DataFrame, idCol: String, embCol: String,
+                    bits: Int = 8, seed: Long = 42L,
+                    dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+            else emb.select(size(col(embCol))).head().getInt(0)
+    val sig = hyperplaneSig(emb, embCol, d, bits, seed)
+    emb.select(col(idCol).as("doc_id"),
+        explode(array((sig.cast("string") +: (0 until bits).map(b =>
+          sig.bitwiseXOR(lit(1L << b)).cast("string"))): _*)).as("band"))
+  }
+
+  /** Incremental EMBEDDING near-dup against a persisted hyperplane-bucket
+    * index — the continuous-ingest shape for the vector side of the
+    * corpus, completing the symmetry with the text band index
+    * ([[Dedup.bandIndexIngest]]): the index stores each vector's HOME
+    * bucket; an arriving batch probes its home bucket plus every 1-bit
+    * flip against the bucket-PRUNED stored read (static partition
+    * filter), then appends its home rows so the next batch sees it as
+    * history. Candidate contract: (a, b) surfaces iff their home
+    * signatures are within Hamming distance 1 (either side's flip probes
+    * reach the other's home) and at least one side is an arrival — the
+    * arrival-restricted full-corpus contract, found exactly once per
+    * pair across a sharded feed (SimilaritySpec pins both, mirroring the
+    * text index's OpsSpec pins). Bits/seed/dim are frozen index
+    * parameters like the banding itself. foreachBatch-serial writers,
+    * same single-writer contract and layout sidecar as the text index
+    * (it IS the same on-disk machinery).
+    */
+  def embIndexIngest(path: String, arrivals: DataFrame,
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     bits: Int = 8, seed: Long = 42L, dim: Int = -1,
+                     buckets: Int = 16): DataFrame = {
+    val spark = arrivals.sparkSession
+    val d = if (dim > 0) dim
+            else arrivals.select(size(col(embCol))).head().getInt(0)
+    // one checkpoint of the signed batch: home + probe rows and the
+    // append all derive from it without recomputing the signature dots
+    val signed = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(
+        arrivals.select(col(idCol).as("doc_id"),
+          hyperplaneSig(arrivals, embCol, d, bits, seed).as("sig"))
+          .localCheckpoint())
+    val home = signed.select(col("doc_id"), col("sig").cast("string").as("band"))
+    val probes = signed.select(col("doc_id"),
+      explode(array((col("sig").cast("string") +: (0 until bits).map(b =>
+        col("sig").bitwiseXOR(lit(1L << b)).cast("string"))): _*)).as("band"))
+    val stored = Dedup.bandIndexPrunedStored(path, probes, buckets)
+    // asymmetric multi-probe join: the probe side (batch, broadcast)
+    // carries the flips; the searched side is stored HOME rows ∪ the
+    // batch's own home rows (new↔new pairs within Hamming 1 surface from
+    // the flip probes; home==home pairs from the zero-flip probe)
+    val all = stored.unionByName(home)
+    val candidates = all
+      .join(broadcast(probes.select(col("doc_id").as("doc_n"),
+          col("band").as("band_n"))),
+        col("band") === col("band_n") && col("doc_id") =!= col("doc_n"))
+      .select(least(col("doc_id"), col("doc_n")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_n")).as("doc_b"))
+      .distinct()
+    Dedup.bandIndexAppendPrecomputed(path, home, buckets)
+    candidates
+  }
+
+  /** [[embIndexIngest]] with the hot-bucket cap: a saturated HOME bucket
+    * (a spam/boilerplate cluster of near-identical vectors all hashing to
+    * one signature — the crawl-adversarial input, same shape the text
+    * index is bounded against) makes the exact probe emit
+    * O(occupancy · n_probe) pairs per batch. This routes through
+    * [[Dedup.boundedProbeCandidates]]: cold buckets keep the exact
+    * asymmetric multi-probe join, hot buckets emit the prober star onto
+    * the bucket representative plus the min-chain bridge — linear output,
+    * connectivity preserved across batches, suppression reported in the
+    * overflow frame (no silent truncation). Same index layout and
+    * single-writer contract as [[embIndexIngest]]; the two ingest forms
+    * are interchangeable on one index.
+    */
+  def embIndexIngestBounded(path: String, arrivals: DataFrame,
+                            idCol: String = "vec_id",
+                            embCol: String = "embedding",
+                            bits: Int = 8, seed: Long = 42L, dim: Int = -1,
+                            buckets: Int = 16,
+                            maxBucket: Int = 1024): Dedup.BoundedCandidates = {
+    val d = if (dim > 0) dim
+            else arrivals.select(size(col(embCol))).head().getInt(0)
+    val signed = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(
+        arrivals.select(col(idCol).as("doc_id"),
+          hyperplaneSig(arrivals, embCol, d, bits, seed).as("sig"))
+          .localCheckpoint())
+    val home = signed.select(col("doc_id"), col("sig").cast("string").as("band"))
+    val probes = signed.select(col("doc_id"),
+      explode(array((col("sig").cast("string") +: (0 until bits).map(b =>
+        col("sig").bitwiseXOR(lit(1L << b)).cast("string"))): _*)).as("band"))
+    val stored = Dedup.bandIndexPrunedStored(path, probes, buckets)
+    val searched = stored.withColumn("is_new", lit(false))
+      .unionByName(home.withColumn("is_new", lit(true)))
+    val bounded = Dedup.boundedProbeCandidates(searched, probes, maxBucket)
+    Dedup.bandIndexAppendPrecomputed(path, home, buckets)
+    bounded
+  }
+
+  /** Read-only [[embIndexIngest]] — probe without appending. */
+  def embIndexProbe(path: String, arrivals: DataFrame,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    bits: Int = 8, seed: Long = 42L, dim: Int = -1,
+                    buckets: Int = 16): DataFrame = {
+    val probes = embProbeTable(arrivals, idCol, embCol, bits, seed, dim)
+    val home = embBandTable(arrivals, idCol, embCol, bits, seed, dim)
+    val stored = Dedup.bandIndexPrunedStored(path, probes, buckets)
+    stored.unionByName(home)
+      .join(broadcast(probes.select(col("doc_id").as("doc_n"),
+          col("band").as("band_n"))),
+        col("band") === col("band_n") && col("doc_id") =!= col("doc_n"))
+      .select(least(col("doc_id"), col("doc_n")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_n")).as("doc_b"))
+      .distinct()
+  }
+
   /** Sub-blocked near-duplicate ranking — the bounded scale path for
     * [[topPairsPerBlock]] (soak showed in-block pairs grow quadratically
     * with block size). Candidates are generated within (block, hyperplane

@@ -451,6 +451,26 @@ object ExtQueries {
         .orderBy("label", "id_a", "id_b")
     }),
 
+    // North star — INCREMENTAL embedding near-dup against a persisted
+    // hyperplane-bucket index (Similarity.embIndexIngest): the vector
+    // side's continuous-ingest shape, the same bucketed/pruned on-disk
+    // machinery as the text band index. Even vec_ids indexed, odd
+    // vec_ids probed (home + 1-bit flips, arrival-restricted Hamming<=1
+    // contract). No SQL oracle (seeded hyperplane family, like
+    // q_embed_neardup_bounded); the incremental ≡ restricted-full and
+    // sharded-completeness contracts are SimilaritySpec's — driver
+    // records the rows-only check.
+    "q_embed_dedup_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val history = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val arrivals = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val dir = CoreQueries.pidScopedDir("graft_emb_band_index", d)
+      val home = Similarity.embBandTable(history, "vec_id", "embedding")
+      Dedup.bandIndexAppendPrecomputed(dir.toString, home)
+      Similarity.embIndexProbe(dir.toString, arrivals)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // North star — heavy hitters via the mergeable Misra-Gries udaf
     // (functions.HeavyHittersAgg). With capacity >= key cardinality the
     // summary degenerates to exact counting, so the same op that

@@ -91,4 +91,137 @@ class SimilaritySpec extends SparkTestBase {
     // the join keys must include the bucket, not just the block
     assert(plan.contains("bucket"), s"bucket key missing from plan:\n$plan")
   }
+
+  test("embIndexIngest: sharded ingest finds every Hamming<=1 home-sig pair exactly once; pruned read") {
+    import spark.implicits._
+    // real embeddings, 3-batch sharded feed — the text band index's
+    // completeness property, on the vector side
+    val emb = graft.Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("emb_idx").toString + "/idx"
+    val batches = (0 until 3).map(i =>
+      emb.filter(pmod(col("vec_id"), lit(3)) === i))
+    val perBatch = batches.map(b =>
+      Similarity.embIndexIngest(dir, b, dim = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // full-corpus contract: pairs whose HOME signatures differ in <= 1 bit
+    val homes = Similarity.embBandTable(emb, "vec_id", "embedding", dim = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1).toLong))
+    val full = (for {
+      (a, sa) <- homes; (b, sb) <- homes
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 1
+    } yield (a, b)).toSet
+    assert(full.nonEmpty, "fixture produced no Hamming<=1 pairs — vacuous")
+    assert(perBatch.reduce(_ ++ _) === full)
+    assert(perBatch.combinations(2).forall { case Seq(x, y) => (x & y).isEmpty },
+      "a pair surfaced in two batches")
+    // probe-only twin: arrival-restricted contract, nothing appended
+    val probeBatch = batches(2)
+    val before = spark.read.schema(Dedup.bandSchemaBkt).parquet(dir).count()
+    val got = Similarity.embIndexProbe(dir, probeBatch, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val arrivals = probeBatch.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got === full.filter { case (a, b) =>
+      arrivals.contains(a) || arrivals.contains(b) })
+    assert(spark.read.schema(Dedup.bandSchemaBkt).parquet(dir).count() === before,
+      "probe must not append")
+  }
+
+  test("embIndexIngestBounded == exact under a high cap; stars a planted hot bucket with honest accounting") {
+    import spark.implicits._
+    // high cap on real embeddings: identical pairs to the exact probe
+    val emb = graft.Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val history = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val arrivals = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val base = java.nio.file.Files.createTempDirectory("emb_bnd").toString
+    val dirA = base + "/a"; val dirB = base + "/b"
+    Dedup.bandIndexAppendPrecomputed(dirA,
+      Similarity.embBandTable(history, "vec_id", "embedding", dim = 16))
+    Dedup.bandIndexAppendPrecomputed(dirB,
+      Similarity.embBandTable(history, "vec_id", "embedding", dim = 16))
+    val exact = Similarity.embIndexProbe(dirA, arrivals, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val high = Similarity.embIndexIngestBounded(dirB, arrivals, dim = 16,
+      maxBucket = 1 << 20)
+    assert(high.overflow.isEmpty, "no bucket saturates the high cap")
+    val highPairs = high.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && highPairs === exact)
+
+    // planted hot bucket: 30 identical vectors (one home signature),
+    // 15 indexed + 15 arriving, cap 8 — star onto the stored rep only
+    val same = {
+      val v = Array.fill(16)(0.25f)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val hotAll = (0L until 30L).map(i => (i, same))
+    val dirC = base + "/c"
+    Dedup.bandIndexAppendPrecomputed(dirC, Similarity.embBandTable(
+      hotAll.filter(_._1 % 2 == 0).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 16))
+    val bounded = Similarity.embIndexIngestBounded(dirC,
+      hotAll.filter(_._1 % 2 == 1).toDF("vec_id", "embedding"),
+      dim = 16, maxBucket = 8)
+    val pairs = bounded.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star only: every arrival pairs with rep_all = 0 (stored ⇒ no bridge)
+    assert(pairs === (1L until 30L by 2).map(i => (0L, i)).toSet,
+      s"hot bucket must emit the arrival star onto vec 0, got $pairs")
+    // exact accounting: ONE hot band (the shared home signature);
+    // m=30, p=15 probers (all members ⇒ q=15), rep 0 stored ⇒ no rep
+    // probe, no bridge: touching = 30·15 − 15 − C(15,2) = 330, emitted 15
+    val of = bounded.overflow.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(of.toSeq === Seq((30L, 15L, 15L, 315L)), s"overflow: ${of.toSeq}")
+  }
+
+  test("bounded emb ingest keeps hot-bucket connectivity across batches (descending ids exercise the bridge)") {
+    import spark.implicits._
+    // ids DESCEND across batches: each batch's min is a new overall min,
+    // so the star alone would strand earlier members without the
+    // (rep_all, rep_stored) bridge — OpsSpec's pin, on the vector side
+    val same = {
+      val v = Array.tabulate(16)(i => if (i % 2 == 0) 0.3f else -0.1f)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("emb_bnd_cc").toString + "/idx"
+    val allPairs = scala.collection.mutable.Set[(Long, Long)]()
+    Seq(20L until 30L, 10L until 20L, 0L until 10L).foreach { ids =>
+      val b = ids.map(i => (i, same)).toDF("vec_id", "embedding")
+      val r = Similarity.embIndexIngestBounded(dir, b, dim = 16, maxBucket = 4)
+      allPairs ++= r.pairs.collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(r.overflow.count() > 0, "the hot bucket must saturate")
+    }
+    val parent = scala.collection.mutable.Map((0L until 30L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    allPairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0L until 30L).map(find).toSet.size === 1,
+      s"hot bucket fractured; pairs=$allPairs")
+    assert(allPairs.size < 60, s"expected linear output, got ${allPairs.size} pairs")
+  }
+
+  test("embIndexIngest recovers planted near-identical vectors across batches") {
+    import spark.implicits._
+    // a jittered twin of a batch-1 vector arriving in batch 2 must be
+    // flagged against the INDEXED original (the serving use case)
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val bases = (0L until 40L).map(i => (i, unit()))
+    val twins = bases.take(20).map { case (i, v) =>
+      val w = v.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      (i + 1000L, w.map(x => (x / n).toFloat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("emb_twin").toString + "/idx"
+    Similarity.embIndexIngest(dir, bases.toDF("vec_id", "embedding"), dim = dim)
+    val got = Similarity.embIndexIngest(dir, twins.toDF("vec_id", "embedding"), dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recovered = (0L until 20L).count(i => got.contains((i, i + 1000L)))
+    assert(recovered >= 14,
+      s"multi-probe should catch most planted twins, got $recovered/20")
+  }
 }
