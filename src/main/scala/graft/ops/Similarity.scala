@@ -109,6 +109,16 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Embedding width for the hyperplane family: the explicit `dim` if
+    * given, else inferred from the first row. An EMPTY frame infers 1 —
+    * no row ever evaluates a plane, and a streaming foreachBatch loop
+    * legitimately delivers empty micro-batches (a `.head()` here threw).
+    */
+  private def inferDim(emb: DataFrame, embCol: String, dim: Int): Int =
+    if (dim > 0) dim
+    else emb.select(size(col(embCol))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(1)
+
   /** The (doc_id, band) HOME-bucket table of an embedding frame: one row
     * per vector, band = the `bits`-bit hyperplane signature as a string —
     * the embedding analog of [[Dedup.lshBandTable]], sharing the same
@@ -117,8 +127,7 @@ object Similarity {
   def embBandTable(emb: DataFrame, idCol: String, embCol: String,
                    bits: Int = 8, seed: Long = 42L,
                    dim: Int = -1): DataFrame = {
-    val d = if (dim > 0) dim
-            else emb.select(size(col(embCol))).head().getInt(0)
+    val d = inferDim(emb, embCol, dim)
     emb.select(col(idCol).as("doc_id"),
       hyperplaneSig(emb, embCol, d, bits, seed).cast("string").as("band"))
   }
@@ -130,12 +139,35 @@ object Similarity {
   def embProbeTable(emb: DataFrame, idCol: String, embCol: String,
                     bits: Int = 8, seed: Long = 42L,
                     dim: Int = -1): DataFrame = {
-    val d = if (dim > 0) dim
-            else emb.select(size(col(embCol))).head().getInt(0)
+    val d = inferDim(emb, embCol, dim)
     val sig = hyperplaneSig(emb, embCol, d, bits, seed)
     emb.select(col(idCol).as("doc_id"),
         explode(array((sig.cast("string") +: (0 until bits).map(b =>
           sig.bitwiseXOR(lit(1L << b)).cast("string"))): _*)).as("band"))
+  }
+
+  /** One checkpointed derivation of a batch's signatures, unpacked into
+    * the HOME rows (what the index stores) and the PROBE rows (home +
+    * every 1-bit flip): the ingest flow references the signed batch from
+    * three separate actions (touched-bucket collect, candidate join,
+    * append), and without the checkpoint each re-runs the signature dots
+    * (same rationale as [[Dedup]]'s ckptBands). Batch-bounded by the
+    * ingest contract; constraints dropped like every checkpoint here.
+    */
+  private def signedBatch(arrivals: DataFrame, idCol: String,
+                          embCol: String, bits: Int, seed: Long,
+                          dim: Int): (DataFrame, DataFrame) = {
+    val d = inferDim(arrivals, embCol, dim)
+    val signed = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(
+        arrivals.select(col(idCol).as("doc_id"),
+          hyperplaneSig(arrivals, embCol, d, bits, seed).as("sig"))
+          .localCheckpoint())
+    (signed.select(col("doc_id"), col("sig").cast("string").as("band")),
+      signed.select(col("doc_id"),
+        explode(array((col("sig").cast("string") +: (0 until bits).map(b =>
+          col("sig").bitwiseXOR(lit(1L << b)).cast("string"))): _*))
+          .as("band")))
   }
 
   /** Incremental EMBEDDING near-dup against a persisted hyperplane-bucket
@@ -159,20 +191,7 @@ object Similarity {
                      idCol: String = "vec_id", embCol: String = "embedding",
                      bits: Int = 8, seed: Long = 42L, dim: Int = -1,
                      buckets: Int = 16): DataFrame = {
-    val spark = arrivals.sparkSession
-    val d = if (dim > 0) dim
-            else arrivals.select(size(col(embCol))).head().getInt(0)
-    // one checkpoint of the signed batch: home + probe rows and the
-    // append all derive from it without recomputing the signature dots
-    val signed = org.apache.spark.sql.graftbridge.Bridge
-      .dropCheckpointConstraints(
-        arrivals.select(col(idCol).as("doc_id"),
-          hyperplaneSig(arrivals, embCol, d, bits, seed).as("sig"))
-          .localCheckpoint())
-    val home = signed.select(col("doc_id"), col("sig").cast("string").as("band"))
-    val probes = signed.select(col("doc_id"),
-      explode(array((col("sig").cast("string") +: (0 until bits).map(b =>
-        col("sig").bitwiseXOR(lit(1L << b)).cast("string"))): _*)).as("band"))
+    val (home, probes) = signedBatch(arrivals, idCol, embCol, bits, seed, dim)
     val stored = Dedup.bandIndexPrunedStored(path, probes, buckets)
     // asymmetric multi-probe join: the probe side (batch, broadcast)
     // carries the flips; the searched side is stored HOME rows ∪ the
@@ -209,17 +228,7 @@ object Similarity {
                             bits: Int = 8, seed: Long = 42L, dim: Int = -1,
                             buckets: Int = 16,
                             maxBucket: Int = 1024): Dedup.BoundedCandidates = {
-    val d = if (dim > 0) dim
-            else arrivals.select(size(col(embCol))).head().getInt(0)
-    val signed = org.apache.spark.sql.graftbridge.Bridge
-      .dropCheckpointConstraints(
-        arrivals.select(col(idCol).as("doc_id"),
-          hyperplaneSig(arrivals, embCol, d, bits, seed).as("sig"))
-          .localCheckpoint())
-    val home = signed.select(col("doc_id"), col("sig").cast("string").as("band"))
-    val probes = signed.select(col("doc_id"),
-      explode(array((col("sig").cast("string") +: (0 until bits).map(b =>
-        col("sig").bitwiseXOR(lit(1L << b)).cast("string"))): _*)).as("band"))
+    val (home, probes) = signedBatch(arrivals, idCol, embCol, bits, seed, dim)
     val stored = Dedup.bandIndexPrunedStored(path, probes, buckets)
     val searched = stored.withColumn("is_new", lit(false))
       .unionByName(home.withColumn("is_new", lit(true)))

@@ -665,6 +665,34 @@ object StreamOps {
           .write.mode("append").parquet(outPath)
       }.start()
 
+  /** [[dedupIndexIngestStream]]'s EMBEDDING twin — streaming ingest
+    * against the persisted hyperplane-bucket index
+    * ([[graft.ops.Similarity.embIndexIngest]]): each micro-batch of
+    * (vec_id, embedding) rows probes its home bucket plus every 1-bit
+    * flip through the bucket-pruned stored read, appends its home rows,
+    * and lands the candidate pairs in `outPath` tagged with the batch
+    * id. foreachBatch's serial execution provides the index's
+    * single-writer contract; delivery is at-least-once on restart (a
+    * replayed batch re-emits its pairs and re-appends its home rows —
+    * band duplicates change neither the candidate set nor the bounded
+    * form's DISTINCT-member occupancy). `dim` is a frozen index
+    * parameter like bits/seed; the default infers it per batch (empty
+    * micro-batches are safe — the inference short-circuits).
+    */
+  def embIndexIngestStream(vectors: DataFrame, indexPath: String,
+                           outPath: String, checkpoint: String,
+                           bits: Int = 8, seed: Long = 42L, dim: Int = -1,
+                           buckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Similarity.embIndexIngest(indexPath, batch,
+            "vec_id", "embedding", bits, seed, dim, buckets)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outPath)
+      }.start()
+
   /** G5 — gap-based sessionization via the built-in `session_window`
     * (state-store backed; the batch twin derives session ids with windows).
     */

@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the persisted EMBEDDING band index
+  * (Similarity.embIndexIngest):
+  *
+  *   1. the `bits` dial — home-band cardinality and max occupancy as
+  *      bits grows (the signature width must scale with
+  *      log2(corpus / target-occupancy), or every band saturates);
+  *   2. per-batch ingest wall as the index grows (the continuous-ingest
+  *      cost shape — stored side stays scan-local + broadcast-probed);
+  *   3. the saturated regime (bits too small for the corpus): exact
+  *      probe's candidate blow-up vs the bounded form's linear output.
+  *
+  * Corpus: the sf embeddings replicated `replicas`× with deterministic
+  * per-copy jitter (hash-derived, ±0.002/dim) — keeps the signature
+  * distribution realistic while growing the corpus.
+  */
+object EmbIdxBench {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse("/root/testdata/sf0.1")
+    val cpus = graft.Bench.parseCpus(
+      args.lift(1).orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("32")).toString
+    val replicas = args.lift(2).map(_.toInt).getOrElse(100)
+    val nBatches = args.lift(3).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = graft.Tables.embeddings(spark, srcDir)
+      .select("vec_id", "embedding")
+    val reps = spark.range(replicas).select(col("id").as("rep"))
+    val corpus = base.crossJoin(reps)
+      .select((col("vec_id") * replicas + col("rep")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + (pmod(xxhash64(col("vec_id"), col("rep"), i), lit(4000L))
+            .cast("double") / 1e6 - 0.002).cast("float")))
+          .as("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val n = corpus.count()
+    println(s"corpus: $n vectors ($replicas x ${n / replicas})")
+
+    // 1. bits dial: band cardinality / occupancy
+    Seq(8, 12, 16, 20).foreach { bits =>
+      val home = graft.ops.Similarity
+        .embBandTable(corpus, "vec_id", "embedding", bits = bits)
+      val s = home.groupBy("band").count()
+        .agg(count(lit(1)), max("count"), avg("count")).head()
+      println(f"bits=$bits%2d  bands=${s.getLong(0)}%7d  maxOcc=${s.getLong(1)}%7d  avgOcc=${s.getDouble(2)}%9.1f")
+    }
+
+    // 2. growing-index ingest at bits sized for the corpus (avg occ ~3)
+    val bits = math.min(20,
+      math.max(8, (math.log(n / 3.0) / math.log(2)).ceil.toInt))
+    println(s"ingest sweep at bits=$bits, $nBatches batches")
+    val dir = java.nio.file.Files.createTempDirectory("emb_bench").toString + "/idx"
+    var stored = 0L
+    (0 until nBatches).foreach { i =>
+      val batch = corpus.filter(pmod(col("vec_id"), lit(nBatches)) === i)
+      val t = System.nanoTime()
+      val pairs = graft.ops.Similarity
+        .embIndexIngest(dir, batch, bits = bits).count()
+      val s = (System.nanoTime() - t) / 1e9
+      stored += batch.count()
+      println(f"batch $i%2d  wall=${s}%6.2fs  pairs=$pairs%9d  indexRows=$stored%9d")
+    }
+
+    // 3. saturated regime: bits=8 over this corpus means every band is
+    // hot — exact probe blows up, bounded stays linear
+    val dirE = java.nio.file.Files.createTempDirectory("emb_sat").toString
+    val hist = corpus.filter(pmod(col("vec_id"), lit(nBatches)) =!= 0)
+    val arr = corpus.filter(pmod(col("vec_id"), lit(nBatches)) === 0)
+    graft.ops.Dedup.bandIndexAppendPrecomputed(dirE + "/ex",
+      graft.ops.Similarity.embBandTable(hist, "vec_id", "embedding", bits = 8))
+    graft.ops.Dedup.bandIndexAppendPrecomputed(dirE + "/bd",
+      graft.ops.Similarity.embBandTable(hist, "vec_id", "embedding", bits = 8))
+    val tE = System.nanoTime()
+    val exPairs = graft.ops.Similarity
+      .embIndexIngest(dirE + "/ex", arr, bits = 8).count()
+    println(f"saturated exact   : wall=${(System.nanoTime() - tE) / 1e9}%7.1fs  pairs=$exPairs%12d")
+    val tB = System.nanoTime()
+    val bd = graft.ops.Similarity
+      .embIndexIngestBounded(dirE + "/bd", arr, bits = 8, maxBucket = 1024)
+    val bdPairs = bd.pairs.count()
+    val sup = bd.overflow.agg(sum("suppressed")).head().getLong(0)
+    println(f"saturated bounded : wall=${(System.nanoTime() - tB) / 1e9}%7.1fs  pairs=$bdPairs%12d  suppressed=$sup%d")
+    spark.stop()
+  }
+}

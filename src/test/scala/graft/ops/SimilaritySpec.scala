@@ -199,6 +199,51 @@ class SimilaritySpec extends SparkTestBase {
     assert(allPairs.size < 60, s"expected linear output, got ${allPairs.size} pairs")
   }
 
+  test("embIndexIngest: an empty arrivals batch with inferred dim is a safe no-op") {
+    import spark.implicits._
+    // the foreachBatch loop delivers empty micro-batches; dim inference
+    // must not throw and the index must be unchanged
+    val emb = graft.Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+      .limit(50)
+    val dir = java.nio.file.Files.createTempDirectory("emb_empty").toString + "/idx"
+    Similarity.embIndexIngest(dir, emb, dim = 16)
+    val before = spark.read.schema(Dedup.bandSchemaBkt).parquet(dir)
+      .collect().map(_.toSeq).toSet
+    val empty = emb.filter(lit(false))
+    assert(Similarity.embIndexIngest(dir, empty).count() === 0)
+    assert(Similarity.embIndexIngestBounded(dir, empty).pairs.count() === 0)
+    assert(spark.read.schema(Dedup.bandSchemaBkt).parquet(dir)
+      .collect().map(_.toSeq).toSet === before, "empty ingest must not mutate")
+  }
+
+  test("bandIndexCompact on an embedding index: probe-identical, per-batch files fold") {
+    import spark.implicits._
+    // the shared compactor IS the emb index's maintenance step — pin it
+    // on an index built through the precomputed surface
+    val emb = graft.Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("emb_cmp").toString + "/idx"
+    (0 until 4).foreach { i =>
+      Similarity.embIndexIngest(dir,
+        emb.filter(pmod(col("vec_id"), lit(4)) === i), dim = 16)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def files(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    val probe = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val before = Similarity.embIndexProbe(dir, probe, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nBefore = files()
+    Dedup.bandIndexCompact(spark, dir)
+    assert(files() < nBefore, s"compaction must fold files ($nBefore -> ${files()})")
+    val after = Similarity.embIndexProbe(dir, probe, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.nonEmpty && after === before, "compaction changed the candidate set")
+  }
+
   test("embIndexIngest recovers planted near-identical vectors across batches") {
     import spark.implicits._
     // a jittered twin of a batch-1 vector arriving in batch 2 must be

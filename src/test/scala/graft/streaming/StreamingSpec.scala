@@ -809,4 +809,43 @@ class StreamingSpec extends SparkTestBase {
       assert(gotPerUser.map(_.toSeq).toSeq === batchPerUser.map(_.toSeq).toSeq)
     } finally q.stop()
   }
+
+  test("embIndexIngestStream: streamed vector ingest finds every Hamming<=1 home-sig pair exactly once; empty batch safe") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the embedding twin of the dedupIndexIngestStream property: each
+    // micro-batch probes home + 1-bit flips against the pruned index and
+    // appends its home rows; union across batches == full-corpus contract
+    val emb = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val rows = emb.as[(Long, Array[Float])].collect()
+    val dir = java.nio.file.Files.createTempDirectory("emb_stream").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.embIndexIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"),
+      s"$dir/idx", s"$dir/out", s"$dir/ckpt", dim = 16)
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      chunks.take(1).foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+      // an EMPTY micro-batch mid-stream must neither throw nor emit
+      mem.addData(Seq.empty[(Long, Array[Float])])
+      q.processAllAvailable()
+      chunks.drop(1).foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val got = spark.read.parquet(s"$dir/out")
+      val gotPairs = got.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val homes = graft.ops.Similarity
+        .embBandTable(emb, "vec_id", "embedding", dim = 16)
+        .collect().map(r => (r.getLong(0), r.getString(1).toLong))
+      val full = (for {
+        (a, sa) <- homes; (b, sb) <- homes
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= 1
+      } yield (a, b)).toSet
+      assert(full.nonEmpty, "fixture produced no Hamming<=1 pairs — vacuous")
+      assert(gotPairs === full)
+      // exactly once: no pair found by two different batches
+      assert(got.groupBy("doc_a", "doc_b")
+        .agg(countDistinct("batch_id").as("n"))
+        .filter(col("n") > 1).count() === 0)
+    } finally q.stop()
+  }
 }
