@@ -119,55 +119,101 @@ object Similarity {
     else emb.select(size(col(embCol))).head(1).headOption
       .map(_.getInt(0)).getOrElse(1)
 
-  /** The (doc_id, band) HOME-bucket table of an embedding frame: one row
-    * per vector, band = the `bits`-bit hyperplane signature as a string —
-    * the embedding analog of [[Dedup.lshBandTable]], sharing the same
+  /** The family-f seed of the hyperplane family (golden-ratio stride so
+    * families draw disjoint plane sets); family 0 IS the base seed, so
+    * `families = 1` reproduces the single-family index bit for bit.
+    */
+  private def famSeed(seed: Long, f: Int): Long =
+    if (f == 0) seed else seed + f.toLong * 0x9E3779B97F4A7C15L
+
+  /** Band string of family f's signature. With ONE family the raw
+    * decimal signature (the original on-disk format); with several, a
+    * `f:` prefix keeps the families' band spaces disjoint — a collision
+    * between family 0's signature 37 and family 2's 37 means nothing.
+    * `families` is a frozen index parameter like bits/seed/dim: one
+    * index, one value.
+    */
+  private def bandStr(f: Int, sig: Column, families: Int): Column =
+    if (families == 1) sig.cast("string")
+    else concat(lit(s"$f:"), sig.cast("string"))
+
+  /** The (doc_id, band) HOME-bucket table of an embedding frame — the
+    * embedding analog of [[Dedup.lshBandTable]], sharing the same
     * persisted-index machinery ([[Dedup.bandIndexAppendPrecomputed]]).
+    * One row per (vector, family); band = that family's `bits`-bit
+    * hyperplane signature as a string. `families > 1` is the
+    * OR-amplification dial (the text index's numBands shape): a pair is
+    * a candidate if ANY family puts them within Hamming 1, lifting
+    * recall r to 1-(1-r)^families at families× index rows — the move
+    * when one family cannot serve both occupancy (wants bits high) and
+    * recall at the duplicate angle (wants bits low); measured in
+    * SCALE.md (EmbRecallProbe).
     */
   def embBandTable(emb: DataFrame, idCol: String, embCol: String,
                    bits: Int = 8, seed: Long = 42L,
-                   dim: Int = -1): DataFrame = {
+                   dim: Int = -1, families: Int = 1): DataFrame = {
+    require(families >= 1, s"families must be >= 1, got $families")
     val d = inferDim(emb, embCol, dim)
-    emb.select(col(idCol).as("doc_id"),
-      hyperplaneSig(emb, embCol, d, bits, seed).cast("string").as("band"))
+    val bands = (0 until families).map(f =>
+      bandStr(f, hyperplaneSig(emb, embCol, d, bits, famSeed(seed, f)),
+        families))
+    if (families == 1)
+      emb.select(col(idCol).as("doc_id"), bands.head.as("band"))
+    else
+      emb.select(col(idCol).as("doc_id"),
+        explode(array(bands: _*)).as("band"))
   }
 
-  /** [[embBandTable]] plus every 1-bit flip — the multi-probe PROBE side
-    * (recovers pairs straddling one hyperplane, exactly
+  /** [[embBandTable]] plus every 1-bit flip per family — the multi-probe
+    * PROBE side (recovers pairs straddling one hyperplane, exactly
     * [[topPairsPerBlockBounded]]'s contract).
     */
   def embProbeTable(emb: DataFrame, idCol: String, embCol: String,
                     bits: Int = 8, seed: Long = 42L,
-                    dim: Int = -1): DataFrame = {
+                    dim: Int = -1, families: Int = 1): DataFrame = {
+    require(families >= 1, s"families must be >= 1, got $families")
     val d = inferDim(emb, embCol, dim)
-    val sig = hyperplaneSig(emb, embCol, d, bits, seed)
+    val probes = (0 until families).flatMap { f =>
+      val sig = hyperplaneSig(emb, embCol, d, bits, famSeed(seed, f))
+      bandStr(f, sig, families) +: (0 until bits).map(b =>
+        bandStr(f, sig.bitwiseXOR(lit(1L << b)), families))
+    }
     emb.select(col(idCol).as("doc_id"),
-        explode(array((sig.cast("string") +: (0 until bits).map(b =>
-          sig.bitwiseXOR(lit(1L << b)).cast("string"))): _*)).as("band"))
+      explode(array(probes: _*)).as("band"))
   }
 
   /** One checkpointed derivation of a batch's signatures, unpacked into
     * the HOME rows (what the index stores) and the PROBE rows (home +
-    * every 1-bit flip): the ingest flow references the signed batch from
-    * three separate actions (touched-bucket collect, candidate join,
-    * append), and without the checkpoint each re-runs the signature dots
-    * (same rationale as [[Dedup]]'s ckptBands). Batch-bounded by the
-    * ingest contract; constraints dropped like every checkpoint here.
+    * every 1-bit flip per family): the ingest flow references the signed
+    * batch from three separate actions (touched-bucket collect,
+    * candidate join, append), and without the checkpoint each re-runs
+    * the signature dots (same rationale as [[Dedup]]'s ckptBands).
+    * Batch-bounded by the ingest contract; constraints dropped like
+    * every checkpoint here.
     */
   private def signedBatch(arrivals: DataFrame, idCol: String,
                           embCol: String, bits: Int, seed: Long,
-                          dim: Int): (DataFrame, DataFrame) = {
+                          dim: Int, families: Int): (DataFrame, DataFrame) = {
+    require(families >= 1, s"families must be >= 1, got $families")
     val d = inferDim(arrivals, embCol, dim)
+    val sigCols = (0 until families).map(f =>
+      hyperplaneSig(arrivals, embCol, d, bits, famSeed(seed, f)).as(s"sig_$f"))
     val signed = org.apache.spark.sql.graftbridge.Bridge
       .dropCheckpointConstraints(
-        arrivals.select(col(idCol).as("doc_id"),
-          hyperplaneSig(arrivals, embCol, d, bits, seed).as("sig"))
+        arrivals.select((col(idCol).as("doc_id") +: sigCols): _*)
           .localCheckpoint())
-    (signed.select(col("doc_id"), col("sig").cast("string").as("band")),
-      signed.select(col("doc_id"),
-        explode(array((col("sig").cast("string") +: (0 until bits).map(b =>
-          col("sig").bitwiseXOR(lit(1L << b)).cast("string"))): _*))
-          .as("band")))
+    val homeCols = (0 until families).map(f =>
+      bandStr(f, col(s"sig_$f"), families))
+    val home =
+      if (families == 1) signed.select(col("doc_id"), homeCols.head.as("band"))
+      else signed.select(col("doc_id"),
+        explode(array(homeCols: _*)).as("band"))
+    val probeCols = (0 until families).flatMap { f =>
+      bandStr(f, col(s"sig_$f"), families) +: (0 until bits).map(b =>
+        bandStr(f, col(s"sig_$f").bitwiseXOR(lit(1L << b)), families))
+    }
+    (home, signed.select(col("doc_id"),
+      explode(array(probeCols: _*)).as("band")))
   }
 
   /** Incremental EMBEDDING near-dup against a persisted hyperplane-bucket
@@ -182,16 +228,18 @@ object Similarity {
     * reach the other's home) and at least one side is an arrival — the
     * arrival-restricted full-corpus contract, found exactly once per
     * pair across a sharded feed (SimilaritySpec pins both, mirroring the
-    * text index's OpsSpec pins). Bits/seed/dim are frozen index
-    * parameters like the banding itself. foreachBatch-serial writers,
-    * same single-writer contract and layout sidecar as the text index
-    * (it IS the same on-disk machinery).
+    * text index's OpsSpec pins). Bits/seed/dim/families are frozen index
+    * parameters like the banding itself (`families > 1` widens the
+    * contract to Hamming≤1 in ANY family — see [[embBandTable]]).
+    * foreachBatch-serial writers, same single-writer contract and layout
+    * sidecar as the text index (it IS the same on-disk machinery).
     */
   def embIndexIngest(path: String, arrivals: DataFrame,
                      idCol: String = "vec_id", embCol: String = "embedding",
                      bits: Int = 8, seed: Long = 42L, dim: Int = -1,
-                     buckets: Int = 16): DataFrame = {
-    val (home, probes) = signedBatch(arrivals, idCol, embCol, bits, seed, dim)
+                     buckets: Int = 16, families: Int = 1): DataFrame = {
+    val (home, probes) =
+      signedBatch(arrivals, idCol, embCol, bits, seed, dim, families)
     val stored = Dedup.bandIndexPrunedStored(path, probes, buckets)
     // asymmetric multi-probe join: the probe side (batch, broadcast)
     // carries the flips; the searched side is stored HOME rows ∪ the
@@ -226,9 +274,10 @@ object Similarity {
                             idCol: String = "vec_id",
                             embCol: String = "embedding",
                             bits: Int = 8, seed: Long = 42L, dim: Int = -1,
-                            buckets: Int = 16,
-                            maxBucket: Int = 1024): Dedup.BoundedCandidates = {
-    val (home, probes) = signedBatch(arrivals, idCol, embCol, bits, seed, dim)
+                            buckets: Int = 16, maxBucket: Int = 1024,
+                            families: Int = 1): Dedup.BoundedCandidates = {
+    val (home, probes) =
+      signedBatch(arrivals, idCol, embCol, bits, seed, dim, families)
     val stored = Dedup.bandIndexPrunedStored(path, probes, buckets)
     val searched = stored.withColumn("is_new", lit(false))
       .unionByName(home.withColumn("is_new", lit(true)))
@@ -241,9 +290,10 @@ object Similarity {
   def embIndexProbe(path: String, arrivals: DataFrame,
                     idCol: String = "vec_id", embCol: String = "embedding",
                     bits: Int = 8, seed: Long = 42L, dim: Int = -1,
-                    buckets: Int = 16): DataFrame = {
-    val probes = embProbeTable(arrivals, idCol, embCol, bits, seed, dim)
-    val home = embBandTable(arrivals, idCol, embCol, bits, seed, dim)
+                    buckets: Int = 16, families: Int = 1): DataFrame = {
+    val probes =
+      embProbeTable(arrivals, idCol, embCol, bits, seed, dim, families)
+    val home = embBandTable(arrivals, idCol, embCol, bits, seed, dim, families)
     val stored = Dedup.bandIndexPrunedStored(path, probes, buckets)
     stored.unionByName(home)
       .join(broadcast(probes.select(col("doc_id").as("doc_n"),

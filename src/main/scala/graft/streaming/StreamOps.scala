@@ -682,13 +682,13 @@ object StreamOps {
   def embIndexIngestStream(vectors: DataFrame, indexPath: String,
                            outPath: String, checkpoint: String,
                            bits: Int = 8, seed: Long = 42L, dim: Int = -1,
-                           buckets: Int = 16)
+                           buckets: Int = 16, families: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.ops.Similarity.embIndexIngest(indexPath, batch,
-            "vec_id", "embedding", bits, seed, dim, buckets)
+            "vec_id", "embedding", bits, seed, dim, buckets, families)
           .withColumn("batch_id", lit(id))
           .write.mode("append").parquet(outPath)
       }.start()

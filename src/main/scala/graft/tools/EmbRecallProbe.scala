@@ -74,6 +74,26 @@ object EmbRecallProbe {
         f"bits=$bits%2d ${rec}%6.3f"
       }
       println(f"jit=$jit%5.2f meanAngle=${th}%6.4f rad  n=$n%d  recall@H<=1: ${recalls.mkString("  ")}")
+      // OR-amplification at the hardest setting measured above: recall
+      // of any-family Hamming<=1 (the embIndexIngest families contract)
+      val famRecalls = Seq(1, 2, 4, 8).map { fam =>
+        def fsigs(df: org.apache.spark.sql.DataFrame, shift: Long) = graft.ops.Similarity
+          .embBandTable(df, "vec_id", "embedding", bits = 32, families = fam)
+          .select((col("doc_id") - lit(shift)).as("doc_id"),
+            split(col("band"), ":").as("p"))
+          .select(col("doc_id"),
+            (if (fam == 1) lit(0) else element_at(col("p"), 1).cast("int")).as("f"),
+            element_at(col("p"), -1).cast("long").as("sig"))
+        val rec = fsigs(base, 0L).join(
+            fsigs(tw, 1000000L).withColumnRenamed("sig", "sig_t"),
+            Seq("doc_id", "f"))
+          .groupBy("doc_id")
+          .agg(max((bit_count(col("sig").bitwiseXOR(col("sig_t"))) <= 1)
+            .cast("double")).as("hit"))
+          .agg(avg("hit")).head().getDouble(0)
+        f"F=$fam ${rec}%6.3f"
+      }
+      println(f"jit=$jit%5.2f families@bits=32: ${famRecalls.mkString("  ")}")
     }
     spark.stop()
   }

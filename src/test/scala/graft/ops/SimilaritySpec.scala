@@ -216,6 +216,81 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet === before, "empty ingest must not mutate")
   }
 
+  test("families=2: sharded ingest finds exactly the any-family Hamming<=1 pairs, each once; f=1 format unchanged") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    // back-compat: one family emits the raw decimal signature (the
+    // on-disk format existing indexes hold)
+    assert(Similarity.embBandTable(emb, "vec_id", "embedding", dim = 16)
+      .filter(col("band").contains(":")).count() === 0)
+    val dir = java.nio.file.Files.createTempDirectory("emb_fam").toString + "/idx"
+    val perBatch = (0 until 3).map(i =>
+      Similarity.embIndexIngest(dir,
+          emb.filter(pmod(col("vec_id"), lit(3)) === i), dim = 16, families = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // expected: pairs within Hamming<=1 in ANY family, derived from the
+    // band table's own f:sig strings
+    val sigs = Similarity.embBandTable(emb, "vec_id", "embedding",
+        dim = 16, families = 2)
+      .collect().map { r =>
+        val Array(f, s) = r.getString(1).split(":")
+        ((r.getLong(0), f.toInt), s.toLong)
+      }.toMap
+    val ids = sigs.keys.map(_._1).toSeq.distinct.sorted
+    val full = (for {
+      a <- ids; b <- ids if a < b
+      if (0 until 2).exists(f =>
+        java.lang.Long.bitCount(sigs((a, f)) ^ sigs((b, f))) <= 1)
+    } yield (a, b)).toSet
+    val single = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(sigs((a, 0)) ^ sigs((b, 0))) <= 1
+    } yield (a, b)).toSet
+    assert(full.size > single.size,
+      "fixture vacuous: family 1 adds no pairs over family 0")
+    assert(perBatch.reduce(_ ++ _) === full)
+    assert(perBatch.combinations(2).forall { case Seq(x, y) => (x & y).isEmpty },
+      "a pair surfaced in two batches")
+  }
+
+  test("families=4 OR-amplification recovers planted twins a single family misses") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val bases = (0L until 60L).map(i => (i, unit()))
+    val twins = bases.map { case (i, v) =>
+      val w = v.map(x => x + (rnd.nextGaussian() * 0.035).toFloat)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      (i + 1000L, w.map(x => (x / n).toFloat))
+    }
+    val base = java.nio.file.Files.createTempDirectory("emb_fam4").toString
+    def recovered(families: Int): Set[Long] = {
+      val d = s"$base/f$families"
+      Similarity.embIndexIngest(d, bases.toDF("vec_id", "embedding"),
+        dim = dim, bits = 32, families = families)
+        .write.format("noop").mode("overwrite").save()
+      Similarity.embIndexIngest(d, twins.toDF("vec_id", "embedding"),
+          dim = dim, bits = 32, families = families)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect { case (a, b) if b == a + 1000L => a }.toSet
+    }
+    val one = recovered(1)
+    val four = recovered(4)
+    // the single-family contract is family 0 of the multi index, so the
+    // multi recovery is a superset BY CONSTRUCTION; the fixture is sized
+    // (bits=32, ~0.05 rad twins) so family 0 misses some and the OR of
+    // four families catches strictly more
+    assert(one.size < 60, "fixture vacuous: single family catches everything")
+    assert(one.subsetOf(four), s"multi lost single-family pairs: ${one -- four}")
+    assert(four.size > one.size,
+      s"OR-amplification added nothing (single=${one.size}, four=${four.size})")
+  }
+
   test("bandIndexCompact on an embedding index: probe-identical, per-batch files fold") {
     import spark.implicits._
     // the shared compactor IS the emb index's maintenance step — pin it
