@@ -100,6 +100,8 @@ object Similarity {
     */
   def hyperplaneSig(emb: DataFrame, embCol: String, dim: Int, bits: Int,
                     seed: Long = 42L): Column = {
+    require(bits >= 1 && bits <= 63,
+      s"bits must be in [1, 63] (the signature is a long; 1L << $bits wraps)")
     graft.functions.DotProductF.register(emb.sparkSession)
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(bits)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
@@ -302,6 +304,46 @@ object Similarity {
       .select(least(col("doc_id"), col("doc_n")).as("doc_a"),
         greatest(col("doc_id"), col("doc_n")).as("doc_b"))
       .distinct()
+  }
+
+  /** SemDeDup-style semantic deduplication — the published
+    * cluster-then-compare method for pretraining corpora: k-means the
+    * embeddings (the IVF quantizer, reused verbatim), compare pairs ONLY
+    * within a cluster cell, connect pairs with cosine ≥ `minCos`, and
+    * keep one canonical representative (min vec_id) per connected group.
+    * Candidate generation is the cell equi-join — pairwise work is
+    * quadratic only WITHIN a cell, so per-cell cost is (n/nlist)² and
+    * `nlist` is the scale dial (size it with the corpus exactly like the
+    * serving index; the method's own contract — SemDeDup runs k-means
+    * for this reason). Never all-pairs; on an adversarial single
+    * semantic cluster that defeats any nlist, route through the
+    * hyperplane sub-blocking of [[topPairsPerBlockBounded]] instead.
+    * Returns one row per input vector:
+    * (vec_id, cell, canonical, is_dup).
+    */
+  def semanticDedup(emb: DataFrame, nlist: Int = 16, minCos: Double = 0.99,
+                    iters: Int = 3, seed: Long = 42L): DataFrame = {
+    graft.functions.DotProductF.register(emb.sparkSession)
+    val model = IvfIndex.build(
+      emb.select(col("vec_id"), col("embedding")), nlist, iters, seed)
+    val asg = model.assignments.select(col("vec_id"), col("embedding"),
+      col("cell"))
+    val a = asg.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = asg.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        expr("graft_dot_f(emb_a, emb_b)") >= minCos)
+      .select(col("id_a"), col("id_b"))
+    val labels = Graph.connectedComponents(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    asg.select(col("vec_id"), col("cell"))
+      .join(labels.withColumnRenamed("node_id", "vec_id"), Seq("vec_id"),
+        "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("component"), col("vec_id")).as("canonical"))
+      .withColumn("is_dup", (col("vec_id") =!= col("canonical")).cast("int"))
   }
 
   /** Sub-blocked near-duplicate ranking — the bounded scale path for

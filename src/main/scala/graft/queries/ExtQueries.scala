@@ -451,6 +451,25 @@ object ExtQueries {
         .orderBy("label", "id_a", "id_b")
     }),
 
+    // North star — SemDeDup-style semantic deduplication
+    // (Similarity.semanticDedup): k-means cells via the IVF quantizer,
+    // within-cell cosine pairs (cell equi-join, never all-pairs), one
+    // canonical keeper per connected group. No SQL oracle (seeded
+    // k-means, like the other declared no-oracle embedding keys) —
+    // planted-cluster exactness, the no-dup identity case, and the
+    // equi-join plan are SimilaritySpec's; driver records rows-only.
+    // minCos = 0.45 here, NOT the API's 0.99 production default: the
+    // synthetic embeddings hold no true near-dups (measured max pairwise
+    // cos 0.48 at sf0.001 / 0.60 at sf0.1), so a production threshold
+    // would skip the pairs→components→canonical path entirely; 0.45
+    // exercises it non-vacuously and the spec pins semantics at 0.99 on
+    // planted clusters.
+    "q_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      Similarity.semanticDedup(emb, nlist = 16, minCos = 0.45)
+        .orderBy("vec_id")
+    }),
+
     // North star — INCREMENTAL embedding near-dup against a persisted
     // hyperplane-bucket index (Similarity.embIndexIngest): the vector
     // side's continuous-ingest shape, the same bucketed/pruned on-disk

@@ -216,6 +216,72 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet === before, "empty ingest must not mutate")
   }
 
+  test("semanticDedup: planted clusters keep exactly one canonical; dup-free input is identity; cell equi-join") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(3)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val bases = (0 until 10).map(i => (i * 100L, unit()))
+    val planted = bases.flatMap { case (id, v) =>
+      (0 until 5).map { j =>
+        val w = if (j == 0) v else v.map(x =>
+          x + (rnd.nextGaussian() * 0.005).toFloat)
+        val n = math.sqrt(w.map(x => x * x).sum)
+        (id + j, w.map(x => (x / n).toFloat))
+      }
+    }
+    // nlist=1: one cell, so the within-cell compare is the full pairwise
+    // pass — every planted cluster collapses to its min id exactly
+    val one = Similarity.semanticDedup(
+        planted.toDF("vec_id", "embedding"), nlist = 1, minCos = 0.99)
+      .select("vec_id", "canonical", "is_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(one.length === 50)
+    assert(one.forall { case (id, canon, _) => canon === (id / 100) * 100 },
+      s"wrong canonicals: ${one.filterNot { case (id, c, _) => c == (id / 100) * 100 }.toSeq}")
+    assert(one.count(_._3 == 0) === 10 && one.count(_._3 == 1) === 40)
+
+    // nlist=8: cells can legitimately CUT a planted cluster (the
+    // method's documented boundary artifact), so pin the exact contract
+    // against a driver reference built from the output's own cells +
+    // driver-side cosines + union-find
+    val out = Similarity.semanticDedup(
+      planted.toDF("vec_id", "embedding"), nlist = 8, minCos = 0.99)
+    val rows = out.select("vec_id", "cell", "canonical", "is_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val cellOf = rows.map(r => r._1 -> r._2).toMap
+    val vecOf = planted.toMap
+    def cos(a: Long, b: Long): Double =
+      vecOf(a).zip(vecOf(b)).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val ids = planted.map(_._1)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- ids; b <- ids if a < b)
+      if (cellOf(a) == cellOf(b) && cos(a, b) >= 0.99) parent(find(a)) = find(b)
+    val canonRef = ids.map(i => i -> ids.filter(j => find(j) == find(i)).min).toMap
+    assert(rows.forall { case (id, _, canon, dup) =>
+      canon == canonRef(id) && dup == (if (canon == id) 0 else 1) },
+      s"contract mismatch: ${rows.filterNot { case (id, _, c, _) => c == canonRef(id) }.toSeq}")
+    // groups never mix planted families (random unit vectors cannot
+    // reach cos 0.99), and every family keeps at least one vector
+    assert(rows.forall { case (id, _, canon, _) => canon / 100 == id / 100 })
+    assert((0 until 10).forall(f => rows.exists { case (id, _, _, dup) =>
+      id / 100 == f && dup == 0 }))
+
+    // dup-free input: every vector is its own canonical
+    val solo = Similarity.semanticDedup(
+      bases.toDF("vec_id", "embedding"), nlist = 4, minCos = 0.99)
+    assert(solo.filter(col("is_dup") =!= 0).count() === 0)
+    // the pairwise stage is the cell equi-join, never a cross product
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
   test("families=2: sharded ingest finds exactly the any-family Hamming<=1 pairs, each once; f=1 format unchanged") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
