@@ -306,44 +306,164 @@ object Similarity {
       .distinct()
   }
 
+  /** Keeper rule for [[semanticDedup]]: which member of a duplicate
+    * group survives. [[KeepMinId]] is the deterministic stand-in (min
+    * vec_id — the CC label itself); [[KeepFarFromCentroid]] is the
+    * SemDeDup paper's rule — keep the member with the LOWEST cosine to
+    * its cluster centroid, i.e. the one farthest from the cluster's
+    * center of mass, maximizing diversity of the kept set (the paper's
+    * measured-best policy). Ties (identical centroid cosine) break by
+    * min vec_id, so both rules are deterministic under any partitioning.
+    */
+  sealed trait KeepRule
+  case object KeepMinId extends KeepRule
+  case object KeepFarFromCentroid extends KeepRule
+
+  /** [[semanticDedupBounded]]'s return: the per-vector verdict plus the
+    * honesty report — one row per cell routed through the hyperplane
+    * sub-blocked compare (cell, n_rows, n_buckets, max_bucket), so
+    * residual bucket skew inside a routed cell (an all-identical spam
+    * cluster saturating one sign bucket) is visible, not silent.
+    */
+  final case class SemDedup(result: DataFrame, routedCells: DataFrame)
+
+  /** Exact within-cell candidate pairs at `minCos`: the cell equi-join,
+    * quadratic only inside a cell. Input columns (vec_id, embedding,
+    * cell).
+    */
+  private def cellPairsExact(asg: DataFrame, minCos: Double): DataFrame = {
+    val a = asg.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = asg.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        expr("graft_dot_f(emb_a, emb_b)") >= minCos)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Pairs → components → keeper: the shared tail of the semantic-dedup
+    * family. Group = connected component of the ≥ minCos pair graph
+    * (singletons are their own group); the keeper rule picks the
+    * canonical. `min_by(vec_id, struct(cos_c, vec_id))` resolves
+    * [[KeepFarFromCentroid]] in one partial-aggregable shuffle on the
+    * group key — no window sort; the centroid join is broadcast
+    * (nlist-bounded).
+    */
+  private def dedupFromPairs(asg: DataFrame, centroids: DataFrame,
+                             pairs: DataFrame, keeper: KeepRule): DataFrame = {
+    val labels = Graph.connectedComponents(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val grouped = asg
+      .join(labels.withColumnRenamed("node_id", "vec_id"), Seq("vec_id"),
+        "left")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        coalesce(col("component"), col("vec_id")).as("group"))
+    val canon = keeper match {
+      case KeepMinId =>
+        // the CC label IS the min id of the group — no second pass
+        grouped.select(col("vec_id"), col("cell"),
+          col("group").as("canonical"))
+      case KeepFarFromCentroid =>
+        val withCos = grouped
+          .join(broadcast(centroids.select(col("cell").cast("long").as("cell"),
+            col("centroid"))), Seq("cell"))
+          .withColumn("cos_c", cosine(col("embedding"), col("centroid")))
+        val keepers = withCos.groupBy("group")
+          .agg(min_by(col("vec_id"),
+            struct(col("cos_c"), col("vec_id"))).as("canonical"))
+        withCos.select(col("vec_id"), col("cell"), col("group"))
+          .join(keepers, Seq("group"))
+          .select(col("vec_id"), col("cell"), col("canonical"))
+    }
+    canon.withColumn("is_dup",
+      (col("vec_id") =!= col("canonical")).cast("int"))
+  }
+
   /** SemDeDup-style semantic deduplication — the published
     * cluster-then-compare method for pretraining corpora: k-means the
     * embeddings (the IVF quantizer, reused verbatim), compare pairs ONLY
     * within a cluster cell, connect pairs with cosine ≥ `minCos`, and
-    * keep one canonical representative (min vec_id) per connected group.
+    * keep one canonical representative per connected group (`keeper`
+    * picks which — min id, or the paper's farthest-from-centroid).
     * Candidate generation is the cell equi-join — pairwise work is
     * quadratic only WITHIN a cell, so per-cell cost is (n/nlist)² and
     * `nlist` is the scale dial (size it with the corpus exactly like the
     * serving index; the method's own contract — SemDeDup runs k-means
-    * for this reason). Never all-pairs; on an adversarial single
-    * semantic cluster that defeats any nlist, route through the
-    * hyperplane sub-blocking of [[topPairsPerBlockBounded]] instead.
+    * for this reason). Never all-pairs; on an adversarial giant cell
+    * that defeats any nlist, use [[semanticDedupBounded]].
     * Returns one row per input vector:
     * (vec_id, cell, canonical, is_dup).
     */
   def semanticDedup(emb: DataFrame, nlist: Int = 16, minCos: Double = 0.99,
-                    iters: Int = 3, seed: Long = 42L): DataFrame = {
+                    iters: Int = 3, seed: Long = 42L,
+                    keeper: KeepRule = KeepMinId): DataFrame = {
     graft.functions.DotProductF.register(emb.sparkSession)
     val model = IvfIndex.build(
       emb.select(col("vec_id"), col("embedding")), nlist, iters, seed)
     val asg = model.assignments.select(col("vec_id"), col("embedding"),
       col("cell"))
-    val a = asg.select(col("cell"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"))
-    val b = asg.select(col("cell"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b") &&
-        expr("graft_dot_f(emb_a, emb_b)") >= minCos)
-      .select(col("id_a"), col("id_b"))
-    val labels = Graph.connectedComponents(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-    asg.select(col("vec_id"), col("cell"))
-      .join(labels.withColumnRenamed("node_id", "vec_id"), Seq("vec_id"),
-        "left")
-      .select(col("vec_id"), col("cell"),
-        coalesce(col("component"), col("vec_id")).as("canonical"))
-      .withColumn("is_dup", (col("vec_id") =!= col("canonical")).cast("int"))
+    dedupFromPairs(asg, model.centroids, cellPairsExact(asg, minCos), keeper)
+  }
+
+  /** [[semanticDedup]] with the giant-cell guard: a cell holding more
+    * than `maxCell` rows (one semantic mega-cluster — half the corpus in
+    * one k-means cell — is the adversarial input no nlist fixes) is
+    * routed through hyperplane sub-blocking instead of the exact
+    * within-cell quadratic: members compare only within (cell, sign
+    * bucket), probing every 1-bit flip of their `bits`-bit signature
+    * ([[topPairsPerBlockBounded]]'s machinery), so per-task pair work
+    * drops from |cell|² to Σ occupancy² over ~|cell|/2^bits buckets.
+    * Every emitted pair is still cosine-verified at `minCos` — the
+    * approximation is RECALL only (a pair straddling ≥ 2 hyperplanes is
+    * not probed; at the 0.99-cosine duplicate angle the 1-bit probe
+    * recall is the measured ≥ 0.98 contract of SCALE.md). Cold cells
+    * are byte-identical to [[semanticDedup]]. Routed cells are
+    * REPORTED, not silent: `routedCells` lists (cell, n_rows,
+    * n_buckets, max_bucket), so a saturated sign bucket inside a routed
+    * cell — the spam shape [[embIndexIngestBounded]] caps on the index
+    * path — is visible to the operator.
+    */
+  def semanticDedupBounded(emb: DataFrame, nlist: Int = 16,
+                           minCos: Double = 0.99, iters: Int = 3,
+                           seed: Long = 42L, maxCell: Int = 100000,
+                           bits: Int = 8, dim: Int = -1,
+                           keeper: KeepRule = KeepMinId): SemDedup = {
+    graft.functions.DotProductF.register(emb.sparkSession)
+    val d = inferDim(emb, "embedding", dim)
+    val model = IvfIndex.build(
+      emb.select(col("vec_id"), col("embedding")), nlist, iters, seed)
+    val asg = model.assignments.select(col("vec_id"), col("embedding"),
+      col("cell"))
+    val hot = asg.groupBy("cell").count()
+      .filter(col("count") > maxCell)
+      .select(col("cell"), col("count").as("n_rows"))
+    // ≤ nlist rows by construction — broadcast the routing decision
+    val tagged = asg.join(broadcast(hot.select(col("cell"),
+      lit(true).as("is_hot"))), Seq("cell"), "left")
+    val coldPairs = cellPairsExact(tagged.filter(col("is_hot").isNull)
+      .drop("is_hot"), minCos)
+    val hotRows = tagged.filter(col("is_hot")).drop("is_hot")
+      .withColumn("sig", hyperplaneSig(emb, "embedding", d, bits, seed))
+    val probes = hotRows.select(col("cell"), col("vec_id"), col("embedding"),
+      explode(array((col("sig") +: (0 until bits).map(b =>
+        col("sig").bitwiseXOR(lit(1L << b)))): _*)).as("bucket"))
+    val build = hotRows.select(col("cell"), col("sig").as("bucket"),
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val hotPairs = probes.join(build, Seq("cell", "bucket"))
+      .filter(col("vec_id") < col("id_b") &&
+        call_function("graft_dot_f", col("embedding"), col("emb_b")) >= minCos)
+      .select(col("vec_id").as("id_a"), col("id_b"))
+      .distinct() // a pair can surface via both sides' flip probes
+    val result = dedupFromPairs(asg, model.centroids,
+      coldPairs.unionByName(hotPairs), keeper)
+    val routed = hotRows
+      .groupBy(col("cell"), col("sig"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("cell"))
+      .agg(sum(col("occ")).as("n_rows"),
+        count(lit(1)).as("n_buckets"), max(col("occ")).as("max_bucket"))
+    SemDedup(result, routed)
   }
 
   /** Sub-blocked near-duplicate ranking — the bounded scale path for

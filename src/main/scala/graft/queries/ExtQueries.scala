@@ -470,6 +470,28 @@ object ExtQueries {
         .orderBy("vec_id")
     }),
 
+    // North star — the giant-cell-bounded semantic dedup
+    // (Similarity.semanticDedupBounded) with the SemDeDup paper's
+    // farthest-from-centroid keeper: cells above maxCell rows route
+    // through hyperplane sub-blocking (cosine still verified on every
+    // emitted pair — the cap costs recall only, never admits a false
+    // pair), cold cells stay byte-identical to q_semantic_dedup's exact
+    // compare. maxCell = 32 exercises BOTH routes at the gate SF
+    // (sf0.01: 500 vectors over 16 cells, sizes 26-38 — 6 hot, 10
+    // cold); at sf0.1 (2000 vectors, ~125/cell) every cell routes —
+    // each a legitimate operating point.
+    // No SQL oracle (seeded k-means + hyperplane family);
+    // cold==exact equivalence, the Hamming<=1 hot-cell driver
+    // reference, the keeper-rule driver reference, and the routed-cell
+    // report are SimilaritySpec's pins — driver records rows-only.
+    "q_semantic_dedup_bounded" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      Similarity.semanticDedupBounded(emb, nlist = 16, minCos = 0.45,
+          maxCell = 32, dim = 64,
+          keeper = Similarity.KeepFarFromCentroid)
+        .result.orderBy("vec_id")
+    }),
+
     // North star — INCREMENTAL embedding near-dup against a persisted
     // hyperplane-bucket index (Similarity.embIndexIngest): the vector
     // side's continuous-ingest shape, the same bucketed/pruned on-disk

@@ -410,4 +410,150 @@ class SimilaritySpec extends SparkTestBase {
     assert(recovered >= 14,
       s"multi-probe should catch most planted twins, got $recovered/20")
   }
+
+  test("semanticDedup KeepFarFromCentroid: keeper is the member farthest from the centroid (driver reference); groups identical to KeepMinId") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(3)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val bases = (0 until 10).map(i => (i * 100L, unit()))
+    val plantedRows = bases.flatMap { case (id, v) =>
+      (0 until 5).map { j =>
+        val w = if (j == 0) v else v.map(x =>
+          x + (rnd.nextGaussian() * 0.005).toFloat)
+        val n = math.sqrt(w.map(x => x * x).sum)
+        (id + j, w.map(x => (x / n).toFloat))
+      }
+    }
+    val df = plantedRows.toDF("vec_id", "embedding")
+    // nlist=1: one cell, centroid = elementwise mean of ALL vectors (the
+    // corpus is far under maxTrainRows, so the Lloyd mean runs over every
+    // row) — the driver reference is computable exactly
+    val minId = Similarity.semanticDedup(df, nlist = 1, minCos = 0.99)
+      .select("vec_id", "canonical").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val far = Similarity.semanticDedup(df, nlist = 1, minCos = 0.99,
+        keeper = Similarity.KeepFarFromCentroid)
+      .select("vec_id", "canonical", "is_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val farCanon = far.map(r => (r._1, r._2)).toMap
+    // identical partition into groups under both rules
+    val groupsMin = minId.groupBy(_._2).values.map(_.keys.toSet).toSet
+    val groupsFar = farCanon.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(groupsFar === groupsMin, "keeper rule must not change the groups")
+    // driver reference: centroid = mean of all vectors; keeper per group
+    // = argmin cosine-to-centroid (unit inputs: ordering by dot), ties by
+    // min id. Jitter-scale dot gaps (~1e-3) dwarf float-vs-double mean
+    // error (~1e-7), so the argmin is not knife-edged.
+    val mean = Array.tabulate(dim)(d =>
+      plantedRows.map(_._2(d).toDouble).sum / plantedRows.size)
+    val vecOf = plantedRows.toMap
+    def dotMean(id: Long): Double =
+      vecOf(id).zipWithIndex.map { case (x, d) => x.toDouble * mean(d) }.sum
+    groupsMin.foreach { members =>
+      val expect = members.toSeq.sortBy(id => (dotMean(id), id)).head
+      val got = farCanon(members.head)
+      assert(members.forall(farCanon(_) === expect),
+        s"group $members kept $got, expected farthest-from-centroid $expect")
+    }
+    // exactly one keeper per group, and it is a member
+    assert(far.count(_._3 == 0) === groupsMin.size)
+    assert(far.forall { case (id, canon, dup) =>
+      (dup == 0) == (id == canon) })
+  }
+
+  test("semanticDedupBounded: cold path == exact; hot cells routed through sub-blocking match the Hamming<=1 driver reference and are reported") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(13)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // no hot cells: bounded must be byte-identical to the exact form
+    val bases = (0 until 8).map(i => (i * 100L, unit()))
+    val small = bases.flatMap { case (id, v) =>
+      (0 until 4).map { j =>
+        val w = if (j == 0) v else v.map(x =>
+          x + (rnd.nextGaussian() * 0.005).toFloat)
+        val n = math.sqrt(w.map(x => x * x).sum)
+        (id + j, w.map(x => (x / n).toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.semanticDedup(small, nlist = 4, minCos = 0.99)
+      .collect().map(_.toSeq).toSet
+    val cold = Similarity.semanticDedupBounded(small, nlist = 4,
+      minCos = 0.99, maxCell = 1000, dim = dim)
+    assert(cold.result.collect().map(_.toSeq).toSet === exact,
+      "with no hot cells the bounded form must equal the exact form")
+    assert(cold.routedCells.count() === 0)
+
+    // adversarial giant cell: one mega-cluster is most of the corpus —
+    // no nlist fixes it (its cell always exceeds any per-cell budget)
+    val mega = unit()
+    val megaRows = (0 until 120).map { j =>
+      val w = if (j == 0) mega else mega.map(x =>
+        x + (rnd.nextGaussian() * 0.003).toFloat)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      (j.toLong, w.map(x => (x / n).toFloat))
+    }
+    val spread = (0 until 30).map(i => (1000L + i, unit()))
+    val adv = (megaRows ++ spread).toDF("vec_id", "embedding")
+    val bits = 8
+    // maxCell = 25 < 150/nlist: a hot cell is pigeonhole-guaranteed even
+    // if k-means splits the mega-cluster across every cell
+    val got = Similarity.semanticDedupBounded(adv, nlist = 4,
+      minCos = 0.99, maxCell = 25, bits = bits, dim = dim)
+    val rows = got.result.select("vec_id", "cell", "canonical").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cellOf = rows.map(r => r._1 -> r._2).toMap
+    val hotCells = cellOf.values.groupBy(identity).view
+      .mapValues(_.size).filter(_._2 > 25).keys.toSet
+    assert(hotCells.nonEmpty, "the mega-cluster must saturate a cell")
+    // the report lists exactly the routed cells with their true sizes
+    val reported = got.routedCells
+      .select("cell", "n_rows", "n_buckets", "max_bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(reported.map(_._1).toSet === hotCells)
+    reported.foreach { case (c, n, nb, mb) =>
+      assert(n === cellOf.values.count(_ == c).toLong)
+      assert(nb >= 1 && mb <= n && mb >= (n + nb - 1) / nb)
+    }
+    // exact contract vs driver reference: pairs connect iff same cell,
+    // cos >= minCos, and (hot cell only) home signatures within Hamming 1
+    val vecOf2 = (megaRows ++ spread).toMap
+    val sigOf = adv.withColumn("sig",
+        Similarity.hyperplaneSig(adv, "embedding", dim, bits))
+      .select("vec_id", "sig").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def cos(a: Long, b: Long): Double =
+      vecOf2(a).zip(vecOf2(b)).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val ids = vecOf2.keys.toSeq.sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- ids; b <- ids if a < b)
+      if (cellOf(a) == cellOf(b) && cos(a, b) >= 0.99 &&
+          (!hotCells.contains(cellOf(a)) ||
+            java.lang.Long.bitCount(sigOf(a) ^ sigOf(b)) <= 1))
+        parent(find(a)) = find(b)
+    val canonRef = ids.map(i => i -> ids.filter(j => find(j) == find(i)).min).toMap
+    assert(rows.forall { case (id, _, canon) => canon == canonRef(id) },
+      s"bounded contract mismatch: ${rows.filterNot { case (id, _, c) =>
+        c == canonRef(id) }.take(5).toSeq}")
+    // non-vacuous: the hot path found genuinely-near pairs (the mega
+    // cluster collapses within each of its cell fragments)
+    val megaKeepers = rows.filter(_._1 < 1000L)
+      .count { case (id, _, canon) => id == canon }
+    val megaCells = megaRows.map(r => cellOf(r._1)).distinct.size
+    assert(megaKeepers <= megaCells * 2,
+      s"mega cluster fractured: $megaKeepers keepers over $megaCells cells")
+    val plan = got.result.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
 }
