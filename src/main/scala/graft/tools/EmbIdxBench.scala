@@ -31,22 +31,33 @@ object EmbIdxBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Local-iteration aid: SPARK_GRAFT_EMB_SECTIONS=4 (comma list) runs
+    // a subset of the sections; bare runs do all.
+    val section: Int => Boolean = sys.env.get("SPARK_GRAFT_EMB_SECTIONS")
+      .map(_.split(",").map(_.trim.toInt).toSet)
+      .map(ks => ks.contains(_: Int)).getOrElse(_ => true)
+
     val base = graft.Tables.embeddings(spark, srcDir)
       .select("vec_id", "embedding")
     val reps = spark.range(replicas).select(col("id").as("rep"))
-    val corpus = base.crossJoin(reps)
+    // jittered replica corpus; `spreadMilli` = per-dim noise amplitude in
+    // 1/1000ths (2 → the ~0.005-rad twin corpus of sections 1-3; 20 →
+    // the ~0.09-rad production duplicate angle of section 4)
+    def mkCorpus(spreadMilli: Int) = base.crossJoin(reps)
       .select((col("vec_id") * replicas + col("rep")).as("vec_id"),
         transform(col("embedding"), (x, i) =>
-          (x + (pmod(xxhash64(col("vec_id"), col("rep"), i), lit(4000L))
-            .cast("double") / 1e6 - 0.002).cast("float")))
+          (x + (pmod(xxhash64(col("vec_id"), col("rep"), i),
+              lit(2000L * spreadMilli))
+            .cast("double") / 1e6 - spreadMilli / 1000.0).cast("float")))
           .as("embedding"))
       .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint()
+    val corpus = mkCorpus(2)
     val n = corpus.count()
     println(s"corpus: $n vectors ($replicas x ${n / replicas})")
 
     // 1. bits dial: band cardinality / occupancy
-    Seq(8, 12, 16, 20).foreach { bits =>
+    if (section(1)) Seq(8, 12, 16, 20).foreach { bits =>
       val home = graft.ops.Similarity
         .embBandTable(corpus, "vec_id", "embedding", bits = bits)
       val s = home.groupBy("band").count()
@@ -55,6 +66,7 @@ object EmbIdxBench {
     }
 
     // 2. growing-index ingest at bits sized for the corpus (avg occ ~3)
+    if (section(2)) {
     val bits = math.min(20,
       math.max(8, (math.log(n / 3.0) / math.log(2)).ceil.toInt))
     println(s"ingest sweep at bits=$bits, $nBatches batches")
@@ -69,9 +81,11 @@ object EmbIdxBench {
       stored += batch.count()
       println(f"batch $i%2d  wall=${s}%6.2fs  pairs=$pairs%9d  indexRows=$stored%9d")
     }
+    }
 
     // 3. saturated regime: bits=8 over this corpus means every band is
     // hot — exact probe blows up, bounded stays linear
+    if (section(3)) {
     val dirE = java.nio.file.Files.createTempDirectory("emb_sat").toString
     val hist = corpus.filter(pmod(col("vec_id"), lit(nBatches)) =!= 0)
     val arr = corpus.filter(pmod(col("vec_id"), lit(nBatches)) === 0)
@@ -89,6 +103,42 @@ object EmbIdxBench {
     val bdPairs = bd.pairs.count()
     val sup = bd.overflow.agg(sum("suppressed")).head().getLong(0)
     println(f"saturated bounded : wall=${(System.nanoTime() - tB) / 1e9}%7.1fs  pairs=$bdPairs%12d  suppressed=$sup%d")
+    }
+
+    // 4. the production recall point THROUGH the ingest path: F=4 ×
+    // bits=32 vs F=1 × bits=32 on the ~0.09-rad duplicate-angle corpus
+    // (independent ±0.02/dim jitters → pairwise sibling angle ~0.13 rad
+    // — the regime where one 32-bit family's Hamming≤1 recall collapses
+    // and OR-amplification is the fix; EmbRecallProbe measured this on
+    // the CONTRACT, this section measures it on the INDEX path: sharded
+    // ingest, per-batch wall, recall = recovered same-base pairs /
+    // (nBases × C(replicas, 2))).
+    if (section(4)) {
+      val prod = mkCorpus(20)
+      val nBases = n / replicas
+      val allTwinPairs = nBases * (replicas.toLong * (replicas - 1) / 2)
+      Seq(1, 4).foreach { fam =>
+        val dirP = java.nio.file.Files.createTempDirectory("emb_prod").toString + "/idx"
+        println(s"ingest sweep F=$fam bits=32, $nBatches batches")
+        var total = 0L
+        (0 until nBatches).foreach { i =>
+          val batch = prod.filter(pmod(col("vec_id"), lit(nBatches)) === i)
+          val t = System.nanoTime()
+          val got = graft.ops.Similarity
+            .embIndexIngest(dirP, batch, bits = 32, families = fam)
+            .localCheckpoint()
+          val pairs = got.count()
+          val twins = got.filter(
+            col("doc_a").divide(replicas).cast("long") ===
+            col("doc_b").divide(replicas).cast("long")).count()
+          org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(got)
+          val s = (System.nanoTime() - t) / 1e9
+          total += twins
+          println(f"batch $i%2d  wall=${s}%6.2fs  pairs=$pairs%9d  twinPairs=$twins%9d")
+        }
+        println(f"F=$fam%d bits=32: recall THROUGH the index = $total%,d / $allTwinPairs%,d = ${total.toDouble / allTwinPairs}%.4f")
+      }
+    }
     spark.stop()
   }
 }

@@ -51,6 +51,13 @@ object StreamSoak {
     import spark.implicits._
     implicit val sc = spark.sqlContext
 
+    // Local-iteration aid: SPARK_GRAFT_SOAK_PATHS=6 (comma list) runs a
+    // subset of the paths. The driver never sets it — a bare run soaks
+    // all six.
+    val runPath: Int => Boolean = sys.env.get("SPARK_GRAFT_SOAK_PATHS")
+      .map(_.split(",").map(_.trim.toInt).toSet)
+      .map(ks => ks.contains(_: Int)).getOrElse(_ => true)
+
     // driver-side feed: base (user, ts) in event-time order; replicas are
     // expanded per chunk so arrival stays globally time-ordered
     val base = graft.Tables.events(spark, srcDir)
@@ -100,7 +107,7 @@ object StreamSoak {
     }
 
     // ---- path 1: transformWithState + timers ----
-    {
+    if (runPath(1)) {
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
       val ckpt = java.nio.file.Files.createTempDirectory("soak_tws").toString
       // parquet sink, not memory: the memory sink collects every emitted
@@ -133,7 +140,7 @@ object StreamSoak {
     }
 
     // ---- path 2: built-in session_window ----
-    {
+    if (runPath(2)) {
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
       val ckpt = java.nio.file.Files.createTempDirectory("soak_sw").toString
       val outDir = java.nio.file.Files.createTempDirectory("soak_sw_out").toString
@@ -172,7 +179,7 @@ object StreamSoak {
     // allowed lateness so nothing is dropped. State expectation: the
     // RocksDB buffer holds only the not-yet-final suffix (≈ the lateness
     // window) plus one open run per key — NOT the stream's history.
-    {
+    if (runPath(3)) {
       val baseFull = graft.Tables.events(spark, srcDir)
         .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
         .orderBy("ts_ms", "event_id")
@@ -228,7 +235,7 @@ object StreamSoak {
     }
     // ---- path 4 (r14): late-tolerant SESSIONIZATION under the same
     // out-of-order feed (VERDICT r13 #3) ----
-    {
+    if (runPath(4)) {
       val rnd = new scala.util.Random(20260814L)
       val delayDays = 7L
       println(s"== sessionLateTWS (out-of-order, RocksDB) ==  batch sessions: $wantN")
@@ -268,7 +275,7 @@ object StreamSoak {
     }
 
     // ---- path 5 (r14): late-tolerant INTERVAL UNION, same feed ----
-    {
+    if (runPath(5)) {
       val rnd = new scala.util.Random(20260814L)
       val delayDays = 7L
       val lenMs = 600000L
@@ -317,6 +324,76 @@ object StreamSoak {
         println(s"  users=$gotN2  stream==batch: ${gotN2 == wantIuN && missing == 0 && extra == 0}")
         require(gotN2 == wantIuN && missing == 0 && extra == 0,
           s"interval-late mismatch: batch=$wantIuN stream=$gotN2 missing=$missing extra=$extra")
+      } finally q.stop()
+    }
+    // ---- path 6 (r14): streamed EMBEDDING-INDEX ingest at 1M vectors ----
+    // The vector side's continuous-ingest twin (embIndexIngestStream) at
+    // the same soak scale as the event paths. No state store — the loop
+    // is foreachBatch over the single-writer index — so the numbers that
+    // matter are per-batch wall as the index grows and recall through
+    // the INDEX on planted twins. Feed is a FILE-SOURCE stream
+    // (maxFilesPerTrigger=1), not MemoryStream: 1M × 64-float vectors
+    // never materialize on the driver.
+    if (runPath(6)) {
+      val repsV = 5 * reps // reps=100 → 500 × 2000 base = 1M vectors
+      val nB = 10
+      val bits = 20 // sized for ~occ 1 at 1M (2^20 bands)
+      val baseE = graft.Tables.embeddings(spark, srcDir)
+        .select(col("vec_id").as("b"), col("embedding"))
+      val repsDf = spark.range(repsV).select(col("id").as("rep"))
+      // spread replicas: per-(base, rep, dim) hash noise ±0.5 (sibling
+      // cos ~0.4 — realistic inter-document spread, NOT near-dups), with
+      // a planted twin layer: rep 1 reuses rep 0's spread noise plus a
+      // tiny ±0.005 jitter — exactly one planted near-dup pair per base,
+      // usually split across micro-batch files (consecutive vec_ids land
+      // in different round-robin partitions)
+      val corpus = baseE.crossJoin(repsDf)
+        .withColumn("srep",
+          when(col("rep") === 1, lit(0L)).otherwise(col("rep")))
+        .select((col("b") * repsV + col("rep")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x
+              + (pmod(xxhash64(col("b"), col("srep"), i), lit(1000000L))
+                  .cast("double") / 1e6 - 0.5)
+              + when(col("rep") === 1,
+                  pmod(xxhash64(col("b"), lit("twin"), i), lit(10000L))
+                    .cast("double") / 1e6 - 0.005).otherwise(lit(0.0)))
+            .cast("float")).as("embedding"))
+      val feedDir = java.nio.file.Files.createTempDirectory("soak_embf").toString + "/feed"
+      corpus.repartition(nB).write.parquet(feedDir)
+      val nVec = spark.read.parquet(feedDir).count()
+      println(s"== embIndexIngestStream (file source, $nB micro-batches) ==  corpus: $nVec vectors, bits=$bits")
+      val idxDir = java.nio.file.Files.createTempDirectory("soak_embi").toString + "/idx"
+      val outDir = java.nio.file.Files.createTempDirectory("soak_embo").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("soak_embc").toString
+      val stream = spark.readStream
+        .schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feedDir)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamOps.embIndexIngestStream(
+        stream, idxDir, outDir, ckpt, bits = bits, dim = 64)
+      try {
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val batchMs = q.recentProgress.map(_.batchDuration)
+        println(f"  wall=$sec%.1fs  rows/s=${nVec / sec}%,.0f  batches=${batchMs.length}  " +
+          f"batch p50=${batchMs.sorted.apply(batchMs.length / 2)}ms max=${batchMs.max}ms")
+        val idxRows = spark.read.schema(graft.ops.Dedup.bandSchemaBkt)
+          .parquet(idxDir).count()
+        val pairs = spark.read.parquet(outDir)
+        val nPairs = pairs.count()
+        // recall THROUGH the index: each base planted exactly one twin
+        // pair (b*repsV, b*repsV+1); the stream must surface ≥95% of
+        // them (Hamming≤1 at the ~0.01 rad twin angle, bits=20)
+        val twins = baseE.select((col("b") * repsV).as("doc_a"),
+          (col("b") * repsV + 1).as("doc_b"))
+        val nTwins = twins.count()
+        val found = pairs.join(twins, Seq("doc_a", "doc_b")).count()
+        println(f"  indexRows=$idxRows%,d  pairs=$nPairs%,d  plantedTwins found=$found%,d/$nTwins%,d")
+        require(idxRows == nVec, s"index rows $idxRows != corpus $nVec")
+        require(found >= nTwins * 95 / 100,
+          s"twin recall through the index too low: $found/$nTwins")
       } finally q.stop()
     }
     println("StreamSoak OK")

@@ -4,7 +4,7 @@ directory, then the caller runs graft.Verify + check.py on it. Surfaces
 data-dependent Spark-vs-DuckDB divergence (rounding ties, null paths,
 duplicate keys) that the fixed fixtures can't.
 
-Usage: python3 tools/fuzz_data.py <outDir> <seed> [rows] [--adversarial|--degenerate|--hotband]
+Usage: python3 tools/fuzz_data.py <outDir> <seed> [rows] [--adversarial|--degenerate|--hotband|--embdup]
 
 --adversarial skews every distribution at its degenerate edge: one hot
 key carrying most rows, near-constant value columns (tie storms for
@@ -18,6 +18,14 @@ probe caps), five medium near-identical families carry another ~20%,
 and the rest stay organic. Exercises the hot-band star path of
 q_dedup_incremental_bounded and the quadratic contrast keys against
 their oracles at adversarial duplicate density.
+
+--embdup is the embedding-duplicate pack (r14 fuzz idea): one mega
+near-dup cluster carries ~25% of the vectors (the semantic mega-cluster
+q_semantic_dedup_bounded routes), 20 medium clusters carry another
+~35% (jitter ~0.005/dim -- cos ~0.999 siblings, rounding-tie storms for
+the ANN keys' 4dp cos_sim ordering), the rest stay organic. Makes the
+emb-index / semantic-dedup keys dup-DENSE on fuzz drives and stresses
+the oracled ANN keys' tie-break rules at adversarial density.
 
 --degenerate is the distribution-collapse pack (VERDICT r12 #7):
 single-row dimension tables (1 region/nation/customer/supplier), every
@@ -35,7 +43,7 @@ import sys, random, json, datetime
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-def main(out, seed, n=3000, adversarial=False, degenerate=False, hotband=False):
+def main(out, seed, n=3000, adversarial=False, degenerate=False, hotband=False, embdup=False):
     if degenerate:
         return main_degenerate(out, seed, n)
     rnd = random.Random(seed)
@@ -146,6 +154,21 @@ def main(out, seed, n=3000, adversarial=False, degenerate=False, hotband=False):
     if adversarial:
         for i in range(0, nD - 1, 11):
             embs[i+1] = list(embs[i])  # exact duplicate vectors (cos ties)
+    if embdup:
+        def unit():
+            v = [rnd.gauss(0, 1) for _ in range(dim)]
+            s = sum(x * x for x in v) ** 0.5
+            return [x / s for x in v]
+        def jitter(b):
+            w = [x + rnd.gauss(0, 0.005) for x in b]
+            s = sum(x * x for x in w) ** 0.5
+            return [float(x / s) for x in w]
+        mega = unit()
+        mediums = [unit() for _ in range(20)]
+        for i in range(nD):
+            r = rnd.random()
+            if r < 0.25: embs[i] = jitter(mega)
+            elif r < 0.6: embs[i] = jitter(rnd.choice(mediums))
     embeddings = {"vec_id": pa.array(range(nD), pa.int64()),
                   "embedding": pa.array(embs, pa.list_(pa.float32())),
                   "label": pa.array([rnd.randrange(10) for _ in range(nD)], pa.int32())}
@@ -237,4 +260,5 @@ if __name__ == "__main__":
     main(args[0], int(args[1]), int(args[2]) if len(args) > 2 else 3000,
          adversarial="--adversarial" in sys.argv,
          hotband="--hotband" in sys.argv,
+         embdup="--embdup" in sys.argv,
          degenerate="--degenerate" in sys.argv)
