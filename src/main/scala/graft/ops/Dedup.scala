@@ -137,6 +137,39 @@ object Dedup {
     sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
   }
 
+  /** DD3 keeper policy — near-dup clusters with the LONGEST member kept
+    * (ties → min doc_id): the practical crawl policy. Min-id keeps
+    * whichever copy happened to be crawled first; a mirror/boilerplate
+    * family's most COMPLETE copy is the one worth training on, so the
+    * keeper maximizes `lenCol` instead. Clusters are
+    * [[lshCandidatePairs]] → connected components (the q_dup_clusters
+    * pipeline); the keeper is one partial-aggregable
+    * `max_by(doc_id, struct(len, -doc_id))` pass on the cluster key —
+    * no window sort, no all-pairs, and the cluster label itself stays
+    * the min id so downstream joins agree with the min-id form.
+    * Returns one row per doc: (doc_id, canonical, keep_id, is_kept).
+    */
+  def dupClustersKeepLongest(docs: DataFrame, idCol: String, textCol: String,
+                             lenCol: Column, numBands: Int = 2,
+                             rowsPerBand: Int = 2, shingleN: Int = 3)
+      : DataFrame = {
+    val pairs =
+      lshCandidatePairs(docs, idCol, textCol, numBands, rowsPerBand, shingleN)
+    val labels = Graph.connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val memb = docs.select(col(idCol).as("doc_id"), lenCol.as("len"))
+      .join(labels.withColumnRenamed("node_id", "doc_id"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"), col("len"),
+        coalesce(col("component"), col("doc_id")).as("canonical"))
+    val keepers = memb.groupBy("canonical")
+      .agg(max_by(col("doc_id"),
+        struct(col("len"), -col("doc_id"))).as("keep_id"))
+    memb.join(keepers, Seq("canonical"))
+      .select(col("doc_id"), col("canonical"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).cast("int").as("is_kept"))
+  }
+
   /** Row-local [[lshBandTable]]: identical (doc_id, band) rows, computed
     * WITHOUT the explode → groupBy signature aggregation — each minhash
     * component is `array_min` over the doc's own shingle array inside one

@@ -397,10 +397,13 @@ object Similarity {
     */
   def semanticDedup(emb: DataFrame, nlist: Int = 16, minCos: Double = 0.99,
                     iters: Int = 3, seed: Long = 42L,
-                    keeper: KeepRule = KeepMinId): DataFrame = {
+                    keeper: KeepRule = KeepMinId,
+                    route: IvfIndex.AssignRoute = IvfIndex.FlatAssign)
+      : DataFrame = {
     graft.functions.DotProductF.register(emb.sparkSession)
     val model = IvfIndex.build(
-      emb.select(col("vec_id"), col("embedding")), nlist, iters, seed)
+      emb.select(col("vec_id"), col("embedding")), nlist, iters, seed,
+      route = route)
     val asg = model.assignments.select(col("vec_id"), col("embedding"),
       col("cell"))
     dedupFromPairs(asg, model.centroids, cellPairsExact(asg, minCos), keeper)
@@ -428,11 +431,14 @@ object Similarity {
                            minCos: Double = 0.99, iters: Int = 3,
                            seed: Long = 42L, maxCell: Int = 100000,
                            bits: Int = 8, dim: Int = -1,
-                           keeper: KeepRule = KeepMinId): SemDedup = {
+                           keeper: KeepRule = KeepMinId,
+                           route: IvfIndex.AssignRoute = IvfIndex.FlatAssign)
+      : SemDedup = {
     graft.functions.DotProductF.register(emb.sparkSession)
     val d = inferDim(emb, "embedding", dim)
     val model = IvfIndex.build(
-      emb.select(col("vec_id"), col("embedding")), nlist, iters, seed)
+      emb.select(col("vec_id"), col("embedding")), nlist, iters, seed,
+      route = route)
     val asg = model.assignments.select(col("vec_id"), col("embedding"),
       col("cell"))
     val hot = asg.groupBy("cell").count()

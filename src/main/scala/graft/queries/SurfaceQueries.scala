@@ -111,6 +111,20 @@ object SurfaceQueries {
         .orderBy("doc_id")
     }),
 
+    // North star — q_dup_clusters with the PRACTICAL keeper policy: the
+    // LONGEST member of each near-dup cluster survives (ties → min
+    // doc_id), not whichever copy was crawled first — a mirror family's
+    // most complete copy is the one worth training on. Same LSH → CC
+    // cluster pipeline; keeper is one max_by aggregation pass on the
+    // cluster key. Oracle: the q_dup_clusters recursive-CTE closure plus
+    // a windowed keeper pick.
+    "q_dedup_keep_longest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Dedup
+        .dupClustersKeepLongest(docs, "doc_id", "text", col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // North star — Gopher/C4-style repetition filters: top-bigram fraction
     // and token diversity per document, all in exact integer arithmetic
     // (`repetitive` = top bigram covers ≥ 20% of bigrams). The quality
@@ -188,6 +202,18 @@ object SurfaceQueries {
         """walk AS (SELECT a, b FROM e UNION SELECT w.a, e2.b FROM walk w JOIN e e2 ON w.b = e2.a), """ +
         """reach AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon FROM walk GROUP BY a) """ +
         """SELECT d.doc_id, COALESCE(r.canon, d.doc_id) AS canonical, CAST(d.doc_id <> COALESCE(r.canon, d.doc_id) AS INTEGER) AS is_dup FROM documents d LEFT JOIN reach r ON d.doc_id = r.doc_id ORDER BY d.doc_id"""),
+    "q_dedup_keep_longest" ->
+      ("""WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents), """ +
+        """sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tok WHERE len(t) >= 3), """ +
+        """sig AS (SELECT doc_id, MIN(substr(md5(s), 1, 8)) AS mh0, MIN(substr(md5(s), 9, 8)) AS mh1, MIN(substr(md5(s), 17, 8)) AS mh2, MIN(substr(md5(s), 25, 8)) AS mh3 FROM sh GROUP BY doc_id), """ +
+        """band AS (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM sig), """ +
+        """pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b ON a.b = b.b AND a.doc_id < b.doc_id), """ +
+        """e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), """ +
+        """walk AS (SELECT a, b FROM e UNION SELECT w.a, e2.b FROM walk w JOIN e e2 ON w.b = e2.a), """ +
+        """reach AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon FROM walk GROUP BY a), """ +
+        """memb AS (SELECT d.doc_id, COALESCE(r.canon, d.doc_id) AS canonical, d.n_chars FROM documents d LEFT JOIN reach r ON d.doc_id = r.doc_id), """ +
+        """keep AS (SELECT canonical, doc_id AS keep_id FROM (SELECT canonical, doc_id, ROW_NUMBER() OVER (PARTITION BY canonical ORDER BY n_chars DESC, doc_id) AS rn FROM memb) WHERE rn = 1) """ +
+        """SELECT m.doc_id, m.canonical, k.keep_id, CAST(m.doc_id = k.keep_id AS INTEGER) AS is_kept FROM memb m JOIN keep k ON m.canonical = k.canonical ORDER BY m.doc_id"""),
     "q_repetition_filter" ->
       ("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents), """ +
         """tk AS (SELECT doc_id, t FROM tok WHERE len(t) >= 2), """ +

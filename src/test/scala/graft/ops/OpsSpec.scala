@@ -712,4 +712,27 @@ class OpsSpec extends SparkTestBase {
       .filter(not(col("ref") === col("fast")))
     assert(both.count() === 0)
   }
+
+  test("dupClustersKeepLongest: longest member kept, ties -> min id, cluster label stays min id") {
+    import spark.implicits._
+    // identical texts guarantee clustering; `len` is an independent
+    // column, so the keeper choice is fully controlled: family {1,2,3}
+    // ties 2-vs-3 at len 50 (min id 2 wins over the min-id member 1),
+    // family {5,6} ties everywhere (min id 5), 9 is a singleton
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 10L),
+      (2L, "the quick brown fox jumps over the lazy dog", 50L),
+      (3L, "the quick brown fox jumps over the lazy dog", 50L),
+      (5L, "a completely different sentence about spark engines here", 7L),
+      (6L, "a completely different sentence about spark engines here", 7L),
+      (9L, "nothing like any other document in this tiny corpus at all", 1L))
+      .toDF("doc_id", "text", "len")
+    val got = Dedup.dupClustersKeepLongest(docs, "doc_id", "text", col("len"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 2L, 0), (1L, 2L, 2L, 1), (1L, 3L, 2L, 0),
+      (5L, 5L, 5L, 1), (5L, 6L, 5L, 0),
+      (9L, 9L, 9L, 1)))
+  }
 }

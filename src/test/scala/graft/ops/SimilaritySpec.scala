@@ -466,6 +466,33 @@ class SimilaritySpec extends SparkTestBase {
       (dup == 0) == (id == canon) })
   }
 
+  test("semanticDedup via the coarse assign route == flat at wProbe=nCoarse (production-nlist composition)") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(5)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val planted = (0 until 12).flatMap { i =>
+      val base = unit()
+      (0 until 4).map { j =>
+        val w = if (j == 0) base else base.map(x =>
+          x + (rnd.nextGaussian() * 0.005).toFloat)
+        val n = math.sqrt(w.map(x => x * x).sum)
+        (i * 100L + j, w.map(x => (x / n).toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+    val flat = Similarity.semanticDedup(planted, nlist = 6, minCos = 0.99)
+      .collect().map(_.toSeq).toSet
+    val coarse = Similarity.semanticDedup(planted, nlist = 6, minCos = 0.99,
+        route = IvfIndex.CoarseAssign(nCoarse = 3, wProbe = 3))
+      .collect().map(_.toSeq).toSet
+    assert(coarse === flat,
+      "coarse route at wProbe=nCoarse must reproduce the flat dedup exactly")
+  }
+
   test("semanticDedupBounded: cold path == exact; hot cells routed through sub-blocking match the Hamming<=1 driver reference and are reported") {
     import spark.implicits._
     val dim = 16
