@@ -30,6 +30,35 @@ object Similarity {
   /** Cosine similarity; for unit-normalized embeddings this equals dotD. */
   def cosine(a: Column, b: Column): Column = dotD(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Append a unit-normalized float copy of `embCol` as `outCol`. The
+    * norm is hoisted into its OWN projection: referencing the norm
+    * aggregate inside the transform lambda would re-run it once per
+    * element (no CSE across HOF lambda boundaries — the
+    * q_boilerplate_scrub lesson), turning a linear map into a quadratic
+    * one. A zero vector passes through unchanged so its pairwise dot
+    * stays 0 rather than NaN (and NaN orders ABOVE every threshold in
+    * Spark, which would pair every zero vector with everything). This is
+    * the scale-right place to pay for true cosine: one normalization per
+    * ROW, then the codegen dot per candidate pair.
+    */
+  def withUnitNorm(df: DataFrame, embCol: String, outCol: String): DataFrame =
+    df.withColumn("__nrm", l2Norm(col(embCol)))
+      .withColumn(outCol,
+        when(col("__nrm") > 0d, transform(col(embCol),
+          x => (x.cast("double") / col("__nrm")).cast("float")))
+          .otherwise(col(embCol)))
+      .drop("__nrm")
+
+  /** `sig` plus every 1-bit flip of its low `bits` bits — the Hamming≤1
+    * multi-probe set every hyperplane consumer shares (the embedding
+    * index's probe side, [[topPairsPerBlockBounded]],
+    * [[semanticDedupBounded]]'s hot cells). ONE definition, so the probe
+    * contract cannot silently diverge between the ingest path, the band
+    * table, and the bounded compares.
+    */
+  private def flipSigs(sig: Column, bits: Int): Seq[Column] =
+    sig +: (0 until bits).map(b => sig.bitwiseXOR(lit(1L << b)))
+
   /** Brute-force top-k nearest to one probe vector. The probe side is a
     * 1-row frame broadcast to every partition; scoring is a narrow map over
     * the corpus; only the global top-k ordering shuffles (TakeOrdered).
@@ -177,8 +206,7 @@ object Similarity {
     val d = inferDim(emb, embCol, dim)
     val probes = (0 until families).flatMap { f =>
       val sig = hyperplaneSig(emb, embCol, d, bits, famSeed(seed, f))
-      bandStr(f, sig, families) +: (0 until bits).map(b =>
-        bandStr(f, sig.bitwiseXOR(lit(1L << b)), families))
+      flipSigs(sig, bits).map(s => bandStr(f, s, families))
     }
     emb.select(col(idCol).as("doc_id"),
       explode(array(probes: _*)).as("band"))
@@ -210,10 +238,8 @@ object Similarity {
       if (families == 1) signed.select(col("doc_id"), homeCols.head.as("band"))
       else signed.select(col("doc_id"),
         explode(array(homeCols: _*)).as("band"))
-    val probeCols = (0 until families).flatMap { f =>
-      bandStr(f, col(s"sig_$f"), families) +: (0 until bits).map(b =>
-        bandStr(f, col(s"sig_$f").bitwiseXOR(lit(1L << b)), families))
-    }
+    val probeCols = (0 until families).flatMap(f =>
+      flipSigs(col(s"sig_$f"), bits).map(s => bandStr(f, s, families)))
     (home, signed.select(col("doc_id"),
       explode(array(probeCols: _*)).as("band")))
   }
@@ -327,15 +353,20 @@ object Similarity {
     */
   final case class SemDedup(result: DataFrame, routedCells: DataFrame)
 
-  /** Exact within-cell candidate pairs at `minCos`: the cell equi-join,
-    * quadratic only inside a cell. Input columns (vec_id, embedding,
-    * cell).
+  /** Exact within-cell candidate pairs at cosine ≥ `minCos`: the cell
+    * equi-join, quadratic only inside a cell. Input columns (vec_id,
+    * embedding, cell). The threshold is TRUE cosine — each side is
+    * unit-normalized once per row ([[withUnitNorm]]) and the per-pair op
+    * stays the codegen dot; on already-unit input this is the plain dot
+    * it always was, on unnormalized input it no longer silently compares
+    * raw dot products against a cosine threshold (review find).
     */
   private def cellPairsExact(asg: DataFrame, minCos: Double): DataFrame = {
-    val a = asg.select(col("cell"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"))
-    val b = asg.select(col("cell"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"))
+    val normed = withUnitNorm(asg, "embedding", "nemb")
+    val a = normed.select(col("cell"), col("vec_id").as("id_a"),
+      col("nemb").as("emb_a"))
+    val b = normed.select(col("cell"), col("vec_id").as("id_b"),
+      col("nemb").as("emb_b"))
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b") &&
         expr("graft_dot_f(emb_a, emb_b)") >= minCos)
@@ -372,7 +403,11 @@ object Similarity {
         val keepers = withCos.groupBy("group")
           .agg(min_by(col("vec_id"),
             struct(col("cos_c"), col("vec_id"))).as("canonical"))
-        withCos.select(col("vec_id"), col("cell"), col("group"))
+        // rejoin from `grouped`, not withCos: the probe side needs no
+        // cosine, so the centroid join + per-row cosine evaluate ONCE
+        // (in the aggregation branch only) instead of twice per output
+        // row (review find)
+        grouped.select(col("vec_id"), col("cell"), col("group"))
           .join(keepers, Seq("group"))
           .select(col("vec_id"), col("cell"), col("canonical"))
     }
@@ -443,22 +478,33 @@ object Similarity {
       col("cell"))
     val hot = asg.groupBy("cell").count()
       .filter(col("count") > maxCell)
-      .select(col("cell"), col("count").as("n_rows"))
+      .select(col("cell"))
     // ≤ nlist rows by construction — broadcast the routing decision
-    val tagged = asg.join(broadcast(hot.select(col("cell"),
-      lit(true).as("is_hot"))), Seq("cell"), "left")
+    val tagged = asg.join(broadcast(hot.withColumn("is_hot", lit(true))),
+      Seq("cell"), "left")
     val coldPairs = cellPairsExact(tagged.filter(col("is_hot").isNull)
       .drop("is_hot"), minCos)
-    val hotRows = tagged.filter(col("is_hot")).drop("is_hot")
-      .withColumn("sig", hyperplaneSig(emb, "embedding", d, bits, seed))
-    val probes = hotRows.select(col("cell"), col("vec_id"), col("embedding"),
-      explode(array((col("sig") +: (0 until bits).map(b =>
-        col("sig").bitwiseXOR(lit(1L << b)))): _*)).as("bucket"))
+    // checkpoint the signed hot rows: probes, the build side, and the
+    // routedCells report each reference this frame from separate
+    // actions, and without the checkpoint each re-runs the assignment
+    // join + `bits` signature dots per row (signedBatch's rationale;
+    // review find). nemb: the pair threshold is TRUE cosine, normalized
+    // once per row like cellPairsExact (the sign bits are
+    // scale-invariant, so the signature stays on the raw embedding).
+    val hotRows = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(
+        withUnitNorm(tagged.filter(col("is_hot")).drop("is_hot"),
+            "embedding", "nemb")
+          .withColumn("sig", hyperplaneSig(emb, "embedding", d, bits, seed))
+          .drop("embedding")
+          .localCheckpoint())
+    val probes = hotRows.select(col("cell"), col("vec_id"), col("nemb"),
+      explode(array(flipSigs(col("sig"), bits): _*)).as("bucket"))
     val build = hotRows.select(col("cell"), col("sig").as("bucket"),
-      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      col("vec_id").as("id_b"), col("nemb").as("emb_b"))
     val hotPairs = probes.join(build, Seq("cell", "bucket"))
       .filter(col("vec_id") < col("id_b") &&
-        call_function("graft_dot_f", col("embedding"), col("emb_b")) >= minCos)
+        call_function("graft_dot_f", col("nemb"), col("emb_b")) >= minCos)
       .select(col("vec_id").as("id_a"), col("id_b"))
       .distinct() // a pair can surface via both sides' flip probes
     val result = dedupFromPairs(asg, model.centroids,
@@ -497,8 +543,7 @@ object Similarity {
       col("embedding"), sig.as("sig"))
     // probe side: home bucket plus every 1-bit flip (multi-probe)
     val probes = signed.withColumn("bucket",
-      explode(array((col("sig") +: (0 until bits).map(b =>
-        col("sig").bitwiseXOR(lit(1L << b)))): _*)))
+      explode(array(flipSigs(col("sig"), bits): _*)))
     val build = signed.select(col("block"), col("sig").as("bucket"),
       col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     val pairs = probes

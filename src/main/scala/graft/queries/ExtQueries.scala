@@ -486,8 +486,13 @@ object ExtQueries {
     // report are SimilaritySpec's pins — driver records rows-only.
     "q_semantic_dedup_bounded" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      // dim inferred from the data: a hardcoded width silently truncates
+      // against narrower corpora (the fuzz packs are 16-dim where the
+      // testdata is 64 — DotProductF folds over the common prefix, so
+      // wrong-width planes produce a VALID but unintended signature
+      // family; review find)
       Similarity.semanticDedupBounded(emb, nlist = 16, minCos = 0.45,
-          maxCell = 32, dim = 64,
+          maxCell = 32,
           keeper = Similarity.KeepFarFromCentroid)
         .result.orderBy("vec_id")
     }),

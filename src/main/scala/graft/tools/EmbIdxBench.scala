@@ -52,8 +52,11 @@ object EmbIdxBench {
           .as("embedding"))
       .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint()
-    val corpus = mkCorpus(2)
-    val n = corpus.count()
+    // corpus is LAZY so a section-4-only run (SPARK_GRAFT_EMB_SECTIONS=4)
+    // never materializes the sections-1-3 twin corpus it won't read; n is
+    // exact from the base count (the replica cross join multiplies it)
+    lazy val corpus = mkCorpus(2)
+    val n = base.count() * replicas
     println(s"corpus: $n vectors ($replicas x ${n / replicas})")
 
     // 1. bits dial: band cardinality / occupancy
