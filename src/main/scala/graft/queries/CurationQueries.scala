@@ -214,6 +214,88 @@ object CurationQueries {
         .orderBy("stage_id")
     }),
 
+    // North star — the END-TO-END curation pipeline, MATERIALIZED: the
+    // full corpus build a pretraining run consumes, as one declarative
+    // DAG over the stage operators the catalog verifies individually —
+    // document-shape gate (the q_gopher_rules conjunction) → repetition
+    // gate (q_repetition_filter's verdict) → exact dedup (min-id per
+    // content digest) → NEAR-dup dedup with the keep-longest crawl
+    // keeper (q_dedup_keep_longest's LSH → CC → max_by pipeline, on the
+    // exact-dedup survivors) → benchmark decontamination
+    // (q_decontaminate's broadcast shingle join; the eval set never
+    // trains) → sequence packing of the final corpus (q_pack_sequences'
+    // two-phase distributed prefix sum). Composition is the point: each
+    // stage consumes the PREVIOUS stage's survivors, which no
+    // per-operator key exercises, and the packing offsets shift with
+    // every upstream keep/drop decision — one flipped verdict anywhere
+    // moves every later sequence boundary, so the oracle pins the whole
+    // chain, not five independent verdicts. Shape at 100 TB: every
+    // stage is linear (scans, hash aggs, the band/cell equi-joins, a
+    // broadcast bench set, the two-phase prefix sum) — the composed
+    // plan inherits each stage's scale contract unchanged.
+    "q_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tk = col("tk")
+      // stage 1 — document-shape rules (q_gopher_rules' five measures;
+      // tokens hoisted to their own projection per the HOF-CSE lesson)
+      val meas = docs
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          split(trim(col("text")), "\\s+").as("tk"))
+        .select(col("doc_id"), col("text"), col("n_chars"), tk,
+          size(tk).cast("long").as("n_tok"),
+          aggregate(transform(tk, t => length(t).cast("long")), lit(0L),
+            (acc, x) => acc + x).as("sum_len"),
+          size(filter(tk, t => t.rlike("^[0-9]+$"))).cast("long")
+            .as("n_digit"),
+          size(array_distinct(tk)).cast("long").as("n_uniq"),
+          size(filter(array_distinct(tk),
+            t => t.isInCollection(stopwords))).cast("long").as("n_stop"))
+      val gate1 = meas.filter(col("n_tok").between(20L, 100000L) &&
+        col("sum_len").between(col("n_tok") * 3, col("n_tok") * 10) &&
+        col("n_stop") >= 2 && col("n_digit") * 10 <= col("n_tok") &&
+        col("n_uniq") * 10 >= col("n_tok") * 3)
+      // stage 2 — repetition gate (q_repetition_filter's verdict,
+      // negated: survivors are the NON-repetitive docs). gate1 docs have
+      // ≥ 20 tokens, so the bigram stats are always defined.
+      val bg = gate1.select(col("doc_id"),
+          explode(graft.functions.WordShinglesF.shingles(s, tk, 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("topc"), sum(col("c")).as("n2"))
+      val gate2 = gate1.join(bg, Seq("doc_id"))
+        .filter(col("topc") * 5 < col("n2"))
+        .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"))
+      // stage 3 — exact dedup: the min-id keeper per content digest
+      val exIds = gate2.groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val ex = gate2.join(exIds, Seq("doc_id"), "left_semi")
+      // stage 4 — near-dup dedup, keep-longest keeper (LSH → CC →
+      // max_by on the exact-dedup survivors)
+      val keepIds = graft.ops.Dedup
+        .dupClustersKeepLongest(ex, "doc_id", "text", col("n_chars"))
+        .filter(col("is_kept") === 1).select("doc_id")
+      val surv = ex.join(keepIds, Seq("doc_id"), "left_semi")
+      // stage 5 — decontamination: bench shingles come from the FULL
+      // corpus (the pseudo-benchmark is an external eval set — its docs
+      // may themselves have been filtered upstream); corpus-side
+      // shingles only from the current survivors
+      val benchSh = docs.filter(col("doc_id") % 100 === 0)
+        .select(explode(array_distinct(graft.functions.WordShinglesF
+          .shingles(s, split(trim(col("text")), "\\s+"), 3))).as("shingle"))
+        .distinct()
+      val hits = surv.select(col("doc_id"),
+          explode(array_distinct(graft.functions.WordShinglesF
+            .shingles(s, split(trim(col("text")), "\\s+"), 3))).as("shingle"))
+        .join(broadcast(benchSh), Seq("shingle"))
+        .select("doc_id").distinct()
+      val clean = surv.filter(col("doc_id") % 100 =!= 0)
+        .join(hits, Seq("doc_id"), "left_anti")
+      // stage 6 — pack the final corpus into 256-token sequences
+      graft.ops.Packing.packSequences(clean, "doc_id", col("n_tok"),
+          budget = 256L)
+        .orderBy("doc_id")
+    }),
+
     // Corpus-level boilerplate scrub (the CCNet/RefinedWeb "dedup the
     // repeated lines out of every page" stage, with non-overlapping
     // 2-token chunks standing in for lines — the driver corpus has no
@@ -476,6 +558,41 @@ object CurationQueries {
         """hits AS (SELECT doc_id, COUNT(DISTINCT c.shingle) AS n_hits FROM corpus c JOIN bench b ON c.shingle = b.shingle GROUP BY doc_id) """ +
         """SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, CAST(COALESCE(h.n_hits, 0) > 0 AS INTEGER) AS contaminated """ +
         """FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id WHERE d.doc_id % 100 <> 0 ORDER BY d.doc_id"""),
+    // the end-to-end pipeline: every stage CTE is the verified oracle of
+    // its per-operator key (gopher rules, repetition verdict, exact
+    // dedup, the q_dedup_keep_longest recursive closure + keeper,
+    // decontamination, the pack prefix sum), chained on each other's
+    // survivors instead of on `documents`
+    "q_curation_pipeline" ->
+      ("""WITH RECURSIVE t AS (SELECT doc_id, text, n_chars, string_split_regex(trim(text), '\s+') AS tk FROM documents), """ +
+        """m AS (SELECT doc_id, text, n_chars, tk, CAST(len(tk) AS BIGINT) AS n_tok, """ +
+        """CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS BIGINT) AS sum_len, """ +
+        """CAST(len(list_filter(tk, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_digit, """ +
+        """CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq, """ +
+        """CAST(len(list_filter(list_distinct(tk), x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop FROM t), """ +
+        """g AS (SELECT doc_id, text, n_chars, tk, n_tok FROM m WHERE n_tok BETWEEN 20 AND 100000 AND sum_len BETWEEN 3 * n_tok AND 10 * n_tok AND n_stop >= 2 AND n_digit * 10 <= n_tok AND n_uniq * 10 >= n_tok * 3), """ +
+        """big AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM g), """ +
+        """bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2), """ +
+        """bs AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS n2 FROM bc GROUP BY 1), """ +
+        """r AS (SELECT g.* FROM g JOIN bs USING (doc_id) WHERE topc * 5 < n2), """ +
+        """exid AS (SELECT MIN(doc_id) AS doc_id FROM r GROUP BY md5(text)), """ +
+        """ex AS (SELECT r.* FROM r JOIN exid USING (doc_id)), """ +
+        """sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg FROM ex WHERE len(tk) >= 3), """ +
+        """sig AS (SELECT doc_id, MIN(substr(md5(sg), 1, 8)) AS mh0, MIN(substr(md5(sg), 9, 8)) AS mh1, MIN(substr(md5(sg), 17, 8)) AS mh2, MIN(substr(md5(sg), 25, 8)) AS mh3 FROM sh GROUP BY doc_id), """ +
+        """band AS (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM sig), """ +
+        """pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b ON a.b = b.b AND a.doc_id < b.doc_id), """ +
+        """e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), """ +
+        """walk AS (SELECT a, b FROM e UNION SELECT w.a, e2.b FROM walk w JOIN e e2 ON w.b = e2.a), """ +
+        """reach AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon FROM walk GROUP BY a), """ +
+        """memb AS (SELECT ex.doc_id, COALESCE(rc.canon, ex.doc_id) AS canonical, ex.n_chars, ex.n_tok, ex.tk FROM ex LEFT JOIN reach rc ON ex.doc_id = rc.doc_id), """ +
+        """keep AS (SELECT canonical, doc_id AS keep_id FROM (SELECT canonical, doc_id, ROW_NUMBER() OVER (PARTITION BY canonical ORDER BY n_chars DESC, doc_id) AS rn FROM memb) WHERE rn = 1), """ +
+        """s3 AS (SELECT m2.doc_id, m2.n_tok, m2.tk FROM memb m2 JOIN keep k ON m2.canonical = k.canonical AND m2.doc_id = k.keep_id), """ +
+        """benchsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle FROM t WHERE doc_id % 100 = 0 AND len(tk) >= 3), """ +
+        """ssh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle FROM s3 WHERE len(tk) >= 3), """ +
+        """hits AS (SELECT DISTINCT ssh.doc_id FROM ssh JOIN benchsh USING (shingle)), """ +
+        """clean AS (SELECT doc_id, n_tok FROM s3 WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)), """ +
+        """c AS (SELECT doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM clean) """ +
+        """SELECT doc_id, n_tok, cb // 256 AS seq_id, cb % 256 AS seq_offset FROM c ORDER BY doc_id"""),
     // serve_ok = 1 is the contract: the Spark side verifies the served
     // tokens in-query (reconstruction + bounds for every doc, mergeFold
     // reference equality on the 1-in-50 sample) and emits the integer
