@@ -1,0 +1,265 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The curation pipeline's stage operators and its CONTINUOUS-INGEST
+  * form — the incremental twin of the batch `q_curation_pipeline` key,
+  * completing the same batch↔incremental symmetry the dedup family has
+  * ([[Dedup.bandIndexIngest]] vs `q_dup_clusters`).
+  *
+  * Batch (`q_curation_pipeline`, built from the stage builders here):
+  * shape gate → repetition gate → exact dedup → LSH near-dup dedup with
+  * the keep-longest keeper → benchmark decontamination → sequence
+  * packing, each stage on the previous stage's survivors.
+  *
+  * Incremental ([[ingest]]): the same stages per arriving batch under
+  * FIRST-WINS crawl semantics against persisted state — a digest index
+  * and an LSH band index (both the bucketed, crash-safe
+  * [[Dedup.bandIndexAppendPrecomputed]] machinery), plus a carried
+  * token cursor so packed sequence ids continue across batches. The
+  * 100 TB shape is the band-index contract: the arriving batch
+  * broadcasts, history is a bucket-PRUNED scan-local read, and per-batch
+  * cost is independent of corpus size.
+  */
+object CurationFlow {
+
+  /** The q_gopher_rules stopword set (shared with CurationQueries). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Documents passing the q_gopher_rules conjunction — the SHAPE gate.
+    * Returns (doc_id, text, n_chars, tk, n_tok); tokens stay hoisted in
+    * their own projection (HOF-CSE boundary — the q_boilerplate lesson).
+    */
+  def shapeGate(docs: DataFrame): DataFrame = {
+    val tk = col("tk")
+    docs
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        split(trim(col("text")), "\\s+").as("tk"))
+      .select(col("doc_id"), col("text"), col("n_chars"), tk,
+        size(tk).cast("long").as("n_tok"),
+        aggregate(transform(tk, t => length(t).cast("long")), lit(0L),
+          (acc, x) => acc + x).as("sum_len"),
+        size(filter(tk, t => t.rlike("^[0-9]+$"))).cast("long").as("n_digit"),
+        size(array_distinct(tk)).cast("long").as("n_uniq"),
+        size(filter(array_distinct(tk),
+          t => t.isInCollection(Stopwords))).cast("long").as("n_stop"))
+      .filter(col("n_tok").between(20L, 100000L) &&
+        col("sum_len").between(col("n_tok") * 3, col("n_tok") * 10) &&
+        col("n_stop") >= 2 && col("n_digit") * 10 <= col("n_tok") &&
+        col("n_uniq") * 10 >= col("n_tok") * 3)
+      .select(col("doc_id"), col("text"), col("n_chars"), tk, col("n_tok"))
+  }
+
+  /** Shape survivors passing the REPETITION gate (q_repetition_filter's
+    * verdict, negated: the most frequent word bigram must cover < 20% of
+    * bigrams). Input docs must have ≥ 2 tokens — the shape gate's
+    * n_tok ≥ 20 guarantees it. Preserves the input columns.
+    */
+  def repetitionGate(gated: DataFrame): DataFrame = {
+    val s = gated.sparkSession
+    val bg = gated.select(col("doc_id"),
+        explode(graft.functions.WordShinglesF.shingles(s, col("tk"), 2))
+          .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("topc"), sum(col("c")).as("n2"))
+    gated.join(bg, Seq("doc_id"))
+      .filter(col("topc") * 5 < col("n2"))
+      .drop("topc", "n2")
+  }
+
+  /** The distinct 3-token shingles of the pseudo-benchmark documents
+    * (doc_id % 100 == 0 — the eval set is external, so it comes from the
+    * FULL corpus regardless of what upstream gates did to its members).
+    * One column: shingle. Eval-set-sized — broadcast it at the join.
+    */
+  def benchShingles(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.filter(col("doc_id") % 100 === 0)
+      .select(explode(array_distinct(graft.functions.WordShinglesF
+        .shingles(s, split(trim(col("text")), "\\s+"), 3))).as("shingle"))
+      .distinct()
+  }
+
+  /** doc_ids of `docs` sharing any 3-shingle with `bench` (broadcast). */
+  def contaminationHits(docs: DataFrame, bench: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.select(col("doc_id"),
+        explode(array_distinct(graft.functions.WordShinglesF
+          .shingles(s, split(trim(col("text")), "\\s+"), 3))).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"))
+      .select("doc_id").distinct()
+  }
+
+  /** One ingested batch: every input doc decided exactly once
+    * ((doc_id, status, n_tok, seq_id, seq_offset) — status `kept` or the
+    * drop reason; n_tok/seq_* are non-null only on kept rows), plus the
+    * token cursor AFTER the batch (feed it to the next [[ingest]]).
+    */
+  final case class Result(decisions: DataFrame, cursor: Long)
+
+  /** Ingest one batch of documents into the continuous corpus build.
+    *
+    * First-wins crawl semantics, stage by stage (the stage ORDER is the
+    * contract, mirroring the batch pipeline's cascade):
+    *   1. `shape` — fails the q_gopher_rules conjunction;
+    *   2. `repetition` — top bigram ≥ 20% of bigrams;
+    *   3. `exact_history` — content digest already in the persisted
+    *      digest index (an earlier batch kept this exact text);
+    *   4. `exact_batch` — a smaller doc_id in THIS batch has the same
+    *      digest;
+    *   5. `neardup_history` — shares an LSH band with a STORED keeper
+    *      (band candidacy is the dedup-family dup contract, exactly
+    *      q_dup_clusters');
+    *   6. `neardup_batch` — loses the keep-longest keeper election in
+    *      its batch-internal band-candidate component (components are
+    *      built over docs that SURVIVED stages 3-5: every drop has a
+    *      direct justification — a doc whose only band-neighbor dropped
+    *      via history stays);
+    *   7. `benchmark` / `contaminated` — the decontamination gate;
+    *   8. survivors are `kept`: packed into `budget`-token sequences
+    *      continuing at `cursor`, their digests and bands appended to
+    *      the indexes (the indexes hold the KEPT corpus only — a
+    *      contaminated doc's later exact copy re-runs the gates rather
+    *      than hiding behind a dup verdict).
+    *
+    * Scale shape: gates are stateless row maps; both history probes are
+    * batch-broadcast joins against bucket-pruned index reads
+    * ([[Dedup.bandIndexPrunedStored]] / [[Dedup.bandIndexProbe]]); the
+    * batch-internal CC is batch-bounded; packing is the two-phase
+    * prefix sum. History never shuffles. Decision inputs that read the
+    * indexes are CHECKPOINTED before the kept rows are appended —
+    * otherwise the lazy stored reads would see the batch's own rows and
+    * flip `exact_batch` verdicts to `exact_history`.
+    *
+    * Single-writer contract: like [[Dedup.bandIndexIngest]], one ingest
+    * at a time per index dir (a streaming foreachBatch loop provides
+    * this by construction).
+    */
+  def ingest(dir: String, batch: DataFrame, bench: DataFrame,
+             cursor: Long, budget: Long = 256L,
+             buckets: Int = 16): Result = {
+    require(cursor >= 0, s"cursor must be >= 0, got $cursor")
+    val digestDir = dir + "/digest"
+    val bandsDir = dir + "/bands"
+    val all = batch.select(col("doc_id"), col("text"), col("n_chars"))
+
+    // stages 1-2: stateless gates. Both gate outputs feed multiple
+    // downstream frames (digests, LSH bands, reason rows, the pack) —
+    // checkpoint each once (batch-bounded)
+    val shaped = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(shapeGate(all).localCheckpoint())
+    val gated = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(repetitionGate(shaped).localCheckpoint())
+
+    // stage 3: exact vs history — batch digests broadcast against the
+    // bucket-pruned digest-index read. Checkpointed BEFORE the append.
+    val digests = gated.select(col("doc_id"), md5(col("text")).as("band"))
+    val exHist = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(
+        Dedup.bandIndexPrunedStored(digestDir, digests, buckets)
+          .join(broadcast(digests.withColumnRenamed("doc_id", "bid")),
+            Seq("band"))
+          .select(col("bid").as("doc_id")).distinct()
+          .localCheckpoint())
+    val afterHist = gated.join(exHist, Seq("doc_id"), "left_anti")
+
+    // stage 4: exact within batch — min doc_id per digest keeps
+    val exKeep = afterHist.select(col("doc_id"), md5(col("text")).as("dg"))
+      .groupBy("dg").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val exBatchDrop = afterHist.join(exKeep, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val afterEx = afterHist.join(exKeep, Seq("doc_id"), "left_semi")
+
+    // stage 5: near-dup band candidates vs stored ∪ batch (the
+    // incremental-dedup probe). Checkpointed BEFORE the append.
+    val pairs = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(
+        Dedup.bandIndexProbe(bandsDir, afterEx, "doc_id", "text",
+            buckets = buckets)
+          .localCheckpoint())
+    val batchIds = afterEx.select(col("doc_id"))
+    val flagged = pairs
+      .join(broadcast(batchIds.select(col("doc_id").as("a_id"),
+        lit(true).as("a_in"))), col("doc_a") === col("a_id"), "left")
+      .join(broadcast(batchIds.select(col("doc_id").as("b_id"),
+        lit(true).as("b_in"))), col("doc_b") === col("b_id"), "left")
+    val histDrop = flagged.filter(col("a_in").isNull || col("b_in").isNull)
+      .select(when(col("a_in").isNotNull, col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    val afterNdHist = afterEx.join(histDrop, Seq("doc_id"), "left_anti")
+
+    // stage 6: batch-internal components among the REMAINING docs,
+    // keep-longest keeper (ties → min doc_id), mirroring
+    // Dedup.dupClustersKeepLongest
+    val rem = afterNdHist.select(col("doc_id"))
+    val edges = flagged
+      .filter(col("a_in").isNotNull && col("b_in").isNotNull)
+      .select(col("doc_a"), col("doc_b"))
+      .join(broadcast(rem.select(col("doc_id").as("doc_a"))), Seq("doc_a"),
+        "left_semi")
+      .join(broadcast(rem.select(col("doc_id").as("doc_b"))), Seq("doc_b"),
+        "left_semi")
+    val labels = Graph.connectedComponents(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val memb = afterNdHist
+      .join(labels.withColumnRenamed("node_id", "doc_id"), Seq("doc_id"),
+        "left")
+      .withColumn("grp", coalesce(col("component"), col("doc_id")))
+    val keepers = memb.groupBy("grp")
+      .agg(max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+        .as("keep_id"))
+    val withKeep = memb.join(keepers, Seq("grp"))
+    val ndBatchDrop = withKeep.filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+    val afterNd = withKeep.filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"))
+
+    // stage 7: decontamination
+    val hits = contaminationHits(afterNd, bench)
+    val benchDrop = afterNd.filter(col("doc_id") % 100 === 0)
+      .select("doc_id")
+    val nonBench = afterNd.filter(col("doc_id") % 100 =!= 0)
+    val contamDrop = nonBench.join(hits, Seq("doc_id"), "left_semi")
+      .select("doc_id")
+    val kept = nonBench.join(hits, Seq("doc_id"), "left_anti")
+
+    // stage 8: pack at the carried cursor (cb DIV keeps long math exact —
+    // a double floor would lose integers past 2^53 on a long-lived feed)
+    val packed = Packing.packSequences(kept, "doc_id", col("n_tok"), budget)
+      .withColumn("cb",
+        lit(cursor) + col("seq_id") * lit(budget) + col("seq_offset"))
+      .select(col("doc_id"), lit("kept").as("status"), col("n_tok"),
+        expr(s"cb DIV $budget").as("seq_id"),
+        pmod(col("cb"), lit(budget)).as("seq_offset"))
+    val newCursor = cursor +
+      kept.agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
+
+    // append the KEPT corpus to both indexes — decision inputs above are
+    // checkpointed, so these writes cannot leak into this batch's verdicts
+    Dedup.bandIndexAppendPrecomputed(digestDir,
+      kept.select(col("doc_id"), md5(col("text")).as("band")), buckets)
+    Dedup.bandIndexAppend(bandsDir, kept, "doc_id", "text",
+      buckets = buckets)
+
+    def reason(ids: DataFrame, r: String): DataFrame =
+      ids.select(col("doc_id"), lit(r).as("status"),
+        lit(null).cast("long").as("n_tok"),
+        lit(null).cast("long").as("seq_id"),
+        lit(null).cast("long").as("seq_offset"))
+    val decisions = reason(all.join(shaped, Seq("doc_id"), "left_anti"),
+        "shape")
+      .unionByName(reason(shaped.join(gated, Seq("doc_id"), "left_anti"),
+        "repetition"))
+      .unionByName(reason(exHist, "exact_history"))
+      .unionByName(reason(exBatchDrop, "exact_batch"))
+      .unionByName(reason(histDrop, "neardup_history"))
+      .unionByName(reason(ndBatchDrop, "neardup_batch"))
+      .unionByName(reason(benchDrop, "benchmark"))
+      .unionByName(reason(contamDrop, "contaminated"))
+      .unionByName(packed)
+    Result(decisions, newCursor)
+  }
+}

@@ -235,36 +235,10 @@ object CurationQueries {
     // plan inherits each stage's scale contract unchanged.
     "q_curation_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tk = col("tk")
-      // stage 1 — document-shape rules (q_gopher_rules' five measures;
-      // tokens hoisted to their own projection per the HOF-CSE lesson)
-      val meas = docs
-        .select(col("doc_id"), col("text"), col("n_chars"),
-          split(trim(col("text")), "\\s+").as("tk"))
-        .select(col("doc_id"), col("text"), col("n_chars"), tk,
-          size(tk).cast("long").as("n_tok"),
-          aggregate(transform(tk, t => length(t).cast("long")), lit(0L),
-            (acc, x) => acc + x).as("sum_len"),
-          size(filter(tk, t => t.rlike("^[0-9]+$"))).cast("long")
-            .as("n_digit"),
-          size(array_distinct(tk)).cast("long").as("n_uniq"),
-          size(filter(array_distinct(tk),
-            t => t.isInCollection(stopwords))).cast("long").as("n_stop"))
-      val gate1 = meas.filter(col("n_tok").between(20L, 100000L) &&
-        col("sum_len").between(col("n_tok") * 3, col("n_tok") * 10) &&
-        col("n_stop") >= 2 && col("n_digit") * 10 <= col("n_tok") &&
-        col("n_uniq") * 10 >= col("n_tok") * 3)
-      // stage 2 — repetition gate (q_repetition_filter's verdict,
-      // negated: survivors are the NON-repetitive docs). gate1 docs have
-      // ≥ 20 tokens, so the bigram stats are always defined.
-      val bg = gate1.select(col("doc_id"),
-          explode(graft.functions.WordShinglesF.shingles(s, tk, 2)).as("bg"))
-        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(max(col("c")).as("topc"), sum(col("c")).as("n2"))
-      val gate2 = gate1.join(bg, Seq("doc_id"))
-        .filter(col("topc") * 5 < col("n2"))
-        .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"))
+      // stages 1-2 — shape + repetition gates (ops.CurationFlow's stage
+      // builders, shared verbatim with the incremental twin)
+      val gate2 = graft.ops.CurationFlow
+        .repetitionGate(graft.ops.CurationFlow.shapeGate(docs)).drop("tk")
       // stage 3 — exact dedup: the min-id keeper per content digest
       val exIds = gate2.groupBy(md5(col("text")).as("digest"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
@@ -279,20 +253,40 @@ object CurationQueries {
       // corpus (the pseudo-benchmark is an external eval set — its docs
       // may themselves have been filtered upstream); corpus-side
       // shingles only from the current survivors
-      val benchSh = docs.filter(col("doc_id") % 100 === 0)
-        .select(explode(array_distinct(graft.functions.WordShinglesF
-          .shingles(s, split(trim(col("text")), "\\s+"), 3))).as("shingle"))
-        .distinct()
-      val hits = surv.select(col("doc_id"),
-          explode(array_distinct(graft.functions.WordShinglesF
-            .shingles(s, split(trim(col("text")), "\\s+"), 3))).as("shingle"))
-        .join(broadcast(benchSh), Seq("shingle"))
-        .select("doc_id").distinct()
+      val hits = graft.ops.CurationFlow.contaminationHits(surv,
+        graft.ops.CurationFlow.benchShingles(docs))
       val clean = surv.filter(col("doc_id") % 100 =!= 0)
         .join(hits, Seq("doc_id"), "left_anti")
       // stage 6 — pack the final corpus into 256-token sequences
       graft.ops.Packing.packSequences(clean, "doc_id", col("n_tok"),
           budget = 256L)
+        .orderBy("doc_id")
+    }),
+
+    // North star — the CONTINUOUS corpus build (ops.CurationFlow.ingest):
+    // q_curation_pipeline's stages per arriving batch under FIRST-WINS
+    // crawl semantics against persisted state — a digest index and an LSH
+    // band index (the bucketed crash-safe Dedup band-index machinery),
+    // plus a carried token cursor so packed sequences continue across
+    // batches. Two arrival waves here (even doc_ids, then odd): wave 2's
+    // verdicts exercise every incremental reason — exact_history /
+    // neardup_history against wave 1's KEPT corpus, the batch-internal
+    // exact/near keeper elections, the stateless gates, and the
+    // cursor-continued packing. Oracle: the full two-wave recompute as
+    // one chained CTE (two recursive closures). Output: every doc's
+    // (status, n_tok, seq_id, seq_offset, wave), dropped rows with NULL
+    // pack fields.
+    "q_curation_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = CoreQueries.pidScopedDir("graft_curation_inc", d)
+      val bench = graft.ops.CurationFlow.benchShingles(docs)
+      val w1 = graft.ops.CurationFlow.ingest(dir.toString,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), bench, cursor = 0L)
+      val w2 = graft.ops.CurationFlow.ingest(dir.toString,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), bench,
+        cursor = w1.cursor)
+      w1.decisions.withColumn("wave", lit(1))
+        .unionByName(w2.decisions.withColumn("wave", lit(2)))
         .orderBy("doc_id")
     }),
 
@@ -593,6 +587,86 @@ object CurationQueries {
         """clean AS (SELECT doc_id, n_tok FROM s3 WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)), """ +
         """c AS (SELECT doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM clean) """ +
         """SELECT doc_id, n_tok, cb // 256 AS seq_id, cb % 256 AS seq_offset FROM c ORDER BY doc_id"""),
+    // the continuous corpus build: the full two-wave first-wins
+    // recompute — wave 1 is the batch pipeline on even ids; wave 2
+    // replays the stages on odd ids against wave 1's KEPT corpus
+    // (digest match = exact_history, band match = neardup_history),
+    // then packs at wave 1's token cursor. Two recursive closures, one
+    // per wave's batch-internal component step.
+    "q_curation_incremental" ->
+      ("""WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id, text, n_chars, string_split_regex(trim(text), '\s+') AS tk FROM documents), """ +
+        """m AS MATERIALIZED (SELECT doc_id, text, n_chars, tk, CAST(len(tk) AS BIGINT) AS n_tok, """ +
+        """CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS BIGINT) AS sum_len, """ +
+        """CAST(len(list_filter(tk, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_digit, """ +
+        """CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq, """ +
+        """CAST(len(list_filter(list_distinct(tk), x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop FROM t), """ +
+        """g AS MATERIALIZED (SELECT doc_id, text, n_chars, tk, n_tok FROM m WHERE n_tok BETWEEN 20 AND 100000 AND sum_len BETWEEN 3 * n_tok AND 10 * n_tok AND n_stop >= 2 AND n_digit * 10 <= n_tok AND n_uniq * 10 >= n_tok * 3), """ +
+        """big AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM g), """ +
+        """bc AS MATERIALIZED (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2), """ +
+        """bs AS MATERIALIZED (SELECT doc_id, MAX(c) AS topc, SUM(c) AS n2 FROM bc GROUP BY 1), """ +
+        """r AS MATERIALIZED (SELECT g.* FROM g JOIN bs USING (doc_id) WHERE topc * 5 < n2), """ +
+        """bench AS MATERIALIZED (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle FROM t WHERE doc_id % 100 = 0 AND len(tk) >= 3), """ +
+        // wave 1 (even ids): empty history
+        """w1 AS MATERIALIZED (SELECT * FROM r WHERE doc_id % 2 = 0), """ +
+        """w1exid AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM w1 GROUP BY md5(text)), """ +
+        """w1ex AS MATERIALIZED (SELECT w1.* FROM w1 JOIN w1exid USING (doc_id)), """ +
+        """w1sh AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg FROM w1ex WHERE len(tk) >= 3), """ +
+        """w1sig AS MATERIALIZED (SELECT doc_id, MIN(substr(md5(sg), 1, 8)) AS mh0, MIN(substr(md5(sg), 9, 8)) AS mh1, MIN(substr(md5(sg), 17, 8)) AS mh2, MIN(substr(md5(sg), 25, 8)) AS mh3 FROM w1sh GROUP BY doc_id), """ +
+        """w1band AS MATERIALIZED (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM w1sig), """ +
+        """w1pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM w1band a JOIN w1band b ON a.b = b.b AND a.doc_id < b.doc_id), """ +
+        """w1e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM w1pairs UNION SELECT doc_b, doc_a FROM w1pairs), """ +
+        """w1walk AS (SELECT a, b FROM w1e UNION SELECT w.a, e2.b FROM w1walk w JOIN w1e e2 ON w.b = e2.a), """ +
+        """w1reach AS MATERIALIZED (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon FROM w1walk GROUP BY a), """ +
+        """w1memb AS MATERIALIZED (SELECT w1ex.doc_id, COALESCE(rc.canon, w1ex.doc_id) AS canonical, w1ex.n_chars, w1ex.n_tok, w1ex.tk, w1ex.text FROM w1ex LEFT JOIN w1reach rc ON w1ex.doc_id = rc.doc_id), """ +
+        """w1keep AS MATERIALIZED (SELECT canonical, doc_id AS keep_id FROM (SELECT canonical, doc_id, ROW_NUMBER() OVER (PARTITION BY canonical ORDER BY n_chars DESC, doc_id) AS rn FROM w1memb) WHERE rn = 1), """ +
+        """w1nd AS MATERIALIZED (SELECT mm.* FROM w1memb mm JOIN w1keep k ON mm.canonical = k.canonical AND mm.doc_id = k.keep_id), """ +
+        """w1hits AS MATERIALIZED (SELECT DISTINCT d.doc_id FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle FROM w1nd WHERE len(tk) >= 3) d JOIN bench USING (shingle)), """ +
+        """w1kept AS MATERIALIZED (SELECT * FROM w1nd WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM w1hits)), """ +
+        """w1c AS MATERIALIZED (SELECT doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM w1kept), """ +
+        """cur1 AS MATERIALIZED (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS c FROM w1kept), """ +
+        // wave 2 (odd ids): against wave 1's kept corpus
+        """w2 AS MATERIALIZED (SELECT * FROM r WHERE doc_id % 2 = 1), """ +
+        """w2hist AS MATERIALIZED (SELECT doc_id FROM w2 WHERE md5(text) IN (SELECT md5(text) FROM w1kept)), """ +
+        """w2a AS MATERIALIZED (SELECT * FROM w2 WHERE doc_id NOT IN (SELECT doc_id FROM w2hist)), """ +
+        """w2exid AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM w2a GROUP BY md5(text)), """ +
+        """w2ex AS MATERIALIZED (SELECT w2a.* FROM w2a JOIN w2exid USING (doc_id)), """ +
+        """w2sh AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg FROM w2ex WHERE len(tk) >= 3), """ +
+        """w2sig AS MATERIALIZED (SELECT doc_id, MIN(substr(md5(sg), 1, 8)) AS mh0, MIN(substr(md5(sg), 9, 8)) AS mh1, MIN(substr(md5(sg), 17, 8)) AS mh2, MIN(substr(md5(sg), 25, 8)) AS mh3 FROM w2sh GROUP BY doc_id), """ +
+        """w2band AS MATERIALIZED (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM w2sig), """ +
+        """s1sh AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg FROM w1kept WHERE len(tk) >= 3), """ +
+        """s1sig AS MATERIALIZED (SELECT doc_id, MIN(substr(md5(sg), 1, 8)) AS mh0, MIN(substr(md5(sg), 9, 8)) AS mh1, MIN(substr(md5(sg), 17, 8)) AS mh2, MIN(substr(md5(sg), 25, 8)) AS mh3 FROM s1sh GROUP BY doc_id), """ +
+        """s1band AS MATERIALIZED (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM s1sig), """ +
+        """w2nh AS MATERIALIZED (SELECT DISTINCT a.doc_id FROM w2band a JOIN s1band s ON a.b = s.b), """ +
+        """w2b AS MATERIALIZED (SELECT * FROM w2ex WHERE doc_id NOT IN (SELECT doc_id FROM w2nh)), """ +
+        """w2pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM w2band a JOIN w2band b ON a.b = b.b AND a.doc_id < b.doc_id WHERE a.doc_id IN (SELECT doc_id FROM w2b) AND b.doc_id IN (SELECT doc_id FROM w2b)), """ +
+        """w2e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM w2pairs UNION SELECT doc_b, doc_a FROM w2pairs), """ +
+        """w2walk AS (SELECT a, b FROM w2e UNION SELECT w.a, e2.b FROM w2walk w JOIN w2e e2 ON w.b = e2.a), """ +
+        """w2reach AS MATERIALIZED (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon FROM w2walk GROUP BY a), """ +
+        """w2memb AS MATERIALIZED (SELECT w2b.doc_id, COALESCE(rc.canon, w2b.doc_id) AS canonical, w2b.n_chars, w2b.n_tok, w2b.tk, w2b.text FROM w2b LEFT JOIN w2reach rc ON w2b.doc_id = rc.doc_id), """ +
+        """w2keep AS MATERIALIZED (SELECT canonical, doc_id AS keep_id FROM (SELECT canonical, doc_id, ROW_NUMBER() OVER (PARTITION BY canonical ORDER BY n_chars DESC, doc_id) AS rn FROM w2memb) WHERE rn = 1), """ +
+        """w2nd AS MATERIALIZED (SELECT mm.* FROM w2memb mm JOIN w2keep k ON mm.canonical = k.canonical AND mm.doc_id = k.keep_id), """ +
+        """w2hits AS MATERIALIZED (SELECT DISTINCT d.doc_id FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle FROM w2nd WHERE len(tk) >= 3) d JOIN bench USING (shingle)), """ +
+        """w2kept AS MATERIALIZED (SELECT * FROM w2nd WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM w2hits)), """ +
+        """w2c AS MATERIALIZED (SELECT doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM w2kept) """ +
+        // decisions
+        """SELECT doc_id, status, n_tok, seq_id, seq_offset, wave FROM ( """ +
+        """SELECT doc_id, 'shape' AS status, CAST(NULL AS BIGINT) AS n_tok, CAST(NULL AS BIGINT) AS seq_id, CAST(NULL AS BIGINT) AS seq_offset, 1 AS wave FROM t WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM g) """ +
+        """UNION ALL SELECT doc_id, 'repetition', NULL, NULL, NULL, 1 FROM g WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM r) """ +
+        """UNION ALL SELECT doc_id, 'exact_batch', NULL, NULL, NULL, 1 FROM w1 WHERE doc_id NOT IN (SELECT doc_id FROM w1ex) """ +
+        """UNION ALL SELECT doc_id, 'neardup_batch', NULL, NULL, NULL, 1 FROM w1ex WHERE doc_id NOT IN (SELECT doc_id FROM w1nd) """ +
+        """UNION ALL SELECT doc_id, 'benchmark', NULL, NULL, NULL, 1 FROM w1nd WHERE doc_id % 100 = 0 """ +
+        """UNION ALL SELECT doc_id, 'contaminated', NULL, NULL, NULL, 1 FROM w1nd WHERE doc_id % 100 <> 0 AND doc_id IN (SELECT doc_id FROM w1hits) """ +
+        """UNION ALL SELECT doc_id, 'kept', n_tok, cb // 256, cb % 256, 1 FROM w1c """ +
+        """UNION ALL SELECT doc_id, 'shape', NULL, NULL, NULL, 2 FROM t WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM g) """ +
+        """UNION ALL SELECT doc_id, 'repetition', NULL, NULL, NULL, 2 FROM g WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM r) """ +
+        """UNION ALL SELECT doc_id, 'exact_history', NULL, NULL, NULL, 2 FROM w2hist """ +
+        """UNION ALL SELECT doc_id, 'exact_batch', NULL, NULL, NULL, 2 FROM w2a WHERE doc_id NOT IN (SELECT doc_id FROM w2ex) """ +
+        """UNION ALL SELECT doc_id, 'neardup_history', NULL, NULL, NULL, 2 FROM w2nh """ +
+        """UNION ALL SELECT doc_id, 'neardup_batch', NULL, NULL, NULL, 2 FROM w2b WHERE doc_id NOT IN (SELECT doc_id FROM w2nd) """ +
+        """UNION ALL SELECT doc_id, 'benchmark', NULL, NULL, NULL, 2 FROM w2nd WHERE doc_id % 100 = 0 """ +
+        """UNION ALL SELECT doc_id, 'contaminated', NULL, NULL, NULL, 2 FROM w2nd WHERE doc_id % 100 <> 0 AND doc_id IN (SELECT doc_id FROM w2hits) """ +
+        """UNION ALL SELECT w2c.doc_id, 'kept', w2c.n_tok, (cur1.c + cb) // 256, (cur1.c + cb) % 256, 2 FROM w2c, cur1 """ +
+        """) ORDER BY doc_id"""),
     // serve_ok = 1 is the contract: the Spark side verifies the served
     // tokens in-query (reconstruction + bounds for every doc, mergeFold
     // reference equality on the 1-in-50 sample) and emits the integer
