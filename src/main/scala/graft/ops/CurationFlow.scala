@@ -99,6 +99,16 @@ object CurationFlow {
     */
   final case class Result(decisions: DataFrame, cursor: Long)
 
+  /** [[decide]]'s return: the decisions and end cursor of [[Result]],
+    * plus the kept frame a separate [[commit]] appends to the indexes —
+    * the split exists so a streaming caller can persist the decisions
+    * and its cursor ledger BEFORE the index mutation (no crash window
+    * loses kept rows; see [[graft.streaming.StreamOps
+    * .curationIngestStream]]).
+    */
+  final case class Staged(decisions: DataFrame, kept: DataFrame,
+                          cursor: Long)
+
   /** Ingest one batch of documents into the continuous corpus build.
     *
     * First-wins crawl semantics, stage by stage (the stage ORDER is the
@@ -140,6 +150,21 @@ object CurationFlow {
   def ingest(dir: String, batch: DataFrame, bench: DataFrame,
              cursor: Long, budget: Long = 256L,
              buckets: Int = 16): Result = {
+    val staged = decide(dir, batch, bench, cursor, budget, buckets)
+    commit(dir, staged.kept, buckets)
+    Result(staged.decisions, staged.cursor)
+  }
+
+  /** [[ingest]] WITHOUT the index mutation: compute the batch's
+    * decisions, kept frame, and end cursor against the indexes as they
+    * stand. All decision inputs that read the indexes are checkpointed,
+    * so the returned frames stay valid (and identical) after a later
+    * [[commit]]. Pair with [[commit]] — [[ingest]] is exactly
+    * decide-then-commit.
+    */
+  def decide(dir: String, batch: DataFrame, bench: DataFrame,
+             cursor: Long, budget: Long = 256L,
+             buckets: Int = 16): Staged = {
     require(cursor >= 0, s"cursor must be >= 0, got $cursor")
     val digestDir = dir + "/digest"
     val bandsDir = dir + "/bands"
@@ -237,13 +262,6 @@ object CurationFlow {
     val newCursor = cursor +
       kept.agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
 
-    // append the KEPT corpus to both indexes — decision inputs above are
-    // checkpointed, so these writes cannot leak into this batch's verdicts
-    Dedup.bandIndexAppendPrecomputed(digestDir,
-      kept.select(col("doc_id"), md5(col("text")).as("band")), buckets)
-    Dedup.bandIndexAppend(bandsDir, kept, "doc_id", "text",
-      buckets = buckets)
-
     def reason(ids: DataFrame, r: String): DataFrame =
       ids.select(col("doc_id"), lit(r).as("status"),
         lit(null).cast("long").as("n_tok"),
@@ -260,6 +278,56 @@ object CurationFlow {
       .unionByName(reason(benchDrop, "benchmark"))
       .unionByName(reason(contamDrop, "contaminated"))
       .unionByName(packed)
-    Result(decisions, newCursor)
+    Staged(decisions, kept, newCursor)
+  }
+
+  /** Append a [[decide]]d batch's kept corpus to both indexes. The
+    * decision frames are checkpoint-pinned, so committing after reading
+    * them cannot flip the already-computed verdicts (the in-batch
+    * ordering [[ingest]] relies on).
+    */
+  def commit(dir: String, kept: DataFrame, buckets: Int = 16): Unit = {
+    Dedup.bandIndexAppendPrecomputed(dir + "/digest",
+      kept.select(col("doc_id"), md5(col("text")).as("band")), buckets)
+    Dedup.bandIndexAppend(dir + "/bands", kept, "doc_id", "text",
+      buckets = buckets)
+  }
+
+  /** The streaming cursor LEDGER: one record (batchId, startCursor,
+    * endCursor) under `dir/_cursor`, staged-rename swapped. A replayed
+    * foreachBatch id reuses its recorded START cursor (never
+    * double-advancing); a fresh batch starts at the recorded END.
+    */
+  def readLedger(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Option[(Long, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_cursor")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val line = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      val Array(b, s, e) = line.split(",").map(_.toLong)
+      Some((b, s, e))
+    }
+  }
+
+  /** Write the ledger record (tmp + checked rename — the band-index swap
+    * discipline).
+    */
+  def writeLedger(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  batchId: Long, start: Long, end: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fin = new org.apache.hadoop.fs.Path(dir, "_cursor")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_cursor.tmp")
+    val fs = fin.getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val out = fs.create(tmp, true)
+    try out.write(s"$batchId,$start,$end".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(fin) && !fs.delete(fin, false))
+      throw new java.io.IOException(s"ledger delete failed: $fin")
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"ledger rename failed: $tmp -> $fin")
   }
 }

@@ -731,4 +731,68 @@ object StreamOps {
     clicks.withWatermark("c_ts", watermark)
       .join(signups.withWatermark("s_ts", watermark),
         expr(s"c_user = s_user AND s_ts BETWEEN c_ts - interval $horizon AND c_ts"))
+
+  /** One micro-batch step of [[curationIngestStream]] — package-visible
+    * so the replay contract is directly testable. Write order is the
+    * crash-safety argument:
+    *   1. [[graft.ops.CurationFlow.decide]] pins the decisions against
+    *      the CURRENT indexes (checkpointed inputs);
+    *   2. the decisions land in `outPath`;
+    *   3. the cursor ledger commits (batchId, start, end);
+    *   4. [[graft.ops.CurationFlow.commit]] appends the kept corpus.
+    * A crash before 3 replays the batch against UNCHANGED indexes —
+    * identical decisions, duplicate output rows (at-least-once). A crash
+    * between 3 and 4 replays with the ledger already at this batchId, so
+    * the start cursor is reused (never double-advanced) and the
+    * decisions are still identical. After 4, a replay re-emits rows
+    * whose kept docs now read `exact_history` against their own earlier
+    * commit — the kept CORPUS, the cursor, and every other batch's rows
+    * stay exact (re-appended digest/band rows are duplicates that change
+    * no candidate set). Exactly-once decision ROWS would need the
+    * state-store path rather than foreachBatch.
+    */
+  private[graft] def curationStep(indexPath: String, outPath: String,
+                                  bench: DataFrame, budget: Long,
+                                  buckets: Int)
+                                 (batch: DataFrame, id: Long): Unit = {
+    val spark = batch.sparkSession
+    // a replayed id reuses its recorded START; its recorded END is kept
+    // through a max — a post-commit replay keeps nothing (its docs
+    // already read exact_history), and recomputing the end from that
+    // would rewind the corpus cursor
+    val (start, priorEnd) =
+      graft.ops.CurationFlow.readLedger(spark, indexPath) match {
+        case Some((bid, s, e)) if bid == id => (s, e) // replayed batch
+        case Some((_, _, e)) => (e, 0L)
+        case None => (0L, 0L)
+      }
+    val staged = graft.ops.CurationFlow.decide(indexPath, batch, bench,
+      start, budget, buckets)
+    staged.decisions.withColumn("batch_id", lit(id))
+      .write.mode("append").parquet(outPath)
+    graft.ops.CurationFlow.writeLedger(spark, indexPath, id, start,
+      math.max(staged.cursor, priorEnd))
+    graft.ops.CurationFlow.commit(indexPath, staged.kept, buckets)
+  }
+
+  /** The CONTINUOUS corpus build as a stream — `q_curation_incremental`'s
+    * arrival loop unbounded: each micro-batch of (doc_id, text, n_chars)
+    * rows runs the first-wins stage chain against the persisted digest +
+    * band indexes, lands every doc's decision in `outPath` tagged with
+    * the batch id, and continues the packing cursor through the
+    * `_cursor` ledger (restart-safe; see [[curationStep]] for the replay
+    * contract). foreachBatch's serial execution provides the indexes'
+    * single-writer contract; `bench` is the static benchmark-shingle
+    * frame ([[graft.ops.CurationFlow.benchShingles]] of the eval set).
+    */
+  def curationIngestStream(docs: DataFrame, indexPath: String,
+                           outPath: String, checkpoint: String,
+                           bench: DataFrame, budget: Long = 256L,
+                           buckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(curationStep(indexPath, outPath, bench, budget,
+        buckets) _)
+      .start()
 }

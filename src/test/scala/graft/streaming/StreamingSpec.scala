@@ -848,4 +848,120 @@ class StreamingSpec extends SparkTestBase {
         .filter(col("n") > 1).count() === 0)
     } finally q.stop()
   }
+
+  // --- the continuous corpus build (CurationFlow through foreachBatch) ---
+
+  private def curationDocs() =
+    Tables.documents(spark, Sf0001)
+      .select("doc_id", "text", "n_chars")
+      .filter(col("doc_id") < 150)
+
+  private def keptRows(df: org.apache.spark.sql.DataFrame) =
+    df.filter(col("status") === "kept")
+      .select("doc_id", "n_tok", "seq_id", "seq_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
+  private def statusRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "status").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+
+  test("curationIngestStream: streamed chunks == sequential batch ingests; empty micro-batch safe; checkpointed restart continues the cursor") {
+    import spark.implicits._
+    val docs = curationDocs()
+    val rows = docs.as[(Long, String, Long)].collect()
+    val bench = graft.ops.CurationFlow.benchShingles(docs)
+    val chunks = rows.grouped(50).toSeq // 3 chunks of 50
+    val schema = docs.schema
+
+    // streamed through a FILE source so the query can restart from its
+    // checkpoint mid-feed (the sessionLateTWS restart mechanics)
+    val srcDir = java.nio.file.Files.createTempDirectory("cursrc").toString
+    val base = java.nio.file.Files.createTempDirectory("curstream").toString
+    def start() = StreamOps.curationIngestStream(
+      spark.readStream.schema(schema).parquet(s"$srcDir/*"),
+      s"$base/idx", s"$base/out", s"$base/ckpt", bench)
+    chunks.head.toSeq.toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b0")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart from the checkpoint with two more chunks landed
+    chunks(1).toSeq.toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+    chunks(2).toSeq.toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b2")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // sequential batch reference over the SAME chunk sequence
+    val refDir = java.nio.file.Files.createTempDirectory("curref").toString
+    var cursor = 0L
+    val ref = chunks.map { c =>
+      val r = graft.ops.CurationFlow.ingest(refDir,
+        c.toSeq.toDF("doc_id", "text", "n_chars"), bench, cursor)
+      cursor = r.cursor
+      r.decisions
+    }.reduce(_ unionByName _)
+
+    val got = spark.read.parquet(s"$base/out")
+    assert(statusRows(got) === statusRows(ref))
+    assert(keptRows(got) === keptRows(ref))
+    assert(keptRows(got).nonEmpty)
+    // the ledger committed the final cursor
+    val Some((_, _, end)) =
+      graft.ops.CurationFlow.readLedger(spark, s"$base/idx")
+    assert(end === cursor)
+    // an empty trailing micro-batch is a no-op (file source with no new
+    // files emits none — drive the step directly to pin the contract)
+    StreamOps.curationStep(s"$base/idx", s"$base/out", bench, 256L, 16)(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars"), 99L)
+    val Some((bid, _, end2)) =
+      graft.ops.CurationFlow.readLedger(spark, s"$base/idx")
+    assert(bid === 99L && end2 === cursor)
+  }
+
+  test("curationStep replay: cursor never double-advances; kept corpus idempotent; replayed kept rows read exact_history") {
+    import spark.implicits._
+    val docs = curationDocs()
+    val rows = docs.as[(Long, String, Long)].collect()
+    val bench = graft.ops.CurationFlow.benchShingles(docs)
+    val base = java.nio.file.Files.createTempDirectory("curreplay").toString
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    def step(chunk: Seq[(Long, String, Long)], id: Long): Unit =
+      StreamOps.curationStep(s"$base/idx", s"$base/out", bench, 256L, 16)(
+        chunk.toDF("doc_id", "text", "n_chars"), id)
+    step(b0.toSeq, 0L)
+    val led0 = graft.ops.CurationFlow.readLedger(spark, s"$base/idx").get
+    val kept0 = spark.read.parquet(s"$base/out")
+      .filter(col("batch_id") === 0 && col("status") === "kept")
+    val keptIds = kept0.select("doc_id").as[Long].collect().toSet
+    assert(keptIds.nonEmpty)
+    // replay batch 0 AFTER its commit (the worst-case window): the
+    // ledger must not move, and the replayed rows mark the previously
+    // kept docs exact_history against their own earlier commit
+    step(b0.toSeq, 0L)
+    assert(graft.ops.CurationFlow.readLedger(spark, s"$base/idx").get
+      === led0)
+    val replayed = spark.read.parquet(s"$base/out")
+      .filter(col("batch_id") === 0)
+    // two rows per doc now (at-least-once); the original kept rows survive
+    assert(replayed.filter(col("status") === "kept").count()
+      === keptIds.size.toLong)
+    assert(replayed.filter(col("status") === "exact_history")
+      .select("doc_id").as[Long].collect().toSet === keptIds)
+    // the index did not double-count: batch 1 packs from led0's end, and
+    // its decisions equal a reference against a never-replayed twin dir
+    step(b1.toSeq, 1L)
+    val refDir = java.nio.file.Files.createTempDirectory("curtwin").toString
+    val r0 = graft.ops.CurationFlow.ingest(refDir,
+      b0.toSeq.toDF("doc_id", "text", "n_chars"), bench, 0L)
+    r0.decisions.count()
+    val r1 = graft.ops.CurationFlow.ingest(refDir,
+      b1.toSeq.toDF("doc_id", "text", "n_chars"), bench, r0.cursor)
+    val gotB1 = spark.read.parquet(s"$base/out")
+      .filter(col("batch_id") === 1)
+    assert(statusRows(gotB1) === statusRows(r1.decisions))
+    assert(keptRows(gotB1) === keptRows(r1.decisions))
+  }
 }
