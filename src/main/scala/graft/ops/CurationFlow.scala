@@ -104,10 +104,11 @@ object CurationFlow {
     * the split exists so a streaming caller can persist the decisions
     * and its cursor ledger BEFORE the index mutation (no crash window
     * loses kept rows; see [[graft.streaming.StreamOps
-    * .curationIngestStream]]).
+    * .curationIngestStream]]) — and, under a finite `maxBucket`, the
+    * hot-band overflow report (empty on the exact route).
     */
   final case class Staged(decisions: DataFrame, kept: DataFrame,
-                          cursor: Long)
+                          cursor: Long, overflow: DataFrame)
 
   /** Ingest one batch of documents into the continuous corpus build.
     *
@@ -149,8 +150,9 @@ object CurationFlow {
     */
   def ingest(dir: String, batch: DataFrame, bench: DataFrame,
              cursor: Long, budget: Long = 256L,
-             buckets: Int = 16): Result = {
-    val staged = decide(dir, batch, bench, cursor, budget, buckets)
+             buckets: Int = 16, maxBucket: Int = Int.MaxValue): Result = {
+    val staged = decide(dir, batch, bench, cursor, budget, buckets,
+      maxBucket)
     commit(dir, staged.kept, buckets)
     Result(staged.decisions, staged.cursor)
   }
@@ -161,10 +163,25 @@ object CurationFlow {
     * so the returned frames stay valid (and identical) after a later
     * [[commit]]. Pair with [[commit]] — [[ingest]] is exactly
     * decide-then-commit.
+    *
+    * `maxBucket` is the crawl-hardening dial: a finite cap routes the
+    * near-dup probe through [[Dedup.bandIndexProbeBounded]]'s hot-band
+    * STAR (per hot band, arrivals pair with the representative instead
+    * of all members — candidate output linear in the band, the 1.26 GB
+    * peak-task class bounded away; saturated bands land in
+    * [[Staged.overflow]], never silently). The semantics trade, stated
+    * plainly: batch-internal CONNECTIVITY survives (the star bridges the
+    * component, so grouping and the keeper election still see one
+    * group), but a hot band whose representative is itself an arrival
+    * history-drops ONLY that representative — its star satellites lose
+    * their one edge to a dropped doc and stay kept, where the exact
+    * probe would have dropped them all as `neardup_history`. The cap
+    * costs dedup recall inside saturated bands only, and the overflow
+    * frame reports exactly which bands those were.
     */
   def decide(dir: String, batch: DataFrame, bench: DataFrame,
              cursor: Long, budget: Long = 256L,
-             buckets: Int = 16): Staged = {
+             buckets: Int = 16, maxBucket: Int = Int.MaxValue): Staged = {
     require(cursor >= 0, s"cursor must be >= 0, got $cursor")
     val digestDir = dir + "/digest"
     val bandsDir = dir + "/bands"
@@ -198,12 +215,20 @@ object CurationFlow {
     val afterEx = afterHist.join(exKeep, Seq("doc_id"), "left_semi")
 
     // stage 5: near-dup band candidates vs stored ∪ batch (the
-    // incremental-dedup probe). Checkpointed BEFORE the append.
+    // incremental-dedup probe; bounded star route under a finite cap).
+    // Checkpointed BEFORE the append.
+    val (rawPairs, overflow) =
+      if (maxBucket == Int.MaxValue)
+        (Dedup.bandIndexProbe(bandsDir, afterEx, "doc_id", "text",
+          buckets = buckets),
+          batch.sparkSession.emptyDataFrame)
+      else {
+        val b = Dedup.bandIndexProbeBounded(bandsDir, afterEx, "doc_id",
+          "text", buckets = buckets, maxBucket = maxBucket)
+        (b.pairs, b.overflow)
+      }
     val pairs = org.apache.spark.sql.graftbridge.Bridge
-      .dropCheckpointConstraints(
-        Dedup.bandIndexProbe(bandsDir, afterEx, "doc_id", "text",
-            buckets = buckets)
-          .localCheckpoint())
+      .dropCheckpointConstraints(rawPairs.localCheckpoint())
     val batchIds = afterEx.select(col("doc_id"))
     val flagged = pairs
       .join(broadcast(batchIds.select(col("doc_id").as("a_id"),
@@ -278,7 +303,7 @@ object CurationFlow {
       .unionByName(reason(benchDrop, "benchmark"))
       .unionByName(reason(contamDrop, "contaminated"))
       .unionByName(packed)
-    Staged(decisions, kept, newCursor)
+    Staged(decisions, kept, newCursor, overflow)
   }
 
   /** Append a [[decide]]d batch's kept corpus to both indexes. The

@@ -724,6 +724,25 @@ object Dedup {
         .withColumn("bkt", bktOf(buckets)), buckets)
   }
 
+  /** [[bandIndexProbe]] with the hot-band cap — probe ONLY, no append:
+    * [[lshIncrementalCandidatesBounded]]'s star semantics and overflow
+    * report against the bucket-pruned stored read. For callers (the
+    * curation flow) that decide separately which arrivals the index
+    * should ever hold.
+    */
+  def bandIndexProbeBounded(path: String, arrivals: DataFrame,
+                            idCol: String, textCol: String,
+                            numBands: Int = 2, rowsPerBand: Int = 2,
+                            shingleN: Int = 3, buckets: Int = 16,
+                            maxBucket: Int = 1024): BoundedCandidates = {
+    val spark = arrivals.sparkSession
+    val newBands = ckptBands(ingestBands(arrivals, idCol, textCol,
+      numBands, rowsPerBand, shingleN, buckets))
+    lshIncrementalCandidatesBounded(
+      prunedStored(spark, path, newBands, buckets),
+      newBands.select("doc_id", "band"), maxBucket)
+  }
+
   /** One-shot [[lshCandidatePairs]] with the hot-band cap — the batch
     * self-join form for crawl-grade duplicate density: with an empty
     * stored side every doc is an "arrival", so

@@ -249,6 +249,52 @@ class CurationFlowSpec extends SparkTestBase {
     assert(oneKept.size === 30) // truly dup-free: everything kept
   }
 
+  test("bounded probe: high cap == exact; hot-band star pins the documented recall trade and reports overflow") {
+    // family: one base + distinct one-word tails — all members share LSH
+    // bands (the BShort/BLong construction), none are exact dups
+    def fam(tail: String) = BShort + " " + tail
+    // high cap ≡ exact on the full fixture (decisions identical)
+    val docs = docsDf(fixture)
+    val bench = CurationFlow.benchShingles(docs)
+    val dirE = java.nio.file.Files.createTempDirectory("cur_ex").toString
+    val dirB = java.nio.file.Files.createTempDirectory("cur_hi").toString
+    val exact = CurationFlow.decide(dirE, docs, bench, 0L)
+    val hiCap = CurationFlow.decide(dirB, docs, bench, 0L,
+      maxBucket = 100000)
+    assert(collectDecisions(hiCap.decisions)
+      === collectDecisions(exact.decisions))
+    assert(hiCap.overflow.count() > 0 === false)
+
+    // the star's history branch: wave 1 keeps one family member (id 50);
+    // wave 2 brings three more with SMALLER ids under maxBucket = 2 —
+    // the band representative is the arrival min (20), which drops
+    // neardup_history via the bridge pair, while its star satellites
+    // (22, 24) lose their only edge to the dropped rep and stay KEPT
+    // (the exact probe drops all three; CurationFlow.decide's scaladoc
+    // states this trade — here it is pinned)
+    val w1 = Seq(50L -> fam("alpha9"))
+    val w2 = Seq(20L -> fam("bravo8"), 22L -> fam("charl7"),
+      24L -> fam("delta6"))
+    def runTwoWave(maxBucket: Int) = {
+      val d = java.nio.file.Files.createTempDirectory("cur_star").toString
+      val b = CurationFlow.benchShingles(docsDf(w1 ++ w2))
+      val r1 = CurationFlow.ingest(d, docsDf(w1), b, 0L,
+        maxBucket = maxBucket)
+      r1.decisions.count()
+      val st2 = CurationFlow.decide(d, docsDf(w2), b, r1.cursor,
+        maxBucket = maxBucket)
+      (collectDecisions(st2.decisions).map { case (k, v) => k -> v._1 },
+        st2.overflow)
+    }
+    val (starGot, starOv) = runTwoWave(2)
+    assert(starGot === Map(20L -> "neardup_history", 22L -> "kept",
+      24L -> "kept"))
+    assert(starOv.count() > 0, "saturated band not reported")
+    val (exactGot, _) = runTwoWave(Int.MaxValue)
+    assert(exactGot === Map(20L -> "neardup_history",
+      22L -> "neardup_history", 24L -> "neardup_history"))
+  }
+
   test("empty batch is a no-op: cursor unchanged, zero decisions, index not poisoned") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cur_empty").toString
