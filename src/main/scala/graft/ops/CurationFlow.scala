@@ -192,8 +192,11 @@ object CurationFlow {
     // checkpoint each once (batch-bounded)
     val shaped = org.apache.spark.sql.graftbridge.Bridge
       .dropCheckpointConstraints(shapeGate(all).localCheckpoint())
+    // tk is repetitionGate's input and DEAD after it — dropping before
+    // the checkpoint halves the pinned bytes (review find)
     val gated = org.apache.spark.sql.graftbridge.Bridge
-      .dropCheckpointConstraints(repetitionGate(shaped).localCheckpoint())
+      .dropCheckpointConstraints(
+        repetitionGate(shaped).drop("tk").localCheckpoint())
 
     // stage 3: exact vs history — batch digests broadcast against the
     // bucket-pruned digest-index read. Checkpointed BEFORE the append.
@@ -221,11 +224,18 @@ object CurationFlow {
       if (maxBucket == Int.MaxValue)
         (Dedup.bandIndexProbe(bandsDir, afterEx, "doc_id", "text",
           buckets = buckets),
-          batch.sparkSession.emptyDataFrame)
+          // the exact route reports no saturated bands — but with the
+          // SAME schema as the bounded report, so callers that persist
+          // or inspect it don't fork on the route (review find)
+          emptyOverflow(batch.sparkSession))
       else {
         val b = Dedup.bandIndexProbeBounded(bandsDir, afterEx, "doc_id",
           "text", buckets = buckets, maxBucket = maxBucket)
-        (b.pairs, b.overflow)
+        // overflow reads the index too — checkpoint it like the pairs,
+        // or a post-commit evaluation would count the batch's own
+        // just-appended bands as occupancy (review find)
+        (b.pairs, org.apache.spark.sql.graftbridge.Bridge
+          .dropCheckpointConstraints(b.overflow.localCheckpoint()))
       }
     val pairs = org.apache.spark.sql.graftbridge.Bridge
       .dropCheckpointConstraints(rawPairs.localCheckpoint())
@@ -274,7 +284,13 @@ object CurationFlow {
     val nonBench = afterNd.filter(col("doc_id") % 100 =!= 0)
     val contamDrop = nonBench.join(hits, Seq("doc_id"), "left_semi")
       .select("doc_id")
-    val kept = nonBench.join(hits, Seq("doc_id"), "left_anti")
+    // kept feeds four separate actions (the cursor aggregate, the
+    // caller's decisions evaluation, and commit's two index appends) —
+    // one checkpoint instead of four re-runs of the keeper join +
+    // contamination explode (review find; ckptBands' rationale)
+    val kept = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(
+        nonBench.join(hits, Seq("doc_id"), "left_anti").localCheckpoint())
 
     // stage 8: pack at the carried cursor (cb DIV keeps long math exact —
     // a double floor would lose integers past 2^53 on a long-lived feed)
@@ -318,22 +334,65 @@ object CurationFlow {
       buckets = buckets)
   }
 
+  /** An empty frame with [[Dedup.BoundedCandidates]]' overflow schema —
+    * what [[decide]] reports on the exact route, so the report's shape
+    * does not fork on `maxBucket`.
+    */
+  private def emptyOverflow(spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("band", StringType),
+        StructField("occupancy", LongType),
+        StructField("n_new", LongType),
+        StructField("emitted", LongType),
+        StructField("suppressed", LongType))))
+  }
+
   /** The streaming cursor LEDGER: one record (batchId, startCursor,
     * endCursor) under `dir/_cursor`, staged-rename swapped. A replayed
     * foreachBatch id reuses its recorded START cursor (never
     * double-advancing); a fresh batch starts at the recorded END.
+    * Crash recovery: the swap writes `_cursor.tmp` FULLY before deleting
+    * the live record, so a read that finds only a parseable tmp promotes
+    * it (the interrupted-swap window); a live record that does not parse
+    * is refused loudly rather than guessed at.
     */
   def readLedger(spark: org.apache.spark.sql.SparkSession,
                  dir: String): Option[(Long, Long, Long)] = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_cursor")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val line = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-      val Array(b, s, e) = line.split(",").map(_.toLong)
-      Some((b, s, e))
+    val fin = new org.apache.hadoop.fs.Path(dir, "_cursor")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_cursor.tmp")
+    val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parse(p: org.apache.hadoop.fs.Path): Option[(Long, Long, Long)] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val line = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        line.split(",") match {
+          case Array(b, s, e) =>
+            try Some((b.toLong, s.toLong, e.toLong))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }
+    parse(fin) match {
+      case some @ Some(_) => some
+      case None if fs.exists(fin) =>
+        throw new java.io.IOException(s"corrupt cursor ledger: $fin")
+      case None =>
+        parse(tmp) match {
+          case some @ Some(_) =>
+            // interrupted swap: tmp was complete (the live record is only
+            // ever deleted AFTER tmp closes) — promote it
+            if (!fs.rename(tmp, fin))
+              throw new java.io.IOException(
+                s"ledger recovery rename failed: $tmp -> $fin")
+            some
+          case None => None // no ledger yet (torn tmp without a live
+          // record can only be the very first write — nothing committed)
+        }
     }
   }
 

@@ -444,9 +444,10 @@ object ExtQueries {
     // recall-vs-exact is SimilaritySpec's contract — driver records the
     // rows-only check.
     "q_embed_neardup_bounded" -> ((s, d) => {
-      // dim = 64: the testdata embeddings width (TESTDATA.md; pinned in
-      // IvfIndexSpec) — passing it skips the one-row dim-probe job
-      Similarity.topPairsPerBlockBounded(Tables.embeddings(s, d), "label", 3, dim = 64)
+      // dim inferred from the data (one tiny head job): a hardcoded 64
+      // silently truncated the planes against 16-dim fuzz corpora — the
+      // same defect fixed on q_semantic_dedup_bounded (review find)
+      Similarity.topPairsPerBlockBounded(Tables.embeddings(s, d), "label", 3)
         .select(col("block").as("label"), col("id_a"), col("id_b"), col("cos_sim"))
         .orderBy("label", "id_a", "id_b")
     }),

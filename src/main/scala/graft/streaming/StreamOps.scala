@@ -741,38 +741,46 @@ object StreamOps {
     *   3. the cursor ledger commits (batchId, start, end);
     *   4. [[graft.ops.CurationFlow.commit]] appends the kept corpus.
     * A crash before 3 replays the batch against UNCHANGED indexes —
-    * identical decisions, duplicate output rows (at-least-once). A crash
-    * between 3 and 4 replays with the ledger already at this batchId, so
-    * the start cursor is reused (never double-advanced) and the
-    * decisions are still identical. After 4, a replay re-emits rows
-    * whose kept docs now read `exact_history` against their own earlier
-    * commit — the kept CORPUS, the cursor, and every other batch's rows
-    * stay exact (re-appended digest/band rows are duplicates that change
-    * no candidate set). Exactly-once decision ROWS would need the
-    * state-store path rather than foreachBatch.
+    * identical decisions, duplicate output rows (at-least-once). Once
+    * the ledger is at this batchId (crash between 3 and 4, INSIDE 4's
+    * two appends, or a post-commit redelivery), the batch NEVER
+    * re-decides: its decisions and ledger are already durable, the
+    * indexes may hold its kept docs in neither, one, or both indexes —
+    * so the step reconstructs the kept set from the recorded output and
+    * re-runs ONLY the commit, which is idempotent (duplicate digest/band
+    * rows change no membership or candidate set). The kept corpus, the
+    * cursor, and every batch's decision rows are exact under any replay;
+    * the only at-least-once artifact is duplicate output rows from
+    * pre-ledger crashes. (The replay must redeliver the same batch
+    * content — foreachBatch's contract with a replayable source.)
     */
   private[graft] def curationStep(indexPath: String, outPath: String,
                                   bench: DataFrame, budget: Long,
                                   buckets: Int)
                                  (batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
-    // a replayed id reuses its recorded START; its recorded END is kept
-    // through a max — a post-commit replay keeps nothing (its docs
-    // already read exact_history), and recomputing the end from that
-    // would rewind the corpus cursor
-    val (start, priorEnd) =
-      graft.ops.CurationFlow.readLedger(spark, indexPath) match {
-        case Some((bid, s, e)) if bid == id => (s, e) // replayed batch
-        case Some((_, _, e)) => (e, 0L)
-        case None => (0L, 0L)
-      }
-    val staged = graft.ops.CurationFlow.decide(indexPath, batch, bench,
-      start, budget, buckets)
-    staged.decisions.withColumn("batch_id", lit(id))
-      .write.mode("append").parquet(outPath)
-    graft.ops.CurationFlow.writeLedger(spark, indexPath, id, start,
-      math.max(staged.cursor, priorEnd))
-    graft.ops.CurationFlow.commit(indexPath, staged.kept, buckets)
+    graft.ops.CurationFlow.readLedger(spark, indexPath) match {
+      case Some((bid, _, _)) if bid == id =>
+        // replayed batch: ledger committed ⇒ its decisions parquet exists
+        // (written strictly before the ledger). Re-commit only.
+        val keptIds = spark.read.parquet(outPath)
+          .filter(col("batch_id") === id && col("status") === "kept")
+          .select("doc_id").distinct()
+        graft.ops.CurationFlow.commit(indexPath,
+          batch.join(keptIds, Seq("doc_id"), "left_semi"), buckets)
+      case led =>
+        val start = led match {
+          case Some((_, _, e)) => e
+          case None => 0L
+        }
+        val staged = graft.ops.CurationFlow.decide(indexPath, batch, bench,
+          start, budget, buckets)
+        staged.decisions.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outPath)
+        graft.ops.CurationFlow.writeLedger(spark, indexPath, id, start,
+          staged.cursor)
+        graft.ops.CurationFlow.commit(indexPath, staged.kept, buckets)
+    }
   }
 
   /** The CONTINUOUS corpus build as a stream — `q_curation_incremental`'s

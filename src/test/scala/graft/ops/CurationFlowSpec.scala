@@ -264,6 +264,11 @@ class CurationFlowSpec extends SparkTestBase {
     assert(collectDecisions(hiCap.decisions)
       === collectDecisions(exact.decisions))
     assert(hiCap.overflow.count() > 0 === false)
+    // the report's shape does not fork on the route: exact's empty
+    // overflow carries the same columns as the bounded report
+    assert(exact.overflow.columns.toSeq
+      === Seq("band", "occupancy", "n_new", "emitted", "suppressed"))
+    assert(exact.overflow.count() === 0L)
 
     // the star's history branch: wave 1 keeps one family member (id 50);
     // wave 2 brings three more with SMALLER ids under maxBucket = 2 —

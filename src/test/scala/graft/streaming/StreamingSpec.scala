@@ -921,7 +921,7 @@ class StreamingSpec extends SparkTestBase {
     assert(bid === 99L && end2 === cursor)
   }
 
-  test("curationStep replay: cursor never double-advances; kept corpus idempotent; replayed kept rows read exact_history") {
+  test("curationStep replay: never re-decides — no new rows, cursor exact, kept corpus idempotent; half-commit window healed") {
     import spark.implicits._
     val docs = curationDocs()
     val rows = docs.as[(Long, String, Long)].collect()
@@ -933,25 +933,26 @@ class StreamingSpec extends SparkTestBase {
         chunk.toDF("doc_id", "text", "n_chars"), id)
     step(b0.toSeq, 0L)
     val led0 = graft.ops.CurationFlow.readLedger(spark, s"$base/idx").get
-    val kept0 = spark.read.parquet(s"$base/out")
-      .filter(col("batch_id") === 0 && col("status") === "kept")
-    val keptIds = kept0.select("doc_id").as[Long].collect().toSet
+    val rows0 = spark.read.parquet(s"$base/out")
+      .filter(col("batch_id") === 0)
+    val keptIds = rows0.filter(col("status") === "kept")
+      .select("doc_id").as[Long].collect().toSet
+    val nRows0 = rows0.count()
     assert(keptIds.nonEmpty)
-    // replay batch 0 AFTER its commit (the worst-case window): the
-    // ledger must not move, and the replayed rows mark the previously
-    // kept docs exact_history against their own earlier commit
+    // simulate the half-commit crash window: wipe ONE of the two indexes
+    // (as if the crash hit between commit's digest and band appends),
+    // then replay — the step must re-commit from the recorded output,
+    // not re-decide
+    org.apache.hadoop.fs.FileUtil.fullyDelete(
+      new java.io.File(s"$base/idx/bands"))
     step(b0.toSeq, 0L)
     assert(graft.ops.CurationFlow.readLedger(spark, s"$base/idx").get
       === led0)
-    val replayed = spark.read.parquet(s"$base/out")
-      .filter(col("batch_id") === 0)
-    // two rows per doc now (at-least-once); the original kept rows survive
-    assert(replayed.filter(col("status") === "kept").count()
-      === keptIds.size.toLong)
-    assert(replayed.filter(col("status") === "exact_history")
-      .select("doc_id").as[Long].collect().toSet === keptIds)
-    // the index did not double-count: batch 1 packs from led0's end, and
-    // its decisions equal a reference against a never-replayed twin dir
+    // NO new decision rows: a ledger-committed batch never re-decides
+    assert(spark.read.parquet(s"$base/out")
+      .filter(col("batch_id") === 0).count() === nRows0)
+    // batch 1 then behaves exactly as a never-crashed twin: same
+    // decisions, packing continued from led0's end
     step(b1.toSeq, 1L)
     val refDir = java.nio.file.Files.createTempDirectory("curtwin").toString
     val r0 = graft.ops.CurationFlow.ingest(refDir,
@@ -963,5 +964,27 @@ class StreamingSpec extends SparkTestBase {
       .filter(col("batch_id") === 1)
     assert(statusRows(gotB1) === statusRows(r1.decisions))
     assert(keptRows(gotB1) === keptRows(r1.decisions))
+  }
+
+  test("curation cursor ledger: interrupted swap (tmp only) recovers; corrupt live record refuses loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("curledger").toString
+    graft.ops.CurationFlow.writeLedger(spark, dir, 3L, 100L, 250L)
+    assert(graft.ops.CurationFlow.readLedger(spark, dir)
+      === Some((3L, 100L, 250L)))
+    // crash between the delete and the rename: only a complete tmp left
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fin = new org.apache.hadoop.fs.Path(dir, "_cursor")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_cursor.tmp")
+    assert(fs.rename(fin, tmp))
+    assert(graft.ops.CurationFlow.readLedger(spark, dir)
+      === Some((3L, 100L, 250L))) // promoted
+    assert(fs.exists(fin) && !fs.exists(tmp))
+    // a live record that does not parse is refused, not guessed at
+    val out = fs.create(fin, true)
+    out.write("not,a".getBytes("UTF-8")); out.close()
+    intercept[java.io.IOException] {
+      graft.ops.CurationFlow.readLedger(spark, dir)
+    }
   }
 }
