@@ -756,7 +756,8 @@ object StreamOps {
     */
   private[graft] def curationStep(indexPath: String, outPath: String,
                                   bench: DataFrame, budget: Long,
-                                  buckets: Int)
+                                  buckets: Int,
+                                  maxBucket: Int = Int.MaxValue)
                                  (batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
     graft.ops.CurationFlow.readLedger(spark, indexPath) match {
@@ -774,7 +775,7 @@ object StreamOps {
           case None => 0L
         }
         val staged = graft.ops.CurationFlow.decide(indexPath, batch, bench,
-          start, budget, buckets)
+          start, budget, buckets, maxBucket)
         staged.decisions.withColumn("batch_id", lit(id))
           .write.mode("append").parquet(outPath)
         graft.ops.CurationFlow.writeLedger(spark, indexPath, id, start,
@@ -791,16 +792,21 @@ object StreamOps {
     * `_cursor` ledger (restart-safe; see [[curationStep]] for the replay
     * contract). foreachBatch's serial execution provides the indexes'
     * single-writer contract; `bench` is the static benchmark-shingle
-    * frame ([[graft.ops.CurationFlow.benchShingles]] of the eval set).
+    * frame ([[graft.ops.CurationFlow.benchShingles]] of the eval set);
+    * a finite `maxBucket` routes saturated bands through the star probe
+    * ([[graft.ops.CurationFlow.decide]]'s documented recall trade) — the
+    * dial belongs ON the unbounded loop, where a crawl's spam storm
+    * actually arrives.
     */
   def curationIngestStream(docs: DataFrame, indexPath: String,
                            outPath: String, checkpoint: String,
                            bench: DataFrame, budget: Long = 256L,
-                           buckets: Int = 16)
+                           buckets: Int = 16,
+                           maxBucket: Int = Int.MaxValue)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(curationStep(indexPath, outPath, bench, budget,
-        buckets) _)
+        buckets, maxBucket) _)
       .start()
 }
