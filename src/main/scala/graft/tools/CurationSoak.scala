@@ -59,5 +59,39 @@ object CurationSoak {
       keptTotal += r.decisions.filter(col("status") === "kept").count()
       println(f"batch $rep%2d  wall=$wall%6.2fs  cursor=$cursor%,12d  keptTotal=$keptTotal%,9d  [$mix]")
     }
+
+    // 2. the spam storm: one batch where half the docs are a single
+    // near-dup family (shared base + per-doc tail word — every member
+    // band-matches every other), against a seeded history. Exact route
+    // vs the star cap: wall, decision mix, overflow report.
+    println("\nspam-storm batch (50% one near-dup family) exact vs maxBucket:")
+    val stormWords = (0 until 20).map(j =>
+      concat(lit("s"), substring(md5(concat(col("id"), lit(s"_p$j"))), 1, 7)))
+    def stormBatch = {
+      val distinct = spark.range(nBase / 2).select(
+        (col("id") * 2 + 1000000L).as("doc_id"),
+        concat(lit("the of "), concat_ws(" ", stormWords: _*)).as("text"))
+      val famBase = "the of " + (0 until 20).map(j => s"spam$j").mkString(" ")
+      val spam = spark.range(nBase / 2).select(
+        (col("id") * 2 + 1000001L).as("doc_id"),
+        concat(lit(famBase + " t"), col("id").cast("string")).as("text"))
+      distinct.unionByName(spam)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    Seq(Int.MaxValue, 1024, 64).foreach { cap =>
+      val d = java.nio.file.Files.createTempDirectory("cur_storm").toString
+      graft.ops.CurationFlow.ingest(d, mkBatch(0), bench, 0L) // history
+      val t = System.nanoTime()
+      val st = graft.ops.CurationFlow.decide(d, stormBatch, bench, 0L,
+        maxBucket = cap)
+      val mix = st.decisions.groupBy("status").count()
+        .collect().map(x => s"${x.getString(0)}=${x.getLong(1)}")
+        .sorted.mkString(" ")
+      val ov = st.overflow.agg(coalesce(sum("suppressed"), lit(0L)),
+        count(lit(1))).head()
+      val wall = (System.nanoTime() - t) / 1e9
+      val capS = if (cap == Int.MaxValue) "exact" else s"cap=$cap"
+      println(f"$capS%10s  wall=$wall%6.2fs  hotBands=${ov.getLong(1)}%3d  suppressedPairs=${ov.getLong(0)}%,12d  [$mix]")
+    }
   }
 }
