@@ -55,18 +55,31 @@ object CurationFlow {
     * verdict, negated: the most frequent word bigram must cover < 20% of
     * bigrams). Input docs must have ≥ 2 tokens — the shape gate's
     * n_tok ≥ 20 guarantees it. Preserves the input columns.
+    *
+    * Zero-shuffle: the most-frequent-bigram count is a per-row sorted
+    * run-length maximum (sort the doc's own bigram array, fold runs) —
+    * the explode + two-groupBy form this replaced shuffled the whole
+    * corpus's bigrams twice per batch for a verdict each row can compute
+    * alone. Verdict-identical (same max count), and the `__bg` array is
+    * hoisted to its own multi-referenced projection so the shingle
+    * build runs once per row (HOF-CSE lesson).
     */
   def repetitionGate(gated: DataFrame): DataFrame = {
     val s = gated.sparkSession
-    val bg = gated.select(col("doc_id"),
-        explode(graft.functions.WordShinglesF.shingles(s, col("tk"), 2))
-          .as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max(col("c")).as("topc"), sum(col("c")).as("n2"))
-    gated.join(bg, Seq("doc_id"))
-      .filter(col("topc") * 5 < col("n2"))
-      .drop("topc", "n2")
+    val withBg = gated.withColumn("__bg",
+      array_sort(graft.functions.WordShinglesF.shingles(s, col("tk"), 2)))
+    val folded = aggregate(col("__bg"),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    withBg.withColumn("__top", folded.getField("best"))
+      .filter(col("__top") * 5 < size(col("__bg")))
+      .drop("__bg", "__top")
   }
 
   /** The distinct 3-token shingles of the pseudo-benchmark documents
@@ -262,12 +275,19 @@ object CurationFlow {
         "left_semi")
       .join(broadcast(rem.select(col("doc_id").as("doc_b"))), Seq("doc_b"),
         "left_semi")
-    val labels = Graph.connectedComponents(
-      edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    val memb = afterNdHist
-      .join(labels.withColumnRenamed("node_id", "doc_id"), Seq("doc_id"),
-        "left")
-      .withColumn("grp", coalesce(col("component"), col("doc_id")))
+    // a clean batch (no internal band pairs — the common case on a
+    // healthy corpus) skips the CC machinery entirely: `pairs` is
+    // checkpointed, so the emptiness probe is one cheap take(1)
+    val memb =
+      if (edges.isEmpty) afterNdHist.withColumn("grp", col("doc_id"))
+      else {
+        val labels = Graph.connectedComponents(
+          edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        afterNdHist
+          .join(labels.withColumnRenamed("node_id", "doc_id"),
+            Seq("doc_id"), "left")
+          .withColumn("grp", coalesce(col("component"), col("doc_id")))
+      }
     val keepers = memb.groupBy("grp")
       .agg(max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
         .as("keep_id"))
