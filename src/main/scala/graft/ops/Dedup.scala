@@ -292,8 +292,8 @@ object Dedup {
     val newBands = ckptBands(ingestBands(arrivals, idCol, textCol,
       numBands, rowsPerBand, shingleN, buckets))
     val candidates = probeAgainstIndex(spark, path, newBands, buckets)
+    stampLayout(spark, path, buckets) // BEFORE the append: see stampAhead
     appendBands(newBands, path)
-    stampLayout(spark, path, buckets)
     candidates
   }
 
@@ -312,9 +312,9 @@ object Dedup {
       .getFileSystem(arrivals.sparkSession.sparkContext.hadoopConfiguration)
     recoverBandIndex(fs, path)
     bandLayout(fs, path, buckets)
+    LayoutSidecar.stampAhead(fs, path, buckets)
     appendBands(ingestBands(arrivals, idCol, textCol,
       numBands, rowsPerBand, shingleN, buckets), path)
-    LayoutSidecar.stampOrCheck(fs, path, buckets)
   }
 
   /** Read-only [[bandIndexIngest]]: probe `arrivals` against the stored
@@ -394,7 +394,7 @@ object Dedup {
     */
   private def stampLayout(spark: org.apache.spark.sql.SparkSession,
                           path: String, buckets: Int): Unit =
-    LayoutSidecar.stampOrCheck(new org.apache.hadoop.fs.Path(path)
+    LayoutSidecar.stampAhead(new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), path, buckets)
 
   private def bandLayout(fs: org.apache.hadoop.fs.FileSystem, path: String,
@@ -682,10 +682,11 @@ object Dedup {
         when(col("rep_stored").isNotNull && col("rep_stored") =!= col("rep_all"),
           lit(1L)).otherwise(lit(0L))
     // the difference of two n(n-1) terms is even, so the halving is exact;
-    // `/` on long columns is double division in Spark — cast back
-    val touching = ((col("occupancy") * (col("occupancy") - 1) -
-      (col("occupancy") - col("n_new")) * (col("occupancy") - col("n_new") - 1))
-      / lit(2)).cast("long")
+    // shiftright keeps the arithmetic in LONGS — `/ lit(2)` is double
+    // division in Spark and loses exactness past 2^53, which is precisely
+    // the saturated-spam-band regime the cap exists for (r14 ADVICE)
+    val touching = shiftright(col("occupancy") * (col("occupancy") - 1) -
+      (col("occupancy") - col("n_new")) * (col("occupancy") - col("n_new") - 1), 1)
     val overflow = hot.select(col("band"), col("occupancy"), col("n_new"),
       emitted.as("emitted"), (touching - emitted).as("suppressed"))
     BoundedCandidates(pairs, overflow)
@@ -706,9 +707,9 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverBandIndex(fs, path)
     bandLayout(fs, path, buckets)
+    LayoutSidecar.stampAhead(fs, path, buckets)
     appendBands(bands.select(col("doc_id"), col("band"))
       .withColumn("bkt", bktOf(buckets)), path)
-    LayoutSidecar.stampOrCheck(fs, path, buckets)
   }
 
   /** The bucket-PRUNED stored read for precomputed PROBE bands: heals,
@@ -779,8 +780,8 @@ object Dedup {
     val stored = prunedStored(spark, path, newBands, buckets)
     val bounded = lshIncrementalCandidatesBounded(
       stored, newBands.select("doc_id", "band"), maxBucket)
+    stampLayout(spark, path, buckets) // BEFORE the append: see stampAhead
     appendBands(newBands, path)
-    stampLayout(spark, path, buckets)
     bounded
   }
 
@@ -865,8 +866,10 @@ object Dedup {
       .withColumn("q", coalesce(col("q"), lit(0L)))
       .withColumn("emitted", col("n_probe") -
         coalesce(col("rep_probes"), lit(0L)) + bridgeFlag)
-      .withColumn("touching", (col("occupancy") * col("n_probe") - col("q") -
-        (col("q") * (col("q") - 1) / lit(2)).cast("long")))
+      // q(q-1) is even so the shift is exact — long arithmetic throughout
+      // (double division loses exactness past 2^53; r14 ADVICE)
+      .withColumn("touching", col("occupancy") * col("n_probe") - col("q") -
+        shiftright(col("q") * (col("q") - 1), 1))
       .select(col("band"), col("occupancy"), col("n_probe"),
         col("emitted"), (col("touching") - col("emitted")).as("suppressed"))
     BoundedCandidates(pairs, overflow)

@@ -408,6 +408,7 @@ object IvfIndex {
     */
   def save(model: Model, path: String): Unit = {
     clearLayoutSidecar(model.centroids.sparkSession, path)
+    clearStaleQuantSidecars(model.centroids.sparkSession, path, keep = "")
     model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     // repartition BY cell before the partitioned write: an unrepartitioned
     // partitionBy emits one file per (task, cell) — measured 15,248 files
@@ -432,6 +433,7 @@ object IvfIndex {
                     params: Quantize.Sq8Params): Unit = {
     val spark = model.centroids.sparkSession
     clearLayoutSidecar(spark, path)
+    clearStaleQuantSidecars(spark, path, keep = "sq8_params")
     model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     model.assignments
       .withColumn("codes",
@@ -459,6 +461,7 @@ object IvfIndex {
   def saveQuantizedPq(model: Model, path: String, pq: Pq.PqModel): Unit = {
     val spark = model.centroids.sparkSession
     clearLayoutSidecar(spark, path)
+    clearStaleQuantSidecars(spark, path, keep = "pq_params")
     model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     graft.functions.PqF.register(spark)
     model.assignments
@@ -493,6 +496,7 @@ object IvfIndex {
                             cellBuckets: Int = 256): Unit = {
     require(cellBuckets >= 1, s"cellBuckets must be >= 1, got $cellBuckets")
     val spark = model.centroids.sparkSession
+    clearStaleQuantSidecars(spark, path, keep = "sq8_params")
     model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     model.assignments
       .withColumn("codes",
@@ -534,6 +538,7 @@ object IvfIndex {
                               cellBuckets: Int = 256): Unit = {
     require(cellBuckets >= 1, s"cellBuckets must be >= 1, got $cellBuckets")
     val spark = model.centroids.sparkSession
+    clearStaleQuantSidecars(spark, path, keep = "pq_params")
     model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     graft.functions.PqF.register(spark)
     model.assignments
@@ -558,8 +563,25 @@ object IvfIndex {
     * stale layout sidecar, or layout auto-detection would filter on a
     * cbkt column the rewritten assignments no longer have (r14 review).
     */
-  private def clearLayoutSidecar(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/layout")
+  private def clearLayoutSidecar(spark: SparkSession, path: String): Unit =
+    dropSidecar(spark, path, "layout")
+
+  /** Re-saving an index under a DIFFERENT quantization must remove the
+    * other codec's params sidecar (r14 ADVICE): a stale `pq_params` after
+    * an SQ8 re-save makes [[searchTopKBatchAdc]] fail on the missing
+    * pq_codes column (loud but misattributed), and a stale `sq8_params`
+    * after a PQ re-save is consulted FIRST by [[load]]'s auto-detection —
+    * silently decoding pq bytes as sq8 codes. Each save variant clears
+    * every sidecar it does not itself write.
+    */
+  private def clearStaleQuantSidecars(spark: SparkSession, path: String,
+                                      keep: String): Unit =
+    Seq("sq8_params", "pq_params").filterNot(_ == keep)
+      .foreach(dropSidecar(spark, path, _))
+
+  private def dropSidecar(spark: SparkSession, path: String,
+                          name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$name")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
   }

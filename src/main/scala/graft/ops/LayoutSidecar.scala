@@ -29,9 +29,13 @@ private[graft] object LayoutSidecar {
     else {
       val in = fs.open(f)
       val body = try {
+        // The FS contract allows short reads — loop to EOF so a partial
+        // first read can't truncate the digits of the bucket count.
+        val out = new java.io.ByteArrayOutputStream(256)
         val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8")
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toString("UTF-8")
       } finally in.close()
       "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt)
     }
@@ -57,18 +61,22 @@ private[graft] object LayoutSidecar {
     r
   }
 
-  /** Post-write stamping: validate against an existing sidecar, or stamp
-    * one — WITHOUT the legacy-data check (the caller just wrote the data
-    * through the bucketed path, so an absent sidecar means first write,
-    * not a legacy layout).
+  /** PRE-write stamping (r15, ADVICE): validate against an existing
+    * sidecar, or stamp one BEFORE the first data append. Stamping after
+    * the append left a crash window — a genuinely bucketed first append
+    * with no sidecar yet, which every later entry point refuses as a
+    * "legacy flat" layout until a manual migrate. Stamping first makes
+    * the crash outcome benign: a sidecar-only directory reads as an
+    * empty index with a frozen bucket count. `fs.create` makes the
+    * directory, so this works on a not-yet-existing index too.
     */
-  def stampOrCheck(fs: FileSystem, path: String, buckets: Int): Unit =
+  def stampAhead(fs: FileSystem, path: String, buckets: Int): Unit =
     read(fs, path) match {
       case Some(b) =>
         require(b == buckets,
           s"$path is bucketed with buckets=$b but the caller passed " +
             s"buckets=$buckets — the bucket count is frozen at creation")
-      case None => if (fs.exists(new Path(path))) stamp(fs, path, buckets)
+      case None => stamp(fs, path, buckets)
     }
 
   /** Pre-read/write validation: the caller's bucket count must match the

@@ -141,13 +141,18 @@ object Similarity {
   }
 
   /** Embedding width for the hyperplane family: the explicit `dim` if
-    * given, else inferred from the first row. An EMPTY frame infers 1 —
-    * no row ever evaluates a plane, and a streaming foreachBatch loop
-    * legitimately delivers empty micro-batches (a `.head()` here threw).
+    * given, else inferred from the first NON-NULL row. An EMPTY (or
+    * all-null) frame infers 1 — no row ever evaluates a plane, and a
+    * streaming foreachBatch loop legitimately delivers empty
+    * micro-batches (a `.head()` here threw). Null rows are skipped
+    * rather than crashing the probe: `size(null)` is null and
+    * `getInt(0)` on it NPEs, so one adversarial null vector would
+    * otherwise kill a whole ingest batch (r14 ADVICE).
     */
   private def inferDim(emb: DataFrame, embCol: String, dim: Int): Int =
     if (dim > 0) dim
-    else emb.select(size(col(embCol))).head(1).headOption
+    else emb.filter(col(embCol).isNotNull)
+      .select(size(col(embCol))).head(1).headOption
       .map(_.getInt(0)).getOrElse(1)
 
   /** The family-f seed of the hyperplane family (golden-ratio stride so

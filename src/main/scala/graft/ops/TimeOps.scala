@@ -217,12 +217,12 @@ object TimeOps {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(events.sparkSession.sparkContext.hadoopConfiguration)
     archiveLayout(fs, path, buckets)
+    LayoutSidecar.stampAhead(fs, path, buckets)
     events.select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
       .withColumn("ubkt",
         pmod(xxhash64(col("user_id")), lit(buckets.toLong)).cast("int"))
       .repartition(col("ubkt"))
       .write.mode("append").partitionBy("ubkt").parquet(path)
-    LayoutSidecar.stampOrCheck(fs, path, buckets)
   }
 
   /** The archive's frozen bucket count, stamped at creation and validated

@@ -683,6 +683,37 @@ class IvfIndexSpec extends SparkTestBase {
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
   }
 
+  test("re-save under a different quantization clears the stale opposite sidecar") {
+    // a PQ->SQ8 re-save that left pq_params behind made ADC search fail on
+    // the missing pq_codes column; the reverse left sq8_params, which load
+    // consults FIRST — silently decoding pq bytes as sq8 codes (r14 ADVICE)
+    val pq = Pq.fit(emb, m = 8, iters = 2)
+    val params = Quantize.fitSq8(model.assignments, "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ivf_xquant").toString
+    val dir = s"$base/idx"
+    def exists(name: String) = new java.io.File(s"$dir/$name").exists
+    def served() = {
+      val m = IvfIndex.load(spark, dir)
+      IvfIndex.searchTopKBatch(m, Seq(0L), k = 3, nprobe = 16)
+        .collect().map(_.getLong(1)).toSet
+    }
+    IvfIndex.saveQuantizedPq(model, dir, pq)
+    assert(exists("pq_params") && !exists("sq8_params"))
+    IvfIndex.saveQuantized(model, dir, params)
+    assert(exists("sq8_params") && !exists("pq_params"),
+      "SQ8 re-save must drop the stale pq_params sidecar")
+    assert(served().nonEmpty, "post-re-save index must serve")
+    IvfIndex.saveQuantizedPqBucketed(model, dir, pq, cellBuckets = 4)
+    assert(exists("pq_params") && !exists("sq8_params"),
+      "PQ re-save must drop the stale sq8_params sidecar")
+    assert(served().nonEmpty, "post-re-save bucketed index must serve")
+    IvfIndex.save(model, dir)
+    assert(!exists("pq_params") && !exists("sq8_params"),
+      "an unquantized re-save must drop BOTH quantization sidecars")
+    assert(served().nonEmpty, "unquantized re-save must serve")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
+  }
+
   test("assignCoarse: full coarse probe == exact assign; partial probe valid, deterministic, near-exact") {
     val cents = model.centroids
     val exact = IvfIndex.assign(emb, cents)

@@ -296,6 +296,30 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("stamp-ahead: sidecar lands BEFORE the first append, so a crash between them is benign") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("band_ahead").toString + "/idx"
+    // simulate the r14-ADVICE crash window: the ingest stamped the layout
+    // and died before appending any data — a sidecar-only directory
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    LayoutSidecar.stampAhead(fs, dir, 16)
+    // it reads as an EMPTY index (not a legacy-flat refusal): the probe
+    // still finds the within-batch pair and the bucket count is frozen
+    assert(Dedup.bandIndexProbe(dir, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.bandIndexIngest(dir, docs, "doc_id", "text", buckets = 8) }
+    // a real ingest then proceeds under the stamped count
+    Dedup.bandIndexIngest(dir, docs.filter(col("doc_id") === 1L), "doc_id", "text")
+    assert(Dedup.bandIndexProbe(dir, docs.filter(col("doc_id") === 2L),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
   test("lshCandidatePairsBounded: one-shot form == exact pairs under a high cap; stars a planted bucket") {
     import spark.implicits._
     val docs = Tables.documents(spark, Sf0001)

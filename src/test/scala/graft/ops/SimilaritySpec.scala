@@ -216,6 +216,25 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet === before, "empty ingest must not mutate")
   }
 
+  test("embIndexIngest: a null embedding row crashes neither dim inference nor the batch") {
+    import spark.implicits._
+    // size(null) is null; a head-probe that reads it as Int would NPE and
+    // kill the whole ingest batch on one adversarial row (r14 ADVICE) —
+    // dim must infer from the first NON-null row
+    val v = Array.fill(16)(0.25f)
+    val arrivals = Seq((1L, null.asInstanceOf[Array[Float]]), (2L, v), (3L, v))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("emb_null").toString + "/idx"
+    val pairs = Similarity.embIndexIngest(dir, arrivals) // dim inferred
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 3L)),
+      s"identical vectors must still pair under inferred dim: $pairs")
+    // an ALL-null batch is the empty-batch shape: safe no-op probe
+    val allNull = Seq((9L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    Similarity.embIndexIngest(dir, allNull)
+  }
+
   test("semanticDedup: planted clusters keep exactly one canonical; dup-free input is identity; cell equi-join") {
     import spark.implicits._
     val dim = 16
