@@ -737,22 +737,26 @@ object StreamOps {
     * crash-safety argument:
     *   1. [[graft.ops.CurationFlow.decide]] pins the decisions against
     *      the CURRENT indexes (checkpointed inputs);
-    *   2. the decisions land in `outPath`;
+    *   2. the decisions land in `outPath` via [[writeDecisions]] —
+    *      partitioned by batch id with DYNAMIC partition overwrite, so
+    *      the write is idempotent per batch;
     *   3. the cursor ledger commits (batchId, start, end);
     *   4. [[graft.ops.CurationFlow.commit]] appends the kept corpus.
     * A crash before 3 replays the batch against UNCHANGED indexes —
-    * identical decisions, duplicate output rows (at-least-once). Once
-    * the ledger is at this batchId (crash between 3 and 4, INSIDE 4's
-    * two appends, or a post-commit redelivery), the batch NEVER
-    * re-decides: its decisions and ledger are already durable, the
-    * indexes may hold its kept docs in neither, one, or both indexes —
-    * so the step reconstructs the kept set from the recorded output and
-    * re-runs ONLY the commit, which is idempotent (duplicate digest/band
-    * rows change no membership or candidate set). The kept corpus, the
-    * cursor, and every batch's decision rows are exact under any replay;
-    * the only at-least-once artifact is duplicate output rows from
-    * pre-ledger crashes. (The replay must redeliver the same batch
-    * content — foreachBatch's contract with a replayable source.)
+    * identical decisions, and the overwrite replaces the crashed
+    * attempt's partition instead of appending next to it (the r14
+    * verdict's remaining window: `mode("append")` here duplicated the
+    * batch's decision rows). Once the ledger is at this batchId (crash
+    * between 3 and 4, INSIDE 4's two appends, or a post-commit
+    * redelivery), the batch NEVER re-decides: its decisions and ledger
+    * are already durable, the indexes may hold its kept docs in
+    * neither, one, or both indexes — so the step reconstructs the kept
+    * set from the recorded output and re-runs ONLY the commit, which is
+    * idempotent (duplicate digest/band rows change no membership or
+    * candidate set). The kept corpus, the cursor, and every batch's
+    * decision rows are EXACTLY-ONCE under any replay. (The replay must
+    * redeliver the same batch content — foreachBatch's contract with a
+    * replayable source.)
     */
   private[graft] def curationStep(indexPath: String, outPath: String,
                                   bench: DataFrame, budget: Long,
@@ -763,7 +767,8 @@ object StreamOps {
     graft.ops.CurationFlow.readLedger(spark, indexPath) match {
       case Some((bid, _, _)) if bid == id =>
         // replayed batch: ledger committed ⇒ its decisions parquet exists
-        // (written strictly before the ledger). Re-commit only.
+        // (written strictly before the ledger). Re-commit only; the
+        // batch_id partition filter prunes the read to one directory.
         val keptIds = spark.read.parquet(outPath)
           .filter(col("batch_id") === id && col("status") === "kept")
           .select("doc_id").distinct()
@@ -776,13 +781,29 @@ object StreamOps {
         }
         val staged = graft.ops.CurationFlow.decide(indexPath, batch, bench,
           start, budget, buckets, maxBucket)
-        staged.decisions.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(outPath)
+        writeDecisions(staged.decisions, id, outPath)
         graft.ops.CurationFlow.writeLedger(spark, indexPath, id, start,
           staged.cursor)
         graft.ops.CurationFlow.commit(indexPath, staged.kept, buckets)
     }
   }
+
+  /** The idempotent per-batch decisions write: one `batch_id=` partition
+    * per micro-batch, dynamic overwrite so a replayed batch REPLACES its
+    * crashed attempt's rows instead of appending a duplicate set. A
+    * decisions consumer therefore sees every (batch_id, doc_id) exactly
+    * once under any crash/replay interleaving — the partition is only
+    * readable complete (parquet commit), only rewritten identically
+    * (decide is deterministic against untouched indexes), and never
+    * written again once the ledger passes this id.
+    */
+  private[graft] def writeDecisions(decisions: DataFrame, id: Long,
+                                    outPath: String): Unit =
+    decisions.withColumn("batch_id", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
 
   /** The CONTINUOUS corpus build as a stream — `q_curation_incremental`'s
     * arrival loop unbounded: each micro-batch of (doc_id, text, n_chars)

@@ -966,6 +966,47 @@ class StreamingSpec extends SparkTestBase {
     assert(keptRows(gotB1) === keptRows(r1.decisions))
   }
 
+  test("curationStep pre-ledger crash: replay REPLACES the decisions partition — exactly-once rows") {
+    import spark.implicits._
+    val docs = curationDocs()
+    val rows = docs.as[(Long, String, Long)].collect()
+    val bench = graft.ops.CurationFlow.benchShingles(docs)
+    val base = java.nio.file.Files.createTempDirectory("curpreled").toString
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    def step(chunk: Seq[(Long, String, Long)], id: Long): Unit =
+      StreamOps.curationStep(s"$base/idx", s"$base/out", bench, 256L, 16)(
+        chunk.toDF("doc_id", "text", "n_chars"), id)
+    step(b0.toSeq, 0L)
+    // stage batch 1's r14-verdict crash window: decisions landed in
+    // outPath, then the crash hits BEFORE the ledger write and the commit
+    val Some((_, _, end0)) =
+      graft.ops.CurationFlow.readLedger(spark, s"$base/idx")
+    val staged = graft.ops.CurationFlow.decide(s"$base/idx",
+      b1.toSeq.toDF("doc_id", "text", "n_chars"), bench, end0)
+    StreamOps.writeDecisions(staged.decisions, 1L, s"$base/out")
+    val crashed = spark.read.parquet(s"$base/out").filter(col("batch_id") === 1)
+    val nRows = crashed.count()
+    assert(nRows > 0 && nRows === b1.length.toLong)
+    // replay: the ledger is still at batch 0, so the step re-decides
+    // (identically — the indexes were never touched) and must REPLACE the
+    // crashed attempt's partition, not append a duplicate row set
+    step(b1.toSeq, 1L)
+    val got = spark.read.parquet(s"$base/out").filter(col("batch_id") === 1)
+    assert(got.count() === nRows,
+      s"replay duplicated decision rows: ${got.count()} vs $nRows")
+    assert(got.groupBy("doc_id").count().filter(col("count") > 1).count() === 0,
+      "every doc must be decided exactly once within the batch")
+    // the whole artifact holds the exactly-once reading: one decision row
+    // per (batch_id, doc_id) across every batch
+    val all = spark.read.parquet(s"$base/out")
+    assert(all.count() === all.select("batch_id", "doc_id").distinct().count())
+    // and the replayed decisions match the staged (crashed) ones bit for bit
+    assert(statusRows(got) === statusRows(staged.decisions))
+    assert(keptRows(got) === keptRows(staged.decisions))
+    // ledger advanced and the commit ran: a later batch sees b1's kept docs
+    assert(graft.ops.CurationFlow.readLedger(spark, s"$base/idx").get._1 === 1L)
+  }
+
   test("curation cursor ledger: interrupted swap (tmp only) recovers; corrupt live record refuses loudly") {
     val dir = java.nio.file.Files.createTempDirectory("curledger").toString
     graft.ops.CurationFlow.writeLedger(spark, dir, 3L, 100L, 250L)
