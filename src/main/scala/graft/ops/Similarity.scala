@@ -149,7 +149,7 @@ object Similarity {
     * `getInt(0)` on it NPEs, so one adversarial null vector would
     * otherwise kill a whole ingest batch (r14 ADVICE).
     */
-  private def inferDim(emb: DataFrame, embCol: String, dim: Int): Int =
+  private[ops] def inferDim(emb: DataFrame, embCol: String, dim: Int): Int =
     if (dim > 0) dim
     else emb.filter(col(embCol).isNotNull)
       .select(size(col(embCol))).head(1).headOption
@@ -226,9 +226,9 @@ object Similarity {
     * Batch-bounded by the ingest contract; constraints dropped like
     * every checkpoint here.
     */
-  private def signedBatch(arrivals: DataFrame, idCol: String,
-                          embCol: String, bits: Int, seed: Long,
-                          dim: Int, families: Int): (DataFrame, DataFrame) = {
+  private[ops] def signedBatch(arrivals: DataFrame, idCol: String,
+                               embCol: String, bits: Int, seed: Long,
+                               dim: Int, families: Int): (DataFrame, DataFrame) = {
     require(families >= 1, s"families must be >= 1, got $families")
     val d = inferDim(arrivals, embCol, dim)
     val sigCols = (0 until families).map(f =>

@@ -1,0 +1,370 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The VECTOR corpus's continuous first-wins build — the embedding
+  * analog of [[CurationFlow]], completing the text↔vector symmetry at
+  * the corpus level (r14 verdict #1): the embedding index
+  * ([[Similarity.embIndexIngest]]) stops at candidate PAIRS; this flow
+  * turns arrivals into per-vector DECISIONS against persisted state,
+  * indexes only the kept vectors, and carries a restart-safe cursor.
+  *
+  * Persisted state under `dir` (all three on the bucketed, planning-time
+  * pruned, crash-safe machinery):
+  *   - `digest/` — a band index of embedding content digests
+  *     (exact-duplicate lookups; [[Dedup.bandIndexAppendPrecomputed]]);
+  *   - `bands/`  — the hyperplane home-signature band index
+  *     (near-duplicate candidates, Hamming≤1 multi-probe contract);
+  *   - `vectors/` — the kept vectors themselves, hive-partitioned by
+  *     `vbkt = xxhash64(vec_id) mod buckets`, so candidate VERIFICATION
+  *     can fetch exactly the stored neighbors a batch collided with —
+  *     a static `vbkt IN (...)` partition filter, never a history scan;
+  *   - `_cursor` — [[CurationFlow.readLedger]]'s (batchId, start, end)
+  *     ledger, carrying the cumulative KEPT COUNT across batches.
+  *
+  * The semantic upgrade over the text flow: text band-candidacy IS the
+  * dup verdict (the q_dup_clusters contract), but a Hamming≤1 signature
+  * collision is only a candidate — so every candidate pair here is
+  * verified at TRUE cosine ≥ `minCos` before any drop ([[Similarity]]'s
+  * SemDeDup discipline). A false-positive collision costs one bounded
+  * fetch-and-dot, never a wrongly dropped vector.
+  *
+  * Stage chain per batch, first-wins crawl semantics (the ORDER is the
+  * contract, mirroring [[CurationFlow.decide]]):
+  *   1. `invalid` — null embedding, wrong dimension, or zero norm (a
+  *      zero vector has no direction: cosine is undefined and every
+  *      signature bit degenerates to 0);
+  *   2. `exact_history` — embedding digest already in the persisted
+  *      digest index (an earlier batch KEPT this exact vector);
+  *   3. `exact_batch` — a smaller vec_id in THIS batch has the same
+  *      digest;
+  *   4. `neardup_history` — cosine ≥ minCos against a STORED keeper
+  *      (candidates from the Hamming≤1 probe, embeddings fetched from
+  *      the pruned vector store);
+  *   5. `neardup_batch` — loses the keeper election in its
+  *      batch-internal verified-pair component (components over docs
+  *      that SURVIVED 2-4, exactly the text flow's justification rule);
+  *   6. survivors are `kept`: digests, home bands, and the vectors
+  *      themselves appended (the indexes hold the KEPT corpus only — a
+  *      vector whose near-dup was itself dropped re-runs the gates
+  *      rather than hiding behind a dup verdict).
+  *
+  * Every decision row carries `matched_id` — the keeper that beat it
+  * (null on `kept`/`invalid`) — so the artifact doubles as the corpus's
+  * duplicate map.
+  *
+  * Scale shape: gates are stateless row maps; the digest probe, band
+  * probe, and verification fetch are batch-broadcast joins against
+  * bucket-PRUNED index reads; verification work is bounded by the
+  * candidate count (and by `maxBucket`'s star route under saturation);
+  * the CC + keeper election are batch-bounded. History never shuffles.
+  * Single-writer contract per index dir, provided by construction in
+  * the streaming loop ([[graft.streaming.StreamOps
+  * .vectorCurationIngestStream]]).
+  */
+object VectorFlow {
+
+  /** One ingested batch: every input vector decided exactly once
+    * ((vec_id, status, matched_id)), plus the cumulative kept count
+    * AFTER the batch (feed it to the next [[ingest]]).
+    */
+  final case class Result(decisions: DataFrame, cursor: Long)
+
+  /** [[decide]]'s return — decisions/kept/cursor split so a streaming
+    * caller persists decisions + ledger BEFORE the index mutation
+    * ([[CurationFlow.Staged]]'s rationale), plus the hot-bucket
+    * overflow report (empty on the exact route).
+    */
+  final case class Staged(decisions: DataFrame, kept: DataFrame,
+                          cursor: Long, overflow: DataFrame)
+
+  /** Frozen flow parameters — the banding family (bits/seed/families),
+    * the embedding dimension (−1 infers from the first valid batch and
+    * then ENFORCES it per row: a dim-mismatched vector is `invalid`,
+    * not a crash — the fuzz packs' dim-truncation lesson), the cosine
+    * threshold, the bucket count shared by all three stores, and the
+    * hot-bucket cap (Int.MaxValue = exact route).
+    */
+  final case class Params(minCos: Double = 0.99, bits: Int = 8,
+                          seed: Long = 42L, dim: Int = -1,
+                          families: Int = 1, buckets: Int = 16,
+                          maxBucket: Int = Int.MaxValue)
+
+  /** [[decide]] then [[commit]] — the batch-job form. */
+  def ingest(dir: String, batch: DataFrame, cursor: Long,
+             params: Params = Params()): Result = {
+    val staged = decide(dir, batch, cursor, params)
+    commit(dir, staged.kept, params)
+    Result(staged.decisions, staged.cursor)
+  }
+
+  /** Compute one batch's decisions against the indexes as they stand,
+    * WITHOUT mutating them. Every decision input that reads an index is
+    * checkpointed, so the returned frames stay valid (and identical)
+    * after a later [[commit]] appends the batch's own rows.
+    *
+    * Under a finite `maxBucket`, saturated signature buckets route
+    * through [[Dedup.boundedProbeCandidates]]'s star (linear output,
+    * overflow REPORTED). The star pairs are proxies — they too are
+    * cosine-verified, which places the recall trade exactly right: in a
+    * genuine spam storm (near-identical vectors saturating one bucket)
+    * the representative passes the threshold and the storm dedups; in a
+    * bucket saturated by mere collisions the stars FAIL verification
+    * and nothing is wrongly dropped.
+    */
+  def decide(dir: String, batch: DataFrame, cursor: Long,
+             params: Params = Params()): Staged = {
+    require(cursor >= 0, s"cursor must be >= 0, got $cursor")
+    val spark = batch.sparkSession
+    val all = batch.select(col("vec_id"), col("embedding"))
+
+    // stage 1: validity gate. dim freezes on first inference; the gate
+    // output feeds every downstream frame — checkpoint once.
+    val d = Similarity.inferDim(all, "embedding", params.dim)
+    val valid = ckpt(all.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === d &&
+      Similarity.l2Norm(col("embedding")) > 0d))
+
+    // stage 2: exact vs history — batch digests broadcast against the
+    // bucket-pruned digest-index read. matched_id = min stored keeper.
+    val digests = valid.select(col("vec_id"), digestOf.as("band"))
+    val exHist = ckpt(
+      Dedup.bandIndexPrunedStored(dir + "/digest",
+          digests.select(col("vec_id").as("doc_id"), col("band")),
+          params.buckets)
+        .join(broadcast(digests.select(col("band"), col("vec_id").as("bid"))),
+          Seq("band"))
+        .groupBy(col("bid").as("vec_id"))
+        .agg(min(col("doc_id")).as("matched_id")))
+    val afterHist = valid.join(broadcast(exHist), Seq("vec_id"), "left_anti")
+
+    // stage 3: exact within batch — min vec_id per digest keeps
+    val exKeep = afterHist.select(col("vec_id"), digestOf.as("dg"))
+      .groupBy("dg").agg(min(col("vec_id")).as("keep_id"))
+    val exBatch = afterHist.select(col("vec_id"), digestOf.as("dg"))
+      .join(exKeep, Seq("dg"))
+      .filter(col("vec_id") =!= col("keep_id"))
+      .select(col("vec_id"), col("keep_id").as("matched_id"))
+    val afterEx = afterHist.join(broadcast(exBatch.select("vec_id")),
+      Seq("vec_id"), "left_anti")
+
+    // stage 4 candidates: Hamming≤1 multi-probe against the band index
+    // (read-only — only KEPT vectors ever index, at commit). Bounded
+    // star route under a finite cap; both routes checkpoint before the
+    // later commit can append the batch's own rows.
+    val (home, probes) = Similarity.signedBatch(afterEx, "vec_id",
+      "embedding", params.bits, params.seed, d, params.families)
+    val stored = Dedup.bandIndexPrunedStored(dir + "/bands", probes,
+      params.buckets)
+    val (rawPairs, overflow) =
+      if (params.maxBucket == Int.MaxValue)
+        (stored.unionByName(home)
+          .join(broadcast(probes.select(col("doc_id").as("doc_n"),
+              col("band").as("band_n"))),
+            col("band") === col("band_n") && col("doc_id") =!= col("doc_n"))
+          .select(least(col("doc_id"), col("doc_n")).as("doc_a"),
+            greatest(col("doc_id"), col("doc_n")).as("doc_b"))
+          .distinct(), emptyOverflow(spark))
+      else {
+        val searched = stored.withColumn("is_new", lit(false))
+          .unionByName(home.withColumn("is_new", lit(true)))
+        val b = Dedup.boundedProbeCandidates(searched, probes,
+          params.maxBucket)
+        (b.pairs, ckpt(b.overflow))
+      }
+    val pairs = ckpt(rawPairs)
+
+    // classify pair sides: batch or stored (the text flow's flag join)
+    val batchIds = afterEx.select(col("vec_id"))
+    val flagged = pairs
+      .join(broadcast(batchIds.select(col("vec_id").as("a_id"),
+        lit(true).as("a_in"))), col("doc_a") === col("a_id"), "left")
+      .join(broadcast(batchIds.select(col("vec_id").as("b_id"),
+        lit(true).as("b_in"))), col("doc_b") === col("b_id"), "left")
+
+    // stage 4 verification vs history: fetch ONLY the stored neighbors
+    // this batch collided with (vbkt-pruned + broadcast-id join), then
+    // keep candidates at true cosine ≥ minCos. Checkpoint: reads the
+    // vector store.
+    val histCand = flagged.filter(col("a_in").isNull || col("b_in").isNull)
+      .select(
+        when(col("a_in").isNotNull, col("doc_a")).otherwise(col("doc_b"))
+          .as("vec_id"),
+        when(col("a_in").isNotNull, col("doc_b")).otherwise(col("doc_a"))
+          .as("stored_id"))
+    val storedEmb = vectorStoreFetch(spark, dir + "/vectors",
+      histCand.select(col("stored_id").as("vec_id")).distinct(),
+      params.buckets)
+    val ndHist = ckpt(histCand
+      .join(broadcast(valid.select(col("vec_id"),
+        col("embedding").as("emb_n"))), Seq("vec_id"))
+      .join(storedEmb.select(col("vec_id").as("stored_id"),
+        col("embedding").as("emb_s")), Seq("stored_id"))
+      .filter(Similarity.cosine(col("emb_n"), col("emb_s")) >= params.minCos)
+      .groupBy("vec_id")
+      .agg(min(col("stored_id")).as("matched_id")))
+    val afterNdHist = afterEx.join(broadcast(ndHist), Seq("vec_id"), "left_anti")
+
+    // stage 5: batch-internal components over verified edges among the
+    // remaining docs, then the keeper election. Verification joins both
+    // sides' embeddings from the (broadcast) batch itself.
+    val rem = afterNdHist.select(col("vec_id"))
+    val edges = flagged
+      .filter(col("a_in").isNotNull && col("b_in").isNotNull)
+      .join(broadcast(rem.select(col("vec_id").as("doc_a"))), Seq("doc_a"),
+        "left_semi")
+      .join(broadcast(rem.select(col("vec_id").as("doc_b"))), Seq("doc_b"),
+        "left_semi")
+      .join(broadcast(valid.select(col("vec_id").as("doc_a"),
+        col("embedding").as("emb_a"))), Seq("doc_a"))
+      .join(broadcast(valid.select(col("vec_id").as("doc_b"),
+        col("embedding").as("emb_b"))), Seq("doc_b"))
+      .filter(Similarity.cosine(col("emb_a"), col("emb_b")) >= params.minCos)
+      .select(col("doc_a"), col("doc_b"))
+    // a clean batch (no verified internal pairs) skips the CC machinery
+    val memb =
+      if (edges.isEmpty) afterNdHist.withColumn("grp", col("vec_id"))
+      else {
+        val labels = Graph.connectedComponents(
+          edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        afterNdHist
+          .join(labels.withColumnRenamed("node_id", "vec_id"),
+            Seq("vec_id"), "left")
+          .withColumn("grp", coalesce(col("component"), col("vec_id")))
+      }
+    // keeper election: min id (the CC label itself — first wins), the
+    // only policy consistent with FIRST-WINS crawl semantics inside a
+    // batch too (diversity-keepers belong to the batch-world
+    // Similarity.semanticDedup, where the whole corpus is electable)
+    val withKeep = memb.withColumn("keep_id", col("grp"))
+    val ndBatch = withKeep.filter(col("vec_id") =!= col("keep_id"))
+      .select(col("vec_id"), col("keep_id").as("matched_id"))
+    // kept feeds the cursor count, the caller's decisions evaluation,
+    // and commit's three appends — checkpoint once
+    val kept = ckpt(withKeep.filter(col("vec_id") === col("keep_id"))
+      .select(col("vec_id"), col("embedding")))
+
+    val newCursor = cursor + kept.count()
+    def reason(ids: DataFrame, r: String): DataFrame =
+      ids.select(col("vec_id"), lit(r).as("status"),
+        col("matched_id").cast("long").as("matched_id"))
+    val nullMatch = lit(null).cast("long").as("matched_id")
+    val decisions = reason(
+        all.join(broadcast(valid.select("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .select(col("vec_id"), nullMatch), "invalid")
+      .unionByName(reason(exHist, "exact_history"))
+      .unionByName(reason(exBatch, "exact_batch"))
+      .unionByName(reason(ndHist, "neardup_history"))
+      .unionByName(reason(ndBatch, "neardup_batch"))
+      .unionByName(kept.select(col("vec_id"), lit("kept").as("status"),
+        nullMatch))
+    Staged(decisions, kept, newCursor, overflow)
+  }
+
+  /** Append a [[decide]]d batch's kept vectors to all three stores. The
+    * decision frames are checkpoint-pinned, so committing after reading
+    * them cannot flip the already-computed verdicts. Idempotent under
+    * replay: duplicate digest/band rows change no candidate set
+    * (DISTINCT-member occupancy), duplicate vector rows no verification
+    * verdict (the fetch join's matches dedupe through the drop-set
+    * aggregation).
+    */
+  def commit(dir: String, kept: DataFrame, params: Params = Params()): Unit = {
+    Dedup.bandIndexAppendPrecomputed(dir + "/digest",
+      kept.select(col("vec_id").as("doc_id"), digestOf.as("band")),
+      params.buckets)
+    Dedup.bandIndexAppendPrecomputed(dir + "/bands",
+      Similarity.embBandTable(kept, "vec_id", "embedding", params.bits,
+        params.seed, params.dim, params.families),
+      params.buckets)
+    vectorStoreAppend(dir + "/vectors", kept, params.buckets)
+  }
+
+  /** Content digest of the embedding column: md5 of the array's string
+    * form (element-wise Float.toString — deterministic per bit
+    * pattern). The digest is an index KEY, so the cast must be stable,
+    * not pretty.
+    */
+  private def digestOf: Column = md5(col("embedding").cast("string"))
+
+  /** The kept-vector store's bucket key. */
+  private def vbktOf(buckets: Int): Column =
+    pmod(xxhash64(col("vec_id")), lit(buckets.toLong)).cast("int")
+
+  private val vectorSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("vbkt",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** Append kept (vec_id, embedding) rows under `vbkt=` directories —
+    * the band index's layout discipline (frozen bucket count via the
+    * sidecar, stamped BEFORE the first append, one file per touched
+    * bucket per batch).
+    */
+  private[graft] def vectorStoreAppend(path: String, kept: DataFrame,
+                                       buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(kept.sparkSession.sparkContext.hadoopConfiguration)
+    LayoutSidecar.check(fs, path, buckets,
+      legacyHint = "vector store written without a layout sidecar — " +
+        "rewrite it into a fresh path with VectorFlow.commit")
+    LayoutSidecar.stampAhead(fs, path, buckets)
+    kept.select(col("vec_id"), col("embedding"))
+      .withColumn("vbkt", vbktOf(buckets))
+      .repartition(col("vbkt"))
+      .write.mode("append").partitionBy("vbkt").parquet(path)
+  }
+
+  /** Fetch the stored embeddings of `ids` (one column `vec_id`,
+    * batch-bounded): collect the touched buckets (≤ buckets ints), read
+    * ONLY those partition directories — planning-time pruning, the
+    * probe-side discipline of [[Dedup]]'s prunedStored — then semi-join
+    * the broadcast id set.
+    */
+  private[graft] def vectorStoreFetch(spark: org.apache.spark.sql.SparkSession,
+                                      path: String, ids: DataFrame,
+                                      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    LayoutSidecar.check(fs, path, buckets,
+      legacyHint = "vector store written without a layout sidecar — " +
+        "rewrite it into a fresh path with VectorFlow.commit")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(vectorSchema.dropRight(1)))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) empty
+    else {
+      val touched = ids.select(vbktOf(buckets).as("vbkt")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) empty
+      else spark.read.schema(vectorSchema).parquet(path)
+        .filter(col("vbkt").isInCollection(touched.toSeq))
+        .join(broadcast(ids), Seq("vec_id"), "left_semi")
+        .select("vec_id", "embedding")
+    }
+  }
+
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(df.localCheckpoint())
+
+  private def emptyOverflow(spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("band", StringType),
+        StructField("occupancy", LongType),
+        StructField("n_probe", LongType),
+        StructField("emitted", LongType),
+        StructField("suppressed", LongType))))
+  }
+}

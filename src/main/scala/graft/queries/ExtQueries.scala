@@ -518,6 +518,40 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // North star — the CONTINUOUS VECTOR-corpus build
+    // (ops.VectorFlow.ingest): q_curation_incremental's embedding twin,
+    // closing the text↔vector symmetry at the corpus level. Two arrival
+    // waves under FIRST-WINS semantics against the persisted digest +
+    // hyperplane-band + kept-vector stores: wave 1 is the even vec_ids;
+    // wave 2 the odd ids PLUS planted history twins of wave-1 keeps —
+    // exact copies (+1M id offset → exact_history) and 0.1%-nudged
+    // copies (+2M offset → cosine ≈ 1 ≥ .99 → neardup_history after the
+    // pruned vector-store fetch verifies the candidate). Every candidate
+    // drop is TRUE-cosine-verified, unlike the text flow's
+    // band-candidacy contract. No SQL oracle (seeded hyperplane family);
+    // the two-wave exactness, verification gate, and replay contracts
+    // are VectorFlowSpec's/StreamingSpec's — driver records rows-only.
+    "q_vector_curation" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val dir = CoreQueries.pidScopedDir("graft_vector_curation", d)
+      val p = graft.ops.VectorFlow.Params(minCos = 0.99)
+      val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val w1 = graft.ops.VectorFlow.ingest(dir.toString, evens, 0L, p)
+      val copies = evens.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val nudged = evens.filter(pmod(col("vec_id"), lit(10)) === 4)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, (x * lit(1.001)).cast("float"))
+              .otherwise(x)).as("embedding"))
+      val w2in = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .unionByName(copies).unionByName(nudged)
+      val w2 = graft.ops.VectorFlow.ingest(dir.toString, w2in, w1.cursor, p)
+      w1.decisions.withColumn("wave", lit(1))
+        .unionByName(w2.decisions.withColumn("wave", lit(2)))
+        .orderBy("vec_id")
+    }),
+
     // North star — heavy hitters via the mergeable Misra-Gries udaf
     // (functions.HeavyHittersAgg). With capacity >= key cardinality the
     // summary degenerates to exact counting, so the same op that

@@ -788,6 +788,60 @@ object StreamOps {
     }
   }
 
+  /** [[curationStep]]'s VECTOR twin — one micro-batch of the continuous
+    * vector-corpus build ([[graft.ops.VectorFlow]]), same write order,
+    * same crash-safety argument, same ledger (it lives under the vector
+    * index dir): decide → idempotent decisions partition → cursor
+    * ledger → commit. A ledger-committed batch never re-decides; its
+    * replay reconstructs the kept ids from the recorded decisions and
+    * re-runs only the (idempotent) three-store commit.
+    */
+  private[graft] def vectorCurationStep(indexPath: String, outPath: String,
+                                        params: graft.ops.VectorFlow.Params)
+                                       (batch: DataFrame, id: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.ops.CurationFlow.readLedger(spark, indexPath) match {
+      case Some((bid, _, _)) if bid == id =>
+        val keptIds = spark.read.parquet(outPath)
+          .filter(col("batch_id") === id && col("status") === "kept")
+          .select("vec_id").distinct()
+        graft.ops.VectorFlow.commit(indexPath,
+          batch.join(keptIds, Seq("vec_id"), "left_semi"), params)
+      case led =>
+        val start = led match {
+          case Some((_, _, e)) => e
+          case None => 0L
+        }
+        val staged = graft.ops.VectorFlow.decide(indexPath, batch, start,
+          params)
+        writeDecisions(staged.decisions, id, outPath)
+        graft.ops.CurationFlow.writeLedger(spark, indexPath, id, start,
+          staged.cursor)
+        graft.ops.VectorFlow.commit(indexPath, staged.kept, params)
+    }
+  }
+
+  /** The CONTINUOUS vector-corpus build as a stream — the embedding
+    * analog of [[curationIngestStream]], closing the text↔vector
+    * symmetry at the corpus level: each micro-batch of
+    * (vec_id, embedding) rows runs [[graft.ops.VectorFlow]]'s
+    * first-wins stage chain against the persisted digest + band +
+    * vector stores, lands every vector's decision (with its duplicate
+    * map: `matched_id`) in `outPath` as an idempotent batch partition,
+    * and carries the cumulative kept count through the `_cursor`
+    * ledger. foreachBatch's serial execution provides the three
+    * stores' single-writer contract.
+    */
+  def vectorCurationIngestStream(vectors: DataFrame, indexPath: String,
+                                 outPath: String, checkpoint: String,
+                                 params: graft.ops.VectorFlow.Params =
+                                   graft.ops.VectorFlow.Params())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(vectorCurationStep(indexPath, outPath, params) _)
+      .start()
+
   /** The idempotent per-batch decisions write: one `batch_id=` partition
     * per micro-batch, dynamic overwrite so a replayed batch REPLACES its
     * crashed attempt's rows instead of appending a duplicate set. A

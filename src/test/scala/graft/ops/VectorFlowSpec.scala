@@ -1,0 +1,201 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The vector-corpus first-wins flow ([[VectorFlow]]) — the embedding
+  * analog of CurationFlowSpec's battery: planted two-wave scenarios
+  * with hand-computable verdicts, the cosine-verification gate, the
+  * first-wins index contract (kept corpus only), the duplicate map,
+  * cursor arithmetic, and replay idempotence.
+  */
+class VectorFlowSpec extends SparkTestBase {
+
+  private val Dim = 16
+
+  // a 2D rotation family in the (e1, e2) plane: angle-addressable unit
+  // vectors, so pairwise cosines are EXACTLY cos(Δangle) — verdicts are
+  // hand-computable (cos 0.08 ≈ .9968 ≥ .99; cos 0.16 ≈ .9872 < .99)
+  private def rot(angle: Double): Seq[Float] = {
+    val v = Array.fill(Dim)(0f)
+    v(0) = math.cos(angle).toFloat
+    v(1) = math.sin(angle).toFloat
+    v.toSeq
+  }
+
+  private def df(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  private def statuses(d: org.apache.spark.sql.DataFrame) =
+    d.select("vec_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def matches(d: org.apache.spark.sql.DataFrame) =
+    d.filter(col("matched_id").isNotNull)
+      .select("vec_id", "matched_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/idx"
+
+  test("two-wave first-wins: every status reachable, verdicts exact, cursor = cumulative kept") {
+    import spark.implicits._
+    val p = VectorFlow.Params(minCos = 0.99, dim = Dim)
+    val dir = tmp("vflow")
+    // wave 1: 10 kept; 20 = rot(.08) near-dups 10 (neardup_batch);
+    // 30 orthogonal kept; 40 zero vector invalid; 50 null invalid;
+    // 60 wrong-dim invalid; 70 exact copy of 30 (exact_batch)
+    val e3 = { val v = Array.fill(Dim)(0f); v(3) = 1f; v.toSeq }
+    val w1rows = df(Seq(10L -> rot(0), 20L -> rot(0.08), 30L -> e3,
+        70L -> e3, 40L -> Array.fill(Dim)(0f).toSeq))
+      .unionByName(Seq((50L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+      .unionByName(df(Seq(60L -> Seq(1f, 0f))))
+    val w1 = VectorFlow.ingest(dir, w1rows, cursor = 0L, p)
+    val st1 = statuses(w1.decisions)
+    assert(st1 === Map(10L -> "kept", 20L -> "neardup_batch",
+      30L -> "kept", 70L -> "exact_batch", 40L -> "invalid",
+      50L -> "invalid", 60L -> "invalid"))
+    assert(matches(w1.decisions) === Map(20L -> 10L, 70L -> 30L))
+    assert(w1.cursor === 2L)
+
+    // wave 2: 110 exact copy of KEPT 10 (exact_history); 115 = rot(.05)
+    // near KEPT 10 (neardup_history); 130 = rot(.16): within .99-cosine
+    // of DROPPED 20 only — the index holds kept docs only, and
+    // cos(.16 - 0) < .99 fails verification against 10, so it stays
+    // KEPT; 120/121 identical NEW vectors (kept + exact_batch)
+    val e5 = { val v = Array.fill(Dim)(0f); v(5) = 1f; v.toSeq }
+    val w2 = VectorFlow.ingest(dir, df(Seq(110L -> rot(0),
+      115L -> rot(0.05), 130L -> rot(0.16), 120L -> e5, 121L -> e5)),
+      cursor = w1.cursor, p)
+    val st2 = statuses(w2.decisions)
+    assert(st2 === Map(110L -> "exact_history", 115L -> "neardup_history",
+      130L -> "kept", 120L -> "kept", 121L -> "exact_batch"))
+    assert(matches(w2.decisions) === Map(110L -> 10L, 115L -> 10L,
+      121L -> 120L))
+    assert(w2.cursor === w1.cursor + 2L)
+    // every vector decided exactly once per wave
+    assert(w1.decisions.count() === 7L && w2.decisions.count() === 5L)
+  }
+
+  test("cosine verification gates the Hamming candidates: same data, higher threshold, no drop") {
+    val rows = df(Seq(1L -> rot(0), 2L -> rot(0.08)))
+    // cos(.08) ≈ .9968: a candidate pair (tiny angle ⇒ Hamming≤1 sigs
+    // under the default seed) that PASSES at .99 and FAILS at .9999 —
+    // the signature collision alone must never be the drop verdict
+    val loose = VectorFlow.ingest(tmp("vth1"), rows, 0L,
+      VectorFlow.Params(minCos = 0.99, dim = Dim))
+    assert(statuses(loose.decisions)(2L) === "neardup_batch")
+    val strict = VectorFlow.ingest(tmp("vth2"), rows, 0L,
+      VectorFlow.Params(minCos = 0.9999, dim = Dim))
+    assert(statuses(strict.decisions) === Map(1L -> "kept", 2L -> "kept"))
+  }
+
+  test("decide is commit-independent: staged frames identical after the index mutation") {
+    val p = VectorFlow.Params(dim = Dim)
+    val dir = tmp("vstage")
+    VectorFlow.ingest(dir, df(Seq(1L -> rot(0))), 0L, p)
+    val batch = df(Seq(2L -> rot(0.03), 3L -> rot(1.2)))
+    val staged = VectorFlow.decide(dir, batch, cursor = 1L, p)
+    val before = statuses(staged.decisions)
+    assert(before === Map(2L -> "neardup_history", 3L -> "kept"))
+    VectorFlow.commit(dir, staged.kept, p)
+    // checkpoint-pinned: evaluating AFTER commit must not flip verdicts
+    assert(statuses(staged.decisions) === before)
+    assert(staged.cursor === 2L)
+    // and the committed batch is now history for the next arrival
+    // (rot(1.23): cos(.03) ≈ .99955 to the kept 3 — near, not identical)
+    val next = VectorFlow.decide(dir, df(Seq(4L -> rot(1.23))), 2L, p)
+    assert(statuses(next.decisions)(4L) === "neardup_history")
+    assert(matches(next.decisions)(4L) === 3L)
+  }
+
+  test("bounded route: a spam storm stars onto the representative, decisions unchanged, overflow reported") {
+    import spark.implicits._
+    val p = VectorFlow.Params(dim = Dim)
+    val cap = p.copy(maxBucket = 4)
+    // 40 identical vectors across two batches — the saturated-bucket
+    // adversarial shape; first-wins must keep exactly the min id
+    val b1 = df((20L until 40L).map(i => i -> rot(0)))
+    val b2 = df((0L until 20L).map(i => i -> rot(0)))
+    def drive(dir: String, pp: VectorFlow.Params) = {
+      val r1 = VectorFlow.ingest(dir, b1, 0L, pp)
+      val r2 = VectorFlow.ingest(dir, b2, r1.cursor, pp)
+      (statuses(r1.decisions) ++ statuses(r2.decisions), r2.cursor)
+    }
+    val (exact, cExact) = drive(tmp("vspam_e"), p)
+    val (bounded, cBound) = drive(tmp("vspam_b"), cap)
+    // identical verdicts: every copy of the storm resolves to one keeper
+    // per wave-order (20 kept in wave 1; wave 2's 0..19 are all dups of
+    // history or each other... exact duplicates collapse via the DIGEST
+    // stages, so the star route and exact route must agree bit for bit)
+    assert(bounded === exact)
+    assert(cBound === cExact)
+    // the star route's overflow report fires on the saturated bucket
+    val dirO = tmp("vspam_o")
+    val near = df((0L until 30L).map(i => i -> rot(0.0004 * i)))
+    val s = VectorFlow.decide(dirO, near, 0L, cap)
+    assert(s.overflow.count() > 0, "saturated bucket must be reported")
+    // near-identical (not byte-identical) storm: one keeper, rest dropped
+    val stN = statuses(s.decisions)
+    assert(stN(0L) === "kept" &&
+      (1L until 30L).forall(i => stN(i) === "neardup_batch"),
+      s"storm must collapse to the min id: $stN")
+  }
+
+  test("empty and all-invalid batches are safe no-ops; empty store fetch") {
+    import spark.implicits._
+    val p = VectorFlow.Params(dim = Dim)
+    val dir = tmp("vempty")
+    val empty = df(Seq.empty[(Long, Seq[Float])])
+    val r = VectorFlow.ingest(dir, empty, 7L, p)
+    assert(r.decisions.count() === 0L && r.cursor === 7L)
+    val allBad = Seq((1L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val r2 = VectorFlow.ingest(dir, allBad, 7L, p)
+    assert(statuses(r2.decisions) === Map(1L -> "invalid") && r2.cursor === 7L)
+    // a later real batch against the (still data-less) stores works
+    val r3 = VectorFlow.ingest(dir, df(Seq(2L -> rot(0))), 7L, p)
+    assert(statuses(r3.decisions) === Map(2L -> "kept") && r3.cursor === 8L)
+  }
+
+  test("vector store: bucket count frozen; fetch prunes to touched buckets") {
+    val p = VectorFlow.Params(dim = Dim, buckets = 8)
+    val dir = tmp("vstore")
+    // 0.2-rad spacing, no 2π wrap: cos(.2) ≈ .980 < .99 — all 16 kept
+    VectorFlow.ingest(dir, df((0L until 16L).map(i => i -> rot(0.2 * i))),
+      0L, p)
+    // mismatched bucket count refused loudly (frozen at creation)
+    val e = intercept[IllegalArgumentException] {
+      VectorFlow.ingest(dir, df(Seq(100L -> rot(7))), 16L,
+        p.copy(buckets = 16))
+    }
+    assert(e.getMessage.contains("frozen"))
+    // the fetch reads only the probed ids' buckets
+    import spark.implicits._
+    val ids = Seq(3L, 11L).toDF("vec_id")
+    val fetched = VectorFlow.vectorStoreFetch(spark, s"$dir/vectors", ids, 8)
+    assert(fetched.select("vec_id").as[Long].collect().toSet === Set(3L, 11L))
+    val want = ids.select(pmod(xxhash64(col("vec_id")), lit(8L))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet.size
+    // the scan lives under the AQE wrapper (a leaf to collect())
+    val plan = fetched.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scanned = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "embedding") =>
+        f.selectedPartitions.partitionCount
+    }.sum
+    assert(scanned === want,
+      s"fetch scanned $scanned partition dirs for $want touched buckets")
+  }
+}

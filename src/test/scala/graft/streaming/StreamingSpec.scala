@@ -1007,6 +1007,57 @@ class StreamingSpec extends SparkTestBase {
     assert(graft.ops.CurationFlow.readLedger(spark, s"$base/idx").get._1 === 1L)
   }
 
+  test("vectorCurationStep: stream ≡ sequential ingests; ledger replay re-commits only; pre-ledger crash exactly-once") {
+    import spark.implicits._
+    val p = graft.ops.VectorFlow.Params(dim = 8)
+    def rot(a: Double): Seq[Float] = {
+      val v = Array.fill(8)(0f)
+      v(0) = math.cos(a).toFloat; v(1) = math.sin(a).toFloat; v.toSeq
+    }
+    // 0.2-rad spacing (all distinct) + planted twins across the batches
+    val b0 = (0L until 20L).map(i => i -> rot(0.2 * i))
+    val b1 = (20L until 40L).map(i => i -> rot(0.2 * (i - 20) + 0.01))
+    def vdf(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    val base = java.nio.file.Files.createTempDirectory("vecstream").toString
+    def step(rows: Seq[(Long, Seq[Float])], id: Long): Unit =
+      StreamOps.vectorCurationStep(s"$base/idx", s"$base/out", p)(
+        vdf(rows), id)
+    step(b0, 0L)
+    step(b1, 1L)
+    // sequential batch reference over the same chunks
+    val refDir = java.nio.file.Files.createTempDirectory("vecref").toString
+    val r0 = graft.ops.VectorFlow.ingest(s"$refDir/idx", vdf(b0), 0L, p)
+    val r1 = graft.ops.VectorFlow.ingest(s"$refDir/idx", vdf(b1), r0.cursor, p)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id", "status").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val got = spark.read.parquet(s"$base/out")
+    assert(rows(got) === rows(r0.decisions.unionByName(r1.decisions)))
+    assert(graft.ops.CurationFlow.readLedger(spark, s"$base/idx")
+      === Some((1L, r0.cursor, r1.cursor)))
+    // every twin in b1 dropped as history (b0's keeps are all kept)
+    assert(got.filter(col("status") === "neardup_history").count() === 20L)
+    // LEDGER REPLAY: re-deliver batch 1 — no re-decide, no new rows, and
+    // the re-commit is idempotent (kept corpus/indexes unchanged for a
+    // later probe)
+    val n1 = got.filter(col("batch_id") === 1).count()
+    step(b1, 1L)
+    assert(spark.read.parquet(s"$base/out")
+      .filter(col("batch_id") === 1).count() === n1)
+    // PRE-LEDGER CRASH on batch 2: decisions written, no ledger/commit —
+    // the replay must REPLACE the partition (exactly-once rows)
+    val b2 = (40L until 50L).map(i => i -> rot(1.0 * (i - 40) + 0.1))
+    val staged = graft.ops.VectorFlow.decide(s"$base/idx", vdf(b2),
+      r1.cursor, p)
+    StreamOps.writeDecisions(staged.decisions, 2L, s"$base/out")
+    step(b2, 2L)
+    val all = spark.read.parquet(s"$base/out")
+    assert(all.filter(col("batch_id") === 2).count() === b2.length.toLong)
+    assert(all.count() === all.select("batch_id", "vec_id").distinct().count())
+  }
+
   test("curation cursor ledger: interrupted swap (tmp only) recovers; corrupt live record refuses loudly") {
     val dir = java.nio.file.Files.createTempDirectory("curledger").toString
     graft.ops.CurationFlow.writeLedger(spark, dir, 3L, 100L, 250L)
