@@ -527,21 +527,37 @@ object Dedup {
     val stamped = LayoutSidecar.requireStamped(fs, path,
       "pre-r14 flat band index — rewrite it with Dedup.bandIndexMigrate " +
         "before compacting")
-    if (fs.exists(p)) {
-      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-      val aside = new org.apache.hadoop.fs.Path(path + ".aside")
-      // repartition BY bkt: each bucket lands wholly in one task, so the
-      // partitionBy write emits exactly one file per non-empty bucket —
-      // the ideal compacted state for the pruned probe (targetParts only
-      // bounds the shuffle width)
-      spark.read.schema(bandSchemaBkt).parquet(path)
-        .repartition(targetParts, col("bkt"))
-        .write.mode("overwrite").partitionBy("bkt").parquet(tmp.toString)
-      stamped.foreach(b => LayoutSidecar.stamp(fs, tmp.toString, b))
-      renameOrThrow(fs, p, aside)
-      renameOrThrow(fs, tmp, p)
-      fs.delete(aside, true)
-    }
+    if (fs.exists(p))
+      compactSwap(spark, path, bandSchemaBkt, "bkt", targetParts, stamped)
+  }
+
+  /** The staged-swap compaction core, schema-generic (r15): shared by the
+    * band index and [[VectorFlow]]'s kept-vector store — any
+    * hive-partitioned bucket layout with a frozen sidecar count. The
+    * crash contract is [[recoverBandIndex]]'s: tmp written fully, live
+    * renamed aside, tmp promoted, aside dropped.
+    */
+  private[graft] def compactSwap(spark: org.apache.spark.sql.SparkSession,
+                                 path: String,
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 bktCol: String, targetParts: Int,
+                                 stamped: Option[Int]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val aside = new org.apache.hadoop.fs.Path(path + ".aside")
+    // repartition BY the bucket column: each bucket lands wholly in one
+    // task, so the partitionBy write emits exactly one file per non-empty
+    // bucket — the ideal compacted state for the pruned probe
+    // (targetParts only bounds the shuffle width)
+    spark.read.schema(schema).parquet(path)
+      .repartition(targetParts, col(bktCol))
+      .write.mode("overwrite").partitionBy(bktCol).parquet(tmp.toString)
+    stamped.foreach(b => LayoutSidecar.stamp(fs, tmp.toString, b))
+    renameOrThrow(fs, p, aside)
+    renameOrThrow(fs, tmp, p)
+    fs.delete(aside, true)
   }
 
   /** `FileSystem.rename` signals failure by returning FALSE on several

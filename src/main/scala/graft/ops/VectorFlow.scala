@@ -312,6 +312,7 @@ object VectorFlow {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(kept.sparkSession.sparkContext.hadoopConfiguration)
+    Dedup.recoverBandIndex(fs, path) // heal a crashed compact
     LayoutSidecar.check(fs, path, buckets,
       legacyHint = "vector store written without a layout sidecar — " +
         "rewrite it into a fresh path with VectorFlow.commit")
@@ -334,6 +335,7 @@ object VectorFlow {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.recoverBandIndex(fs, path) // heal a crashed compact
     LayoutSidecar.check(fs, path, buckets,
       legacyHint = "vector store written without a layout sidecar — " +
         "rewrite it into a fresh path with VectorFlow.commit")
@@ -350,6 +352,27 @@ object VectorFlow {
         .join(broadcast(ids), Seq("vec_id"), "left_semi")
         .select("vec_id", "embedding")
     }
+  }
+
+  /** Fold the kept-vector store back to one file per bucket — the band
+    * index's compaction discipline on the `vbkt` layout ([[Dedup
+    * .bandIndexCompact]]'s staged swap, crash-recoverable at every store
+    * entry point). Single-writer like the appends; the streaming loop
+    * schedules it between batches ([[graft.streaming.StreamOps
+    * .vectorCurationIngestStream]]'s `compactEvery`).
+    */
+  def vectorStoreCompact(spark: org.apache.spark.sql.SparkSession,
+                         path: String, targetParts: Int = 1): Unit = {
+    require(targetParts >= 1, s"targetParts must be >= 1, got $targetParts")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.recoverBandIndex(fs, path)
+    val stamped = LayoutSidecar.requireStamped(fs, path,
+      "vector store without a layout sidecar — rewrite it into a fresh " +
+        "path with VectorFlow.commit")
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      Dedup.compactSwap(spark, path, vectorSchema, "vbkt", targetParts,
+        stamped)
   }
 
   private def ckpt(df: DataFrame): DataFrame =

@@ -655,7 +655,8 @@ object StreamOps {
     * nature).
     */
   def dedupIndexIngestStream(docs: DataFrame, indexPath: String,
-                             outPath: String, checkpoint: String)
+                             outPath: String, checkpoint: String,
+                             compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -663,7 +664,23 @@ object StreamOps {
         graft.ops.Dedup.bandIndexIngest(indexPath, batch, "doc_id", "text")
           .withColumn("batch_id", lit(id))
           .write.mode("append").parquet(outPath)
+        if (dueForCompact(compactEvery, id))
+          graft.ops.Dedup.bandIndexCompact(batch.sparkSession, indexPath)
       }.start()
+
+  /** Index-growth housekeeping for the foreachBatch loops (r14 verdict
+    * #4): each micro-batch appends one file per touched bucket, so a
+    * long-running stream accumulates files without bound and the pruned
+    * probe's per-bucket listing degrades. `compactEvery = N` folds the
+    * indexes back to one file per bucket after every Nth batch (0 =
+    * never) — the loop's serial execution IS the compactor's
+    * single-writer contract, and a crash mid-compact heals at the next
+    * batch's entry point (the staged-swap recovery). Compaction runs
+    * after the batch commits, so a replayed batch may re-compact:
+    * idempotent by construction.
+    */
+  private def dueForCompact(compactEvery: Int, id: Long): Boolean =
+    compactEvery > 0 && (id + 1) % compactEvery == 0
 
   /** [[dedupIndexIngestStream]]'s EMBEDDING twin — streaming ingest
     * against the persisted hyperplane-bucket index
@@ -682,7 +699,8 @@ object StreamOps {
   def embIndexIngestStream(vectors: DataFrame, indexPath: String,
                            outPath: String, checkpoint: String,
                            bits: Int = 8, seed: Long = 42L, dim: Int = -1,
-                           buckets: Int = 16, families: Int = 1)
+                           buckets: Int = 16, families: Int = 1,
+                           compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
@@ -691,6 +709,8 @@ object StreamOps {
             "vec_id", "embedding", bits, seed, dim, buckets, families)
           .withColumn("batch_id", lit(id))
           .write.mode("append").parquet(outPath)
+        if (dueForCompact(compactEvery, id))
+          graft.ops.Dedup.bandIndexCompact(batch.sparkSession, indexPath)
       }.start()
 
   /** G5 — gap-based sessionization via the built-in `session_window`
@@ -761,7 +781,8 @@ object StreamOps {
   private[graft] def curationStep(indexPath: String, outPath: String,
                                   bench: DataFrame, budget: Long,
                                   buckets: Int,
-                                  maxBucket: Int = Int.MaxValue)
+                                  maxBucket: Int = Int.MaxValue,
+                                  compactEvery: Int = 0)
                                  (batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
     graft.ops.CurationFlow.readLedger(spark, indexPath) match {
@@ -786,6 +807,10 @@ object StreamOps {
           staged.cursor)
         graft.ops.CurationFlow.commit(indexPath, staged.kept, buckets)
     }
+    if (dueForCompact(compactEvery, id)) {
+      graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/digest")
+      graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/bands")
+    }
   }
 
   /** [[curationStep]]'s VECTOR twin — one micro-batch of the continuous
@@ -797,7 +822,8 @@ object StreamOps {
     * re-runs only the (idempotent) three-store commit.
     */
   private[graft] def vectorCurationStep(indexPath: String, outPath: String,
-                                        params: graft.ops.VectorFlow.Params)
+                                        params: graft.ops.VectorFlow.Params,
+                                        compactEvery: Int = 0)
                                        (batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
     graft.ops.CurationFlow.readLedger(spark, indexPath) match {
@@ -819,6 +845,11 @@ object StreamOps {
           staged.cursor)
         graft.ops.VectorFlow.commit(indexPath, staged.kept, params)
     }
+    if (dueForCompact(compactEvery, id)) {
+      graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/digest")
+      graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/bands")
+      graft.ops.VectorFlow.vectorStoreCompact(spark, indexPath + "/vectors")
+    }
   }
 
   /** The CONTINUOUS vector-corpus build as a stream — the embedding
@@ -835,11 +866,13 @@ object StreamOps {
   def vectorCurationIngestStream(vectors: DataFrame, indexPath: String,
                                  outPath: String, checkpoint: String,
                                  params: graft.ops.VectorFlow.Params =
-                                   graft.ops.VectorFlow.Params())
+                                   graft.ops.VectorFlow.Params(),
+                                 compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(vectorCurationStep(indexPath, outPath, params) _)
+      .foreachBatch(vectorCurationStep(indexPath, outPath, params,
+        compactEvery) _)
       .start()
 
   /** The idempotent per-batch decisions write: one `batch_id=` partition
@@ -877,11 +910,12 @@ object StreamOps {
                            outPath: String, checkpoint: String,
                            bench: DataFrame, budget: Long = 256L,
                            buckets: Int = 16,
-                           maxBucket: Int = Int.MaxValue)
+                           maxBucket: Int = Int.MaxValue,
+                           compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(curationStep(indexPath, outPath, bench, budget,
-        buckets, maxBucket) _)
+        buckets, maxBucket, compactEvery) _)
       .start()
 }

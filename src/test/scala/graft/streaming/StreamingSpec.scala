@@ -1058,6 +1058,65 @@ class StreamingSpec extends SparkTestBase {
     assert(all.count() === all.select("batch_id", "vec_id").distinct().count())
   }
 
+  test("compactEvery: scheduled compaction bounds index files, decisions identical to the uncompacted twin") {
+    import spark.implicits._
+    val p = graft.ops.VectorFlow.Params(dim = 16)
+    // batch b lives in its own orthogonal 2D plane: cross-batch cosines
+    // are 0, so every batch's 12 vectors are all KEPT and the stores
+    // genuinely grow one batch per step (0.2-rad in-plane spacing)
+    def rot(plane: Int, a: Double): Seq[Float] = {
+      val v = Array.fill(16)(0f)
+      v(2 * plane) = math.cos(a).toFloat
+      v(2 * plane + 1) = math.sin(a).toFloat
+      v.toSeq
+    }
+    def vdf(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    def mkBatch(b: Long) = (0L until 12L).map(i =>
+      (b * 100 + i) -> rot(b.toInt, 0.2 * i))
+    val withC = java.nio.file.Files.createTempDirectory("veccmp_c").toString
+    val noC = java.nio.file.Files.createTempDirectory("veccmp_n").toString
+    (0L until 6L).foreach { b =>
+      StreamOps.vectorCurationStep(s"$withC/idx", s"$withC/out", p,
+        compactEvery = 2)(vdf(mkBatch(b)), b)
+      StreamOps.vectorCurationStep(s"$noC/idx", s"$noC/out", p)(
+        vdf(mkBatch(b)), b)
+    }
+    def rows(base: String) = spark.read.parquet(s"$base/out")
+      .select("vec_id", "status").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows(withC) === rows(noC),
+      "compaction must not change any decision")
+    def partFiles(path: String): Int = {
+      val root = new java.io.File(path)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).count(_.getName.endsWith(".parquet"))
+    }
+    // after the batch-5 compaction (batches 4-5 appended nothing new to
+    // compact away? no — every batch keeps its distinct vectors), the
+    // compacted stores hold ONE file per non-empty bucket; the
+    // uncompacted twin holds one per (batch, touched bucket)
+    for (store <- Seq("digest", "bands", "vectors")) {
+      val c = partFiles(s"$withC/idx/$store")
+      val n = partFiles(s"$noC/idx/$store")
+      assert(c < n, s"$store: compacted $c files !< uncompacted $n")
+    }
+    // and the compacted index keeps serving: one more batch of exact
+    // copies of batch 0 must all drop as history, identically on both
+    val b6 = (0L until 12L).map(i => (900L + i) -> rot(0, 0.2 * i))
+    StreamOps.vectorCurationStep(s"$withC/idx", s"$withC/out", p,
+      compactEvery = 2)(vdf(b6), 6L)
+    StreamOps.vectorCurationStep(s"$noC/idx", s"$noC/out", p)(vdf(b6), 6L)
+    assert(rows(withC) === rows(noC))
+    val st6 = spark.read.parquet(s"$withC/out")
+      .filter(col("batch_id") === 6).select("status").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(st6 === Set("exact_history"),
+      s"post-compact probe must still see all history: $st6")
+  }
+
   test("curation cursor ledger: interrupted swap (tmp only) recovers; corrupt live record refuses loudly") {
     val dir = java.nio.file.Files.createTempDirectory("curledger").toString
     graft.ops.CurationFlow.writeLedger(spark, dir, 3L, 100L, 250L)
