@@ -64,7 +64,16 @@ object CurationFlow {
     * hoisted to its own multi-referenced projection so the shingle
     * build runs once per row (HOF-CSE lesson).
     */
-  def repetitionGate(gated: DataFrame): DataFrame = {
+  def repetitionGate(gated: DataFrame): DataFrame =
+    repetitionVerdict(gated).filter(col("rep_ok")).drop("rep_ok")
+
+  /** [[repetitionGate]] as a row-level VERDICT column (`rep_ok`) instead
+    * of a filter — [[decide]] checkpoints the shape survivors WITH this
+    * flag in one job, where the filter form cost a second checkpoint
+    * (r15 diet: the r14 verdict's "fold the shaped/gated checkpoints
+    * into one flags frame").
+    */
+  def repetitionVerdict(gated: DataFrame): DataFrame = {
     val s = gated.sparkSession
     val withBg = gated.withColumn("__bg",
       array_sort(graft.functions.WordShinglesF.shingles(s, col("tk"), 2)))
@@ -77,9 +86,9 @@ object CurationFlow {
         struct(x.as("prev"), run.as("run"),
           greatest(acc.getField("best"), run).as("best"))
       })
-    withBg.withColumn("__top", folded.getField("best"))
-      .filter(col("__top") * 5 < size(col("__bg")))
-      .drop("__bg", "__top")
+    withBg
+      .withColumn("rep_ok", folded.getField("best") * 5 < size(col("__bg")))
+      .drop("__bg")
   }
 
   /** The distinct 3-token shingles of the pseudo-benchmark documents
@@ -121,7 +130,8 @@ object CurationFlow {
     * hot-band overflow report (empty on the exact route).
     */
   final case class Staged(decisions: DataFrame, kept: DataFrame,
-                          cursor: Long, overflow: DataFrame)
+                          cursor: Long, overflow: DataFrame,
+                          keptBands: DataFrame)
 
   /** Ingest one batch of documents into the continuous corpus build.
     *
@@ -166,7 +176,7 @@ object CurationFlow {
              buckets: Int = 16, maxBucket: Int = Int.MaxValue): Result = {
     val staged = decide(dir, batch, bench, cursor, budget, buckets,
       maxBucket)
-    commit(dir, staged.kept, buckets)
+    commit(dir, staged.kept, buckets, Some(staged.keptBands))
     Result(staged.decisions, staged.cursor)
   }
 
@@ -196,24 +206,27 @@ object CurationFlow {
              cursor: Long, budget: Long = 256L,
              buckets: Int = 16, maxBucket: Int = Int.MaxValue): Staged = {
     require(cursor >= 0, s"cursor must be >= 0, got $cursor")
+    val sc = batch.sparkSession.sparkContext
+    def label(l: String): Unit = sc.setJobDescription(s"decide:$l")
     val digestDir = dir + "/digest"
     val bandsDir = dir + "/bands"
     val all = batch.select(col("doc_id"), col("text"), col("n_chars"))
 
-    // stages 1-2: stateless gates. Both gate outputs feed multiple
-    // downstream frames (digests, LSH bands, reason rows, the pack) —
-    // checkpoint each once (batch-bounded)
-    val shaped = org.apache.spark.sql.graftbridge.Bridge
-      .dropCheckpointConstraints(shapeGate(all).localCheckpoint())
-    // tk is repetitionGate's input and DEAD after it — dropping before
-    // the checkpoint halves the pinned bytes (review find)
-    val gated = org.apache.spark.sql.graftbridge.Bridge
+    // stages 1-2: stateless gates, ONE checkpoint (r15 diet — was two):
+    // the shape survivors annotated with the repetition verdict. Reason
+    // rows and survivors both read this single pinned frame; tk is the
+    // verdict's input and DEAD after it — dropped before the checkpoint
+    // (review find), so only (ids, text, n_chars, n_tok, rep_ok) pins.
+    label("gates-ckpt")
+    val flags = org.apache.spark.sql.graftbridge.Bridge
       .dropCheckpointConstraints(
-        repetitionGate(shaped).drop("tk").localCheckpoint())
+        repetitionVerdict(shapeGate(all)).drop("tk").localCheckpoint())
+    val gated = flags.filter(col("rep_ok")).drop("rep_ok")
 
     // stage 3: exact vs history — batch digests broadcast against the
     // bucket-pruned digest-index read. Checkpointed BEFORE the append.
     val digests = gated.select(col("doc_id"), md5(col("text")).as("band"))
+    label("exhist-ckpt")
     val exHist = org.apache.spark.sql.graftbridge.Bridge
       .dropCheckpointConstraints(
         Dedup.bandIndexPrunedStored(digestDir, digests, buckets)
@@ -228,28 +241,39 @@ object CurationFlow {
       .groupBy("dg").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val exBatchDrop = afterHist.join(exKeep, Seq("doc_id"), "left_anti")
       .select("doc_id")
-    val afterEx = afterHist.join(exKeep, Seq("doc_id"), "left_semi")
+    // pinned (r15 diet): the exact-dedup survivors feed the band
+    // derivation, the tail, and the decisions evaluation — without the
+    // checkpoint each re-ran the digest groupBy shuffle and the history
+    // anti-join
+    label("afterex-ckpt")
+    val afterEx = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(
+        afterHist.join(exKeep, Seq("doc_id"), "left_semi")
+          .localCheckpoint())
 
     // stage 5: near-dup band candidates vs stored ∪ batch (the
     // incremental-dedup probe; bounded star route under a finite cap).
     // Checkpointed BEFORE the append.
-    val (rawPairs, overflow) =
-      if (maxBucket == Int.MaxValue)
-        (Dedup.bandIndexProbe(bandsDir, afterEx, "doc_id", "text",
-          buckets = buckets),
-          // the exact route reports no saturated bands — but with the
-          // SAME schema as the bounded report, so callers that persist
-          // or inspect it don't fork on the route (review find)
-          emptyOverflow(batch.sparkSession))
-      else {
-        val b = Dedup.bandIndexProbeBounded(bandsDir, afterEx, "doc_id",
-          "text", buckets = buckets, maxBucket = maxBucket)
+    label("probe")
+    val (rawPairs, overflow, batchBands) =
+      if (maxBucket == Int.MaxValue) {
+        val (cand, bands) = Dedup.bandIndexProbeWithBands(bandsDir,
+          afterEx, "doc_id", "text", buckets = buckets)
+        // the exact route reports no saturated bands — but with the
+        // SAME schema as the bounded report, so callers that persist
+        // or inspect it don't fork on the route (review find)
+        (cand, emptyOverflow(batch.sparkSession), bands)
+      } else {
+        val (b, bands) = Dedup.bandIndexProbeBoundedWithBands(bandsDir,
+          afterEx, "doc_id", "text", buckets = buckets,
+          maxBucket = maxBucket)
         // overflow reads the index too — checkpoint it like the pairs,
         // or a post-commit evaluation would count the batch's own
         // just-appended bands as occupancy (review find)
         (b.pairs, org.apache.spark.sql.graftbridge.Bridge
-          .dropCheckpointConstraints(b.overflow.localCheckpoint()))
+          .dropCheckpointConstraints(b.overflow.localCheckpoint()), bands)
       }
+    label("pairs-ckpt")
     val pairs = org.apache.spark.sql.graftbridge.Bridge
       .dropCheckpointConstraints(rawPairs.localCheckpoint())
     val batchIds = afterEx.select(col("doc_id"))
@@ -268,16 +292,24 @@ object CurationFlow {
     // keep-longest keeper (ties → min doc_id), mirroring
     // Dedup.dupClustersKeepLongest
     val rem = afterNdHist.select(col("doc_id"))
-    val edges = flagged
-      .filter(col("a_in").isNotNull && col("b_in").isNotNull)
-      .select(col("doc_a"), col("doc_b"))
-      .join(broadcast(rem.select(col("doc_id").as("doc_a"))), Seq("doc_a"),
-        "left_semi")
-      .join(broadcast(rem.select(col("doc_id").as("doc_b"))), Seq("doc_b"),
-        "left_semi")
+    // edges are CHECKPOINTED (r15 diet): the r14 shape evaluated this
+    // broadcast-join plan TWICE — once for the clean-batch emptiness
+    // probe, once inside the CC collect — at ~27 jobs per evaluation
+    // (each broadcast build is its own job). One pinned evaluation;
+    // the probe and the CC read materialized blocks.
+    label("edges-ckpt")
+    val edges = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(flagged
+        .filter(col("a_in").isNotNull && col("b_in").isNotNull)
+        .select(col("doc_a"), col("doc_b"))
+        .join(broadcast(rem.select(col("doc_id").as("doc_a"))), Seq("doc_a"),
+          "left_semi")
+        .join(broadcast(rem.select(col("doc_id").as("doc_b"))), Seq("doc_b"),
+          "left_semi")
+        .localCheckpoint())
     // a clean batch (no internal band pairs — the common case on a
-    // healthy corpus) skips the CC machinery entirely: `pairs` is
-    // checkpointed, so the emptiness probe is one cheap take(1)
+    // healthy corpus) skips the CC machinery entirely
+    label("edges-empty-probe")
     val memb =
       if (edges.isEmpty) afterNdHist.withColumn("grp", col("doc_id"))
       else {
@@ -288,29 +320,37 @@ object CurationFlow {
             Seq("doc_id"), "left")
           .withColumn("grp", coalesce(col("component"), col("doc_id")))
       }
-    val keepers = memb.groupBy("grp")
-      .agg(max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
-        .as("keep_id"))
-    val withKeep = memb.join(keepers, Seq("grp"))
-    val ndBatchDrop = withKeep.filter(col("doc_id") =!= col("keep_id"))
+    // stages 6-7 land in ONE checkpointed TAIL frame (r15 diet): the
+    // keeper election via a grp-window (single lineage — the old
+    // groupBy + self-join duplicated the whole anti-join chain inside
+    // one plan, and the decisions and commit evaluations then re-ran it
+    // once more EACH) plus the contamination verdict as a column. Every
+    // downstream frame — ndBatchDrop, benchDrop, contamDrop, kept, the
+    // pack, the cursor — is a FILTER of this one pinned evaluation. The
+    // window partitions by grp (batch-bounded; no corpus sort), and the
+    // max_by ties break identically to the old aggregate form.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val withKeep = memb.withColumn("keep_id",
+      max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).over(w))
+    val hits = contaminationHits(
+      withKeep.filter(col("doc_id") === col("keep_id")), bench)
+    label("tail-ckpt")
+    val tail = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(withKeep
+        .join(broadcast(hits.withColumn("contam", lit(true))),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"),
+          col("keep_id"), coalesce(col("contam"), lit(false)).as("contam"))
+        .localCheckpoint())
+    val ndBatchDrop = tail.filter(col("doc_id") =!= col("keep_id"))
       .select("doc_id")
-    val afterNd = withKeep.filter(col("doc_id") === col("keep_id"))
+    val keepersT = tail.filter(col("doc_id") === col("keep_id"))
+    val benchDrop = keepersT.filter(col("doc_id") % 100 === 0)
+      .select("doc_id")
+    val nonBench = keepersT.filter(col("doc_id") % 100 =!= 0)
+    val contamDrop = nonBench.filter(col("contam")).select("doc_id")
+    val kept = nonBench.filter(!col("contam"))
       .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"))
-
-    // stage 7: decontamination
-    val hits = contaminationHits(afterNd, bench)
-    val benchDrop = afterNd.filter(col("doc_id") % 100 === 0)
-      .select("doc_id")
-    val nonBench = afterNd.filter(col("doc_id") % 100 =!= 0)
-    val contamDrop = nonBench.join(hits, Seq("doc_id"), "left_semi")
-      .select("doc_id")
-    // kept feeds four separate actions (the cursor aggregate, the
-    // caller's decisions evaluation, and commit's two index appends) —
-    // one checkpoint instead of four re-runs of the keeper join +
-    // contamination explode (review find; ckptBands' rationale)
-    val kept = org.apache.spark.sql.graftbridge.Bridge
-      .dropCheckpointConstraints(
-        nonBench.join(hits, Seq("doc_id"), "left_anti").localCheckpoint())
 
     // stage 8: pack at the carried cursor (cb DIV keeps long math exact —
     // a double floor would lose integers past 2^53 on a long-lived feed)
@@ -320,18 +360,19 @@ object CurationFlow {
       .select(col("doc_id"), lit("kept").as("status"), col("n_tok"),
         expr(s"cb DIV $budget").as("seq_id"),
         pmod(col("cb"), lit(budget)).as("seq_offset"))
+    label("cursor-agg")
     val newCursor = cursor +
       kept.agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
+    sc.setJobDescription(null)
 
     def reason(ids: DataFrame, r: String): DataFrame =
       ids.select(col("doc_id"), lit(r).as("status"),
         lit(null).cast("long").as("n_tok"),
         lit(null).cast("long").as("seq_id"),
         lit(null).cast("long").as("seq_offset"))
-    val decisions = reason(all.join(shaped, Seq("doc_id"), "left_anti"),
+    val decisions = reason(all.join(flags, Seq("doc_id"), "left_anti"),
         "shape")
-      .unionByName(reason(shaped.join(gated, Seq("doc_id"), "left_anti"),
-        "repetition"))
+      .unionByName(reason(flags.filter(!col("rep_ok")), "repetition"))
       .unionByName(reason(exHist, "exact_history"))
       .unionByName(reason(exBatchDrop, "exact_batch"))
       .unionByName(reason(histDrop, "neardup_history"))
@@ -339,7 +380,13 @@ object CurationFlow {
       .unionByName(reason(benchDrop, "benchmark"))
       .unionByName(reason(contamDrop, "contaminated"))
       .unionByName(packed)
-    Staged(decisions, kept, newCursor, overflow)
+    // the kept slice of the probe's PINNED band table — commit appends
+    // it precomputed instead of re-running the minhash derivation on the
+    // kept docs (the heaviest per-doc CPU, previously paid twice; r15)
+    val keptBands = batchBands
+      .join(broadcast(kept.select(col("doc_id"))), Seq("doc_id"),
+        "left_semi")
+    Staged(decisions, kept, newCursor, overflow, keptBands)
   }
 
   /** Append a [[decide]]d batch's kept corpus to both indexes. The
@@ -347,11 +394,21 @@ object CurationFlow {
     * them cannot flip the already-computed verdicts (the in-batch
     * ordering [[ingest]] relies on).
     */
-  def commit(dir: String, kept: DataFrame, buckets: Int = 16): Unit = {
+  def commit(dir: String, kept: DataFrame, buckets: Int = 16,
+             keptBands: Option[DataFrame] = None): Unit = {
     Dedup.bandIndexAppendPrecomputed(dir + "/digest",
       kept.select(col("doc_id"), md5(col("text")).as("band")), buckets)
-    Dedup.bandIndexAppend(dir + "/bands", kept, "doc_id", "text",
-      buckets = buckets)
+    // a decide-supplied pinned band table skips the second minhash
+    // derivation; the no-bands form (the streaming REPLAY path, which
+    // reconstructs kept from the recorded decisions) re-derives
+    keptBands match {
+      case Some(b) =>
+        Dedup.bandIndexAppendPrecomputed(dir + "/bands",
+          b.select(col("doc_id"), col("band")), buckets)
+      case None =>
+        Dedup.bandIndexAppend(dir + "/bands", kept, "doc_id", "text",
+          buckets = buckets)
+    }
   }
 
   /** An empty frame with [[Dedup.BoundedCandidates]]' overflow schema —

@@ -325,11 +325,27 @@ object Dedup {
   def bandIndexProbe(path: String, arrivals: DataFrame,
                      idCol: String, textCol: String,
                      numBands: Int = 2, rowsPerBand: Int = 2,
-                     shingleN: Int = 3, buckets: Int = 16): DataFrame = {
+                     shingleN: Int = 3, buckets: Int = 16): DataFrame =
+    bandIndexProbeWithBands(path, arrivals, idCol, textCol, numBands,
+      rowsPerBand, shingleN, buckets)._1
+
+  /** [[bandIndexProbe]] that also RETURNS the batch's checkpointed band
+    * table `(doc_id, band, bkt)` — the decide-then-commit hook (r15
+    * diet): a flow that probes in `decide` and appends the kept slice in
+    * a later `commit` was deriving the minhash bands TWICE per batch —
+    * the heaviest per-doc CPU in the whole chain. The returned pinned
+    * frame lets the committer append precomputed
+    * ([[bandIndexAppendPrecomputed]]) instead of re-shingling.
+    */
+  def bandIndexProbeWithBands(path: String, arrivals: DataFrame,
+                              idCol: String, textCol: String,
+                              numBands: Int = 2, rowsPerBand: Int = 2,
+                              shingleN: Int = 3, buckets: Int = 16)
+      : (DataFrame, DataFrame) = {
     val spark = arrivals.sparkSession
     val newBands = ckptBands(ingestBands(arrivals, idCol, textCol,
       numBands, rowsPerBand, shingleN, buckets))
-    probeAgainstIndex(spark, path, newBands, buckets)
+    (probeAgainstIndex(spark, path, newBands, buckets), newBands)
   }
 
   /** Shared probe core: heal, prune the stored read to the batch's
@@ -751,13 +767,25 @@ object Dedup {
                             idCol: String, textCol: String,
                             numBands: Int = 2, rowsPerBand: Int = 2,
                             shingleN: Int = 3, buckets: Int = 16,
-                            maxBucket: Int = 1024): BoundedCandidates = {
+                            maxBucket: Int = 1024): BoundedCandidates =
+    bandIndexProbeBoundedWithBands(path, arrivals, idCol, textCol,
+      numBands, rowsPerBand, shingleN, buckets, maxBucket)._1
+
+  /** [[bandIndexProbeBounded]] returning the pinned band table too —
+    * [[bandIndexProbeWithBands]]' bounded twin.
+    */
+  def bandIndexProbeBoundedWithBands(path: String, arrivals: DataFrame,
+                                     idCol: String, textCol: String,
+                                     numBands: Int = 2, rowsPerBand: Int = 2,
+                                     shingleN: Int = 3, buckets: Int = 16,
+                                     maxBucket: Int = 1024)
+      : (BoundedCandidates, DataFrame) = {
     val spark = arrivals.sparkSession
     val newBands = ckptBands(ingestBands(arrivals, idCol, textCol,
       numBands, rowsPerBand, shingleN, buckets))
-    lshIncrementalCandidatesBounded(
+    (lshIncrementalCandidatesBounded(
       prunedStored(spark, path, newBands, buckets),
-      newBands.select("doc_id", "band"), maxBucket)
+      newBands.select("doc_id", "band"), maxBucket), newBands)
   }
 
   /** One-shot [[lshCandidatePairs]] with the hot-band cap — the batch

@@ -77,7 +77,8 @@ object VectorFlow {
     * overflow report (empty on the exact route).
     */
   final case class Staged(decisions: DataFrame, kept: DataFrame,
-                          cursor: Long, overflow: DataFrame)
+                          cursor: Long, overflow: DataFrame,
+                          keptBands: DataFrame)
 
   /** Frozen flow parameters — the banding family (bits/seed/families),
     * the embedding dimension (−1 infers from the first valid batch and
@@ -95,7 +96,7 @@ object VectorFlow {
   def ingest(dir: String, batch: DataFrame, cursor: Long,
              params: Params = Params()): Result = {
     val staged = decide(dir, batch, cursor, params)
-    commit(dir, staged.kept, params)
+    commit(dir, staged.kept, params, Some(staged.keptBands))
     Result(staged.decisions, staged.cursor)
   }
 
@@ -117,11 +118,15 @@ object VectorFlow {
              params: Params = Params()): Staged = {
     require(cursor >= 0, s"cursor must be >= 0, got $cursor")
     val spark = batch.sparkSession
+    def label(l: String): Unit =
+      spark.sparkContext.setJobDescription(s"vdecide:$l")
     val all = batch.select(col("vec_id"), col("embedding"))
 
     // stage 1: validity gate. dim freezes on first inference; the gate
     // output feeds every downstream frame — checkpoint once.
+    label("infer-dim")
     val d = Similarity.inferDim(all, "embedding", params.dim)
+    label("valid-ckpt")
     val valid = ckpt(all.filter(col("embedding").isNotNull &&
       size(col("embedding")) === d &&
       Similarity.l2Norm(col("embedding")) > 0d))
@@ -129,6 +134,7 @@ object VectorFlow {
     // stage 2: exact vs history — batch digests broadcast against the
     // bucket-pruned digest-index read. matched_id = min stored keeper.
     val digests = valid.select(col("vec_id"), digestOf.as("band"))
+    label("exhist-ckpt")
     val exHist = ckpt(
       Dedup.bandIndexPrunedStored(dir + "/digest",
           digests.select(col("vec_id").as("doc_id"), col("band")),
@@ -146,13 +152,19 @@ object VectorFlow {
       .join(exKeep, Seq("dg"))
       .filter(col("vec_id") =!= col("keep_id"))
       .select(col("vec_id"), col("keep_id").as("matched_id"))
-    val afterEx = afterHist.join(broadcast(exBatch.select("vec_id")),
-      Seq("vec_id"), "left_anti")
+    // pinned (r15 diet): the exact-dedup survivors feed the signature
+    // derivation, the pair-side classification, the drop anti-joins, and
+    // the decisions evaluation — without the checkpoint each re-ran the
+    // digest groupBy shuffle
+    label("afterex-ckpt")
+    val afterEx = ckpt(afterHist.join(broadcast(exBatch.select("vec_id")),
+      Seq("vec_id"), "left_anti"))
 
     // stage 4 candidates: Hamming≤1 multi-probe against the band index
     // (read-only — only KEPT vectors ever index, at commit). Bounded
     // star route under a finite cap; both routes checkpoint before the
     // later commit can append the batch's own rows.
+    label("signed-ckpt")
     val (home, probes) = Similarity.signedBatch(afterEx, "vec_id",
       "embedding", params.bits, params.seed, d, params.families)
     val stored = Dedup.bandIndexPrunedStored(dir + "/bands", probes,
@@ -173,61 +185,80 @@ object VectorFlow {
           params.maxBucket)
         (b.pairs, ckpt(b.overflow))
       }
+    label("pairs-ckpt")
     val pairs = ckpt(rawPairs)
 
-    // classify pair sides: batch or stored (the text flow's flag join)
-    val batchIds = afterEx.select(col("vec_id"))
-    val flagged = pairs
-      .join(broadcast(batchIds.select(col("vec_id").as("a_id"),
-        lit(true).as("a_in"))), col("doc_a") === col("a_id"), "left")
-      .join(broadcast(batchIds.select(col("vec_id").as("b_id"),
-        lit(true).as("b_in"))), col("doc_b") === col("b_id"), "left")
-
-    // stage 4 verification vs history: fetch ONLY the stored neighbors
-    // this batch collided with (vbkt-pruned + broadcast-id join), then
-    // keep candidates at true cosine ≥ minCos. Checkpoint: reads the
-    // vector store.
-    val histCand = flagged.filter(col("a_in").isNull || col("b_in").isNull)
-      .select(
-        when(col("a_in").isNotNull, col("doc_a")).otherwise(col("doc_b"))
-          .as("vec_id"),
-        when(col("a_in").isNotNull, col("doc_b")).otherwise(col("doc_a"))
-          .as("stored_id"))
-    val storedEmb = vectorStoreFetch(spark, dir + "/vectors",
-      histCand.select(col("stored_id").as("vec_id")).distinct(),
-      params.buckets)
-    val ndHist = ckpt(histCand
-      .join(broadcast(valid.select(col("vec_id"),
-        col("embedding").as("emb_n"))), Seq("vec_id"))
-      .join(storedEmb.select(col("vec_id").as("stored_id"),
-        col("embedding").as("emb_s")), Seq("stored_id"))
-      .filter(Similarity.cosine(col("emb_n"), col("emb_s")) >= params.minCos)
-      .groupBy("vec_id")
-      .agg(min(col("stored_id")).as("matched_id")))
+    // stages 4-5 verification in ONE checkpointed pass (r15 diet): every
+    // candidate pair — history pairs against the vbkt-pruned store
+    // fetch, batch pairs against the (broadcast) batch itself — lands in
+    // a single `verified` frame at true cosine ≥ minCos, from which the
+    // history drop-set and the batch edge-set are cheap filters of
+    // pinned blocks (the first cut checkpointed those two SEPARATELY,
+    // evaluating the flag/broadcast plans twice). A batch with NO
+    // candidates at all (clean corpus — the common case) skips the
+    // verification, fetch, and CC machinery entirely: `pairs` is
+    // checkpointed, so the probe is one cheap take(1).
+    val (ndHist, edges) =
+      if (pairs.isEmpty) (emptyLongPairs(spark, "vec_id", "matched_id"),
+        emptyLongPairs(spark, "doc_a", "doc_b"))
+    else {
+      val batchIds = afterEx.select(col("vec_id"))
+      val flagged = pairs
+        .join(broadcast(batchIds.select(col("vec_id").as("a_id"),
+          lit(true).as("a_in"))), col("doc_a") === col("a_id"), "left")
+        .join(broadcast(batchIds.select(col("vec_id").as("b_id"),
+          lit(true).as("b_in"))), col("doc_b") === col("b_id"), "left")
+      val histCand = flagged.filter(col("a_in").isNull || col("b_in").isNull)
+        .select(
+          when(col("a_in").isNotNull, col("doc_a")).otherwise(col("doc_b"))
+            .as("doc_a"),
+          when(col("a_in").isNotNull, col("doc_b")).otherwise(col("doc_a"))
+            .as("doc_b"))
+      label("store-fetch")
+      val storedEmb = vectorStoreFetch(spark, dir + "/vectors",
+        histCand.select(col("doc_b").as("vec_id")).distinct(),
+        params.buckets)
+      label("verified-ckpt")
+      val verified = ckpt(histCand
+        .join(broadcast(valid.select(col("vec_id").as("doc_a"),
+          col("embedding").as("emb_a"))), Seq("doc_a"))
+        .join(storedEmb.select(col("vec_id").as("doc_b"),
+          col("embedding").as("emb_b")), Seq("doc_b"))
+        .withColumn("hist", lit(true))
+        .unionByName(flagged
+          .filter(col("a_in").isNotNull && col("b_in").isNotNull)
+          .select(col("doc_a"), col("doc_b"))
+          .join(broadcast(valid.select(col("vec_id").as("doc_a"),
+            col("embedding").as("emb_a"))), Seq("doc_a"))
+          .join(broadcast(valid.select(col("vec_id").as("doc_b"),
+            col("embedding").as("emb_b"))), Seq("doc_b"))
+          .withColumn("hist", lit(false)))
+        .filter(Similarity.cosine(col("emb_a"), col("emb_b")) >= params.minCos)
+        .select(col("doc_a"), col("doc_b"), col("hist")))
+      (verified.filter(col("hist"))
+        .groupBy(col("doc_a").as("vec_id"))
+        .agg(min(col("doc_b")).as("matched_id")),
+        verified.filter(!col("hist")).select(col("doc_a"), col("doc_b")))
+    }
     val afterNdHist = afterEx.join(broadcast(ndHist), Seq("vec_id"), "left_anti")
 
-    // stage 5: batch-internal components over verified edges among the
-    // remaining docs, then the keeper election. Verification joins both
-    // sides' embeddings from the (broadcast) batch itself.
+    // stage 5: batch-internal components among the remaining docs —
+    // edges whose endpoint was history-dropped carry no batch-internal
+    // justification and are filtered out (the text flow's rule; the
+    // cosine was already verified above, so these semi-joins run on the
+    // pinned `verified` blocks)
     val rem = afterNdHist.select(col("vec_id"))
-    val edges = flagged
-      .filter(col("a_in").isNotNull && col("b_in").isNotNull)
+    val edgesRem = edges
       .join(broadcast(rem.select(col("vec_id").as("doc_a"))), Seq("doc_a"),
         "left_semi")
       .join(broadcast(rem.select(col("vec_id").as("doc_b"))), Seq("doc_b"),
         "left_semi")
-      .join(broadcast(valid.select(col("vec_id").as("doc_a"),
-        col("embedding").as("emb_a"))), Seq("doc_a"))
-      .join(broadcast(valid.select(col("vec_id").as("doc_b"),
-        col("embedding").as("emb_b"))), Seq("doc_b"))
-      .filter(Similarity.cosine(col("emb_a"), col("emb_b")) >= params.minCos)
-      .select(col("doc_a"), col("doc_b"))
-    // a clean batch (no verified internal pairs) skips the CC machinery
+    label("edges-empty-probe")
     val memb =
-      if (edges.isEmpty) afterNdHist.withColumn("grp", col("vec_id"))
+      if (edgesRem.isEmpty) afterNdHist.withColumn("grp", col("vec_id"))
       else {
         val labels = Graph.connectedComponents(
-          edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+          edgesRem.select(col("doc_a").as("src"), col("doc_b").as("dst")))
         afterNdHist
           .join(labels.withColumnRenamed("node_id", "vec_id"),
             Seq("vec_id"), "left")
@@ -236,16 +267,21 @@ object VectorFlow {
     // keeper election: min id (the CC label itself — first wins), the
     // only policy consistent with FIRST-WINS crawl semantics inside a
     // batch too (diversity-keepers belong to the batch-world
-    // Similarity.semanticDedup, where the whole corpus is electable)
-    val withKeep = memb.withColumn("keep_id", col("grp"))
-    val ndBatch = withKeep.filter(col("vec_id") =!= col("keep_id"))
+    // Similarity.semanticDedup, where the whole corpus is electable).
+    // The TAIL pins once (text flow's r15 shape): ndBatch, kept, the
+    // cursor count, commit's three appends, and the decisions evaluation
+    // are all filters of this one pinned frame.
+    label("tail-ckpt")
+    val tail = ckpt(memb.withColumn("keep_id", col("grp"))
+      .select(col("vec_id"), col("embedding"), col("keep_id")))
+    val ndBatch = tail.filter(col("vec_id") =!= col("keep_id"))
       .select(col("vec_id"), col("keep_id").as("matched_id"))
-    // kept feeds the cursor count, the caller's decisions evaluation,
-    // and commit's three appends — checkpoint once
-    val kept = ckpt(withKeep.filter(col("vec_id") === col("keep_id"))
-      .select(col("vec_id"), col("embedding")))
+    val kept = tail.filter(col("vec_id") === col("keep_id"))
+      .select(col("vec_id"), col("embedding"))
 
+    label("cursor-count")
     val newCursor = cursor + kept.count()
+    spark.sparkContext.setJobDescription(null)
     def reason(ids: DataFrame, r: String): DataFrame =
       ids.select(col("vec_id"), lit(r).as("status"),
         col("matched_id").cast("long").as("matched_id"))
@@ -260,7 +296,12 @@ object VectorFlow {
       .unionByName(reason(ndBatch, "neardup_batch"))
       .unionByName(kept.select(col("vec_id"), lit("kept").as("status"),
         nullMatch))
-    Staged(decisions, kept, newCursor, overflow)
+    // the kept slice of the pinned home-signature table — commit
+    // appends it precomputed instead of re-running the hyperplane dots
+    // on the kept vectors (r15 diet, the text flow's keptBands shape)
+    val keptBands = home.join(broadcast(kept.select(
+      col("vec_id").as("doc_id"))), Seq("doc_id"), "left_semi")
+    Staged(decisions, kept, newCursor, overflow, keptBands)
   }
 
   /** Append a [[decide]]d batch's kept vectors to all three stores. The
@@ -271,13 +312,18 @@ object VectorFlow {
     * verdict (the fetch join's matches dedupe through the drop-set
     * aggregation).
     */
-  def commit(dir: String, kept: DataFrame, params: Params = Params()): Unit = {
+  def commit(dir: String, kept: DataFrame, params: Params = Params(),
+             keptBands: Option[DataFrame] = None): Unit = {
     Dedup.bandIndexAppendPrecomputed(dir + "/digest",
       kept.select(col("vec_id").as("doc_id"), digestOf.as("band")),
       params.buckets)
+    // a decide-supplied pinned home-band table skips the second
+    // hyperplane-signature derivation; the no-bands form (the streaming
+    // REPLAY path) re-derives
     Dedup.bandIndexAppendPrecomputed(dir + "/bands",
-      Similarity.embBandTable(kept, "vec_id", "embedding", params.bits,
-        params.seed, params.dim, params.families),
+      keptBands.map(_.select(col("doc_id"), col("band")))
+        .getOrElse(Similarity.embBandTable(kept, "vec_id", "embedding",
+          params.bits, params.seed, params.dim, params.families)),
       params.buckets)
     vectorStoreAppend(dir + "/vectors", kept, params.buckets)
   }
@@ -378,6 +424,16 @@ object VectorFlow {
   private def ckpt(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.Bridge
       .dropCheckpointConstraints(df.localCheckpoint())
+
+  private def emptyLongPairs(spark: org.apache.spark.sql.SparkSession,
+                             a: String, b: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(a,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(b,
+          org.apache.spark.sql.types.LongType))))
 
   private def emptyOverflow(spark: org.apache.spark.sql.SparkSession)
       : DataFrame = {

@@ -805,7 +805,8 @@ object StreamOps {
         writeDecisions(staged.decisions, id, outPath)
         graft.ops.CurationFlow.writeLedger(spark, indexPath, id, start,
           staged.cursor)
-        graft.ops.CurationFlow.commit(indexPath, staged.kept, buckets)
+        graft.ops.CurationFlow.commit(indexPath, staged.kept, buckets,
+          Some(staged.keptBands))
     }
     if (dueForCompact(compactEvery, id)) {
       graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/digest")
@@ -843,7 +844,8 @@ object StreamOps {
         writeDecisions(staged.decisions, id, outPath)
         graft.ops.CurationFlow.writeLedger(spark, indexPath, id, start,
           staged.cursor)
-        graft.ops.VectorFlow.commit(indexPath, staged.kept, params)
+        graft.ops.VectorFlow.commit(indexPath, staged.kept, params,
+          Some(staged.keptBands))
     }
     if (dueForCompact(compactEvery, id)) {
       graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/digest")
