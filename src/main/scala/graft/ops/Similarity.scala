@@ -162,6 +162,85 @@ object Similarity {
   private def famSeed(seed: Long, f: Int): Long =
     if (f == 0) seed else seed + f.toLong * 0x9E3779B97F4A7C15L
 
+  /** Single-family recall of the Hamming≤1 contract for a duplicate
+    * pair at angle θ: each of the `bits` planes separates the pair with
+    * probability θ/π independently, and home+1-flip probing recovers it
+    * iff AT MOST ONE plane does — P(Binomial(bits, θ/π) ≤ 1). Matches
+    * the measured EmbRecallProbe table to ~1% (SCALE.md r14).
+    */
+  def hammingLe1Recall(bits: Int, dupAngle: Double): Double = {
+    require(bits >= 1 && dupAngle >= 0 && dupAngle <= math.Pi,
+      s"bits >= 1 and angle in [0, pi] required, got ($bits, $dupAngle)")
+    val p = dupAngle / math.Pi
+    math.pow(1 - p, bits) + bits * p * math.pow(1 - p, bits - 1)
+  }
+
+  /** The bits/families sizing rule, codified from SCALE.md r14's
+    * measured tables so operators don't hand-solve the trade:
+    *
+    *   1. recall wants bits LOW — pick the largest bits whose
+    *      single-family Hamming≤1 recall at the duplicate angle meets
+    *      `targetRecall` ([[hammingLe1Recall]]);
+    *   2. occupancy wants bits HIGH — expected mean bucket occupancy is
+    *      corpus / 2^bits with a FLOOR at the corpus's own duplicate-
+    *      cluster size (near-twins share a signature no matter how many
+    *      planes; the SCALE table's ~72-occupancy floor), estimated
+    *      here from `sample`'s distinct home-signatures at a high-bits
+    *      probe;
+    *   3. if one family cannot serve both ends, raise bits until
+    *      occupancy fits and buy the recall back with OR-amplified
+    *      families: the smallest F with 1-(1-r)^F ≥ target (measured to
+    *      match the analytic lift to ~1%).
+    *
+    * Returns (bits, families) — frozen index parameters for
+    * [[embBandTable]] / [[embIndexIngest]] / [[graft.ops.VectorFlow]].
+    * Throws if no (bits ≤ 63, families ≤ maxFamilies) meets both
+    * constraints — an impossible ask should fail loudly, not silently
+    * under-recall.
+    */
+  def sizeBands(sample: DataFrame, targetRecall: Double, dupAngle: Double,
+                corpusSize: Long, maxAvgOccupancy: Double = 64.0,
+                maxFamilies: Int = 8, embCol: String = "embedding",
+                dim: Int = -1, seed: Long = 42L): (Int, Int) = {
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall in (0, 1) required, got $targetRecall")
+    require(corpusSize >= 1, s"corpusSize >= 1 required, got $corpusSize")
+    val n = sample.count()
+    require(n > 0, "sizeBands needs a non-empty corpus sample")
+    // duplicate-cluster floor: at a high-bits probe only true near-twins
+    // share a home signature, so sample/distinct ≈ mean cluster size
+    val d = Similarity.inferDim(sample, embCol, dim)
+    val probeBits = 48
+    val distinctSigs = sample
+      .select(hyperplaneSig(sample, embCol, d, probeBits, seed).as("sig"))
+      .distinct().count()
+    val clusterFloor = n.toDouble / math.max(distinctSigs, 1L)
+    def occ(bits: Int): Double =
+      math.max(corpusSize.toDouble / math.pow(2.0, bits), clusterFloor)
+    def r1(bits: Int): Double = hammingLe1Recall(bits, dupAngle)
+    // r1 is monotone decreasing in bits; occ is monotone non-increasing
+    val bitsSolo = (1 to 63).takeWhile(r1(_) >= targetRecall).lastOption
+    bitsSolo.filter(b => occ(b) <= maxAvgOccupancy) match {
+      case Some(b) => (b, 1)
+      case None =>
+        val bits = (bitsSolo.getOrElse(1) to 63)
+          .find(occ(_) <= maxAvgOccupancy)
+          .getOrElse(throw new IllegalArgumentException(
+            f"no bits <= 63 reaches mean occupancy <= $maxAvgOccupancy " +
+              f"for corpus $corpusSize (cluster floor $clusterFloor%.1f " +
+              "exceeds it) — dedup the cluster mass with the hot-bucket " +
+              "cap or semanticDedup first"))
+        val r = r1(bits)
+        val f = (1 to maxFamilies)
+          .find(f => 1 - math.pow(1 - r, f) >= targetRecall)
+          .getOrElse(throw new IllegalArgumentException(
+            f"recall $targetRecall at angle $dupAngle%.3f unreachable " +
+              f"with bits=$bits (occupancy-minimum) and families <= " +
+              f"$maxFamilies: per-family recall $r%.3f"))
+        (bits, f)
+    }
+  }
+
   /** Band string of family f's signature. With ONE family the raw
     * decimal signature (the original on-disk format); with several, a
     * `f:` prefix keeps the families' band spaces disjoint — a collision

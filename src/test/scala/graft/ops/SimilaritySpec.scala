@@ -235,6 +235,47 @@ class SimilaritySpec extends SparkTestBase {
     Similarity.embIndexIngest(dir, allNull)
   }
 
+  test("sizeBands: codifies the SCALE.md bits/families rule — analytic recall matches the measured table, occupancy forces the family escalation") {
+    import spark.implicits._
+    // analytic Hamming≤1 recall vs the measured EmbRecallProbe cells
+    // (SCALE.md r14 table; the model matched to ~1%, pin at 2%)
+    Seq((0.032, 8, 0.996), (0.097, 16, 0.920), (0.097, 32, 0.736),
+      (0.253, 12, 0.740), (0.253, 32, 0.259)).foreach {
+      case (angle, bits, measured) =>
+        assert(math.abs(Similarity.hammingLe1Recall(bits, angle) - measured)
+          < 0.02, s"bits=$bits angle=$angle")
+    }
+    // planted clustered sample: 200 clusters × 10 near-twins — the
+    // cluster floor the occupancy estimate must detect
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Float] = {
+      val v = Array.fill(32)(rnd.nextGaussian())
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nn).toFloat)
+    }
+    val rows = (0 until 200).flatMap { c =>
+      val base = unit()
+      (0 until 10).map(j => (c * 10L + j,
+        base.map(x => x + (rnd.nextGaussian() * 1e-4).toFloat).toSeq))
+    }
+    val sample = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // a tiny corpus is served by ONE family at the recall-optimal bits
+    assert(Similarity.sizeBands(sample, 0.99, 0.097, 1000L) === (5, 1))
+    // a 200k corpus at maxAvgOccupancy 64 forces bits=12; the lost
+    // recall (0.949 per family) is bought back with F=2 (0.997)
+    assert(Similarity.sizeBands(sample, 0.99, 0.097, 200000L) === (12, 2))
+    // the SCALE.md production point: occupancy forces bits=32; at the
+    // 0.13-rad production angle F=4 restores ≥0.97 (the measured 0.978
+    // through-the-index row)
+    assert(Similarity.sizeBands(sample, 0.97, 0.13, 200000000000L)
+      === (32, 4))
+    // an impossible ask fails loudly, not silently under-recall
+    intercept[IllegalArgumentException] {
+      Similarity.sizeBands(sample, 0.999, 1.5, 200000000000L)
+    }
+  }
+
   test("semanticDedup: planted clusters keep exactly one canonical; dup-free input is identity; cell equi-join") {
     import spark.implicits._
     val dim = 16
