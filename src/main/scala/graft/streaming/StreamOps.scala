@@ -787,12 +787,10 @@ object StreamOps {
     val spark = batch.sparkSession
     graft.ops.CurationFlow.readLedger(spark, indexPath) match {
       case Some((bid, _, _)) if bid == id =>
-        // replayed batch: ledger committed ⇒ its decisions parquet exists
-        // (written strictly before the ledger). Re-commit only; the
-        // batch_id partition filter prunes the read to one directory.
-        val keptIds = spark.read.parquet(outPath)
-          .filter(col("batch_id") === id && col("status") === "kept")
-          .select("doc_id").distinct()
+        // replayed batch: ledger committed ⇒ its decisions were written
+        // strictly before the ledger. Re-commit only; the batch_id
+        // partition filter prunes the read to one directory.
+        val keptIds = recordedKeptIds(spark, outPath, id, "doc_id")
         graft.ops.CurationFlow.commit(indexPath,
           batch.join(keptIds, Seq("doc_id"), "left_semi"), buckets)
       case led =>
@@ -829,9 +827,7 @@ object StreamOps {
     val spark = batch.sparkSession
     graft.ops.CurationFlow.readLedger(spark, indexPath) match {
       case Some((bid, _, _)) if bid == id =>
-        val keptIds = spark.read.parquet(outPath)
-          .filter(col("batch_id") === id && col("status") === "kept")
-          .select("vec_id").distinct()
+        val keptIds = recordedKeptIds(spark, outPath, id, "vec_id")
         graft.ops.VectorFlow.commit(indexPath,
           batch.join(keptIds, Seq("vec_id"), "left_semi"), params)
       case led =>
@@ -876,6 +872,32 @@ object StreamOps {
       .foreachBatch(vectorCurationStep(indexPath, outPath, params,
         compactEvery) _)
       .start()
+
+  /** The replay path's read of a ledger-committed batch's kept ids.
+    * Guarded for the first-ever-EMPTY-batch crash window (r15 review):
+    * an empty batch writes no decisions partition but DOES commit its
+    * ledger, so a replay of batch 0 can find `outPath` absent (or
+    * data-less) — a bare `spark.read.parquet` would fail on
+    * path-not-found / schema inference where the correct answer is "no
+    * kept ids". The explicit schema also fixes the partition column to
+    * LONG (inference reads `batch_id=3` as int).
+    */
+  private def recordedKeptIds(spark: org.apache.spark.sql.SparkSession,
+                              outPath: String, id: Long,
+                              idCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idField = StructType(Seq(StructField(idCol, LongType)))
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idField)
+    else spark.read.schema(StructType(Seq(StructField(idCol, LongType),
+        StructField("status", StringType),
+        StructField("batch_id", LongType)))).parquet(outPath)
+      .filter(col("batch_id") === id && col("status") === "kept")
+      .select(idCol).distinct()
+  }
 
   /** The idempotent per-batch decisions write: one `batch_id=` partition
     * per micro-batch, dynamic overwrite so a replayed batch REPLACES its

@@ -1117,6 +1117,39 @@ class StreamingSpec extends SparkTestBase {
       s"post-compact probe must still see all history: $st6")
   }
 
+  test("first-ever EMPTY batch: ledger commits, replay is a safe no-op, next batch decides normally") {
+    import spark.implicits._
+    // an empty batch 0 writes no decisions partition but DOES write its
+    // ledger — its replay must read "no kept ids", not crash on a
+    // missing/data-less decisions path (r15 review)
+    val bench = graft.ops.CurationFlow.benchShingles(
+      Seq((0L, "the of a b")).toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    val base = java.nio.file.Files.createTempDirectory("curempty0").toString
+    def step(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamOps.curationStep(s"$base/idx", s"$base/out", bench, 256L, 16)(
+        df, id)
+    val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
+    step(empty, 0L)
+    assert(graft.ops.CurationFlow.readLedger(spark, s"$base/idx")
+      === Some((0L, 0L, 0L)))
+    step(empty, 0L) // replay of the ledger-committed empty batch
+    // and the vector twin
+    val vbase = java.nio.file.Files.createTempDirectory("vecempty0").toString
+    val p = graft.ops.VectorFlow.Params(dim = 4)
+    def vstep(rows: Seq[(Long, Seq[Float])], id: Long): Unit =
+      StreamOps.vectorCurationStep(s"$vbase/idx", s"$vbase/out", p)(
+        rows.toDF("vec_id", "embedding")
+          .withColumn("embedding", col("embedding").cast("array<float>")), id)
+    vstep(Nil, 0L)
+    vstep(Nil, 0L) // replay
+    vstep(Seq(1L -> Seq(1f, 0f, 0f, 0f)), 1L)
+    assert(spark.read.parquet(s"$vbase/out")
+      .filter(col("status") === "kept").count() === 1L)
+    assert(graft.ops.CurationFlow.readLedger(spark, s"$vbase/idx")
+      === Some((1L, 0L, 1L)))
+  }
+
   test("curation cursor ledger: interrupted swap (tmp only) recovers; corrupt live record refuses loudly") {
     val dir = java.nio.file.Files.createTempDirectory("curledger").toString
     graft.ops.CurationFlow.writeLedger(spark, dir, 3L, 100L, 250L)
