@@ -150,10 +150,16 @@ object Similarity {
     * otherwise kill a whole ingest batch (r14 ADVICE).
     */
   private[ops] def inferDim(emb: DataFrame, embCol: String, dim: Int): Int =
-    if (dim > 0) dim
-    else emb.filter(col(embCol).isNotNull)
+    if (dim > 0) dim else inferDimOpt(emb, embCol).getOrElse(1)
+
+  /** The raw head probe of [[inferDim]] — None on an empty or all-null
+    * frame, so callers that must distinguish "no evidence" from
+    * "dimension 1" (the VectorFlow params sidecar) can.
+    */
+  private[ops] def inferDimOpt(emb: DataFrame, embCol: String): Option[Int] =
+    emb.filter(col(embCol).isNotNull)
       .select(size(col(embCol))).head(1).headOption
-      .map(_.getInt(0)).getOrElse(1)
+      .map(_.getInt(0))
 
   /** The family-f seed of the hyperplane family (golden-ratio stride so
     * families draw disjoint plane sets); family 0 IS the base seed, so

@@ -80,17 +80,27 @@ object VectorFlow {
                           cursor: Long, overflow: DataFrame,
                           keptBands: DataFrame)
 
-  /** Frozen flow parameters — the banding family (bits/seed/families),
-    * the embedding dimension (−1 infers from the first valid batch and
-    * then ENFORCES it per row: a dim-mismatched vector is `invalid`,
-    * not a crash — the fuzz packs' dim-truncation lesson), the cosine
-    * threshold, the bucket count shared by all three stores, and the
-    * hot-bucket cap (Int.MaxValue = exact route).
+  /** Flow parameters. bits/seed/dim/families/buckets are FROZEN index
+    * parameters (persisted in the `_graft_vecflow.json` sidecar at
+    * first decide, loudly validated on every entry — a mismatched
+    * caller would derive different band strings and silently lose
+    * every near-dup candidate); dim = −1 delegates to the sidecar, or
+    * to first-batch inference before one exists, and the resolved
+    * width is then ENFORCED per row (a dim-mismatched vector is
+    * `invalid`, not a crash — the fuzz packs' dim-truncation lesson).
+    * minCos, maxBucket (Int.MaxValue = exact route), and `keeper` are
+    * query-time dials: `keeper` picks the batch-internal election —
+    * [[Similarity.KeepMinId]] (first-wins inside the batch too, the
+    * default) or [[Similarity.KeepFarFromCentroid]] (SemDeDup's
+    * diversity rule against the COMPONENT mean; ties by min id).
+    * History keepers always win regardless — the policy never
+    * overrides first-wins across batches.
     */
   final case class Params(minCos: Double = 0.99, bits: Int = 8,
                           seed: Long = 42L, dim: Int = -1,
                           families: Int = 1, buckets: Int = 16,
-                          maxBucket: Int = Int.MaxValue)
+                          maxBucket: Int = Int.MaxValue,
+                          keeper: Similarity.KeepRule = Similarity.KeepMinId)
 
   /** [[decide]] then [[commit]] — the batch-job form. */
   def ingest(dir: String, batch: DataFrame, cursor: Long,
@@ -122,10 +132,16 @@ object VectorFlow {
       spark.sparkContext.setJobDescription(s"vdecide:$l")
     val all = batch.select(col("vec_id"), col("embedding"))
 
-    // stage 1: validity gate. dim freezes on first inference; the gate
-    // output feeds every downstream frame — checkpoint once.
+    // stage 1: validity gate. The flow params freeze in the sidecar on
+    // the first evidenced batch ([[freezeParams]]); the stamped dim is
+    // authoritative for dim-delegating callers. The gate output feeds
+    // every downstream frame — checkpoint once.
     label("infer-dim")
-    val d = Similarity.inferDim(all, "embedding", params.dim)
+    val inferred =
+      if (params.dim > 0) Some(params.dim)
+      else Similarity.inferDimOpt(all, "embedding")
+    val d = freezeParams(spark, dir, params, inferred, stamp = true)
+      .orElse(inferred).getOrElse(1)
     label("valid-ckpt")
     val valid = ckpt(all.filter(col("embedding").isNotNull &&
       size(col("embedding")) === d &&
@@ -264,15 +280,32 @@ object VectorFlow {
             Seq("vec_id"), "left")
           .withColumn("grp", coalesce(col("component"), col("vec_id")))
       }
-    // keeper election: min id (the CC label itself — first wins), the
-    // only policy consistent with FIRST-WINS crawl semantics inside a
-    // batch too (diversity-keepers belong to the batch-world
-    // Similarity.semanticDedup, where the whole corpus is electable).
-    // The TAIL pins once (text flow's r15 shape): ndBatch, kept, the
-    // cursor count, commit's three appends, and the decisions evaluation
-    // are all filters of this one pinned frame.
+    // keeper election per params.keeper: min id (the CC label itself —
+    // first wins inside the batch too, the default) or SemDeDup's
+    // diversity rule (lowest cosine to the component MEAN, ties by min
+    // id — the component is batch-bounded, so the mean aggregate and
+    // the broadcast join back are batch work). The TAIL pins once (text
+    // flow's r15 shape): ndBatch, kept, the cursor count, commit's
+    // three appends, and the decisions evaluation are all filters of
+    // this one pinned frame.
+    val withKeep = params.keeper match {
+      case Similarity.KeepMinId =>
+        memb.withColumn("keep_id", col("grp"))
+      case Similarity.KeepFarFromCentroid =>
+        val vecMean = udaf(graft.functions.VecMeanAgg)
+        val means = memb.groupBy("grp")
+          .agg(vecMean(col("embedding")).as("cmean"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+        memb.join(broadcast(means), Seq("grp"))
+          .withColumn("cos_c",
+            Similarity.cosine(col("embedding"), col("cmean")))
+          .withColumn("keep_id",
+            min_by(col("vec_id"), struct(col("cos_c"), col("vec_id")))
+              .over(w))
+          .drop("cmean", "cos_c")
+    }
     label("tail-ckpt")
-    val tail = ckpt(memb.withColumn("keep_id", col("grp"))
+    val tail = ckpt(withKeep
       .select(col("vec_id"), col("embedding"), col("keep_id")))
     val ndBatch = tail.filter(col("vec_id") =!= col("keep_id"))
       .select(col("vec_id"), col("keep_id").as("matched_id"))
@@ -314,6 +347,11 @@ object VectorFlow {
     */
   def commit(dir: String, kept: DataFrame, params: Params = Params(),
              keptBands: Option[DataFrame] = None): Unit = {
+    // validate against the frozen contract (never stamps — only a
+    // decide with dimension evidence creates the sidecar); the stamped
+    // dim drives the replay path's band re-derivation
+    val dAuth = freezeParams(kept.sparkSession, dir, params,
+      inferred = None, stamp = false)
     Dedup.bandIndexAppendPrecomputed(dir + "/digest",
       kept.select(col("vec_id").as("doc_id"), digestOf.as("band")),
       params.buckets)
@@ -323,9 +361,68 @@ object VectorFlow {
     Dedup.bandIndexAppendPrecomputed(dir + "/bands",
       keptBands.map(_.select(col("doc_id"), col("band")))
         .getOrElse(Similarity.embBandTable(kept, "vec_id", "embedding",
-          params.bits, params.seed, params.dim, params.families)),
+          params.bits, params.seed,
+          dAuth.getOrElse(params.dim), params.families)),
       params.buckets)
     vectorStoreAppend(dir + "/vectors", kept, params.buckets)
+  }
+
+  /** The FROZEN-params sidecar (`_graft_vecflow.json` at the flow dir's
+    * root): bits/seed/dim/families/buckets are part of the index
+    * CONTRACT — a caller with a different bits or seed derives different
+    * band strings and probes them against the stored index with zero
+    * matches, i.e. SILENT near-dup candidate loss (the modulus-mismatch
+    * failure mode of the bucket layouts, one level up). Stamped by the
+    * first [[decide]] (before any store mutation, the stamp-ahead
+    * discipline); every later decide/commit validates and fails LOUDLY
+    * on a mismatch. minCos and maxBucket are query-time dials and stay
+    * unfrozen. `dim` freezes as the RESOLVED dimension, so a later
+    * batch inferring a different width is refused rather than silently
+    * banded in a different space.
+    */
+  private def freezeParams(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, p: Params, inferred: Option[Int],
+                           stamp: Boolean): Option[Int] = {
+    val f = new org.apache.hadoop.fs.Path(dir, "_graft_vecflow.json")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) {
+      // stamp only with dimension EVIDENCE (explicit param or a non-null
+      // row): an empty or all-null first batch must not freeze dim=1
+      val dOpt = if (p.dim > 0) Some(p.dim) else inferred
+      if (stamp && dOpt.isDefined) {
+        val mine = s"""{"bits":${p.bits},"seed":${p.seed},""" +
+          s""""dim":${dOpt.get},"families":${p.families},""" +
+          s""""buckets":${p.buckets}}"""
+        val out = fs.create(f, true)
+        try out.write(mine.getBytes("UTF-8")) finally out.close()
+      }
+      dOpt
+    } else {
+      val in = fs.open(f)
+      val body = try {
+        val buf = new java.io.ByteArrayOutputStream(256)
+        val b = new Array[Byte](256)
+        var n = in.read(b)
+        while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+        buf.toString("UTF-8")
+      } finally in.close()
+      def field(k: String): Long =
+        (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(body)
+          .map(_.group(1).toLong)
+          .getOrElse(throw new java.io.IOException(
+            s"corrupt VectorFlow params sidecar $f: $body"))
+      require(field("bits") == p.bits && field("seed") == p.seed &&
+        field("families") == p.families && field("buckets") == p.buckets &&
+        (p.dim <= 0 || p.dim.toLong == field("dim")),
+        s"$dir is a VectorFlow corpus frozen at $body but the caller " +
+          s"passed bits=${p.bits} seed=${p.seed} dim=${p.dim} " +
+          s"families=${p.families} buckets=${p.buckets} — these are " +
+          "index parameters, frozen at creation")
+      // the stamped dim is AUTHORITATIVE for a dim-delegating caller: a
+      // batch inferring a different width gets its rows invalidated by
+      // the gate instead of silently banding in a different space
+      Some(field("dim").toInt)
+    }
   }
 
   /** Content digest of the embedding column: md5 of the array's string

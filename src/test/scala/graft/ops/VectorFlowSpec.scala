@@ -164,6 +164,56 @@ class VectorFlowSpec extends SparkTestBase {
     assert(statuses(r3.decisions) === Map(2L -> "kept") && r3.cursor === 8L)
   }
 
+  test("frozen params sidecar: mismatched bits/seed/dim refused loudly; stamped dim authoritative; empty first batch stamps nothing") {
+    import spark.implicits._
+    val p = VectorFlow.Params(dim = Dim)
+    val dir = tmp("vfreeze")
+    // an EMPTY first batch must not freeze dim=1
+    VectorFlow.ingest(dir, df(Seq.empty), 0L, p.copy(dim = -1))
+    assert(!new java.io.File(s"$dir/_graft_vecflow.json").exists,
+      "an evidence-less batch must not stamp the params sidecar")
+    VectorFlow.ingest(dir, df(Seq(1L -> rot(0))), 0L, p)
+    assert(new java.io.File(s"$dir/_graft_vecflow.json").exists)
+    // a caller with different bits/seed would probe garbage band strings
+    // — silent candidate loss; it must refuse instead
+    for (bad <- Seq(p.copy(bits = 16), p.copy(seed = 7L),
+        p.copy(dim = 8), p.copy(families = 2))) {
+      val e = intercept[IllegalArgumentException] {
+        VectorFlow.ingest(dir, df(Seq(9L -> rot(1))), 1L, bad) }
+      assert(e.getMessage.contains("frozen"), e.getMessage)
+    }
+    // a dim-DELEGATING caller adopts the stamped width: a batch whose
+    // own rows infer a different dim gets them invalidated by the gate,
+    // never banded in a different space
+    val r = VectorFlow.ingest(dir, df(Seq(5L -> Seq(1f, 0f))), 1L,
+      p.copy(dim = -1))
+    assert(statuses(r.decisions) === Map(5L -> "invalid"))
+    // query-time dials stay unfrozen
+    VectorFlow.ingest(dir, df(Seq(6L -> rot(2))), 1L,
+      p.copy(minCos = 0.9, maxBucket = 64))
+  }
+
+  test("keeper policies: min-id (first-wins) vs farthest-from-centroid (diversity) on one planted component") {
+    import spark.implicits._
+    // one 3-member component: angles 0, 0.02, 0.12 (all pairwise cosines
+    // ≥ .99); the component mean sits at ~0.047 rad, so the DIVERSITY
+    // keeper is the 0.12-rad member (lowest cosine to the mean) while
+    // first-wins keeps the min id
+    val rows = Seq(1L -> rot(0), 2L -> rot(0.02), 3L -> rot(0.12))
+    val minId = VectorFlow.ingest(tmp("vkeep1"), df(rows), 0L,
+      VectorFlow.Params(dim = Dim))
+    assert(statuses(minId.decisions) === Map(1L -> "kept",
+      2L -> "neardup_batch", 3L -> "neardup_batch"))
+    assert(matches(minId.decisions) === Map(2L -> 1L, 3L -> 1L))
+    val diverse = VectorFlow.ingest(tmp("vkeep2"), df(rows), 0L,
+      VectorFlow.Params(dim = Dim,
+        keeper = Similarity.KeepFarFromCentroid))
+    assert(statuses(diverse.decisions) === Map(1L -> "neardup_batch",
+      2L -> "neardup_batch", 3L -> "kept"))
+    assert(matches(diverse.decisions) === Map(1L -> 3L, 2L -> 3L))
+    assert(minId.cursor === 1L && diverse.cursor === 1L)
+  }
+
   test("vector store: bucket count frozen; fetch prunes to touched buckets") {
     val p = VectorFlow.Params(dim = Dim, buckets = 8)
     val dir = tmp("vstore")
