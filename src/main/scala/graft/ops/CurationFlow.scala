@@ -206,6 +206,46 @@ object CurationFlow {
              cursor: Long, budget: Long = 256L,
              buckets: Int = 16, maxBucket: Int = Int.MaxValue): Staged = {
     require(cursor >= 0, s"cursor must be >= 0, got $cursor")
+    val g = gateAndDedup(dir, batch, bench, buckets, maxBucket)
+    val sc = batch.sparkSession.sparkContext
+    def label(l: String): Unit = sc.setJobDescription(s"decide:$l")
+    // stage 8: pack at the carried cursor (cb DIV keeps long math exact —
+    // a double floor would lose integers past 2^53 on a long-lived feed)
+    val packed = Packing.packSequences(g.kept, "doc_id", col("n_tok"),
+        budget)
+      .withColumn("cb",
+        lit(cursor) + col("seq_id") * lit(budget) + col("seq_offset"))
+      .select(col("doc_id"), lit("kept").as("status"), col("n_tok"),
+        expr(s"cb DIV $budget").as("seq_id"),
+        pmod(col("cb"), lit(budget)).as("seq_offset"))
+    label("cursor-agg")
+    val newCursor = cursor +
+      g.kept.agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
+    sc.setJobDescription(null)
+    val decisions = g.drops
+      .select(col("doc_id"), col("status"),
+        lit(null).cast("long").as("n_tok"),
+        lit(null).cast("long").as("seq_id"),
+        lit(null).cast("long").as("seq_offset"))
+      .unionByName(packed)
+    Staged(decisions, g.kept, newCursor, g.overflow, g.keptBands)
+  }
+
+  /** [[decide]] WITHOUT the packing tail — stages 1-7 (gates, exact and
+    * near dedup vs history and batch, decontamination) as reusable
+    * building blocks: the per-doc DROP reasons, the kept frame, the
+    * overflow report, and the kept slice of the pinned band table. The
+    * unified text+vector build ([[UnifiedFlow]]) interposes its
+    * semantic-dedup stage between this and the pack; [[decide]] is
+    * exactly gateAndDedup → pack.
+    */
+  private[ops] final case class Gated(drops: DataFrame, kept: DataFrame,
+                                      overflow: DataFrame,
+                                      keptBands: DataFrame)
+
+  private[ops] def gateAndDedup(dir: String, batch: DataFrame,
+                                bench: DataFrame, buckets: Int = 16,
+                                maxBucket: Int = Int.MaxValue): Gated = {
     val sc = batch.sparkSession.sparkContext
     def label(l: String): Unit = sc.setJobDescription(s"decide:$l")
     val digestDir = dir + "/digest"
@@ -352,25 +392,10 @@ object CurationFlow {
     val kept = nonBench.filter(!col("contam"))
       .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"))
 
-    // stage 8: pack at the carried cursor (cb DIV keeps long math exact —
-    // a double floor would lose integers past 2^53 on a long-lived feed)
-    val packed = Packing.packSequences(kept, "doc_id", col("n_tok"), budget)
-      .withColumn("cb",
-        lit(cursor) + col("seq_id") * lit(budget) + col("seq_offset"))
-      .select(col("doc_id"), lit("kept").as("status"), col("n_tok"),
-        expr(s"cb DIV $budget").as("seq_id"),
-        pmod(col("cb"), lit(budget)).as("seq_offset"))
-    label("cursor-agg")
-    val newCursor = cursor +
-      kept.agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
     sc.setJobDescription(null)
-
     def reason(ids: DataFrame, r: String): DataFrame =
-      ids.select(col("doc_id"), lit(r).as("status"),
-        lit(null).cast("long").as("n_tok"),
-        lit(null).cast("long").as("seq_id"),
-        lit(null).cast("long").as("seq_offset"))
-    val decisions = reason(all.join(flags, Seq("doc_id"), "left_anti"),
+      ids.select(col("doc_id"), lit(r).as("status"))
+    val drops = reason(all.join(flags, Seq("doc_id"), "left_anti"),
         "shape")
       .unionByName(reason(flags.filter(!col("rep_ok")), "repetition"))
       .unionByName(reason(exHist, "exact_history"))
@@ -379,14 +404,13 @@ object CurationFlow {
       .unionByName(reason(ndBatchDrop, "neardup_batch"))
       .unionByName(reason(benchDrop, "benchmark"))
       .unionByName(reason(contamDrop, "contaminated"))
-      .unionByName(packed)
     // the kept slice of the probe's PINNED band table — commit appends
     // it precomputed instead of re-running the minhash derivation on the
     // kept docs (the heaviest per-doc CPU, previously paid twice; r15)
     val keptBands = batchBands
       .join(broadcast(kept.select(col("doc_id"))), Seq("doc_id"),
         "left_semi")
-    Staged(decisions, kept, newCursor, overflow, keptBands)
+    Gated(drops, kept, overflow, keptBands)
   }
 
   /** Append a [[decide]]d batch's kept corpus to both indexes. The

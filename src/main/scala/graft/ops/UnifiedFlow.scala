@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The UNIFIED text+vector corpus build — one first-wins decision per
+  * document over BOTH modalities, composing the two r14/r15 flows into
+  * the pipeline a multimodal pretraining corpus actually runs:
+  *
+  *   text gates and dedup ([[CurationFlow.gateAndDedup]]: shape →
+  *   repetition → exact/near text dedup vs history and batch →
+  *   decontamination) → SEMANTIC dedup of the survivors against the
+  *   persisted embedding corpus ([[VectorFlow.decide]]: digest +
+  *   Hamming≤1 hyperplane candidates, every drop TRUE-cosine-verified
+  *   through the pruned vector store) → sequence packing of what
+  *   remains, at the carried token cursor.
+  *
+  * The semantic stage catches what text banding cannot: a paraphrase or
+  * re-render whose embedding sits inside the minCos ball of an
+  * already-kept document. Docs WITHOUT an embedding (or with a
+  * malformed one) pass the semantic stage untouched — a missing
+  * modality never drops a text-good document; it simply contributes no
+  * vector to the index.
+  *
+  * Persisted state under `dir`: the text flow's `digest/` + `bands/`
+  * and the `_cursor` token ledger at the root, the vector flow's
+  * digest/bands/vectors under `dir/vec/` (its own frozen-params
+  * sidecar). Kept-only indexing holds ACROSS modalities: only the
+  * FINAL kept set (text ∩ semantic survivors) is appended anywhere.
+  *
+  * Decisions: one row per input doc —
+  * (doc_id, status, matched_id, n_tok, seq_id, seq_offset); text-stage
+  * reasons as in [[CurationFlow]], semantic reasons `embdup_history` /
+  * `embdup_batch` (identical embedding) and `semdup_history` /
+  * `semdup_batch` (cosine ≥ minCos) with `matched_id` the winning
+  * keeper, `kept` rows carrying the pack fields.
+  *
+  * Scale shape: both sub-flows' contracts unchanged (batch broadcasts,
+  * bucket-pruned history reads, bounded verification, checkpointed
+  * decision inputs) — the composition adds one broadcast semi-join per
+  * boundary. Single-writer per dir; the streaming twin is
+  * [[graft.streaming.StreamOps.unifiedIngestStream]].
+  */
+object UnifiedFlow {
+
+  final case class Result(decisions: DataFrame, cursor: Long)
+
+  /** [[decide]]'s return: everything the streaming step persists and
+    * commits — decisions/kept/cursor plus both overflow reports and the
+    * three precomputed commit inputs (text kept-bands; the kept VALID
+    * vectors; their home bands).
+    */
+  final case class Staged(decisions: DataFrame, kept: DataFrame,
+                          cursor: Long, textOverflow: DataFrame,
+                          vecOverflow: DataFrame, keptBands: DataFrame,
+                          keptVecs: DataFrame, keptVecBands: DataFrame)
+
+  /** [[decide]] then [[commit]] — the batch-job form. */
+  def ingest(dir: String, batch: DataFrame, bench: DataFrame,
+             cursor: Long, budget: Long = 256L, buckets: Int = 16,
+             maxBucket: Int = Int.MaxValue,
+             vec: VectorFlow.Params = VectorFlow.Params()): Result = {
+    val staged = decide(dir, batch, bench, cursor, budget, buckets,
+      maxBucket, vec)
+    commit(dir, staged, buckets, vec)
+    Result(staged.decisions, staged.cursor)
+  }
+
+  /** One batch's decisions against both modal states, WITHOUT mutating
+    * them — every decision input is checkpoint-pinned by the sub-flows,
+    * so the staged frames survive a later [[commit]] unchanged.
+    */
+  def decide(dir: String, batch: DataFrame, bench: DataFrame,
+             cursor: Long, budget: Long = 256L, buckets: Int = 16,
+             maxBucket: Int = Int.MaxValue,
+             vec: VectorFlow.Params = VectorFlow.Params()): Staged = {
+    require(cursor >= 0, s"cursor must be >= 0, got $cursor")
+    val g = CurationFlow.gateAndDedup(dir,
+      batch.select(col("doc_id"), col("text"), col("n_chars")), bench,
+      buckets, maxBucket)
+
+    // semantic stage on the text survivors: recover their embeddings
+    // from the (broadcast, batch-bounded) input and run the vector
+    // flow's decide against the persisted embedding corpus. Docs
+    // WITHOUT an embedding never enter the vector machinery (they
+    // would only round-trip as `invalid` pass-throughs — at partial
+    // modality that's most of the corpus, churned through every
+    // checkpoint for nothing); malformed embeddings still do, and
+    // come back `invalid` = pass-through here.
+    val vecIn = g.kept.select(col("doc_id").as("vec_id"))
+      .join(broadcast(batch.select(col("doc_id").as("vec_id"),
+        col("embedding"))), Seq("vec_id"), "left")
+      .filter(col("embedding").isNotNull)
+    val v = VectorFlow.decide(dir + "/vec", vecIn, 0L, vec)
+    val semDrops = v.decisions
+      .filter(col("status").isin("exact_history", "exact_batch",
+        "neardup_history", "neardup_batch"))
+      .select(col("vec_id").as("doc_id"),
+        when(col("status") === "exact_history", "embdup_history")
+          .when(col("status") === "exact_batch", "embdup_batch")
+          .when(col("status") === "neardup_history", "semdup_history")
+          .otherwise("semdup_batch").as("status"),
+        col("matched_id"))
+    val kept = g.kept.join(broadcast(semDrops.select("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+    // pack the FINAL kept set at the carried cursor (the text flow's
+    // exact tail — cb DIV keeps long math exact)
+    val packed = Packing.packSequences(kept, "doc_id", col("n_tok"), budget)
+      .withColumn("cb",
+        lit(cursor) + col("seq_id") * lit(budget) + col("seq_offset"))
+      .select(col("doc_id"), lit("kept").as("status"),
+        lit(null).cast("long").as("matched_id"), col("n_tok"),
+        expr(s"cb DIV $budget").as("seq_id"),
+        pmod(col("cb"), lit(budget)).as("seq_offset"))
+    val newCursor = cursor +
+      kept.agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
+
+    val nulls = Seq(lit(null).cast("long").as("n_tok"),
+      lit(null).cast("long").as("seq_id"),
+      lit(null).cast("long").as("seq_offset"))
+    val decisions = g.drops
+      .select(Seq(col("doc_id"), col("status"),
+        lit(null).cast("long").as("matched_id")) ++ nulls: _*)
+      .unionByName(semDrops.select(Seq(col("doc_id"), col("status"),
+        col("matched_id").cast("long").as("matched_id")) ++ nulls: _*))
+      .unionByName(packed)
+    Staged(decisions, kept, newCursor, g.overflow, v.overflow,
+      g.keptBands.join(broadcast(kept.select("doc_id")), Seq("doc_id"),
+        "left_semi"),
+      v.kept, v.keptBands)
+  }
+
+  /** Append the decided batch's kept corpus to BOTH modal stores —
+    * text digests+bands at the root, the kept valid vectors under
+    * `dir/vec/` (kept-only indexing across modalities; every frame is
+    * checkpoint-pinned or a filter of one).
+    */
+  def commit(dir: String, staged: Staged, buckets: Int = 16,
+             vec: VectorFlow.Params = VectorFlow.Params()): Unit = {
+    CurationFlow.commit(dir, staged.kept, buckets, Some(staged.keptBands))
+    VectorFlow.commit(dir + "/vec", staged.keptVecs, vec,
+      Some(staged.keptVecBands))
+  }
+}

@@ -352,19 +352,26 @@ object VectorFlow {
     // dim drives the replay path's band re-derivation
     val dAuth = freezeParams(kept.sparkSession, dir, params,
       inferred = None, stamp = false)
+    // defensive validity filter (r15): replay/compose callers hand raw
+    // batch-joined rows, and a null or degenerate embedding here would
+    // index a null digest band and a garbage signature — the same gate
+    // decide applies, applied again at the mutation boundary
+    val clean = kept.filter(col("embedding").isNotNull &&
+      Similarity.l2Norm(col("embedding")) > 0d &&
+      dAuth.map(dd => size(col("embedding")) === dd).getOrElse(lit(true)))
     Dedup.bandIndexAppendPrecomputed(dir + "/digest",
-      kept.select(col("vec_id").as("doc_id"), digestOf.as("band")),
+      clean.select(col("vec_id").as("doc_id"), digestOf.as("band")),
       params.buckets)
     // a decide-supplied pinned home-band table skips the second
     // hyperplane-signature derivation; the no-bands form (the streaming
     // REPLAY path) re-derives
     Dedup.bandIndexAppendPrecomputed(dir + "/bands",
       keptBands.map(_.select(col("doc_id"), col("band")))
-        .getOrElse(Similarity.embBandTable(kept, "vec_id", "embedding",
+        .getOrElse(Similarity.embBandTable(clean, "vec_id", "embedding",
           params.bits, params.seed,
           dAuth.getOrElse(params.dim), params.families)),
       params.buckets)
-    vectorStoreAppend(dir + "/vectors", kept, params.buckets)
+    vectorStoreAppend(dir + "/vectors", clean, params.buckets)
   }
 
   /** The FROZEN-params sidecar (`_graft_vecflow.json` at the flow dir's

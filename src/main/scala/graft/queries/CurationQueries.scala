@@ -290,6 +290,61 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // North star — the UNIFIED text+vector corpus build
+    // (ops.UnifiedFlow): q_curation_incremental's stage chain plus a
+    // SEMANTIC dedup stage on the survivors, one first-wins decision per
+    // doc over both modalities. Documents left-join the embeddings
+    // fixture (partial modality — most docs carry no vector and pass
+    // the semantic stage untouched); wave 2 plants semantic twins —
+    // docs with FRESH gate-passing text (invisible to text banding) but
+    // a 0.1%-nudged copy of a wave-1 kept embedding (+3M ids, never
+    // ≡0 mod 100) — which must drop as semdup_history with matched_id
+    // pointing at the wave-1 keeper, plus exact-embedding copies
+    // (+4M ids) dropping as embdup_history. No SQL oracle (seeded
+    // hyperplane family); contracts pinned in UnifiedFlowSpec — driver
+    // records the rows-only check. PRICE NOTE: this is the catalog's
+    // largest composition — two waves × (full text chain + full vector
+    // chain + five-store commit); FlowProfile shows the cost is
+    // ADDITIVE (per wave ≈ text 5.5 s + vector 2.5 s + commit 2 s at
+    // sf0.1), the composition itself adding only broadcast semi-joins.
+    "q_unified_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding"))
+      val dir = CoreQueries.pidScopedDir("graft_unified_cur", d)
+      val bench = graft.ops.CurationFlow.benchShingles(docs)
+      val base = docs.join(emb.withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"), col("n_chars"), col("embedding"))
+      def freshText(idCol: org.apache.spark.sql.Column) = {
+        val words = (0 until 20).map(j =>
+          concat(lit("u"), substring(md5(concat(idCol, lit(s"_p$j"))), 1, 7)))
+        concat(lit("the of "), concat_ws(" ", words: _*))
+      }
+      val w1 = graft.ops.UnifiedFlow.ingest(dir.toString,
+        base.filter(pmod(col("doc_id"), lit(2)) === 0), bench, cursor = 0L)
+      val evensEmb = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val nudged = evensEmb.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") * 100 + 3000001L).as("doc_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, (x * lit(1.001)).cast("float"))
+              .otherwise(x)).as("embedding"))
+      val copies = evensEmb.filter(pmod(col("vec_id"), lit(10)) === 4)
+        .select((col("vec_id") * 100 + 4000001L).as("doc_id"),
+          col("embedding"))
+      val planted = nudged.unionByName(copies)
+        .withColumn("text", freshText(col("doc_id")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(col("doc_id"), col("text"), col("n_chars"), col("embedding"))
+      val w2in = base.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .unionByName(planted)
+      val w2 = graft.ops.UnifiedFlow.ingest(dir.toString, w2in, bench,
+        cursor = w1.cursor)
+      w1.decisions.withColumn("wave", lit(1))
+        .unionByName(w2.decisions.withColumn("wave", lit(2)))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-level boilerplate scrub (the CCNet/RefinedWeb "dedup the
     // repeated lines out of every page" stage, with non-overlapping
     // 2-token chunks standing in for lines — the driver corpus has no

@@ -873,6 +873,72 @@ object StreamOps {
         compactEvery) _)
       .start()
 
+  /** [[curationStep]]'s UNIFIED twin — one micro-batch of the
+    * text+vector corpus build ([[graft.ops.UnifiedFlow]]), same write
+    * order, ledger, idempotent decisions partition, and replay contract;
+    * the replay re-commits BOTH modal stores from the recorded kept ids
+    * (the vector commit's validity filter handles the kept docs that
+    * never had an embedding).
+    */
+  private[graft] def unifiedStep(indexPath: String, outPath: String,
+                                 bench: DataFrame, budget: Long,
+                                 buckets: Int,
+                                 maxBucket: Int = Int.MaxValue,
+                                 vec: graft.ops.VectorFlow.Params =
+                                   graft.ops.VectorFlow.Params(),
+                                 compactEvery: Int = 0)
+                                (batch: DataFrame, id: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.ops.CurationFlow.readLedger(spark, indexPath) match {
+      case Some((bid, _, _)) if bid == id =>
+        val keptIds = recordedKeptIds(spark, outPath, id, "doc_id")
+        val kept = batch.join(keptIds, Seq("doc_id"), "left_semi")
+        graft.ops.CurationFlow.commit(indexPath,
+          kept.select(col("doc_id"), col("text"), col("n_chars")), buckets)
+        graft.ops.VectorFlow.commit(indexPath + "/vec",
+          kept.select(col("doc_id").as("vec_id"), col("embedding")), vec)
+      case led =>
+        val start = led match {
+          case Some((_, _, e)) => e
+          case None => 0L
+        }
+        val staged = graft.ops.UnifiedFlow.decide(indexPath, batch, bench,
+          start, budget, buckets, maxBucket, vec)
+        writeDecisions(staged.decisions, id, outPath)
+        graft.ops.CurationFlow.writeLedger(spark, indexPath, id, start,
+          staged.cursor)
+        graft.ops.UnifiedFlow.commit(indexPath, staged, buckets, vec)
+    }
+    if (dueForCompact(compactEvery, id)) {
+      graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/digest")
+      graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/bands")
+      graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/vec/digest")
+      graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/vec/bands")
+      graft.ops.VectorFlow.vectorStoreCompact(spark,
+        indexPath + "/vec/vectors")
+    }
+  }
+
+  /** The CONTINUOUS unified text+vector corpus build as a stream — each
+    * micro-batch of (doc_id, text, n_chars, embedding) rows runs
+    * [[graft.ops.UnifiedFlow]]'s two-modality first-wins chain with the
+    * shared ledger/replay/compaction machinery.
+    */
+  def unifiedIngestStream(docs: DataFrame, indexPath: String,
+                          outPath: String, checkpoint: String,
+                          bench: DataFrame, budget: Long = 256L,
+                          buckets: Int = 16,
+                          maxBucket: Int = Int.MaxValue,
+                          vec: graft.ops.VectorFlow.Params =
+                            graft.ops.VectorFlow.Params(),
+                          compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(unifiedStep(indexPath, outPath, bench, budget,
+        buckets, maxBucket, vec, compactEvery) _)
+      .start()
+
   /** The replay path's read of a ledger-committed batch's kept ids.
     * Guarded for the first-ever-EMPTY-batch crash window (r15 review):
     * an empty batch writes no decisions partition but DOES commit its

@@ -89,7 +89,40 @@ object FlowProfile {
           keptBands = Some(staged.keptBands))
       }
     }
-    if (which != "text") {
+    if (which == "unified") {
+      val docs = graft.Tables.documents(spark, d)
+      val emb = graft.Tables.embeddings(spark, d)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val base = docs.join(emb, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"), col("n_chars"), col("embedding"))
+      val bench = graft.ops.CurationFlow.benchShingles(docs)
+      bench.count()
+      val dir = java.nio.file.Files.createTempDirectory("fp_u").toString + "/c"
+      var cursor = 0L
+      var staged: graft.ops.UnifiedFlow.Staged = null
+      profile("uni w1 decide") {
+        staged = graft.ops.UnifiedFlow.decide(dir,
+          base.filter(pmod(col("doc_id"), lit(2)) === 0), bench, 0L)
+        cursor = staged.cursor
+      }
+      profile("uni w1 decisions eval") {
+        staged.decisions.write.format("noop").mode("overwrite").save()
+      }
+      profile("uni w1 commit") {
+        graft.ops.UnifiedFlow.commit(dir, staged)
+      }
+      profile("uni w2 decide") {
+        staged = graft.ops.UnifiedFlow.decide(dir,
+          base.filter(pmod(col("doc_id"), lit(2)) === 1), bench, cursor)
+      }
+      profile("uni w2 decisions eval") {
+        staged.decisions.write.format("noop").mode("overwrite").save()
+      }
+      profile("uni w2 commit") {
+        graft.ops.UnifiedFlow.commit(dir, staged)
+      }
+    }
+    if (which != "text" && which != "unified") {
       val emb = graft.Tables.embeddings(spark, d).select("vec_id", "embedding")
       emb.count() // warm
       val dir = java.nio.file.Files.createTempDirectory("fp_v").toString + "/idx"

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The unified text+vector corpus build ([[UnifiedFlow]]): one
+  * first-wins decision per doc over both modalities — text gates/dedup
+  * first, semantic dedup of the survivors second, packing last.
+  * Planted scenarios with hand-computable verdicts for every boundary:
+  * text dup beats the semantic stage to it, a paraphrase (fresh text,
+  * near-identical embedding) drops ONLY via the semantic stage, a
+  * missing modality never drops a text-good doc, and the streaming
+  * step's ledger/replay contract covers both stores.
+  */
+class UnifiedFlowSpec extends SparkTestBase {
+
+  private val Dim = 8
+
+  private def rot(a: Double): Seq[Float] = {
+    val v = Array.fill(Dim)(0f)
+    v(0) = math.cos(a).toFloat
+    v(1) = math.sin(a).toFloat
+    v.toSeq
+  }
+
+  /** 22-token gate-passing text, distinct per seed word. */
+  private def goodText(seed: String): String =
+    "the of " + (0 until 20).map(j => s"w$seed$j").mkString(" ")
+
+  private def df(rows: Seq[(Long, String, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "embedding")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .select("doc_id", "text", "n_chars", "embedding")
+  }
+
+  private def statuses(d: org.apache.spark.sql.DataFrame) =
+    d.select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def matches(d: org.apache.spark.sql.DataFrame) =
+    d.filter(col("matched_id").isNotNull)
+      .select("doc_id", "matched_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private val noEmb = null.asInstanceOf[Seq[Float]]
+
+  test("two waves over both modalities: text dup first, semantic second, missing modality passes, pack continues") {
+    val vec = VectorFlow.Params(minCos = 0.99, dim = Dim)
+    val dir = java.nio.file.Files.createTempDirectory("uni").toString + "/c"
+    val bench = CurationFlow.benchShingles(
+      df(Seq((100L, goodText("bench"), noEmb))))
+    // wave 1: 1 kept (text+emb); 2 text-copies 1 (exact_batch — the
+    // TEXT stage wins before semantics ever see it); 3 kept text-only;
+    // 4 fails shape; 5 kept with an embedding ORTHOGONAL to 1's
+    val w1 = UnifiedFlow.ingest(dir, df(Seq(
+      (1L, goodText("a"), rot(0)),
+      (2L, goodText("a"), rot(0.001)),
+      (3L, goodText("c"), noEmb),
+      (4L, "too short", noEmb),
+      (5L, goodText("e"), { val v = Array.fill(Dim)(0f); v(3) = 1f; v.toSeq }))),
+      bench, cursor = 0L, vec = vec)
+    assert(statuses(w1.decisions) === Map(1L -> "kept", 2L -> "exact_batch",
+      3L -> "kept", 4L -> "shape", 5L -> "kept"))
+    assert(w1.cursor === 66L, s"3 kept x 22 tokens, got ${w1.cursor}")
+
+    // wave 2: 11 = paraphrase of 1 (fresh text, near emb) →
+    // semdup_history matched 1; 12 = fresh text + EXACT emb of 1 →
+    // embdup_history matched 1; 13 = text copy of 3 → exact_history
+    // (text stage, though it has a fresh embedding); 14 kept (fresh
+    // both); 15/16 = fresh texts with near-identical NEW embeddings →
+    // one kept, one semdup_batch; 17 = fresh text, null emb → kept
+    val eNew = { val v = Array.fill(Dim)(0f); v(5) = 1f; v.toSeq }
+    val eNew2 = { val v = Array.fill(Dim)(0f)
+      v(5) = math.cos(0.02).toFloat; v(6) = math.sin(0.02).toFloat; v.toSeq }
+    val w2 = UnifiedFlow.ingest(dir, df(Seq(
+      (11L, goodText("k"), rot(0.02)),
+      (12L, goodText("l"), rot(0)),
+      (13L, goodText("c"), rot(1.2)),
+      (14L, goodText("n"), rot(2.8)),
+      (15L, goodText("p"), eNew),
+      (16L, goodText("q"), eNew2),
+      (17L, goodText("r"), noEmb))),
+      bench, cursor = w1.cursor, vec = vec)
+    assert(statuses(w2.decisions) === Map(11L -> "semdup_history",
+      12L -> "embdup_history", 13L -> "exact_history", 14L -> "kept",
+      15L -> "kept", 16L -> "semdup_batch", 17L -> "kept"))
+    assert(matches(w2.decisions) === Map(11L -> 1L, 12L -> 1L, 16L -> 15L))
+    assert(w2.cursor === w1.cursor + 66L)
+    // pack fields only on kept rows, seq ids continuing across waves
+    val seqs = w2.decisions.filter(col("status") === "kept")
+      .select("seq_id").collect().map(_.getLong(0))
+    assert(seqs.forall(_ >= w1.cursor / 256L))
+    // decided exactly once per wave
+    assert(w1.decisions.count() === 5L && w2.decisions.count() === 7L)
+  }
+
+  test("unifiedStep: ledger replay re-commits BOTH stores; pre-ledger crash exactly-once") {
+    import spark.implicits._
+    val vec = VectorFlow.Params(minCos = 0.99, dim = Dim)
+    val bench = CurationFlow.benchShingles(
+      df(Seq((100L, goodText("bench"), noEmb))))
+    val base = java.nio.file.Files.createTempDirectory("unistep").toString
+    def step(rows: Seq[(Long, String, Seq[Float])], id: Long): Unit =
+      graft.streaming.StreamOps.unifiedStep(s"$base/idx", s"$base/out",
+        bench, 256L, 16, vec = vec)(df(rows), id)
+    val b0 = Seq((1L, goodText("a"), rot(0)), (3L, goodText("c"), noEmb))
+    step(b0, 0L)
+    // half-commit crash: wipe the VECTOR band store, replay — the
+    // unified replay must re-commit both modal stores
+    org.apache.hadoop.fs.FileUtil.fullyDelete(
+      new java.io.File(s"$base/idx/vec/bands"))
+    step(b0, 0L)
+    assert(spark.read.parquet(s"$base/out").count() === 2L,
+      "replay must not duplicate decision rows")
+    // batch 1's paraphrase of doc 1 must still drop — the replayed
+    // commit restored the vector index
+    step(Seq((11L, goodText("k"), rot(0.02))), 1L)
+    val st = spark.read.parquet(s"$base/out")
+      .filter(col("batch_id") === 1)
+      .select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st === Map(11L -> "semdup_history"))
+    // pre-ledger crash on batch 2: decisions written, no ledger/commit —
+    // replay replaces the partition (exactly-once)
+    val b2 = Seq((21L, goodText("z"), rot(2.0)))
+    val Some((_, _, end1)) =
+      CurationFlow.readLedger(spark, s"$base/idx")
+    val staged = UnifiedFlow.decide(s"$base/idx", df(b2), bench, end1,
+      vec = vec)
+    graft.streaming.StreamOps.writeDecisions(staged.decisions, 2L,
+      s"$base/out")
+    step(b2, 2L)
+    val all = spark.read.parquet(s"$base/out")
+    assert(all.filter(col("batch_id") === 2).count() === 1L)
+    assert(all.count() === all.select("batch_id", "doc_id").distinct().count())
+    assert(CurationFlow.readLedger(spark, s"$base/idx").get._1 === 2L)
+  }
+}
