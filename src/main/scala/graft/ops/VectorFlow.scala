@@ -102,6 +102,30 @@ object VectorFlow {
                           maxBucket: Int = Int.MaxValue,
                           keeper: Similarity.KeepRule = Similarity.KeepMinId)
 
+  /** [[Params]] sized by the measured rule instead of hand-solved
+    * (r15): [[Similarity.sizeBands]] picks the frozen (bits, families)
+    * pair from a corpus sample and the EXPECTED corpus size, at the
+    * duplicate angle the flow's own threshold defines
+    * (θ = arccos(minCos) — a pair at exactly the drop threshold is the
+    * hardest one the candidate stage must still surface), and the
+    * dimension comes from the sample. The first [[decide]] then
+    * freezes the result in the sidecar like any hand-picked Params.
+    */
+  def autoParams(sample: DataFrame, corpusSize: Long,
+                 targetRecall: Double = 0.95, minCos: Double = 0.99,
+                 buckets: Int = 16, maxBucket: Int = Int.MaxValue,
+                 maxAvgOccupancy: Double = 64.0, maxFamilies: Int = 8,
+                 seed: Long = 42L): Params = {
+    val d = Similarity.inferDimOpt(sample, "embedding").getOrElse(
+      throw new IllegalArgumentException(
+        "autoParams needs a sample with at least one non-null embedding"))
+    val (bits, fams) = Similarity.sizeBands(sample, targetRecall,
+      math.acos(minCos), corpusSize, maxAvgOccupancy, maxFamilies,
+      "embedding", d, seed)
+    Params(minCos = minCos, bits = bits, seed = seed, dim = d,
+      families = fams, buckets = buckets, maxBucket = maxBucket)
+  }
+
   /** [[decide]] then [[commit]] — the batch-job form. */
   def ingest(dir: String, batch: DataFrame, cursor: Long,
              params: Params = Params()): Result = {

@@ -193,6 +193,38 @@ class VectorFlowSpec extends SparkTestBase {
       p.copy(minCos = 0.9, maxBucket = 64))
   }
 
+  test("autoParams: the sizeBands rule drives the flow's frozen params end to end") {
+    import spark.implicits._
+    // clustered sample (20 clusters × 10 near-twins) — the occupancy
+    // floor sizeBands must detect; corpus 200k at the .99 threshold
+    // (θ = acos(.99) ≈ 0.1415 rad)
+    val rnd = new scala.util.Random(5)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nn).toFloat)
+    }
+    val sample = (0 until 20).flatMap { c =>
+      val base = unit()
+      (0 until 10).map(j => (c * 10L + j,
+        base.map(x => x + (rnd.nextGaussian() * 1e-4).toFloat).toSeq))
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val p = VectorFlow.autoParams(sample, corpusSize = 200000L)
+    assert(p.dim === 16, s"dim must come from the sample: $p")
+    // occupancy forces bits=12 (200k/2^12 ≈ 49 ≤ 64; 2^11 is 98);
+    // per-family recall at 0.1415 rad ≈ 0.90 → F=2 restores ≥ 0.95
+    assert((p.bits, p.families) === (12, 2), s"got $p")
+    // and the flow runs under the auto params, freezing them
+    val dir = tmp("vauto")
+    val r = VectorFlow.ingest(dir, df(Seq(1L -> rot(0), 2L -> rot(0.05))),
+      0L, p)
+    assert(statuses(r.decisions) === Map(1L -> "kept", 2L -> "neardup_batch"))
+    val e = intercept[IllegalArgumentException] {
+      VectorFlow.ingest(dir, df(Seq(3L -> rot(1))), 1L, p.copy(bits = 8)) }
+    assert(e.getMessage.contains("frozen"))
+  }
+
   test("keeper policies: min-id (first-wins) vs farthest-from-centroid (diversity) on one planted component") {
     import spark.implicits._
     // one 3-member component: angles 0, 0.02, 0.12 (all pairwise cosines
