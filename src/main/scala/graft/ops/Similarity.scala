@@ -211,14 +211,24 @@ object Similarity {
     require(targetRecall > 0 && targetRecall < 1,
       s"targetRecall in (0, 1) required, got $targetRecall")
     require(corpusSize >= 1, s"corpusSize >= 1 required, got $corpusSize")
-    val n = sample.count()
-    require(n > 0, "sizeBands needs a non-empty corpus sample")
+    // null embeddings drop BEFORE the count (r15 ADVICE): they carry no
+    // signature information but each counted toward n while collapsing
+    // into one null 48-bit signature, inflating the cluster-floor
+    // estimate on a null-heavy sample
+    val nn = sample.filter(col(embCol).isNotNull)
+    val n = nn.count()
+    require(n > 0, "sizeBands needs a sample with non-null embeddings")
     // duplicate-cluster floor: at a high-bits probe only true near-twins
-    // share a home signature, so sample/distinct ≈ mean cluster size
-    val d = Similarity.inferDim(sample, embCol, dim)
+    // share a home signature, so sample/distinct ≈ mean cluster size.
+    // Stated limit (r15 ADVICE): the 48-bit probe groups NEAR-IDENTICAL
+    // twins only — clusters spread at the threshold angle itself mostly
+    // split at 48 bits, so the floor is a lower bound; a corpus whose
+    // duplicate mass sits AT the angle can exceed the occupancy target
+    // the rule solves for (the hot-bucket cap is the runtime backstop).
+    val d = Similarity.inferDim(nn, embCol, dim)
     val probeBits = 48
-    val distinctSigs = sample
-      .select(hyperplaneSig(sample, embCol, d, probeBits, seed).as("sig"))
+    val distinctSigs = nn
+      .select(hyperplaneSig(nn, embCol, d, probeBits, seed).as("sig"))
       .distinct().count()
     val clusterFloor = n.toDouble / math.max(distinctSigs, 1L)
     def occ(bits: Int): Double =

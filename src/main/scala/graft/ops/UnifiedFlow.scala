@@ -80,18 +80,27 @@ object UnifiedFlow {
       buckets, maxBucket)
 
     // semantic stage on the text survivors: recover their embeddings
-    // from the (broadcast, batch-bounded) input and run the vector
-    // flow's decide against the persisted embedding corpus. Docs
-    // WITHOUT an embedding never enter the vector machinery (they
-    // would only round-trip as `invalid` pass-throughs — at partial
-    // modality that's most of the corpus, churned through every
-    // checkpoint for nothing); malformed embeddings still do, and
-    // come back `invalid` = pass-through here.
-    val vecIn = g.kept.select(col("doc_id").as("vec_id"))
-      .join(broadcast(batch.select(col("doc_id").as("vec_id"),
-        col("embedding"))), Seq("vec_id"), "left")
+    // from the input and run the vector flow's decide against the
+    // persisted embedding corpus. Docs WITHOUT an embedding never
+    // enter the vector machinery (they would only round-trip as
+    // `invalid` pass-throughs — at partial modality that's most of the
+    // corpus, churned through every checkpoint for nothing); malformed
+    // embeddings still do, and come back `invalid` = pass-through
+    // here. The broadcast side is the kept-ID set (8 B/row), NOT the
+    // batch's embeddings — the embedding column streams through a semi
+    // join, so a 100k × 1024-dim batch never lands on the driver (r15
+    // verdict #2). The vector cursor is NEVER counted or used: the
+    // unified ledger carries the TOKEN cursor, so `vec/_cursor` is
+    // never written and `v.cursor` echoes the 0 passed here
+    // (countCursor = false skips the one wasted count job per batch —
+    // r15 ADVICE).
+    val vecIn = batch
       .filter(col("embedding").isNotNull)
-    val v = VectorFlow.decide(dir + "/vec", vecIn, 0L, vec)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+      .join(broadcast(g.kept.select(col("doc_id").as("vec_id"))),
+        Seq("vec_id"), "left_semi")
+    val v = VectorFlow.decide(dir + "/vec", vecIn, 0L, vec,
+      countCursor = false)
     val semDrops = v.decisions
       .filter(col("status").isin("exact_history", "exact_batch",
         "neardup_history", "neardup_batch"))

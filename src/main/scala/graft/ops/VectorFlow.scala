@@ -95,12 +95,24 @@ object VectorFlow {
     * diversity rule against the COMPONENT mean; ties by min id).
     * History keepers always win regardless — the policy never
     * overrides first-wins across batches.
+    *
+    * `maxBatchBroadcastRows` bounds the BATCH-EMBEDDING broadcasts in
+    * the verification stage (r15 verdict #2): the candidate-verify
+    * joins ship the batch's (vec_id, embedding) rows to every executor,
+    * which is the right plan while a micro-batch is broadcast-sized
+    * (the soaked 10-20k × dim-32 shape is ~3 MB) but a 100k × 1024-dim
+    * float batch is ~400 MB on the driver — past the comfort zone. A
+    * batch whose VALID row count exceeds the dial takes a shuffle-join
+    * route with identical decisions (VectorFlowSpec pins it); size the
+    * dial so rows × dim × 4 B stays well under
+    * `spark.sql.autoBroadcastJoinThreshold`-scale memory per executor.
     */
   final case class Params(minCos: Double = 0.99, bits: Int = 8,
                           seed: Long = 42L, dim: Int = -1,
                           families: Int = 1, buckets: Int = 16,
                           maxBucket: Int = Int.MaxValue,
-                          keeper: Similarity.KeepRule = Similarity.KeepMinId)
+                          keeper: Similarity.KeepRule = Similarity.KeepMinId,
+                          maxBatchBroadcastRows: Long = 500000L)
 
   /** [[Params]] sized by the measured rule instead of hand-solved
     * (r15): [[Similarity.sizeBands]] picks the frozen (bits, families)
@@ -149,7 +161,18 @@ object VectorFlow {
     * and nothing is wrongly dropped.
     */
   def decide(dir: String, batch: DataFrame, cursor: Long,
-             params: Params = Params()): Staged = {
+             params: Params = Params()): Staged =
+    decide(dir, batch, cursor, params, countCursor = true)
+
+  /** [[decide]] with the kept-count job made OPTIONAL (r15 ADVICE): the
+    * cursor is one aggregation over the pinned kept frame, pure waste
+    * for a composing caller that carries its own ledger and discards
+    * this flow's count ([[UnifiedFlow.decide]] — its unified ledger
+    * carries the TOKEN cursor). `countCursor = false` returns
+    * `Staged.cursor = cursor` unchanged and runs no count job.
+    */
+  def decide(dir: String, batch: DataFrame, cursor: Long,
+             params: Params, countCursor: Boolean): Staged = {
     require(cursor >= 0, s"cursor must be >= 0, got $cursor")
     val spark = batch.sparkSession
     def label(l: String): Unit =
@@ -173,7 +196,7 @@ object VectorFlow {
 
     // stage 2: exact vs history — batch digests broadcast against the
     // bucket-pruned digest-index read. matched_id = min stored keeper.
-    val digests = valid.select(col("vec_id"), digestOf.as("band"))
+    val digests = valid.select(col("vec_id"), digestOf(spark).as("band"))
     label("exhist-ckpt")
     val exHist = ckpt(
       Dedup.bandIndexPrunedStored(dir + "/digest",
@@ -186,9 +209,9 @@ object VectorFlow {
     val afterHist = valid.join(broadcast(exHist), Seq("vec_id"), "left_anti")
 
     // stage 3: exact within batch — min vec_id per digest keeps
-    val exKeep = afterHist.select(col("vec_id"), digestOf.as("dg"))
+    val exKeep = afterHist.select(col("vec_id"), digestOf(spark).as("dg"))
       .groupBy("dg").agg(min(col("vec_id")).as("keep_id"))
-    val exBatch = afterHist.select(col("vec_id"), digestOf.as("dg"))
+    val exBatch = afterHist.select(col("vec_id"), digestOf(spark).as("dg"))
       .join(exKeep, Seq("dg"))
       .filter(col("vec_id") =!= col("keep_id"))
       .select(col("vec_id"), col("keep_id").as("matched_id"))
@@ -258,9 +281,19 @@ object VectorFlow {
       val storedEmb = vectorStoreFetch(spark, dir + "/vectors",
         histCand.select(col("doc_b").as("vec_id")).distinct(),
         params.buckets)
+      // batch-embedding broadcast GUARD (r15 verdict #2): the three
+      // verification joins ship the batch's (vec_id, embedding) rows —
+      // fine at micro-batch scale, ~400 MB of driver memory at
+      // 100k × 1024-dim. `valid` is checkpoint-pinned, so the count
+      // reads materialized blocks (no recompute); an over-bound batch
+      // takes the shuffle-join route, decisions identical.
+      label("bcast-guard-count")
+      val embBc: DataFrame => DataFrame =
+        if (valid.count() <= params.maxBatchBroadcastRows) broadcast
+        else (df: DataFrame) => df
       label("verified-ckpt")
       val verified = ckpt(histCand
-        .join(broadcast(valid.select(col("vec_id").as("doc_a"),
+        .join(embBc(valid.select(col("vec_id").as("doc_a"),
           col("embedding").as("emb_a"))), Seq("doc_a"))
         .join(storedEmb.select(col("vec_id").as("doc_b"),
           col("embedding").as("emb_b")), Seq("doc_b"))
@@ -268,9 +301,9 @@ object VectorFlow {
         .unionByName(flagged
           .filter(col("a_in").isNotNull && col("b_in").isNotNull)
           .select(col("doc_a"), col("doc_b"))
-          .join(broadcast(valid.select(col("vec_id").as("doc_a"),
+          .join(embBc(valid.select(col("vec_id").as("doc_a"),
             col("embedding").as("emb_a"))), Seq("doc_a"))
-          .join(broadcast(valid.select(col("vec_id").as("doc_b"),
+          .join(embBc(valid.select(col("vec_id").as("doc_b"),
             col("embedding").as("emb_b"))), Seq("doc_b"))
           .withColumn("hist", lit(false)))
         .filter(Similarity.cosine(col("emb_a"), col("emb_b")) >= params.minCos)
@@ -336,8 +369,12 @@ object VectorFlow {
     val kept = tail.filter(col("vec_id") === col("keep_id"))
       .select(col("vec_id"), col("embedding"))
 
-    label("cursor-count")
-    val newCursor = cursor + kept.count()
+    val newCursor =
+      if (!countCursor) cursor
+      else {
+        label("cursor-count")
+        cursor + kept.count()
+      }
     spark.sparkContext.setJobDescription(null)
     def reason(ids: DataFrame, r: String): DataFrame =
       ids.select(col("vec_id"), lit(r).as("status"),
@@ -374,7 +411,8 @@ object VectorFlow {
     // validate against the frozen contract (never stamps — only a
     // decide with dimension evidence creates the sidecar); the stamped
     // dim drives the replay path's band re-derivation
-    val dAuth = freezeParams(kept.sparkSession, dir, params,
+    val spark = kept.sparkSession
+    val dAuth = freezeParams(spark, dir, params,
       inferred = None, stamp = false)
     // defensive validity filter (r15): replay/compose callers hand raw
     // batch-joined rows, and a null or degenerate embedding here would
@@ -384,7 +422,7 @@ object VectorFlow {
       Similarity.l2Norm(col("embedding")) > 0d &&
       dAuth.map(dd => size(col("embedding")) === dd).getOrElse(lit(true)))
     Dedup.bandIndexAppendPrecomputed(dir + "/digest",
-      clean.select(col("vec_id").as("doc_id"), digestOf.as("band")),
+      clean.select(col("vec_id").as("doc_id"), digestOf(spark).as("band")),
       params.buckets)
     // a decide-supplied pinned home-band table skips the second
     // hyperplane-signature derivation; the no-bands form (the streaming
@@ -423,9 +461,18 @@ object VectorFlow {
       if (stamp && dOpt.isDefined) {
         val mine = s"""{"bits":${p.bits},"seed":${p.seed},""" +
           s""""dim":${dOpt.get},"families":${p.families},""" +
-          s""""buckets":${p.buckets}}"""
-        val out = fs.create(f, true)
+          s""""buckets":${p.buckets},"digestv":$DigestVersion}"""
+        // tmp + checked rename (the cursor ledger's swap discipline,
+        // r15 ADVICE): an in-place create torn by a crash left a
+        // corrupt sidecar every later entry refused with no recovery
+        // path; a torn TMP is invisible — the next decide re-stamps
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          "_graft_vecflow.json.tmp")
+        val out = fs.create(tmp, true)
         try out.write(mine.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, f))
+          throw new java.io.IOException(
+            s"params sidecar rename failed: $tmp -> $f")
       }
       dOpt
     } else {
@@ -437,11 +484,21 @@ object VectorFlow {
         while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
         buf.toString("UTF-8")
       } finally in.close()
-      def field(k: String): Long =
+      def fieldOpt(k: String): Option[Long] =
         (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(body)
           .map(_.group(1).toLong)
-          .getOrElse(throw new java.io.IOException(
-            s"corrupt VectorFlow params sidecar $f: $body"))
+      def field(k: String): Long = fieldOpt(k)
+        .getOrElse(throw new java.io.IOException(
+          s"corrupt VectorFlow params sidecar $f: $body"))
+      // digest-format version gate: a store stamped before r16 keyed
+      // its digest index on Spark's float-to-string rendering; probing
+      // it with binary-bit digests would silently miss every historical
+      // exact duplicate — refuse loudly instead
+      require(fieldOpt("digestv").getOrElse(1L) == DigestVersion,
+        s"$dir was built with digest format v" +
+          s"${fieldOpt("digestv").getOrElse(1L)} (pre-binary-digest); " +
+          s"this build writes v$DigestVersion — rebuild the corpus into " +
+          "a fresh dir (the digest index keys are incompatible)")
       require(field("bits") == p.bits && field("seed") == p.seed &&
         field("families") == p.families && field("buckets") == p.buckets &&
         (p.dim <= 0 || p.dim.toLong == field("dim")),
@@ -456,12 +513,21 @@ object VectorFlow {
     }
   }
 
-  /** Content digest of the embedding column: md5 of the array's string
-    * form (element-wise Float.toString — deterministic per bit
-    * pattern). The digest is an index KEY, so the cast must be stable,
-    * not pretty.
+  /** Content digest of the embedding column: md5 over the array's raw
+    * IEEE-754 bit image ([[graft.functions.FloatBitsF]] — 4 big-endian
+    * bytes per element from `Float.floatToRawIntBits`). The digest is a
+    * PERSISTED index key, so it must be independent of any rendering
+    * behavior: the previous form hashed `cast(array<float> as string)`,
+    * and Spark's float-to-string rendering changed across majors — an
+    * engine upgrade mid-corpus would have silently orphaned every
+    * historical digest, re-admitting exact duplicates (r15 ADVICE).
+    * The sidecar's `digestv` field versions the format: a store stamped
+    * under the old string digest is refused loudly, never silently
+    * probed with keys from a different space.
     */
-  private def digestOf: Column = md5(col("embedding").cast("string"))
+  private[graft] val DigestVersion = 2L
+  private def digestOf(spark: org.apache.spark.sql.SparkSession): Column =
+    md5(graft.functions.FloatBitsF.floatBits(spark, "embedding"))
 
   /** The kept-vector store's bucket key. */
   private def vbktOf(buckets: Int): Column =

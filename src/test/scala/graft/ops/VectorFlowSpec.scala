@@ -246,6 +246,47 @@ class VectorFlowSpec extends SparkTestBase {
     assert(minId.cursor === 1L && diverse.cursor === 1L)
   }
 
+  test("broadcast guard: an over-bound batch takes the shuffle-join route with identical decisions") {
+    // maxBatchBroadcastRows = 1 forces EVERY batch past the dial, so the
+    // three verification joins run without the batch-embedding broadcast
+    // — decisions and matches must be bit-identical to the default route
+    val p = VectorFlow.Params(minCos = 0.99, dim = Dim)
+    val guarded = p.copy(maxBatchBroadcastRows = 1L)
+    def drive(dir: String, pp: VectorFlow.Params) = {
+      val w1 = VectorFlow.ingest(dir, df(Seq(10L -> rot(0), 20L -> rot(0.08),
+        30L -> rot(1.5))), 0L, pp)
+      val w2 = VectorFlow.ingest(dir, df(Seq(40L -> rot(0.05),
+        50L -> rot(1.52), 60L -> rot(3.0))), w1.cursor, pp)
+      (statuses(w1.decisions) ++ statuses(w2.decisions),
+        matches(w1.decisions) ++ matches(w2.decisions), w2.cursor)
+    }
+    val (stB, mB, cB) = drive(tmp("vguard_b"), p)
+    val (stS, mS, cS) = drive(tmp("vguard_s"), guarded)
+    assert(stS === stB && mS === mB && cS === cB)
+    // sanity: the scenario exercises both history and batch verification
+    assert(stB(40L) === "neardup_history" && stB(50L) === "neardup_history")
+  }
+
+  test("digest format is versioned: a pre-binary-digest store is refused loudly") {
+    val p = VectorFlow.Params(dim = Dim)
+    val dir = tmp("vdigv")
+    // fake an r15-era sidecar: same frozen params, no digestv field —
+    // its digest index keys were md5(cast-to-string), a different space
+    new java.io.File(dir).mkdirs()
+    val w = new java.io.PrintWriter(s"$dir/_graft_vecflow.json")
+    try w.write(s"""{"bits":8,"seed":42,"dim":$Dim,"families":1,"buckets":16}""")
+    finally w.close()
+    val e = intercept[IllegalArgumentException] {
+      VectorFlow.ingest(dir, df(Seq(1L -> rot(0))), 0L, p)
+    }
+    assert(e.getMessage.contains("digest format"), e.getMessage)
+    // and a fresh store stamps the current version
+    val dir2 = tmp("vdigv2")
+    VectorFlow.ingest(dir2, df(Seq(1L -> rot(0))), 0L, p)
+    val body = scala.io.Source.fromFile(s"$dir2/_graft_vecflow.json").mkString
+    assert(body.contains(s""""digestv":${VectorFlow.DigestVersion}"""), body)
+  }
+
   test("vector store: bucket count frozen; fetch prunes to touched buckets") {
     val p = VectorFlow.Params(dim = Dim, buckets = 8)
     val dir = tmp("vstore")
