@@ -610,6 +610,10 @@ object Dedup {
 
   /** Heal a band index left mid-[[bandIndexCompact]] by a crash: promote
     * a complete tmp when the live dir is gone, then clear leftovers.
+    * Also heals a torn [[bucketedRemove]] (r16): a bucket whose live dir
+    * is missing gets its aside restored — the removal UNDOES, and the
+    * caller's replay contract re-runs it (idempotent: removing absent
+    * rows is a no-op); leftover stage dirs are dropped.
     */
   private[graft] def recoverBandIndex(fs: org.apache.hadoop.fs.FileSystem,
                                       path: String): Unit = {
@@ -619,6 +623,92 @@ object Dedup {
     if (!fs.exists(p) && fs.exists(tmp)) renameOrThrow(fs, tmp, p)
     if (fs.exists(aside)) fs.delete(aside, true)
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    val rmAside = new org.apache.hadoop.fs.Path(path, RmAside)
+    if (fs.exists(rmAside)) {
+      fs.listStatus(rmAside).foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(p, st.getPath.getName)
+        if (fs.exists(live)) fs.delete(st.getPath, true)
+        else renameOrThrow(fs, st.getPath, live)
+      }
+      fs.delete(rmAside, true)
+    }
+    val rmTmp = new org.apache.hadoop.fs.Path(path, RmTmp)
+    if (fs.exists(rmTmp)) fs.delete(rmTmp, true)
+  }
+
+  // removal stage dirs live INSIDE the index (dot-prefixed — hidden from
+  // parquet listings), so the whole-dir compact swap carries them along
+  private val RmTmp = ".rm_tmp"
+  private val RmAside = ".rm_aside"
+
+  /** Remove every row of `ids` from the TOUCHED buckets of a bucketed
+    * index — the surgical DELETE the retroactive late-embedding
+    * correction needs ([[VectorFlow]]'s eviction path): only the buckets
+    * the removed docs' keys hash to are read and rewritten, never the
+    * index (the probe side's pruning discipline applied to mutation).
+    * Schema-generic like [[compactSwap]].
+    *
+    * Crash contract, per touched bucket: the replacement is written
+    * FULLY under `.rm_tmp/` first, then live→`.rm_aside/`, tmp→live,
+    * aside dropped. [[recoverBandIndex]] (called at every index entry
+    * point) restores the aside of any bucket left live-less — a torn
+    * removal UNDOES, never loses surviving rows, and the caller's
+    * replay re-runs it (removing already-removed ids is a no-op). A
+    * bucket emptied entirely by the removal has no tmp dir and simply
+    * loses its live dir (explicit-schema reads tolerate missing
+    * buckets). Single-writer contract like every index mutation here.
+    */
+  private[graft] def bucketedRemove(spark: org.apache.spark.sql.SparkSession,
+                                    path: String,
+                                    schema: org.apache.spark.sql.types.StructType,
+                                    bktCol: String, idCol: String,
+                                    ids: DataFrame,
+                                    touched: Seq[Int]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (touched.isEmpty || !fs.exists(p)) return
+    val remain = spark.read.schema(schema).parquet(path)
+      .filter(col(bktCol).isInCollection(touched))
+      .join(broadcast(ids.select(col(idCol)).distinct()), Seq(idCol),
+        "left_anti")
+    val tmpRoot = new org.apache.hadoop.fs.Path(p, RmTmp)
+    val asideRoot = new org.apache.hadoop.fs.Path(p, RmAside)
+    remain.repartition(col(bktCol))
+      .write.mode("overwrite").partitionBy(bktCol)
+      .parquet(tmpRoot.toString)
+    fs.mkdirs(asideRoot)
+    touched.foreach { b =>
+      val liveB = new org.apache.hadoop.fs.Path(p, s"$bktCol=$b")
+      val asideB = new org.apache.hadoop.fs.Path(asideRoot, s"$bktCol=$b")
+      val tmpB = new org.apache.hadoop.fs.Path(tmpRoot, s"$bktCol=$b")
+      if (fs.exists(liveB)) renameOrThrow(fs, liveB, asideB)
+      if (fs.exists(tmpB)) renameOrThrow(fs, tmpB, liveB)
+      if (fs.exists(asideB)) fs.delete(asideB, true)
+    }
+    fs.delete(asideRoot, true)
+    fs.delete(tmpRoot, true)
+  }
+
+  /** [[bucketedRemove]] over a band index: drop every row of the
+    * removal docs from the buckets their band strings hash to. The
+    * caller supplies ALL of each doc's bands (digest = one row; home
+    * signatures = `families` rows) — they define the touched-bucket
+    * set, so an incomplete band list would leave orphan rows in
+    * untouched buckets.
+    */
+  def bandIndexRemove(path: String, removals: DataFrame,
+                      buckets: Int = 16): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = removals.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverBandIndex(fs, path)
+    bandLayout(fs, path, buckets)
+    val touched = removals.select(col("band"))
+      .withColumn("bkt", bktOf(buckets))
+      .select("bkt").distinct().collect().map(_.getInt(0)).sorted
+    bucketedRemove(spark, path, bandSchemaBkt, "bkt", "doc_id",
+      removals.select("doc_id"), touched.toSeq)
   }
 
   /** [[lshIncrementalCandidatesBounded]]'s result: the candidate pairs

@@ -55,14 +55,18 @@ object UnifiedFlow {
                           vecOverflow: DataFrame, keptBands: DataFrame,
                           keptVecs: DataFrame, keptVecBands: DataFrame)
 
-  /** [[decide]] then [[commit]] — the batch-job form. */
+  /** [[decide]] then [[commit]] — the batch-job form. `prio` stamps the
+    * kept vectors' keep order (the batch/wave id) in the vector store —
+    * the election key a later [[lateEmbeddings]] pass needs.
+    */
   def ingest(dir: String, batch: DataFrame, bench: DataFrame,
              cursor: Long, budget: Long = 256L, buckets: Int = 16,
              maxBucket: Int = Int.MaxValue,
-             vec: VectorFlow.Params = VectorFlow.Params()): Result = {
+             vec: VectorFlow.Params = VectorFlow.Params(),
+             prio: Long = 0L): Result = {
     val staged = decide(dir, batch, bench, cursor, budget, buckets,
       maxBucket, vec)
-    commit(dir, staged, buckets, vec)
+    commit(dir, staged, buckets, vec, prio)
     Result(staged.decisions, staged.cursor)
   }
 
@@ -140,15 +144,45 @@ object UnifiedFlow {
       v.kept, v.keptBands)
   }
 
+  /** The LATE-EMBEDDING correction pass for the unified corpus (r15
+    * verdict #1): embeddings computed asynchronously — arriving AFTER
+    * their doc was text-kept — get the retroactive semantic pass the
+    * on-time path would have run, against the SAME `dir/vec` stores
+    * the unified build maintains. Delegates to
+    * [[VectorFlow.lateDecide]]/[[VectorFlow.lateCommit]] with ids
+    * renamed to the doc keyspace; `late` is (doc_id, embedding, prio)
+    * where prio is the doc's original keep batch (join the decisions
+    * artifact's `batch_id`, or the wave number in batch jobs).
+    *
+    * Returned corrections (doc_id, status, matched_id):
+    * `embdup_late`/`semdup_late` flag the LOSING doc — whichever side
+    * arrived late — with the winner in matched_id; `attached` docs'
+    * vectors joined the corpus; `invalid` embeddings left their doc
+    * untouched. An evicted doc's vector rows are REMOVED from all
+    * three vec stores (touched-bucket staged swaps); its text-side
+    * state is flagged, not unwound (packed sequences are immutable
+    * history; its text index rows chain through the duplicate map).
+    * With every embedding fed on time this pass is a no-op — and fed
+    * late, the final kept set and duplicate map are row-identical to
+    * the everything-on-time recompute (UnifiedFlowSpec pins it).
+    */
+  def lateEmbeddings(dir: String, late: DataFrame,
+                     vec: VectorFlow.Params = VectorFlow.Params())
+      : DataFrame =
+    VectorFlow.lateIngest(dir + "/vec",
+        late.withColumnRenamed("doc_id", "vec_id"), vec)
+      .withColumnRenamed("vec_id", "doc_id")
+
   /** Append the decided batch's kept corpus to BOTH modal stores —
     * text digests+bands at the root, the kept valid vectors under
     * `dir/vec/` (kept-only indexing across modalities; every frame is
     * checkpoint-pinned or a filter of one).
     */
   def commit(dir: String, staged: Staged, buckets: Int = 16,
-             vec: VectorFlow.Params = VectorFlow.Params()): Unit = {
+             vec: VectorFlow.Params = VectorFlow.Params(),
+             prio: Long = 0L): Unit = {
     CurationFlow.commit(dir, staged.kept, buckets, Some(staged.keptBands))
     VectorFlow.commit(dir + "/vec", staged.keptVecs, vec,
-      Some(staged.keptVecBands))
+      Some(staged.keptVecBands), prio)
   }
 }

@@ -138,11 +138,13 @@ object VectorFlow {
       families = fams, buckets = buckets, maxBucket = maxBucket)
   }
 
-  /** [[decide]] then [[commit]] — the batch-job form. */
+  /** [[decide]] then [[commit]] — the batch-job form. `prio` stamps the
+    * kept vectors' keep order in the store (see [[vectorStoreAppend]]).
+    */
   def ingest(dir: String, batch: DataFrame, cursor: Long,
-             params: Params = Params()): Result = {
+             params: Params = Params(), prio: Long = 0L): Result = {
     val staged = decide(dir, batch, cursor, params)
-    commit(dir, staged.kept, params, Some(staged.keptBands))
+    commit(dir, staged.kept, params, Some(staged.keptBands), prio)
     Result(staged.decisions, staged.cursor)
   }
 
@@ -407,7 +409,7 @@ object VectorFlow {
     * aggregation).
     */
   def commit(dir: String, kept: DataFrame, params: Params = Params(),
-             keptBands: Option[DataFrame] = None): Unit = {
+             keptBands: Option[DataFrame] = None, prio: Long = 0L): Unit = {
     // validate against the frozen contract (never stamps — only a
     // decide with dimension evidence creates the sidecar); the stamped
     // dim drives the replay path's band re-derivation
@@ -433,7 +435,373 @@ object VectorFlow {
           params.bits, params.seed,
           dAuth.getOrElse(params.dim), params.families)),
       params.buckets)
-    vectorStoreAppend(dir + "/vectors", clean, params.buckets)
+    vectorStoreAppend(dir + "/vectors", clean, params.buckets, prio)
+  }
+
+  /** [[lateDecide]]'s return: the correction rows plus the three
+    * precomputed commit inputs — the vectors to ATTACH (vec_id,
+    * embedding, prio — stage-survivors joining the corpus), their home
+    * bands, and the stored rows to EVICT (vec_id, embedding, prio —
+    * the embedding is carried so the commit can recompute the loser's
+    * digest + home bands for the touched-bucket removals), and the
+    * hot-bucket overflow report (empty on the exact route).
+    */
+  final case class LateStaged(corrections: DataFrame, attach: DataFrame,
+                              attachBands: DataFrame, evict: DataFrame,
+                              overflow: DataFrame)
+
+  /** The LATE-EMBEDDING retroactive pass (r15 verdict #1): in a real
+    * multimodal pipeline embeddings are computed asynchronously, hours
+    * after the crawl — a doc kept WITHOUT its embedding was never
+    * semantically deduped, and a doc kept WITH one may retroactively
+    * turn out to be the semantic dup of an older doc whose embedding
+    * only just arrived. This pass reconciles the vector corpus:
+    *
+    * Input: (vec_id, embedding, prio) — `prio` is the doc's ORIGINAL
+    * keep order (the ingest batch id its doc was text-kept at; absent
+    * or null = 0). The election key is (prio, vec_id) ascending —
+    * everywhere [[decide]] says "history wins", this pass says "the
+    * EARLIER-KEPT doc wins", which is what the everything-on-time
+    * recompute would have decided.
+    *
+    * Correction statuses, one row per affected doc (`matched_id` = the
+    * winner; the loser side is the row's vec_id, whichever side
+    * arrived late):
+    *   - `invalid` — null/mis-dimensioned/zero-norm late embedding;
+    *     the doc stays kept, contributes no vector (decide's gate);
+    *   - `embdup_late` / `semdup_late` on a LATE row — its vector is an
+    *     exact / cosine≥minCos dup of an earlier-keyed keeper (stored
+    *     or in this late batch); the doc is retroactively a duplicate;
+    *   - `embdup_late` / `semdup_late` on a STORED row — an arriving
+    *     earlier-keyed vector beat it: the row is EVICTED from all
+    *     three vector stores (touched-bucket staged-swap removals,
+    *     [[Dedup.bucketedRemove]]);
+    *   - `attached` — the late vector joins the corpus (all three
+    *     stores, at its prio);
+    *   - `redundant_late` — the id is ALREADY in the corpus with this
+    *     exact content (a cross-batch redelivery): nothing appends,
+    *     nothing evicts. A same-id redelivery with DIFFERENT content
+    *     is outside the feed contract (each doc's embedding arrives
+    *     once; the ledger dedupes whole-batch replays).
+    *
+    * Election discipline, exactly [[decide]]'s two-stage shape with
+    * (prio, id) keys: stage A drops late rows beaten by a stored
+    * keeper; stage B elects min-key keepers inside batch-internal
+    * verified components of the survivors (edges to stage-A losers
+    * carry no justification); stage C evicts stored rows beaten by an
+    * ATTACHING winner — a late row that itself lost can evict nobody.
+    * Every near drop/evict is TRUE-cosine-verified through the pruned
+    * store fetch (the flow's collision-can-never-wrongly-drop
+    * contract). Stated limit, like the star route's: a chain x~y~z
+    * (x̸~z) with interleaved prios can diverge from a full
+    * arrival-order replay — components that are cliques (the real
+    * duplicate shape at these thresholds) reproduce the on-time
+    * verdicts exactly (UnifiedFlowSpec pins the equivalence).
+    *
+    * What this pass does NOT do (documented divergences from the full
+    * on-time recompute): an evicted doc's TEXT-side state is flagged,
+    * not unwound — its packed sequences stand (training artifacts are
+    * immutable history) and its text digest/bands stay indexed, so a
+    * future copy of its text dups against it and resolves through the
+    * duplicate map's chain (loser → winner). Past drops whose
+    * matched_id is now evicted are not re-adjudicated — the map chains
+    * (x → evicted → winner).
+    */
+  def lateDecide(dir: String, late: DataFrame,
+                 params: Params = Params()): LateStaged = {
+    val spark = late.sparkSession
+    def label(l: String): Unit =
+      spark.sparkContext.setJobDescription(s"vlate:$l")
+    val withPrio =
+      if (late.columns.contains("prio"))
+        late.select(col("vec_id"), col("embedding"),
+          coalesce(col("prio"), lit(0L)).as("prio"))
+      else late.select(col("vec_id"), col("embedding"),
+        lit(0L).as("prio"))
+    val key = struct(col("prio"), col("vec_id"))
+
+    // gate (decide's stage 1, sidecar-frozen dim authoritative)
+    label("infer-dim")
+    val inferred =
+      if (params.dim > 0) Some(params.dim)
+      else Similarity.inferDimOpt(withPrio, "embedding")
+    val d = freezeParams(spark, dir, params, inferred, stamp = true)
+      .orElse(inferred).getOrElse(1)
+    label("valid-ckpt")
+    val valid = ckpt(withPrio.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === d &&
+      Similarity.l2Norm(col("embedding")) > 0d))
+
+    // in-batch exact dedup first (decide's stage 3, min-KEY keeper)
+    val dg = valid.select(col("vec_id"), col("prio"),
+      digestOf(spark).as("dg"))
+    val dgKeep = dg.groupBy("dg")
+      .agg(min_by(col("vec_id"), struct(col("prio"), col("vec_id")))
+        .as("keep_id"))
+    val exBatch = dg.join(dgKeep, Seq("dg"))
+      .filter(col("vec_id") =!= col("keep_id"))
+      .select(col("vec_id"), col("keep_id").as("matched_id"))
+    label("afterexb-ckpt")
+    val afterExB = ckpt(valid.join(broadcast(exBatch.select("vec_id")),
+      Seq("vec_id"), "left_anti"))
+
+    // candidates vs history: exact digest matches + Hamming≤1 probes
+    val digests = afterExB.select(col("vec_id"), digestOf(spark).as("band"))
+    label("exhist-ckpt")
+    val exHistPairs = ckpt(
+      Dedup.bandIndexPrunedStored(dir + "/digest",
+          digests.select(col("vec_id").as("doc_id"), col("band")),
+          params.buckets)
+        .join(broadcast(digests.select(col("band"),
+          col("vec_id").as("l_id"))), Seq("band"))
+        .select(col("l_id"), col("doc_id").as("s_id")).distinct())
+    label("signed-ckpt")
+    val (home, probes) = Similarity.signedBatch(afterExB, "vec_id",
+      "embedding", params.bits, params.seed, d, params.families)
+    val stored = Dedup.bandIndexPrunedStored(dir + "/bands", probes,
+      params.buckets)
+    val (rawNear, overflow) =
+      if (params.maxBucket == Int.MaxValue)
+        (stored.unionByName(home)
+          .join(broadcast(probes.select(col("doc_id").as("doc_n"),
+              col("band").as("band_n"))),
+            col("band") === col("band_n") && col("doc_id") =!= col("doc_n"))
+          .select(least(col("doc_id"), col("doc_n")).as("doc_a"),
+            greatest(col("doc_id"), col("doc_n")).as("doc_b"))
+          .distinct(), emptyOverflow(spark))
+      else {
+        val searched = stored.withColumn("is_new", lit(false))
+          .unionByName(home.withColumn("is_new", lit(true)))
+        val b = Dedup.boundedProbeCandidates(searched, probes,
+          params.maxBucket)
+        (b.pairs, ckpt(b.overflow))
+      }
+    label("near-ckpt")
+    val nearPairs = ckpt(rawNear)
+
+    label("empty-probe")
+    val (lostA, lostB, attach, evictWin, evictRows, redundant) =
+      if (exHistPairs.isEmpty && nearPairs.isEmpty) {
+        // no candidates anywhere (the common clean-feed case): nothing
+        // drops, nothing evicts, every gated survivor attaches
+        val noLoss = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("matched_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("is_exact",
+              org.apache.spark.sql.types.BooleanType))))
+        (noLoss, noLoss.drop("is_exact"), afterExB, noLoss,
+          vectorStoreFetch(spark, dir + "/vectors",
+            afterExB.select("vec_id").limit(0), params.buckets),
+          noLoss.select("vec_id"))
+      } else {
+        // a REDELIVERED embedding (id already in the corpus, identical
+        // content) self-matches through the digest index: it needs no
+        // decision and must neither re-append nor evict — corrections
+        // say `redundant_late` (the cross-batch analog of the ledger's
+        // replay dedupe; a same-id redelivery with DIFFERENT content is
+        // outside the feed contract and would attach a second vector)
+        val selfIds = ckpt(exHistPairs.filter(col("l_id") === col("s_id"))
+          .select(col("l_id").as("vec_id")).distinct())
+        // orient the near pairs: (late, stored) and (late, late)
+        val batchIds = afterExB.select(col("vec_id"))
+        val flagged = nearPairs
+          .join(broadcast(batchIds.select(col("vec_id").as("a_id"),
+            lit(true).as("a_in"))), col("doc_a") === col("a_id"), "left")
+          .join(broadcast(batchIds.select(col("vec_id").as("b_id"),
+            lit(true).as("b_in"))), col("doc_b") === col("b_id"), "left")
+        val nearHist = flagged
+          .filter(col("a_in").isNull || col("b_in").isNull)
+          .select(
+            when(col("a_in").isNotNull, col("doc_a")).otherwise(col("doc_b"))
+              .as("l_id"),
+            when(col("a_in").isNotNull, col("doc_b")).otherwise(col("doc_a"))
+              .as("s_id"))
+        // one pruned fetch serves verification AND the eviction rows
+        label("store-fetch")
+        val storedEmb = ckpt(vectorStoreFetch(spark, dir + "/vectors",
+          exHistPairs.select(col("s_id").as("vec_id"))
+            .unionByName(nearHist.select(col("s_id").as("vec_id")))
+            .distinct(),
+          params.buckets))
+        label("bcast-guard-count")
+        val embBc: DataFrame => DataFrame =
+          if (valid.count() <= params.maxBatchBroadcastRows) broadcast
+          else (df: DataFrame) => df
+        // verified (late, stored) pairs with both keys and the pair kind
+        label("histpairs-ckpt")
+        val histPairs = ckpt(exHistPairs.withColumn("is_exact", lit(true))
+          .unionByName(nearHist.withColumn("is_exact", lit(false)))
+          .join(embBc(afterExB.select(col("vec_id").as("l_id"),
+            col("embedding").as("emb_l"), col("prio").as("l_prio"))),
+            Seq("l_id"))
+          .join(storedEmb.select(col("vec_id").as("s_id"),
+            col("embedding").as("emb_s"), col("prio").as("s_prio")),
+            Seq("s_id"))
+          .filter(col("is_exact") ||
+            Similarity.cosine(col("emb_l"), col("emb_s")) >= params.minCos)
+          .groupBy("l_id", "s_id", "l_prio", "s_prio")
+          .agg(max(col("is_exact")).as("is_exact")))
+        // redundant rows decide nothing: drop their pairs' LATE side
+        // (they may still stand as the STORED side other rows lose to)
+        val histEff = histPairs.filter(col("l_id") =!= col("s_id"))
+          .join(broadcast(selfIds.select(col("vec_id").as("l_id"))),
+            Seq("l_id"), "left_anti")
+        // stage A: a late row beaten by an earlier-keyed stored keeper
+        val lKey = struct(col("l_prio"), col("l_id"))
+        val sKey = struct(col("s_prio"), col("s_id"))
+        label("losta-ckpt")
+        val lostA = ckpt(histEff.filter(sKey < lKey)
+          .groupBy(col("l_id").as("vec_id"))
+          .agg(min_by(struct(col("s_id").as("m"),
+              col("is_exact").as("x")),
+            struct(col("s_prio"), col("s_id"))).as("w"))
+          .select(col("vec_id"), col("w.m").as("matched_id"),
+            col("w.x").as("is_exact")))
+        // stage B: batch-internal verified components of the survivors
+        val lateCand = flagged
+          .filter(col("a_in").isNotNull && col("b_in").isNotNull)
+          .select(col("doc_a"), col("doc_b"))
+        label("lateverified-ckpt")
+        val lateVerified = ckpt(lateCand
+          .join(embBc(afterExB.select(col("vec_id").as("doc_a"),
+            col("embedding").as("emb_a"))), Seq("doc_a"))
+          .join(embBc(afterExB.select(col("vec_id").as("doc_b"),
+            col("embedding").as("emb_b"))), Seq("doc_b"))
+          .filter(Similarity.cosine(col("emb_a"), col("emb_b")) >=
+            params.minCos)
+          .select(col("doc_a"), col("doc_b")))
+        val surv = afterExB.join(broadcast(lostA.select("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .join(broadcast(selfIds), Seq("vec_id"), "left_anti")
+        val edgesRem = lateVerified
+          .join(broadcast(surv.select(col("vec_id").as("doc_a"))),
+            Seq("doc_a"), "left_semi")
+          .join(broadcast(surv.select(col("vec_id").as("doc_b"))),
+            Seq("doc_b"), "left_semi")
+        label("edges-empty-probe")
+        val memb =
+          if (edgesRem.isEmpty) surv.withColumn("grp", col("vec_id"))
+          else {
+            val labels = Graph.connectedComponents(
+              edgesRem.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+            surv.join(labels.withColumnRenamed("node_id", "vec_id"),
+                Seq("vec_id"), "left")
+              .withColumn("grp", coalesce(col("component"), col("vec_id")))
+          }
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+        label("tail-ckpt")
+        val tail = ckpt(memb
+          .withColumn("keep_id",
+            min_by(col("vec_id"), struct(col("prio"), col("vec_id")))
+              .over(w))
+          .select(col("vec_id"), col("embedding"), col("prio"),
+            col("keep_id")))
+        val lostB = tail.filter(col("vec_id") =!= col("keep_id"))
+          .select(col("vec_id"), col("keep_id").as("matched_id"))
+        val attach = tail.filter(col("vec_id") === col("keep_id"))
+          .select(col("vec_id"), col("embedding"), col("prio"))
+        // stage C: stored rows beaten by an ATTACHING winner are evicted
+        label("evict-ckpt")
+        val evictWin = ckpt(histEff
+          .join(broadcast(attach.select(col("vec_id").as("l_id"))),
+            Seq("l_id"), "left_semi")
+          .filter(lKey < sKey)
+          .groupBy(col("s_id"))
+          .agg(min_by(struct(col("l_id").as("m"), col("is_exact").as("x")),
+            struct(col("l_prio"), col("l_id"))).as("w"))
+          .select(col("s_id").as("vec_id"), col("w.m").as("matched_id"),
+            col("w.x").as("is_exact")))
+        val evictRows = storedEmb.join(broadcast(evictWin.select("vec_id")),
+          Seq("vec_id"), "left_semi")
+        (lostA, lostB, attach, evictWin, evictRows, selfIds)
+      }
+    spark.sparkContext.setJobDescription(null)
+
+    val nullM = lit(null).cast("long").as("matched_id")
+    def kindStatus(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        when(col("is_exact"), "embdup_late").otherwise("semdup_late")
+          .as("status"),
+        col("matched_id").cast("long").as("matched_id"))
+    val corrections = withPrio
+      .join(broadcast(valid.select("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit("invalid").as("status"), nullM)
+      .unionByName(exBatch.select(col("vec_id"),
+        lit("embdup_late").as("status"),
+        col("matched_id").cast("long").as("matched_id")))
+      .unionByName(kindStatus(lostA))
+      .unionByName(lostB.select(col("vec_id"),
+        lit("semdup_late").as("status"),
+        col("matched_id").cast("long").as("matched_id")))
+      .unionByName(kindStatus(evictWin))
+      .unionByName(redundant.select(col("vec_id"),
+        lit("redundant_late").as("status"), nullM))
+      .unionByName(attach.select(col("vec_id"),
+        lit("attached").as("status"), nullM))
+    val attachBands = home.join(broadcast(attach.select(
+      col("vec_id").as("doc_id"))), Seq("doc_id"), "left_semi")
+    LateStaged(corrections, attach, attachBands, evictRows, overflow)
+  }
+
+  /** Apply a [[lateDecide]]d batch to the three stores: evictions
+    * first — digest, bands, then the vector store LAST, so a replay
+    * that still finds the vector row can recompute the loser's band
+    * strings and re-run the full removal, while a vector-less id
+    * proves all three removals completed (the fetch-first replay
+    * contract in [[graft.streaming.StreamOps]]) — then the attach
+    * appends (idempotent like [[commit]]'s). Single-writer per dir.
+    */
+  def lateCommit(dir: String, staged: LateStaged,
+                 params: Params = Params()): Unit =
+    lateCommitParts(dir, staged.attach, Some(staged.attachBands),
+      staged.evict, params)
+
+  /** [[lateCommit]] from raw parts — the streaming REPLAY path, which
+    * reconstructs attach/evict from the recorded corrections and has no
+    * pinned band table (None re-derives the home signatures).
+    */
+  private[graft] def lateCommitParts(dir: String, attach: DataFrame,
+                                     attachBands: Option[DataFrame],
+                                     evict: DataFrame,
+                                     params: Params): Unit = {
+    val spark = attach.sparkSession
+    val dAuth = freezeParams(spark, dir, params, inferred = None,
+      stamp = false)
+    if (!evict.isEmpty) {
+      Dedup.bandIndexRemove(dir + "/digest",
+        evict.select(col("vec_id").as("doc_id"),
+          digestOf(spark).as("band")), params.buckets)
+      Dedup.bandIndexRemove(dir + "/bands",
+        Similarity.embBandTable(evict, "vec_id", "embedding",
+          params.bits, params.seed, dAuth.getOrElse(params.dim),
+          params.families), params.buckets)
+      vectorStoreRemove(spark, dir + "/vectors",
+        evict.select("vec_id"), params.buckets)
+    }
+    Dedup.bandIndexAppendPrecomputed(dir + "/digest",
+      attach.select(col("vec_id").as("doc_id"),
+        digestOf(spark).as("band")), params.buckets)
+    Dedup.bandIndexAppendPrecomputed(dir + "/bands",
+      attachBands.map(_.select(col("doc_id"), col("band")))
+        .getOrElse(Similarity.embBandTable(attach, "vec_id", "embedding",
+          params.bits, params.seed, dAuth.getOrElse(params.dim),
+          params.families)),
+      params.buckets)
+    vectorStoreAppend(dir + "/vectors", attach, params.buckets)
+  }
+
+  /** [[lateDecide]] then [[lateCommit]] — the batch-job form; returns
+    * the corrections frame.
+    */
+  def lateIngest(dir: String, late: DataFrame,
+                 params: Params = Params()): DataFrame = {
+    val staged = lateDecide(dir, late, params)
+    lateCommit(dir, staged, params)
+    staged.corrections
   }
 
   /** The FROZEN-params sidecar (`_graft_vecflow.json` at the flow dir's
@@ -539,16 +907,23 @@ object VectorFlow {
     org.apache.spark.sql.types.StructField("embedding",
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("prio",
+      org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("vbkt",
       org.apache.spark.sql.types.IntegerType)))
 
-  /** Append kept (vec_id, embedding) rows under `vbkt=` directories —
-    * the band index's layout discipline (frozen bucket count via the
-    * sidecar, stamped BEFORE the first append, one file per touched
-    * bucket per batch).
+  /** Append kept (vec_id, embedding, prio) rows under `vbkt=`
+    * directories — the band index's layout discipline (frozen bucket
+    * count via the sidecar, stamped BEFORE the first append, one file
+    * per touched bucket per batch). `prio` is the doc's original KEEP
+    * ORDER (the ingest batch id) — the tiebreak the late-embedding
+    * correction elects winners by ([[lateDecide]]); stores written
+    * before r16 lack the column and read as null = 0 (earliest — a
+    * legacy keeper always wins, preserving pre-correction first-wins).
     */
   private[graft] def vectorStoreAppend(path: String, kept: DataFrame,
-                                       buckets: Int): Unit = {
+                                       buckets: Int,
+                                       prio: Long = 0L): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(kept.sparkSession.sparkContext.hadoopConfiguration)
@@ -557,7 +932,13 @@ object VectorFlow {
       legacyHint = "vector store written without a layout sidecar — " +
         "rewrite it into a fresh path with VectorFlow.commit")
     LayoutSidecar.stampAhead(fs, path, buckets)
-    kept.select(col("vec_id"), col("embedding"))
+    val withPrio =
+      if (kept.columns.contains("prio"))
+        kept.select(col("vec_id"), col("embedding"),
+          coalesce(col("prio"), lit(0L)).as("prio"))
+      else kept.select(col("vec_id"), col("embedding"),
+        lit(prio).as("prio"))
+    withPrio
       .withColumn("vbkt", vbktOf(buckets))
       .repartition(col("vbkt"))
       .write.mode("append").partitionBy("vbkt").parquet(path)
@@ -590,8 +971,31 @@ object VectorFlow {
       else spark.read.schema(vectorSchema).parquet(path)
         .filter(col("vbkt").isInCollection(touched.toSeq))
         .join(broadcast(ids), Seq("vec_id"), "left_semi")
-        .select("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding"),
+          coalesce(col("prio"), lit(0L)).as("prio"))
     }
+  }
+
+  /** Remove stored vectors by id — the eviction half of the late
+    * correction: rewrite ONLY the buckets the ids hash to
+    * ([[Dedup.bucketedRemove]]'s staged per-bucket swap, undo-safe,
+    * idempotent under replay).
+    */
+  private[graft] def vectorStoreRemove(spark: org.apache.spark.sql.SparkSession,
+                                       path: String, ids: DataFrame,
+                                       buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.recoverBandIndex(fs, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return
+    LayoutSidecar.check(fs, path, buckets,
+      legacyHint = "vector store written without a layout sidecar — " +
+        "rewrite it into a fresh path with VectorFlow.commit")
+    val touched = ids.select(vbktOf(buckets).as("vbkt")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    Dedup.bucketedRemove(spark, path, vectorSchema, "vbkt", "vec_id",
+      ids, touched.toSeq)
   }
 
   /** Fold the kept-vector store back to one file per bucket — the band

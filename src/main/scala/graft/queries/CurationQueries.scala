@@ -345,6 +345,73 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // North star — the LATE-EMBEDDING correction for the unified corpus
+    // (ops.UnifiedFlow.lateEmbeddings, the r15 verdict's #1): real
+    // multimodal pipelines compute embeddings asynchronously, hours
+    // after the crawl, so a doc can be text-kept long before its vector
+    // exists — and a LATER doc with an on-time near-identical embedding
+    // is then kept too, because there was nothing to dedup against.
+    // Scenario: wave 1 (prio 1) ingests a corpus slice with every
+    // doc_id%20==0 embedding WITHHELD; wave 2 (prio 2) ingests a second
+    // slice plus planted semantic twins of the withheld embeddings
+    // (+3M ids, fresh gate-passing text, 0.1%-nudged copies — these KEEP
+    // and index their vectors, exactly the gap); wave 3 feeds the
+    // withheld embeddings LATE at their docs' original keep order
+    // (prio 1), which must evict each planted twin's vector from all
+    // three vec stores (touched-bucket staged swaps) and correct it to
+    // semdup_late with matched_id = the original doc, while unmatched
+    // late embeddings simply attach. Output: the correction rows. No
+    // SQL oracle (seeded hyperplane family, like its q_unified_curation
+    // sibling); the late-feed ≡ everything-on-time equivalence is
+    // UnifiedFlowSpec's — driver records the rows-only check. Runs on a
+    // HALF-slice (%4 classes) — the operator under test is the
+    // correction pass, not the ingest throughput q_unified_curation
+    // already prices.
+    "q_unified_late" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding"))
+      val dir = CoreQueries.pidScopedDir("graft_unified_late", d)
+      val bench = graft.ops.CurationFlow.benchShingles(docs)
+      val base = docs.join(emb.withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"), col("n_chars"), col("embedding"))
+      def freshText(idCol: org.apache.spark.sql.Column) = {
+        val words = (0 until 20).map(j =>
+          concat(lit("u"), substring(md5(concat(idCol, lit(s"_l$j"))), 1, 7)))
+        concat(lit("the of "), concat_ws(" ", words: _*))
+      }
+      val w1in = base.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .withColumn("embedding",
+          when(pmod(col("doc_id"), lit(20)) === 0,
+            lit(null).cast("array<float>")).otherwise(col("embedding")))
+      val w1 = graft.ops.UnifiedFlow.ingest(dir.toString, w1in, bench,
+        cursor = 0L, prio = 1L)
+      val twins = emb
+        .filter(pmod(col("vec_id"), lit(40)) === 0)
+        .select((col("vec_id") * 100 + 3000001L).as("doc_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, (x * lit(1.001)).cast("float"))
+              .otherwise(x)).as("embedding"))
+        .withColumn("text", freshText(col("doc_id")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(col("doc_id"), col("text"), col("n_chars"), col("embedding"))
+      val w2in = base.filter(pmod(col("doc_id"), lit(4)) === 2)
+        .unionByName(twins)
+      val w2 = graft.ops.UnifiedFlow.ingest(dir.toString, w2in, bench,
+        cursor = w1.cursor, prio = 2L)
+      // the late feed: the withheld embeddings of docs wave 1 KEPT, at
+      // their original keep order (the decisions artifact's batch id in
+      // the streaming twin; the wave number here)
+      val late = emb.withColumnRenamed("vec_id", "doc_id")
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .join(w1.decisions.filter(col("status") === "kept")
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        .withColumn("prio", lit(1L))
+      graft.ops.UnifiedFlow.lateEmbeddings(dir.toString, late)
+        .orderBy("doc_id")
+    }),
+
     // Corpus-level boilerplate scrub (the CCNet/RefinedWeb "dedup the
     // repeated lines out of every page" stage, with non-overlapping
     // 2-token chunks standing in for lines — the driver corpus has no

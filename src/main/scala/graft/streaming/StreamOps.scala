@@ -829,7 +829,8 @@ object StreamOps {
       case Some((bid, _, _)) if bid == id =>
         val keptIds = recordedKeptIds(spark, outPath, id, "vec_id")
         graft.ops.VectorFlow.commit(indexPath,
-          batch.join(keptIds, Seq("vec_id"), "left_semi"), params)
+          batch.join(keptIds, Seq("vec_id"), "left_semi"), params,
+          prio = id)
       case led =>
         val start = led match {
           case Some((_, _, e)) => e
@@ -841,7 +842,7 @@ object StreamOps {
         graft.ops.CurationFlow.writeLedger(spark, indexPath, id, start,
           staged.cursor)
         graft.ops.VectorFlow.commit(indexPath, staged.kept, params,
-          Some(staged.keptBands))
+          Some(staged.keptBands), prio = id)
     }
     if (dueForCompact(compactEvery, id)) {
       graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/digest")
@@ -896,7 +897,8 @@ object StreamOps {
         graft.ops.CurationFlow.commit(indexPath,
           kept.select(col("doc_id"), col("text"), col("n_chars")), buckets)
         graft.ops.VectorFlow.commit(indexPath + "/vec",
-          kept.select(col("doc_id").as("vec_id"), col("embedding")), vec)
+          kept.select(col("doc_id").as("vec_id"), col("embedding")), vec,
+          prio = id)
       case led =>
         val start = led match {
           case Some((_, _, e)) => e
@@ -907,7 +909,8 @@ object StreamOps {
         writeDecisions(staged.decisions, id, outPath)
         graft.ops.CurationFlow.writeLedger(spark, indexPath, id, start,
           staged.cursor)
-        graft.ops.UnifiedFlow.commit(indexPath, staged, buckets, vec)
+        graft.ops.UnifiedFlow.commit(indexPath, staged, buckets, vec,
+          prio = id)
     }
     if (dueForCompact(compactEvery, id)) {
       graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/digest")
@@ -938,6 +941,99 @@ object StreamOps {
       .foreachBatch(unifiedStep(indexPath, outPath, bench, budget,
         buckets, maxBucket, vec, compactEvery) _)
       .start()
+
+  /** One micro-batch of the LATE-EMBEDDING correction feed against a
+    * unified corpus — [[graft.ops.UnifiedFlow.lateEmbeddings]] under
+    * the shared ledger/idempotent-partition/replay machinery. The
+    * ledger lives at `indexPath/vec` (never written by the ingest
+    * loop, whose ledger is at the unified root), carrying the
+    * cumulative ATTACHED count. Write order: lateDecide pins the
+    * corrections against the current stores → corrections land as an
+    * idempotent batch_id partition → ledger → lateCommit (evict
+    * removals, then attach appends). A ledger-committed batch never
+    * re-decides: attach rows reconstruct from the recorded `attached`
+    * ids ∩ the redelivered batch; evicted ids (correction rows NOT in
+    * the batch) re-FETCH from the vector store — still present means
+    * the removals must re-run (the commit removes vectors LAST, so a
+    * present vector row proves nothing after it completed), absent
+    * means all three did. Removals and appends are both idempotent, so
+    * the stores converge under any crash/replay interleaving.
+    *
+    * SINGLE-WRITER: the correction feed mutates the same `vec/` stores
+    * as the ingest loop — serialize them (alternate triggers, or route
+    * late embeddings through the same driver thread); two concurrent
+    * foreachBatch loops on one dir void the index contract.
+    */
+  private[graft] def lateEmbeddingStep(indexPath: String, outPath: String,
+                                       vec: graft.ops.VectorFlow.Params)
+                                      (batch: DataFrame, id: Long): Unit = {
+    val spark = batch.sparkSession
+    val vdir = indexPath + "/vec"
+    val lateIn = batch.select(col("doc_id").as("vec_id"), col("embedding"),
+      col("prio"))
+    graft.ops.CurationFlow.readLedger(spark, vdir) match {
+      case Some((bid, _, _)) if bid == id =>
+        val cor = recordedCorrections(spark, outPath, id)
+        val attach = lateIn.join(
+          cor.filter(col("status") === "attached")
+            .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val evictIds = cor.filter(col("status").isin("embdup_late",
+            "semdup_late")).select(col("doc_id").as("vec_id"))
+          .join(lateIn.select("vec_id"), Seq("vec_id"), "left_anti")
+        val evictRows = graft.ops.VectorFlow.vectorStoreFetch(spark,
+          vdir + "/vectors", evictIds, vec.buckets)
+        graft.ops.VectorFlow.lateCommitParts(vdir, attach, None,
+          evictRows, vec)
+      case led =>
+        val start = led match {
+          case Some((_, _, e)) => e
+          case None => 0L
+        }
+        val staged = graft.ops.VectorFlow.lateDecide(vdir, lateIn, vec)
+        writeDecisions(staged.corrections
+          .withColumnRenamed("vec_id", "doc_id"), id, outPath)
+        graft.ops.CurationFlow.writeLedger(spark, vdir, id, start,
+          start + staged.attach.count())
+        graft.ops.VectorFlow.lateCommit(vdir, staged, vec)
+    }
+  }
+
+  /** The LATE-EMBEDDING correction feed as a stream: each micro-batch
+    * of (doc_id, embedding, prio) rows — embeddings computed
+    * asynchronously for docs already text-kept, prio = the doc's
+    * original keep batch — runs the retroactive semantic pass against
+    * the unified corpus's `vec/` stores ([[lateEmbeddingStep]]'s
+    * ledger/replay contract; see its SINGLE-WRITER note).
+    */
+  def lateEmbeddingStream(late: DataFrame, indexPath: String,
+                          outPath: String, checkpoint: String,
+                          vec: graft.ops.VectorFlow.Params =
+                            graft.ops.VectorFlow.Params())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    late.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(lateEmbeddingStep(indexPath, outPath, vec) _)
+      .start()
+
+  /** The replay path's read of a ledger-committed late batch's
+    * correction rows ((doc_id, status) — [[recordedKeptIds]]'s
+    * explicit-schema and absent-path discipline).
+    */
+  private def recordedCorrections(spark: org.apache.spark.sql.SparkSession,
+                                  outPath: String, id: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shape = StructType(Seq(StructField("doc_id", LongType),
+      StructField("status", StringType)))
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
+    else spark.read.schema(StructType(shape.fields :+
+        StructField("batch_id", LongType))).parquet(outPath)
+      .filter(col("batch_id") === id)
+      .select("doc_id", "status").distinct()
+  }
 
   /** The replay path's read of a ledger-committed batch's kept ids.
     * Guarded for the first-ever-EMPTY-batch crash window (r15 review):

@@ -96,6 +96,70 @@ class UnifiedFlowSpec extends SparkTestBase {
     assert(w1.decisions.count() === 5L && w2.decisions.count() === 7L)
   }
 
+  test("late embeddings ≡ everything-on-time: final kept set, duplicate map, and vector corpus match the recompute") {
+    import spark.implicits._
+    val vec = VectorFlow.Params(minCos = 0.99, dim = Dim)
+    val bench = CurationFlow.benchShingles(
+      df(Seq((100L, goodText("bench"), noEmb))))
+    def mkDir() = java.nio.file.Files.createTempDirectory("unilate")
+      .toString + "/c"
+    // doc 3's embedding rot(2.0) is computed HOURS after its text was
+    // kept; doc 21 (wave 2) carries a near-identical embedding on time.
+    // ON TIME: 21 drops at the semantic stage (semdup_history m3).
+    // LATE: 21 is kept and its vector stored — then 3's embedding
+    // arrives with its original keep order (prio 0 < 21's 1), evicts
+    // 21's vector, and corrects 21 → semdup_late m3.
+    val dirA = mkDir()
+    val a1 = UnifiedFlow.ingest(dirA, df(Seq((1L, goodText("a"), rot(0)),
+      (3L, goodText("c"), rot(2.0)))), bench, 0L, vec = vec, prio = 0L)
+    val a2 = UnifiedFlow.ingest(dirA, df(Seq((21L, goodText("k"), rot(2.02)),
+      (22L, goodText("m"), rot(4.0)))), bench, a1.cursor, vec = vec,
+      prio = 1L)
+    assert(statuses(a2.decisions)(21L) === "semdup_history")
+
+    val dirB = mkDir()
+    val b1 = UnifiedFlow.ingest(dirB, df(Seq((1L, goodText("a"), rot(0)),
+      (3L, goodText("c"), noEmb))), bench, 0L, vec = vec, prio = 0L)
+    val b2 = UnifiedFlow.ingest(dirB, df(Seq((21L, goodText("k"), rot(2.02)),
+      (22L, goodText("m"), rot(4.0)))), bench, b1.cursor, vec = vec,
+      prio = 1L)
+    // before the correction, 21 is (wrongly but inevitably) kept
+    assert(statuses(b2.decisions)(21L) === "kept")
+    val cor = UnifiedFlow.lateEmbeddings(dirB,
+      Seq((3L, rot(2.0), 0L)).toDF("doc_id", "embedding", "prio")
+        .withColumn("embedding", col("embedding").cast("array<float>")),
+      vec)
+    assert(statuses(cor) === Map(3L -> "attached", 21L -> "semdup_late"))
+    assert(matches(cor) === Map(21L -> 3L))
+
+    // FINAL-STATE equivalence: kept docs, duplicate map, vector corpus
+    val onTimeKept = Set(1L, 3L, 22L)
+    val lateKept = (statuses(b1.decisions) ++ statuses(b2.decisions))
+      .filter(_._2 == "kept").keySet --
+      statuses(cor).filter(kv => kv._2 == "semdup_late" ||
+        kv._2 == "embdup_late").keySet
+    assert(lateKept === onTimeKept)
+    assert((matches(a2.decisions) ++ matches(a1.decisions)) ===
+      (matches(cor)), "duplicate maps must agree (21 -> 3)")
+    def storeIds(dir: String) = spark.read
+      .parquet(s"$dir/vec/vectors").select("vec_id").as[Long].collect().toSet
+    assert(storeIds(dirA) === storeIds(dirB) &&
+      storeIds(dirA) === Set(1L, 3L, 22L))
+
+    // FORWARD equivalence: the corrected corpus serves the next wave
+    // identically — a later near-copy of rot(2.0) drops against 3 (not
+    // the evicted 21) in BOTH worlds
+    def next(dir: String, cursor: Long) = UnifiedFlow.ingest(dir,
+      df(Seq((31L, goodText("z"), rot(2.01)))), bench, cursor, vec = vec,
+      prio = 2L)
+    val nA = next(dirA, a2.cursor)
+    val nB = next(dirB, b2.cursor)
+    assert(statuses(nA.decisions) === statuses(nB.decisions) &&
+      statuses(nA.decisions) === Map(31L -> "semdup_history"))
+    assert(matches(nA.decisions) === matches(nB.decisions) &&
+      matches(nA.decisions) === Map(31L -> 3L))
+  }
+
   test("unifiedStep: ledger replay re-commits BOTH stores; pre-ledger crash exactly-once") {
     import spark.implicits._
     val vec = VectorFlow.Params(minCos = 0.99, dim = Dim)

@@ -287,6 +287,74 @@ class VectorFlowSpec extends SparkTestBase {
     assert(body.contains(s""""digestv":${VectorFlow.DigestVersion}"""), body)
   }
 
+  private def dfP(rows: Seq[(Long, Seq[Float], Long)]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "prio")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  test("late pass: prio-keyed election — attach, drop, evict (all three stores), redundant redelivery") {
+    import spark.implicits._
+    val p = VectorFlow.Params(minCos = 0.99, dim = Dim)
+    val dir = tmp("vlate")
+    // stored corpus at keep-order (prio) 2
+    VectorFlow.ingest(dir, df(Seq(100L -> rot(0), 110L -> rot(1.5),
+      120L -> rot(0.7))), 0L, p, prio = 2L)
+    // late feed: 50 (prio 1, rot .05) beats stored 100 → attached + 100
+    // EVICTED (semdup_late, verified cosine); 200 (prio 3) loses to
+    // stored 110 → semdup_late; 60 (prio 1) exact copy of 120 →
+    // attached + 120 evicted (embdup_late); 300 clean → attached;
+    // 500/501 in-batch exact copies → lower prio 501 keeps; 400
+    // wrong-dim → invalid
+    val cor = VectorFlow.lateIngest(dir, dfP(Seq(
+      (50L, rot(0.05), 1L), (200L, rot(1.52), 3L), (60L, rot(0.7), 1L),
+      (300L, rot(3.0), 1L), (500L, rot(2.2), 5L), (501L, rot(2.2), 4L)))
+      .unionByName(df(Seq(400L -> Seq(1f, 0f))).withColumn("prio", lit(1L))),
+      p)
+    assert(statuses(cor) === Map(50L -> "attached", 60L -> "attached",
+      300L -> "attached", 501L -> "attached", 200L -> "semdup_late",
+      500L -> "embdup_late", 400L -> "invalid",
+      100L -> "semdup_late", 120L -> "embdup_late"))
+    assert(matches(cor) === Map(200L -> 110L, 500L -> 501L,
+      100L -> 50L, 120L -> 60L))
+    // the evicted rows are gone from ALL three stores; attachers are in
+    val stored = VectorFlow.vectorStoreFetch(spark, s"$dir/vectors",
+      Seq(100L, 110L, 120L, 50L, 60L, 300L, 500L, 501L, 200L).toDF("vec_id"),
+      p.buckets).select("vec_id").as[Long].collect().toSet
+    assert(stored === Set(110L, 50L, 60L, 300L, 501L))
+    for (idx <- Seq("digest", "bands")) {
+      val ids = spark.read.schema(Dedup.bandSchemaBkt)
+        .parquet(s"$dir/$idx").select("doc_id").as[Long].collect().toSet
+      assert(!ids.contains(100L) && !ids.contains(120L),
+        s"evicted ids must leave the $idx index: $ids")
+      assert(ids.contains(50L) && ids.contains(60L), s"$idx missing attachers")
+    }
+    // the corrected corpus serves the next decide: rot(0) no longer
+    // exact-matches evicted 100 (digest removed) — it near-dups the new
+    // keeper 50 through the verified fetch
+    val next = VectorFlow.decide(dir, df(Seq(600L -> rot(0))), 0L, p)
+    assert(statuses(next.decisions) === Map(600L -> "neardup_history"))
+    assert(matches(next.decisions) === Map(600L -> 50L))
+    // cross-batch redelivery of an attached id+content: redundant, no
+    // duplicate store rows
+    val cor2 = VectorFlow.lateIngest(dir, dfP(Seq((300L, rot(3.0), 7L))), p)
+    assert(statuses(cor2) === Map(300L -> "redundant_late"))
+    val n300 = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") === 300L).count()
+    assert(n300 === 1L, s"redelivery must not duplicate the stored row: $n300")
+  }
+
+  test("late pass on a clean feed: everything attaches, nothing evicts") {
+    val p = VectorFlow.Params(dim = Dim)
+    val dir = tmp("vlate_clean")
+    VectorFlow.ingest(dir, df(Seq(1L -> rot(0))), 0L, p, prio = 0L)
+    val cor = VectorFlow.lateIngest(dir,
+      dfP(Seq((10L, rot(1.0), 1L), (11L, rot(2.0), 1L))), p)
+    assert(statuses(cor) === Map(10L -> "attached", 11L -> "attached"))
+    val next = VectorFlow.decide(dir, df(Seq(20L -> rot(1.01))), 0L, p)
+    assert(matches(next.decisions) === Map(20L -> 10L))
+  }
+
   test("vector store: bucket count frozen; fetch prunes to touched buckets") {
     val p = VectorFlow.Params(dim = Dim, buckets = 8)
     val dir = tmp("vstore")

@@ -1058,6 +1058,70 @@ class StreamingSpec extends SparkTestBase {
     assert(all.count() === all.select("batch_id", "vec_id").distinct().count())
   }
 
+  test("lateEmbeddingStep: ledger replay re-commits only; mid-crash eviction converges through the fetch-first replay") {
+    import spark.implicits._
+    val vec = graft.ops.VectorFlow.Params(minCos = 0.99, dim = 8)
+    def rot(a: Double): Seq[Float] = {
+      val v = Array.fill(8)(0f)
+      v(0) = math.cos(a).toFloat; v(1) = math.sin(a).toFloat; v.toSeq
+    }
+    def goodText(seed: String): String =
+      "the of " + (0 until 20).map(j => s"w$seed$j").mkString(" ")
+    def udf2(rows: Seq[(Long, String, Seq[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .select("doc_id", "text", "n_chars", "embedding")
+    val noEmb = null.asInstanceOf[Seq[Float]]
+    val bench = graft.ops.CurationFlow.benchShingles(
+      udf2(Seq((100L, goodText("bench"), noEmb))))
+    val base = java.nio.file.Files.createTempDirectory("latestream").toString
+    // unified corpus: doc 3 text-kept WITHOUT its embedding (batch 0);
+    // doc 21 kept WITH a near-identical one (batch 1) — the retro target
+    StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      vec = vec)(udf2(Seq((1L, goodText("a"), rot(0)),
+        (3L, goodText("c"), noEmb))), 0L)
+    StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      vec = vec)(udf2(Seq((21L, goodText("k"), rot(2.02)))), 1L)
+    val late = Seq((3L, rot(2.0), 0L)).toDF("doc_id", "embedding", "prio")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // MID-CRASH window: corrections + ledger durable, commit never ran
+    val staged = graft.ops.VectorFlow.lateDecide(s"$base/idx/vec",
+      late.withColumnRenamed("doc_id", "vec_id"), vec)
+    StreamOps.writeDecisions(staged.corrections
+      .withColumnRenamed("vec_id", "doc_id"), 0L, s"$base/lateout")
+    graft.ops.CurationFlow.writeLedger(spark, s"$base/idx/vec", 0L, 0L, 1L)
+    assert(spark.read.parquet(s"$base/idx/vec/vectors")
+      .filter(col("vec_id") === 21L).count() === 1L,
+      "precondition: the crash window left 21's vector in place")
+    // replay: the step's fetch-first reconstruction must evict 21,
+    // attach 3, and not duplicate corrections
+    StreamOps.lateEmbeddingStep(s"$base/idx", s"$base/lateout", vec)(
+      late, 0L)
+    val ids = spark.read.parquet(s"$base/idx/vec/vectors")
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L), s"post-replay store: $ids")
+    val cor = spark.read.parquet(s"$base/lateout")
+      .select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(cor.toSeq.sorted === Seq(3L -> "attached", 21L -> "semdup_late"))
+    // a SECOND replay of the completed batch converges (all no-ops)
+    StreamOps.lateEmbeddingStep(s"$base/idx", s"$base/lateout", vec)(
+      late, 0L)
+    assert(spark.read.parquet(s"$base/idx/vec/vectors")
+      .select("vec_id").as[Long].collect().toSet === Set(1L, 3L))
+    assert(spark.read.parquet(s"$base/lateout").count() === 2L)
+    // and the corrected corpus serves the ingest loop: a near-copy of
+    // rot(2.0) drops against 3, not the evicted 21
+    StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      vec = vec)(udf2(Seq((31L, goodText("z"), rot(2.01)))), 2L)
+    val st = spark.read.parquet(s"$base/out")
+      .filter(col("batch_id") === 2)
+      .select("doc_id", "status", "matched_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(st.toSeq === Seq((31L, "semdup_history", 3L)))
+  }
+
   test("compactEvery: scheduled compaction bounds index files, decisions identical to the uncompacted twin") {
     import spark.implicits._
     val p = graft.ops.VectorFlow.Params(dim = 16)
