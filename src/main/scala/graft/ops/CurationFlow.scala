@@ -115,9 +115,12 @@ object CurationFlow {
   }
 
   /** One ingested batch: every input doc decided exactly once
-    * ((doc_id, status, n_tok, seq_id, seq_offset) — status `kept` or the
-    * drop reason; n_tok/seq_* are non-null only on kept rows), plus the
-    * token cursor AFTER the batch (feed it to the next [[ingest]]).
+    * ((doc_id, status, matched_id, n_tok, seq_id, seq_offset) — status
+    * `kept` or the drop reason; matched_id the keeper that beat it on a
+    * dedup stage (null on gate verdicts and kept rows — r16, the
+    * duplicate map q_dup_map's closure serves); n_tok/seq_* non-null
+    * only on kept rows), plus the token cursor AFTER the batch (feed it
+    * to the next [[ingest]]).
     */
   final case class Result(decisions: DataFrame, cursor: Long)
 
@@ -223,11 +226,12 @@ object CurationFlow {
       g.kept.agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
     sc.setJobDescription(null)
     val decisions = g.drops
-      .select(col("doc_id"), col("status"),
+      .select(col("doc_id"), col("status"), col("matched_id"),
         lit(null).cast("long").as("n_tok"),
         lit(null).cast("long").as("seq_id"),
         lit(null).cast("long").as("seq_offset"))
-      .unionByName(packed)
+      .unionByName(packed
+        .withColumn("matched_id", lit(null).cast("long")))
     Staged(decisions, g.kept, newCursor, g.overflow, g.keptBands)
   }
 
@@ -265,6 +269,9 @@ object CurationFlow {
 
     // stage 3: exact vs history — batch digests broadcast against the
     // bucket-pruned digest-index read. Checkpointed BEFORE the append.
+    // matched_id = the min stored keeper (r16: the decisions artifact
+    // carries the duplicate MAP, not just the verdict — the q_dup_map
+    // closure serves consumers from it).
     val digests = gated.select(col("doc_id"), md5(col("text")).as("band"))
     label("exhist-ckpt")
     val exHist = org.apache.spark.sql.graftbridge.Bridge
@@ -272,15 +279,21 @@ object CurationFlow {
         Dedup.bandIndexPrunedStored(digestDir, digests, buckets)
           .join(broadcast(digests.withColumnRenamed("doc_id", "bid")),
             Seq("band"))
-          .select(col("bid").as("doc_id")).distinct()
+          .groupBy(col("bid").as("doc_id"))
+          .agg(min(col("doc_id")).as("matched_id"))
           .localCheckpoint())
-    val afterHist = gated.join(exHist, Seq("doc_id"), "left_anti")
+    val afterHist = gated.join(exHist.select("doc_id"), Seq("doc_id"),
+      "left_anti")
 
-    // stage 4: exact within batch — min doc_id per digest keeps
+    // stage 4: exact within batch — min doc_id per digest keeps, and is
+    // the losers' matched_id
     val exKeep = afterHist.select(col("doc_id"), md5(col("text")).as("dg"))
-      .groupBy("dg").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val exBatchDrop = afterHist.join(exKeep, Seq("doc_id"), "left_anti")
-      .select("doc_id")
+      .groupBy("dg").agg(min(col("doc_id")).as("keep_id"))
+    val exBatchDrop = afterHist.select(col("doc_id"),
+        md5(col("text")).as("dg"))
+      .join(exKeep, Seq("dg"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("keep_id").as("matched_id"))
     // pinned (r15 diet): the exact-dedup survivors feed the band
     // derivation, the tail, and the decisions evaluation — without the
     // checkpoint each re-ran the digest groupBy shuffle and the history
@@ -288,7 +301,8 @@ object CurationFlow {
     label("afterex-ckpt")
     val afterEx = org.apache.spark.sql.graftbridge.Bridge
       .dropCheckpointConstraints(
-        afterHist.join(exKeep, Seq("doc_id"), "left_semi")
+        afterHist.join(broadcast(exBatchDrop.select("doc_id")),
+            Seq("doc_id"), "left_anti")
           .localCheckpoint())
 
     // stage 5: near-dup band candidates vs stored ∪ batch (the
@@ -324,9 +338,12 @@ object CurationFlow {
         lit(true).as("b_in"))), col("doc_b") === col("b_id"), "left")
     val histDrop = flagged.filter(col("a_in").isNull || col("b_in").isNull)
       .select(when(col("a_in").isNotNull, col("doc_a"))
-        .otherwise(col("doc_b")).as("doc_id"))
-      .distinct()
-    val afterNdHist = afterEx.join(histDrop, Seq("doc_id"), "left_anti")
+          .otherwise(col("doc_b")).as("doc_id"),
+        when(col("a_in").isNotNull, col("doc_b"))
+          .otherwise(col("doc_a")).as("stored_id"))
+      .groupBy("doc_id").agg(min(col("stored_id")).as("matched_id"))
+    val afterNdHist = afterEx.join(histDrop.select("doc_id"),
+      Seq("doc_id"), "left_anti")
 
     // stage 6: batch-internal components among the REMAINING docs,
     // keep-longest keeper (ties → min doc_id), mirroring
@@ -383,7 +400,7 @@ object CurationFlow {
           col("keep_id"), coalesce(col("contam"), lit(false)).as("contam"))
         .localCheckpoint())
     val ndBatchDrop = tail.filter(col("doc_id") =!= col("keep_id"))
-      .select("doc_id")
+      .select(col("doc_id"), col("keep_id").as("matched_id"))
     val keepersT = tail.filter(col("doc_id") === col("keep_id"))
     val benchDrop = keepersT.filter(col("doc_id") % 100 === 0)
       .select("doc_id")
@@ -393,15 +410,21 @@ object CurationFlow {
       .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"))
 
     sc.setJobDescription(null)
+    // drop rows carry the duplicate map (r16): matched_id = the keeper
+    // that beat the doc on the dedup stages, null on gate verdicts
+    val nullM = lit(null).cast("long").as("matched_id")
     def reason(ids: DataFrame, r: String): DataFrame =
-      ids.select(col("doc_id"), lit(r).as("status"))
+      ids.select(col("doc_id"), lit(r).as("status"), nullM)
+    def reasonM(ids: DataFrame, r: String): DataFrame =
+      ids.select(col("doc_id"), lit(r).as("status"),
+        col("matched_id").cast("long").as("matched_id"))
     val drops = reason(all.join(flags, Seq("doc_id"), "left_anti"),
         "shape")
       .unionByName(reason(flags.filter(!col("rep_ok")), "repetition"))
-      .unionByName(reason(exHist, "exact_history"))
-      .unionByName(reason(exBatchDrop, "exact_batch"))
-      .unionByName(reason(histDrop, "neardup_history"))
-      .unionByName(reason(ndBatchDrop, "neardup_batch"))
+      .unionByName(reasonM(exHist, "exact_history"))
+      .unionByName(reasonM(exBatchDrop, "exact_batch"))
+      .unionByName(reasonM(histDrop, "neardup_history"))
+      .unionByName(reasonM(ndBatchDrop, "neardup_batch"))
       .unionByName(reason(benchDrop, "benchmark"))
       .unionByName(reason(contamDrop, "contaminated"))
     // the kept slice of the probe's PINNED band table — commit appends

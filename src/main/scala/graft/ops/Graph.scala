@@ -365,4 +365,34 @@ object Graph {
     val ne = e.agg(count(lit(1)).as("n_edges"))
     nn.crossJoin(ne).crossJoin(tri)
   }
+
+  /** Resolve every doc of a duplicate MAP to its terminal ROOT (r16 —
+    * the consumer view a curation team queries from the decisions
+    * artifact: "whose cluster is this doc in"). `edges` is the
+    * functional loser→keeper map ((doc_id, matched_id) — the artifact's
+    * dedup-drop rows, exactly one parent per doc). The root of a chain
+    * x → y → z is z — the unique member of its weak component with no
+    * outgoing edge: a kept doc, or a keeper that itself dropped on a
+    * NON-dedup gate (benchmark/contamination) after winning its
+    * election. The map is functional and acyclic by construction
+    * (matched_id always names a strictly-earlier-elected keeper), so
+    * the root is unique per component.
+    *
+    * Built on [[connectedComponents]]: same log-rounds contraction
+    * scale shape, over the DROP rows only — a small fraction of the
+    * corpus at production dup rates, and never the corpus itself.
+    * Returns (doc_id, root_id) for every node of the map (losers and
+    * keepers; a root maps to itself).
+    */
+  def dupRoots(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("doc_id"), col("matched_id"))
+    val labels = connectedComponents(
+      e.select(col("doc_id").as("src"), col("matched_id").as("dst")))
+    val roots = labels
+      .join(e.select(col("doc_id").as("node_id")).distinct(),
+        Seq("node_id"), "left_anti")
+      .select(col("component"), col("node_id").as("root_id"))
+    labels.join(roots, Seq("component"))
+      .select(col("node_id").as("doc_id"), col("root_id"))
+  }
 }

@@ -134,7 +134,7 @@ object UnifiedFlow {
       lit(null).cast("long").as("seq_offset"))
     val decisions = g.drops
       .select(Seq(col("doc_id"), col("status"),
-        lit(null).cast("long").as("matched_id")) ++ nulls: _*)
+        col("matched_id").cast("long").as("matched_id")) ++ nulls: _*)
       .unionByName(semDrops.select(Seq(col("doc_id"), col("status"),
         col("matched_id").cast("long").as("matched_id")) ++ nulls: _*))
       .unionByName(packed)

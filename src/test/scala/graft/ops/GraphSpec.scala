@@ -250,4 +250,16 @@ class GraphSpec extends SparkTestBase {
         naive += 1
     assert(count(edges) === ((nodes.size.toLong, norm.size.toLong, naive)))
   }
+  test("dupRoots: loser->keeper chains resolve to their terminal root; non-kept roots and isolated pairs") {
+    import spark.implicits._
+    // chains: 10->5->2 (2 is a terminal root), 7->2; isolated pair
+    // 30->20; deep chain 43->42->41->40
+    val edges = Seq((10L, 5L), (5L, 2L), (7L, 2L), (30L, 20L),
+      (43L, 42L), (42L, 41L), (41L, 40L)).toDF("doc_id", "matched_id")
+    val got = Graph.dupRoots(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 2L, 5L -> 2L, 7L -> 2L, 2L -> 2L,
+      30L -> 20L, 20L -> 20L, 43L -> 40L, 42L -> 40L, 41L -> 40L,
+      40L -> 40L))
+  }
 }

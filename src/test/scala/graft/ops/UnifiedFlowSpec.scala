@@ -63,6 +63,8 @@ class UnifiedFlowSpec extends SparkTestBase {
       bench, cursor = 0L, vec = vec)
     assert(statuses(w1.decisions) === Map(1L -> "kept", 2L -> "exact_batch",
       3L -> "kept", 4L -> "shape", 5L -> "kept"))
+    // text-stage drops carry the duplicate map too (r16)
+    assert(matches(w1.decisions) === Map(2L -> 1L))
     assert(w1.cursor === 66L, s"3 kept x 22 tokens, got ${w1.cursor}")
 
     // wave 2: 11 = paraphrase of 1 (fresh text, near emb) →
@@ -86,7 +88,8 @@ class UnifiedFlowSpec extends SparkTestBase {
     assert(statuses(w2.decisions) === Map(11L -> "semdup_history",
       12L -> "embdup_history", 13L -> "exact_history", 14L -> "kept",
       15L -> "kept", 16L -> "semdup_batch", 17L -> "kept"))
-    assert(matches(w2.decisions) === Map(11L -> 1L, 12L -> 1L, 16L -> 15L))
+    assert(matches(w2.decisions) === Map(11L -> 1L, 12L -> 1L,
+      13L -> 3L, 16L -> 15L))
     assert(w2.cursor === w1.cursor + 66L)
     // pack fields only on kept rows, seq ids continuing across waves
     val seqs = w2.decisions.filter(col("status") === "kept")
