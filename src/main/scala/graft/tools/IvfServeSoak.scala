@@ -1,0 +1,140 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CONTINUOUS ANN SERVING from the built corpus (r15 verdict #4): the
+  * missing piece between the corpus flows (which land kept vectors)
+  * and the IVF machinery (which builds/saves/compacts) — a serving
+  * index MAINTAINED as the kept corpus grows, without rebuilds.
+  *
+  * Loop per batch, exactly the production composition:
+  *   1. [[graft.ops.VectorFlow.decide]]/commit a batch of synthetic
+  *      unique vectors (the corpus build — first-wins dedup, kept-only
+  *      indexing);
+  *   2. [[graft.ops.IvfIndex.maintainAppend]] the KEPT vectors into the
+  *      persisted serving index (assign at frozen centroids, append
+  *      into the cell dirs, occupancy/drift watch);
+  *   3. measure recall@10 of the served search (nprobe = 16) against
+  *      the exact reference (nprobe = nlist — IVF-Flat full probe IS
+  *      brute force, IvfIndexSpec's exactness pin) over a FIXED
+  *      held-out probe set.
+  *
+  * Mid-soak a TIGHT new modality floods in (one k-means cell's worth of
+  * near-parallel vectors — near enough to saturate a cell, far enough
+  * apart to survive the 0.99-cosine dedup): the watch must flip to
+  * `refine`, [[graft.ops.IvfIndex.refineInPlace]] splits the hot cells
+  * (spherical sub-Lloyd), and recall must return to the envelope. The
+  * claims under test, printed per batch: recall@10 FLAT within the
+  * envelope across 20+ appended batches with no rebuild; the watch
+  * firing exactly when occupancy crosses the cap; wall per batch flat.
+  */
+object IvfServeSoak {
+  def main(args: Array[String]): Unit = {
+    val batches = args.headOption.map(_.toInt).getOrElse(24)
+    val rows = args.lift(1).map(_.toInt).getOrElse(10000)
+    val plantAt = args.lift(2).map(_.toInt).getOrElse(batches * 3 / 5)
+    val nlist = 256
+    val cap = 2500L
+    val dim = 32
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // CLUSTERED corpus — the realistic embedding shape (and the shape
+    // IVF exists for): each vector = a hash-seeded unit CENTER (one of
+    // K=2048) plus per-vector noise, normalized. Noise scale 0.15 on
+    // ±1-uniform center components gives ~8.5° angular spread per
+    // cluster: same-cluster pairwise cosines ~0.978 (they SURVIVE the
+    // 0.99 dedup), inter-center angles ~60°+ (clusters map cleanly
+    // onto IVF cells).
+    def mixVec(idCol: org.apache.spark.sql.Column,
+               cidCol: org.apache.spark.sql.Column,
+               noiseScale: Double) = {
+      val comps = (0 until dim).map { j =>
+        val c = pmod(xxhash64(cidCol, lit(j)), lit(1000000L))
+          .cast("double") / lit(500000.0) - lit(1.0)
+        val n = (pmod(xxhash64(idCol, lit(j + 1000)), lit(1000000L))
+          .cast("double") / lit(500000.0) - lit(1.0)) * lit(noiseScale)
+        c + n
+      }
+      val arr = array(comps.map(_.cast("float")): _*)
+      val nrm = sqrt(aggregate(transform(arr,
+        x => x.cast("double") * x.cast("double")), lit(0.0), _ + _))
+      transform(arr, x => (x.cast("double") / nrm).cast("float"))
+    }
+    val K = 2048L
+    def corpusVec(idCol: org.apache.spark.sql.Column) =
+      mixVec(idCol, pmod(xxhash64(idCol, lit(77)), lit(K)), 0.15)
+    def mkBatch(b: Int) = {
+      val fresh = spark.range(rows)
+        .select((col("id") * batches + b).as("vec_id"),
+          corpusVec(col("id") * batches + b).as("embedding"))
+      if (b != plantAt) fresh
+      // the NEW MODALITY: one fresh center the corpus has never used
+      // (cid tag 999999), noise 0.17 — a ~9° blob (one or two cells at
+      // ~60° cell spacing) whose pairwise cosines sit safely BELOW the
+      // 0.99 dedup threshold (measured: 0.12 noise left a max-cos tail
+      // ≥ 0.99, the verified CC percolated, and the whole blob
+      // first-wins-collapsed to ONE keeper — the flow doing its job;
+      // the serving-index flood must be made of genuinely distinct
+      // vectors)
+      else fresh.unionByName(spark.range(4 * cap)
+        .select((col("id") + 900000000L).as("vec_id"),
+          mixVec(col("id") + 900000000L, lit(999999L), 0.17)
+            .as("embedding")))
+    }
+
+    val base = java.nio.file.Files.createTempDirectory("ivfserve").toString
+    val vdir = s"$base/corpus"
+    val idx = s"$base/serving"
+    val p = graft.ops.VectorFlow.Params(minCos = 0.99, dim = dim, bits = 24)
+    // fixed held-out probes: ids that never enter the corpus
+    val probes = spark.range(32)
+      .select((col("id") + 800000000L).as("probe_id"),
+        corpusVec(col("id") + 800000000L).as("probe_emb"))
+      .localCheckpoint()
+
+    var cursor = 0L
+    var built = false
+    for (b <- 0 until batches) {
+      val t0 = System.nanoTime()
+      val staged = graft.ops.VectorFlow.decide(vdir, mkBatch(b), cursor, p)
+      graft.ops.VectorFlow.commit(vdir, staged.kept, p,
+        Some(staged.keptBands), prio = b.toLong)
+      cursor = staged.cursor
+      val watch =
+        if (!built) {
+          graft.ops.IvfIndex.save(
+            graft.ops.IvfIndex.build(staged.kept, nlist, iters = 2), idx)
+          built = true
+          graft.ops.IvfIndex.MaintainWatch(0, 0, cap, 0, 1.0, 1.0, "build")
+        } else
+          graft.ops.IvfIndex.maintainAppend(spark, idx, staged.kept, cap)
+      val refined =
+        if (watch.action == "refine") {
+          graft.ops.IvfIndex.refineInPlace(spark, idx, cap,
+            splitInto = math.max(2, (watch.maxCell / cap + 1).toInt),
+            iters = 3)
+          true
+        } else false
+      // recall@10 of the served search vs the full-probe exact reference
+      val model = graft.ops.IvfIndex.load(spark, idx)
+      val ncells = model.centroids.count().toInt
+      def topk(np: Int) = graft.ops.IvfIndex
+        .searchTopKBatch(model, probes, 10, np)
+        .select("probe_id", "vec_id")
+      val exact = topk(ncells)
+      val served = topk(16)
+      val hits = served.join(exact, Seq("probe_id", "vec_id")).count()
+      val recall = hits / 320.0
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"batch=$b%2d kept=$cursor%8d act=${watch.action}%-7s " +
+        f"maxCell=${watch.maxCell}%6d cells=$ncells%4d " +
+        f"cos=${watch.meanAssignCos}%.3f refined=$refined%-5s " +
+        f"recall@10=$recall%.3f wall=$wall%6.1fs")
+    }
+    spark.stop()
+  }
+}

@@ -842,4 +842,93 @@ class IvfIndexSpec extends SparkTestBase {
       .collect().map(_.toSeq)
     assert(a1.toSeq === a2.toSeq)
   }
+  test("maintainAppend: watch ok on organic growth, refine on a saturated cell, retrain on drift; refineInPlace recovers") {
+    import spark.implicits._
+    def unit(seed: Int, n: Int, base: Option[Array[Float]] = None,
+             spread: Float = 1f): Seq[(Long, Seq[Float])] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        val v = base.map(_.clone()).getOrElse(Array.fill(16)(0f))
+          .zipWithIndex.map { case (x, _) =>
+            x + (rnd.nextGaussian() * spread).toFloat }
+        val nn = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+        (seed.toLong * 100000 + i, v.map(x => (x / nn).toFloat).toSeq)
+      }
+    }
+    def df(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfmaint")
+      .toString + "/idx"
+    val corpus = unit(1, 400)
+    IvfIndex.save(IvfIndex.build(df(corpus), nlist = 16, iters = 2), dir)
+
+    // organic batch: spread like the corpus -> ok, occupancy tracked
+    val w1 = IvfIndex.maintainAppend(spark, dir, df(unit(2, 100)),
+      maxCellRows = 200)
+    assert(w1.action === "ok" && w1.appended === 100L && w1.hotCells === 0L)
+    assert(w1.maxCell <= 200L && w1.baselineCos === w1.meanAssignCos)
+    // appended rows are served (full probe = exact membership)
+    val m1 = IvfIndex.load(spark, dir)
+    assert(m1.assignments.count() === 500L)
+
+    // a TIGHT planted modality saturates one cell -> refine fires
+    // (spread 0.05: one cell at corpus scale, internally separable so
+    // the split has geometry to work with — byte-identical spam is the
+    // dedup flows' job, not the index's)
+    val tightBase = Array.fill(16)(0f); tightBase(7) = 1f
+    val w2 = IvfIndex.maintainAppend(spark, dir,
+      df(unit(3, 250, Some(tightBase), spread = 0.05f)),
+      maxCellRows = 200)
+    assert(w2.action === "refine" && w2.hotCells >= 1L &&
+      w2.maxCell > 200L, s"$w2")
+
+    // refine splits the hot cells in place; ledger reseeds; watch calms
+    IvfIndex.refineInPlace(spark, dir, maxCellRows = 200, splitInto = 4, iters = 4)
+    val m2 = IvfIndex.load(spark, dir)
+    assert(m2.assignments.count() === 750L,
+      "refine must preserve membership")
+    assert(m2.centroids.count() > 16L, "hot cells must have split")
+    val w3 = IvfIndex.maintainAppend(spark, dir, df(unit(4, 50)),
+      maxCellRows = 200)
+    assert(w3.action === "ok" && w3.maxCell <= 200L, s"$w3")
+    // the baseline re-stamped against the refined geometry
+    assert(w3.baselineCos === w3.meanAssignCos)
+
+    // drift: corpus and baseline batch live in dims 0-7, the drifted
+    // batch in dims 8-15 — an ORTHOGONAL subspace, so every assign
+    // cosine is exactly 0 and the watch must say retrain (cell
+    // splitting cannot fix a distribution that moved away from every
+    // centroid)
+    def subUnit(seed: Int, n: Int, lo: Int): Seq[(Long, Seq[Float])] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        val v = Array.fill(16)(0f)
+        (lo until lo + 8).foreach(j => v(j) = rnd.nextGaussian().toFloat)
+        val nn = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+        (seed.toLong * 100000 + i, v.map(x => (x / nn).toFloat).toSeq)
+      }
+    }
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfdrift")
+      .toString + "/idx"
+    IvfIndex.save(IvfIndex.build(df(subUnit(11, 400, 0)), nlist = 8,
+      iters = 2), dir2)
+    val wBase = IvfIndex.maintainAppend(spark, dir2, df(subUnit(12, 50, 0)),
+      maxCellRows = 2000)
+    assert(wBase.action === "ok" && wBase.baselineCos > 0.1, s"$wBase")
+    val w4 = IvfIndex.maintainAppend(spark, dir2, df(subUnit(13, 50, 8)),
+      maxCellRows = 2000, driftMargin = 0.05)
+    assert(w4.action === "retrain", s"$w4")
+    assert(w4.meanAssignCos < w4.baselineCos - 0.05)
+
+    // quantized indexes refuse the in-place refine loudly
+    val qdir = java.nio.file.Files.createTempDirectory("ivfmaintq")
+      .toString + "/idx"
+    val qm = IvfIndex.build(df(corpus), nlist = 8, iters = 1)
+    IvfIndex.saveQuantized(qm, qdir, Quantize.fitSq8(qm.assignments, "embedding"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.refineInPlace(spark, qdir, maxCellRows = 10)
+    }
+    assert(e.getMessage.contains("quantized"))
+  }
 }
