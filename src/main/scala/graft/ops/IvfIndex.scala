@@ -672,7 +672,12 @@ object IvfIndex {
           .repartition(col("cbkt")).sortWithinPartitions("cell")
           .write.mode("append").partitionBy("cbkt").parquet(s"$path/assignments")
       case None =>
-        out.write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
+        // repartition BY cell first — un-repartitioned partitionBy emits
+        // one file per (task, cell): 32 tasks × nlist cells ≈ 8k files
+        // PER APPEND (save()'s measured 15,248-file lesson applied to
+        // the append path, where a maintenance loop pays it every batch)
+        out.repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
     }
   }
 
@@ -724,6 +729,7 @@ object IvfIndex {
                      maxCellRows: Long, driftMargin: Double = 0.05,
                      route: AssignRoute = FlatAssign): MaintainWatch = {
     require(maxCellRows >= 1, s"maxCellRows must be >= 1, got $maxCellRows")
+    recoverIndexSwap(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val centroids = spark.read.parquet(s"$path/centroids")
@@ -804,6 +810,7 @@ object IvfIndex {
   def refineInPlace(spark: SparkSession, path: String, maxCellRows: Long,
                     splitInto: Int = 2, iters: Int = 2,
                     seed: Long = 43L): Unit = {
+    recoverIndexSwap(spark, path)
     require(quantParams(spark, path).isEmpty && pqParams(spark, path).isEmpty,
       s"$path is a quantized index — refineInPlace would silently " +
         "de-quantize it; rebuild offline with saveQuantized*")
@@ -1049,7 +1056,33 @@ object IvfIndex {
   /** Load a [[save]]d index. The partition column comes back via directory
     * inference — restore its long type so search joins stay key-compatible.
     */
+  /** Heal an index left mid-[[refineInPlace]] swap: the staging copy is
+    * only renamed in AFTER it is complete, so a live-less path with a
+    * complete tmp promotes it; any aside left behind is the pre-swap
+    * state and drops once a live dir exists. Called from [[load]] and
+    * [[maintainAppend]] — every maintenance entry point.
+    */
+  private def recoverIndexSwap(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val aside = new org.apache.hadoop.fs.Path(path + ".aside")
+    if (!fs.exists(p) && fs.exists(tmp) &&
+        !fs.rename(tmp, p))
+      throw new java.io.IOException(s"index swap recovery failed: $tmp -> $p")
+    if (fs.exists(p)) {
+      if (fs.exists(aside)) fs.delete(aside, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    } else if (fs.exists(aside)) {
+      // tmp was incomplete or missing: restore the pre-swap state
+      if (!fs.rename(aside, p))
+        throw new java.io.IOException(
+          s"index swap recovery failed: $aside -> $p")
+    }
+  }
+
   def load(spark: SparkSession, path: String): Model = {
+    recoverIndexSwap(spark, path)
     val asg = spark.read.parquet(s"$path/assignments")
       .drop("cbkt") // bucketed layout's partition column; no-op otherwise
       .withColumn("cell", col("cell").cast("long"))

@@ -99,12 +99,21 @@ object IvfServeSoak {
     var cursor = 0L
     var built = false
     for (b <- 0 until batches) {
-      val t0 = System.nanoTime()
-      val staged = graft.ops.VectorFlow.decide(vdir, mkBatch(b), cursor, p)
-      graft.ops.VectorFlow.commit(vdir, staged.kept, p,
-        Some(staged.keptBands), prio = b.toLong)
+      def t[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      // the maintained path: corpus-flow decide+commit, then the
+      // serving append+watch — the walls the 100 TB claim is about
+      val (staged, wFlow) = t {
+        val s = graft.ops.VectorFlow.decide(vdir, mkBatch(b), cursor, p)
+        graft.ops.VectorFlow.commit(vdir, s.kept, p, Some(s.keptBands),
+          prio = b.toLong)
+        s
+      }
       cursor = staged.cursor
-      val watch =
+      val (watch, wMaint) = t {
         if (!built) {
           graft.ops.IvfIndex.save(
             graft.ops.IvfIndex.build(staged.kept, nlist, iters = 2), idx)
@@ -112,28 +121,34 @@ object IvfServeSoak {
           graft.ops.IvfIndex.MaintainWatch(0, 0, cap, 0, 1.0, 1.0, "build")
         } else
           graft.ops.IvfIndex.maintainAppend(spark, idx, staged.kept, cap)
-      val refined =
+      }
+      val (refined, wRefine) = t {
         if (watch.action == "refine") {
           graft.ops.IvfIndex.refineInPlace(spark, idx, cap,
             splitInto = math.max(2, (watch.maxCell / cap + 1).toInt),
             iters = 3)
           true
         } else false
-      // recall@10 of the served search vs the full-probe exact reference
-      val model = graft.ops.IvfIndex.load(spark, idx)
-      val ncells = model.centroids.count().toInt
-      def topk(np: Int) = graft.ops.IvfIndex
-        .searchTopKBatch(model, probes, 10, np)
-        .select("probe_id", "vec_id")
-      val exact = topk(ncells)
-      val served = topk(16)
-      val hits = served.join(exact, Seq("probe_id", "vec_id")).count()
-      val recall = hits / 320.0
-      val wall = (System.nanoTime() - t0) / 1e9
+      }
+      // MEASUREMENT harness (not the maintained path): recall@10 of the
+      // served search vs the full-probe exact reference — the exact
+      // side scans the whole corpus by construction, so ITS wall grows
+      // linearly; it is the yardstick, not the claim
+      val ((recall, ncells), wMeasure) = t {
+        val model = graft.ops.IvfIndex.load(spark, idx)
+        val nc = model.centroids.count().toInt
+        def topk(np: Int) = graft.ops.IvfIndex
+          .searchTopKBatch(model, probes, 10, np)
+          .select("probe_id", "vec_id")
+        val hits = topk(16).join(topk(nc), Seq("probe_id", "vec_id"))
+          .count()
+        (hits / 320.0, nc)
+      }
       println(f"batch=$b%2d kept=$cursor%8d act=${watch.action}%-7s " +
         f"maxCell=${watch.maxCell}%6d cells=$ncells%4d " +
         f"cos=${watch.meanAssignCos}%.3f refined=$refined%-5s " +
-        f"recall@10=$recall%.3f wall=$wall%6.1fs")
+        f"recall@10=$recall%.3f flow=$wFlow%5.1fs maint=$wMaint%5.1fs " +
+        f"refine=$wRefine%5.1fs measure=$wMeasure%5.1fs")
     }
     spark.stop()
   }

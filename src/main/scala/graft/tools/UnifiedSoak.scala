@@ -99,6 +99,24 @@ object UnifiedSoak {
         .collect().map(x => s"${x.getString(0)}=${x.getLong(1)}")
         .sorted.mkString(" ")
       println(f"batch $b%3d  wall=$wall%6.2fs  cursor=$cursor%,14d  [$mix]")
+      // planted verdicts must name the EXPECTED stage, not just "drop"
+      // (r15 verdict #5 — the id·100 lesson above was caught by exactly
+      // this check done by hand; now the soak enforces it every batch):
+      // every exact-text copy is exact_history, every paraphrase
+      // semdup_history — a planted doc landing any OTHER status (kept,
+      // contaminated, neardup_batch...) means the probe under test
+      // silently stopped testing what it claims
+      if (b > 0) {
+        val planted = spark.read.parquet(s"$base/out")
+          .filter(col("batch_id") === b && col("doc_id") >= 50000000L)
+        val bad = planted.filter(
+          (col("doc_id") < 70000000L && col("status") =!= "exact_history") ||
+            (col("doc_id") >= 70000000L && col("status") =!= "semdup_history"))
+          .count()
+        require(bad == 0,
+          s"batch $b: $bad planted docs missed their expected stage — " +
+            planted.groupBy("status").count().collect().mkString(", "))
+      }
     }
     spark.stop()
   }
