@@ -79,6 +79,8 @@ object UnifiedFlow {
              maxBucket: Int = Int.MaxValue,
              vec: VectorFlow.Params = VectorFlow.Params()): Staged = {
     require(cursor >= 0, s"cursor must be >= 0, got $cursor")
+    val sc = batch.sparkSession.sparkContext
+    def label(l: String): Unit = sc.setJobDescription(s"udecide:$l")
     val g = CurationFlow.gateAndDedup(dir,
       batch.select(col("doc_id"), col("text"), col("n_chars")), bench,
       buckets, maxBucket)
@@ -98,14 +100,19 @@ object UnifiedFlow {
     // never written and `v.cursor` echoes the 0 passed here
     // (countCursor = false skips the one wasted count job per batch —
     // r15 ADVICE).
-    val vecIn = batch
+    label("vecin-ckpt")
+    val vecIn = ckpt(batch
       .filter(col("embedding").isNotNull)
       .select(col("doc_id").as("vec_id"), col("embedding"))
       .join(broadcast(g.kept.select(col("doc_id").as("vec_id"))),
-        Seq("vec_id"), "left_semi")
+        Seq("vec_id"), "left_semi"))
     val v = VectorFlow.decide(dir + "/vec", vecIn, 0L, vec,
       countCursor = false)
-    val semDrops = v.decisions
+    // pinned (r16 diet): the semantic-drop set is read by the kept
+    // anti-join AND the decisions union — without the pin the second
+    // reader re-evaluates the vector flow's decision-union fragments
+    label("semdrops-ckpt")
+    val semDrops = ckpt(v.decisions
       .filter(col("status").isin("exact_history", "exact_batch",
         "neardup_history", "neardup_batch"))
       .select(col("vec_id").as("doc_id"),
@@ -113,12 +120,19 @@ object UnifiedFlow {
           .when(col("status") === "exact_batch", "embdup_batch")
           .when(col("status") === "neardup_history", "semdup_history")
           .otherwise("semdup_batch").as("status"),
-        col("matched_id"))
-    val kept = g.kept.join(broadcast(semDrops.select("doc_id")),
-      Seq("doc_id"), "left_anti")
+        col("matched_id")))
+    // the FINAL kept frame is CHECKPOINTED (r16 diet): it feeds the
+    // pack, the cursor aggregate, the decisions evaluation, the
+    // kept-bands semi-join, and commit's five store writes — without
+    // the pin, every one of those re-built the semDrops broadcast (a
+    // union over the vector flow's decision chain) as its own job
+    label("kept-ckpt")
+    val kept = ckpt(g.kept.join(broadcast(semDrops.select("doc_id")),
+      Seq("doc_id"), "left_anti"))
 
     // pack the FINAL kept set at the carried cursor (the text flow's
     // exact tail — cb DIV keeps long math exact)
+    label("pack")
     val packed = Packing.packSequences(kept, "doc_id", col("n_tok"), budget)
       .withColumn("cb",
         lit(cursor) + col("seq_id") * lit(budget) + col("seq_offset"))
@@ -126,8 +140,10 @@ object UnifiedFlow {
         lit(null).cast("long").as("matched_id"), col("n_tok"),
         expr(s"cb DIV $budget").as("seq_id"),
         pmod(col("cb"), lit(budget)).as("seq_offset"))
+    label("cursor-agg")
     val newCursor = cursor +
       kept.agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
+    sc.setJobDescription(null)
 
     val nulls = Seq(lit(null).cast("long").as("n_tok"),
       lit(null).cast("long").as("seq_id"),
@@ -178,11 +194,30 @@ object UnifiedFlow {
     * `dir/vec/` (kept-only indexing across modalities; every frame is
     * checkpoint-pinned or a filter of one).
     */
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(df.localCheckpoint())
+
   def commit(dir: String, staged: Staged, buckets: Int = 16,
              vec: VectorFlow.Params = VectorFlow.Params(),
              prio: Long = 0L): Unit = {
-    CurationFlow.commit(dir, staged.kept, buckets, Some(staged.keptBands))
-    VectorFlow.commit(dir + "/vec", staged.keptVecs, vec,
-      Some(staged.keptVecBands), prio)
+    // the two modal commits touch DISJOINT dirs (text at the root, vec
+    // under dir/vec), every input is checkpoint-pinned, and the crash
+    // contract never depends on append order WITHIN a commit (replay
+    // re-runs all five appends, each idempotent) — so they run
+    // CONCURRENTLY (r16 diet: the five sequential store writes were a
+    // fixed ~1.5 s of the batch wall; Spark schedules jobs from both
+    // threads side by side)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = Future(
+      CurationFlow.commit(dir, staged.kept, buckets,
+        Some(staged.keptBands)))
+    val v = Future(
+      VectorFlow.commit(dir + "/vec", staged.keptVecs, vec,
+        Some(staged.keptVecBands), prio))
+    Await.result(t, Duration.Inf)
+    Await.result(v, Duration.Inf)
   }
 }

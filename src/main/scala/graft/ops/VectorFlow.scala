@@ -184,11 +184,15 @@ object VectorFlow {
     // stage 1: validity gate. The flow params freeze in the sidecar on
     // the first evidenced batch ([[freezeParams]]); the stamped dim is
     // authoritative for dim-delegating callers. The gate output feeds
-    // every downstream frame — checkpoint once.
-    label("infer-dim")
-    val inferred =
+    // every downstream frame — checkpoint once. The inference head
+    // probe is LAZY (r16 diet): once the sidecar exists — every batch
+    // after the first — no job runs to infer what the stamp already
+    // knows.
+    lazy val inferred = {
+      label("infer-dim")
       if (params.dim > 0) Some(params.dim)
       else Similarity.inferDimOpt(all, "embedding")
+    }
     val d = freezeParams(spark, dir, params, inferred, stamp = true)
       .orElse(inferred).getOrElse(1)
     label("valid-ckpt")
@@ -520,11 +524,13 @@ object VectorFlow {
         lit(0L).as("prio"))
     val key = struct(col("prio"), col("vec_id"))
 
-    // gate (decide's stage 1, sidecar-frozen dim authoritative)
-    label("infer-dim")
-    val inferred =
+    // gate (decide's stage 1, sidecar-frozen dim authoritative; lazy
+    // head probe — the sidecar almost always exists for a late feed)
+    lazy val inferred = {
+      label("infer-dim")
       if (params.dim > 0) Some(params.dim)
       else Similarity.inferDimOpt(withPrio, "embedding")
+    }
     val d = freezeParams(spark, dir, params, inferred, stamp = true)
       .orElse(inferred).getOrElse(1)
     label("valid-ckpt")
@@ -818,7 +824,8 @@ object VectorFlow {
     * banded in a different space.
     */
   private def freezeParams(spark: org.apache.spark.sql.SparkSession,
-                           dir: String, p: Params, inferred: Option[Int],
+                           dir: String, p: Params,
+                           inferred: => Option[Int],
                            stamp: Boolean): Option[Int] = {
     val f = new org.apache.hadoop.fs.Path(dir, "_graft_vecflow.json")
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
