@@ -286,14 +286,21 @@ object CurationFlow {
       "left_anti")
 
     // stage 4: exact within batch — min doc_id per digest keeps, and is
-    // the losers' matched_id
+    // the losers' matched_id. The drop set is PINNED (r16): carrying
+    // matched_id turned it from an anti-join byproduct into a
+    // groupBy+join evaluated by BOTH the survivor anti-join and the
+    // decisions union — one checkpoint of the (tiny) drop set puts the
+    // digest shuffle back to one evaluation
     val exKeep = afterHist.select(col("doc_id"), md5(col("text")).as("dg"))
       .groupBy("dg").agg(min(col("doc_id")).as("keep_id"))
-    val exBatchDrop = afterHist.select(col("doc_id"),
-        md5(col("text")).as("dg"))
-      .join(exKeep, Seq("dg"))
-      .filter(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id"), col("keep_id").as("matched_id"))
+    label("exbatch-ckpt")
+    val exBatchDrop = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(
+        afterHist.select(col("doc_id"), md5(col("text")).as("dg"))
+          .join(exKeep, Seq("dg"))
+          .filter(col("doc_id") =!= col("keep_id"))
+          .select(col("doc_id"), col("keep_id").as("matched_id"))
+          .localCheckpoint())
     // pinned (r15 diet): the exact-dedup survivors feed the band
     // derivation, the tail, and the decisions evaluation — without the
     // checkpoint each re-ran the digest groupBy shuffle and the history
@@ -336,12 +343,18 @@ object CurationFlow {
         lit(true).as("a_in"))), col("doc_a") === col("a_id"), "left")
       .join(broadcast(batchIds.select(col("doc_id").as("b_id"),
         lit(true).as("b_in"))), col("doc_b") === col("b_id"), "left")
-    val histDrop = flagged.filter(col("a_in").isNull || col("b_in").isNull)
-      .select(when(col("a_in").isNotNull, col("doc_a"))
-          .otherwise(col("doc_b")).as("doc_id"),
-        when(col("a_in").isNotNull, col("doc_b"))
-          .otherwise(col("doc_a")).as("stored_id"))
-      .groupBy("doc_id").agg(min(col("stored_id")).as("matched_id"))
+    // pinned like exBatchDrop: the min-keeper aggregate now feeds the
+    // survivor anti-join AND the decisions union
+    label("histdrop-ckpt")
+    val histDrop = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(
+        flagged.filter(col("a_in").isNull || col("b_in").isNull)
+          .select(when(col("a_in").isNotNull, col("doc_a"))
+              .otherwise(col("doc_b")).as("doc_id"),
+            when(col("a_in").isNotNull, col("doc_b"))
+              .otherwise(col("doc_a")).as("stored_id"))
+          .groupBy("doc_id").agg(min(col("stored_id")).as("matched_id"))
+          .localCheckpoint())
     val afterNdHist = afterEx.join(histDrop.select("doc_id"),
       Seq("doc_id"), "left_anti")
 

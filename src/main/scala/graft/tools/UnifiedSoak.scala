@@ -107,8 +107,13 @@ object UnifiedSoak {
       // contaminated, neardup_batch...) means the probe under test
       // silently stopped testing what it claims
       if (b > 0) {
+        // a planted id ≡ 0 mod 100 IS a benchmark doc — the eval-set
+        // rule outranks the twin by the flow's stage order (the r15
+        // SCALE note's one-benchmark-per-batch row); every OTHER
+        // planted doc must land exactly its stage
         val planted = spark.read.parquet(s"$base/out")
-          .filter(col("batch_id") === b && col("doc_id") >= 50000000L)
+          .filter(col("batch_id") === b && col("doc_id") >= 50000000L &&
+            pmod(col("doc_id"), lit(100)) =!= 0)
         val bad = planted.filter(
           (col("doc_id") < 70000000L && col("status") =!= "exact_history") ||
             (col("doc_id") >= 70000000L && col("status") =!= "semdup_history"))
