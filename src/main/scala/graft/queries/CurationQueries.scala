@@ -411,9 +411,11 @@ object CurationQueries {
     // SQL oracle (seeded hyperplane family, like its q_unified_curation
     // sibling); the late-feed ≡ everything-on-time equivalence is
     // UnifiedFlowSpec's — driver records the rows-only check. Runs on a
-    // HALF-slice (%4 classes) — the operator under test is the
+    // QUARTER-slice (%8 classes) — the operator under test is the
     // correction pass, not the ingest throughput q_unified_curation
-    // already prices.
+    // already prices (PRICE NOTE: even so, the key pays two unified
+    // ingest waves before the late feed — the fixed flow cost its
+    // siblings carry, additive as ever).
     "q_unified_late" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d).select(col("vec_id"),
@@ -428,14 +430,14 @@ object CurationQueries {
           concat(lit("u"), substring(md5(concat(idCol, lit(s"_l$j"))), 1, 7)))
         concat(lit("the of "), concat_ws(" ", words: _*))
       }
-      val w1in = base.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val w1in = base.filter(pmod(col("doc_id"), lit(8)) === 0)
         .withColumn("embedding",
           when(pmod(col("doc_id"), lit(20)) === 0,
             lit(null).cast("array<float>")).otherwise(col("embedding")))
       val w1 = graft.ops.UnifiedFlow.ingest(dir.toString, w1in, bench,
         cursor = 0L, prio = 1L)
       val twins = emb
-        .filter(pmod(col("vec_id"), lit(40)) === 0)
+        .filter(pmod(col("vec_id"), lit(80)) === 0)
         .select((col("vec_id") * 100 + 3000001L).as("doc_id"),
           transform(col("embedding"),
             (x, i) => when(i === 0, (x * lit(1.001)).cast("float"))
@@ -443,7 +445,7 @@ object CurationQueries {
         .withColumn("text", freshText(col("doc_id")))
         .withColumn("n_chars", length(col("text")).cast("long"))
         .select(col("doc_id"), col("text"), col("n_chars"), col("embedding"))
-      val w2in = base.filter(pmod(col("doc_id"), lit(4)) === 2)
+      val w2in = base.filter(pmod(col("doc_id"), lit(8)) === 4)
         .unionByName(twins)
       val w2 = graft.ops.UnifiedFlow.ingest(dir.toString, w2in, bench,
         cursor = w1.cursor, prio = 2L)
