@@ -759,4 +759,69 @@ class OpsSpec extends SparkTestBase {
       (5L, 5L, 5L, 1), (5L, 6L, 5L, 0),
       (9L, 9L, 9L, 1)))
   }
+
+  test("bucketedRemove: removal surgical to touched buckets; torn swap UNDOES through recovery and a replay converges") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("bktrm").toString + "/idx"
+    // 40 docs x 1 band each across 4 buckets
+    val bands = (0L until 40L).map(i => (i, s"band_$i")).toDF("doc_id", "band")
+    Dedup.bandIndexAppendPrecomputed(dir, bands, buckets = 4)
+    val victims = Seq(3L, 17L, 31L)
+    val vbands = bands.filter(col("doc_id").isInCollection(victims))
+    Dedup.bandIndexRemove(dir, vbands, buckets = 4)
+    def served(): Set[Long] = spark.read.schema(Dedup.bandSchemaBkt)
+      .parquet(dir).select("doc_id").as[Long].collect().toSet
+    assert(served() === (0L until 40L).toSet -- victims)
+    // TORN swap: stage a bucket as if a crash hit between live->aside
+    // and tmp->live — recovery at the next entry point must RESTORE it
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val someBkt = fs.listStatus(new Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("bkt=")).head
+    fs.mkdirs(new Path(dir, ".rm_aside"))
+    assert(fs.rename(someBkt, new Path(dir + "/.rm_aside", someBkt.getName)))
+    assert(!fs.exists(someBkt))
+    // any index entry point heals (the probe path calls recoverBandIndex)
+    Dedup.bandIndexAppendPrecomputed(dir,
+      Seq((100L, "band_x")).toDF("doc_id", "band"), buckets = 4)
+    assert(fs.exists(someBkt), "torn removal must restore the aside bucket")
+    assert(served() === ((0L until 40L).toSet -- victims) + 100L)
+    // and a REPLAYED removal of already-removed ids is a no-op
+    Dedup.bandIndexRemove(dir, vbands, buckets = 4)
+    assert(served() === ((0L until 40L).toSet -- victims) + 100L)
+  }
+
+  test("IvfIndex.refineInPlace torn swap: complete staging promotes; missing staging restores the aside") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    def mk(tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(tag).toString + "/idx"
+      val emb = (0L until 200L).map { i =>
+        val v = Array.fill(8)(0f); v((i % 8).toInt) = 1f; v(0) += (i % 7) * 0.1f
+        (i, v.toSeq)
+      }.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      IvfIndex.save(IvfIndex.build(emb, nlist = 4, iters = 1), d)
+      d
+    }
+    val fsOf = (d: String) =>
+      new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // window A: crash BETWEEN the two renames (live moved aside, staging
+    // complete) -> load() must promote the staging copy
+    val a = mk("ivfswapA")
+    val fsA = fsOf(a)
+    assert(fsA.rename(new Path(a), new Path(a + ".tmp")))  // "staging complete"
+    fsA.mkdirs(new Path(a + ".aside"))
+    val mA = IvfIndex.load(spark, a)
+    assert(mA.assignments.count() === 200L)
+    assert(!fsA.exists(new Path(a + ".aside")) && !fsA.exists(new Path(a + ".tmp")))
+    // window B: crash BEFORE staging completed (tmp missing, live moved
+    // aside) -> load() must restore the aside
+    val b = mk("ivfswapB")
+    val fsB = fsOf(b)
+    assert(fsB.rename(new Path(b), new Path(b + ".aside")))
+    val mB = IvfIndex.load(spark, b)
+    assert(mB.assignments.count() === 200L)
+    assert(!fsB.exists(new Path(b + ".aside")))
+  }
 }
