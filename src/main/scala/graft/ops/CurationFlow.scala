@@ -213,17 +213,18 @@ object CurationFlow {
     val sc = batch.sparkSession.sparkContext
     def label(l: String): Unit = sc.setJobDescription(s"decide:$l")
     // stage 8: pack at the carried cursor (cb DIV keeps long math exact —
-    // a double floor would lose integers past 2^53 on a long-lived feed)
-    val packed = Packing.packSequences(g.kept, "doc_id", col("n_tok"),
-        budget)
+    // a double floor would lose integers past 2^53 on a long-lived feed).
+    // The cursor advance is the pack's own phase-2 total — no separate
+    // aggregate job (r17 diet).
+    val (packedRaw, tokTotal) = Packing.packSequencesWithTotal(g.kept,
+      "doc_id", col("n_tok"), budget)
+    val packed = packedRaw
       .withColumn("cb",
         lit(cursor) + col("seq_id") * lit(budget) + col("seq_offset"))
       .select(col("doc_id"), lit("kept").as("status"), col("n_tok"),
         expr(s"cb DIV $budget").as("seq_id"),
         pmod(col("cb"), lit(budget)).as("seq_offset"))
-    label("cursor-agg")
-    val newCursor = cursor +
-      g.kept.agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
+    val newCursor = cursor + tokTotal
     sc.setJobDescription(null)
     val decisions = g.drops
       .select(col("doc_id"), col("status"), col("matched_id"),
@@ -267,50 +268,43 @@ object CurationFlow {
         repetitionVerdict(shapeGate(all)).drop("tk").localCheckpoint())
     val gated = flags.filter(col("rep_ok")).drop("rep_ok")
 
-    // stage 3: exact vs history — batch digests broadcast against the
-    // bucket-pruned digest-index read. Checkpointed BEFORE the append.
-    // matched_id = the min stored keeper (r16: the decisions artifact
-    // carries the duplicate MAP, not just the verdict — the q_dup_map
-    // closure serves consumers from it).
+    // stages 3-4 — exact vs history AND exact within batch — in ONE
+    // pinned frame (r17 diet: the r15 shape checkpointed the history
+    // drop set, the batch drop set, and the survivors as three blocking
+    // sync points, ~12 Spark jobs per wave; FlowProfile attributes the
+    // decide wall to exactly this fixed per-job overhead). Each gated
+    // doc annotates with its digest verdicts: `hist_matched` = the min
+    // stored keeper (exact_history), `keep_id` = the batch election's
+    // winner among history-SURVIVORS sharing its digest. The election
+    // window runs over ALL gated docs because a digest group is
+    // hist-matched all-or-nothing (same digest ⇒ same stored match), so
+    // min(when(hist null)) elects among exactly the docs the old
+    // post-anti-join groupBy saw — verdicts byte-identical, and
+    // exHist / exBatchDrop / afterEx become FILTERS of the one pin.
     val digests = gated.select(col("doc_id"), md5(col("text")).as("band"))
-    label("exhist-ckpt")
-    val exHist = org.apache.spark.sql.graftbridge.Bridge
-      .dropCheckpointConstraints(
-        Dedup.bandIndexPrunedStored(digestDir, digests, buckets)
-          .join(broadcast(digests.withColumnRenamed("doc_id", "bid")),
-            Seq("band"))
-          .groupBy(col("bid").as("doc_id"))
-          .agg(min(col("doc_id")).as("matched_id"))
-          .localCheckpoint())
-    val afterHist = gated.join(exHist.select("doc_id"), Seq("doc_id"),
-      "left_anti")
-
-    // stage 4: exact within batch — min doc_id per digest keeps, and is
-    // the losers' matched_id. The drop set is PINNED (r16): carrying
-    // matched_id turned it from an anti-join byproduct into a
-    // groupBy+join evaluated by BOTH the survivor anti-join and the
-    // decisions union — one checkpoint of the (tiny) drop set puts the
-    // digest shuffle back to one evaluation
-    val exKeep = afterHist.select(col("doc_id"), md5(col("text")).as("dg"))
-      .groupBy("dg").agg(min(col("doc_id")).as("keep_id"))
-    label("exbatch-ckpt")
-    val exBatchDrop = org.apache.spark.sql.graftbridge.Bridge
-      .dropCheckpointConstraints(
-        afterHist.select(col("doc_id"), md5(col("text")).as("dg"))
-          .join(exKeep, Seq("dg"))
-          .filter(col("doc_id") =!= col("keep_id"))
-          .select(col("doc_id"), col("keep_id").as("matched_id"))
-          .localCheckpoint())
-    // pinned (r15 diet): the exact-dedup survivors feed the band
-    // derivation, the tail, and the decisions evaluation — without the
-    // checkpoint each re-ran the digest groupBy shuffle and the history
-    // anti-join
-    label("afterex-ckpt")
-    val afterEx = org.apache.spark.sql.graftbridge.Bridge
-      .dropCheckpointConstraints(
-        afterHist.join(broadcast(exBatchDrop.select("doc_id")),
-            Seq("doc_id"), "left_anti")
-          .localCheckpoint())
+    val histM = Dedup.bandIndexPrunedStored(digestDir, digests, buckets)
+      .join(broadcast(digests.withColumnRenamed("doc_id", "bid")),
+        Seq("band"))
+      .groupBy(col("bid").as("doc_id"))
+      .agg(min(col("doc_id")).as("hist_matched"))
+    val wdg = org.apache.spark.sql.expressions.Window.partitionBy("dg")
+    label("exact-ckpt")
+    val exact = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(gated
+        .withColumn("dg", md5(col("text")))
+        .join(broadcast(histM), Seq("doc_id"), "left")
+        .withColumn("keep_id",
+          min(when(col("hist_matched").isNull, col("doc_id"))).over(wdg))
+        .drop("dg")
+        .localCheckpoint())
+    val exHist = exact.filter(col("hist_matched").isNotNull)
+      .select(col("doc_id"), col("hist_matched").as("matched_id"))
+    val exBatchDrop = exact.filter(col("hist_matched").isNull &&
+        col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("keep_id").as("matched_id"))
+    val afterEx = exact.filter(col("hist_matched").isNull &&
+        col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"))
 
     // stage 5: near-dup band candidates vs stored ∪ batch (the
     // incremental-dedup probe; bounded star route under a finite cap).
@@ -334,15 +328,19 @@ object CurationFlow {
         (b.pairs, org.apache.spark.sql.graftbridge.Bridge
           .dropCheckpointConstraints(b.overflow.localCheckpoint()), bands)
       }
-    label("pairs-ckpt")
-    val pairs = org.apache.spark.sql.graftbridge.Bridge
-      .dropCheckpointConstraints(rawPairs.localCheckpoint())
+    // the pair table pins WITH its in-batch flags (r17: when only the
+    // raw pairs were pinned, histDrop and edges each re-built the two
+    // batchIds broadcasts per evaluation — four extra jobs a wave)
     val batchIds = afterEx.select(col("doc_id"))
-    val flagged = pairs
-      .join(broadcast(batchIds.select(col("doc_id").as("a_id"),
-        lit(true).as("a_in"))), col("doc_a") === col("a_id"), "left")
-      .join(broadcast(batchIds.select(col("doc_id").as("b_id"),
-        lit(true).as("b_in"))), col("doc_b") === col("b_id"), "left")
+    label("flagged-ckpt")
+    val flagged = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(rawPairs
+        .join(broadcast(batchIds.select(col("doc_id").as("a_id"),
+          lit(true).as("a_in"))), col("doc_a") === col("a_id"), "left")
+        .join(broadcast(batchIds.select(col("doc_id").as("b_id"),
+          lit(true).as("b_in"))), col("doc_b") === col("b_id"), "left")
+        .select(col("doc_a"), col("doc_b"), col("a_in"), col("b_in"))
+        .localCheckpoint())
     // pinned like exBatchDrop: the min-keeper aggregate now feeds the
     // survivor anti-join AND the decisions union
     label("histdrop-ckpt")
@@ -402,8 +400,15 @@ object CurationFlow {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
     val withKeep = memb.withColumn("keep_id",
       max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).over(w))
-    val hits = contaminationHits(
-      withKeep.filter(col("doc_id") === col("keep_id")), bench)
+    // contamination hits probe the PINNED exact-survivors, not the
+    // elected keepers (r17 diet): the keeper restriction made the hits
+    // broadcast re-evaluate the CC join + keeper window as its own job
+    // chain inside the tail checkpoint; on afterEx the probe reads one
+    // pinned filter. The extra (non-keeper) hit rows are inert — the
+    // tail only consults `contam` on keeper rows — so decisions are
+    // identical; the trade is shingling the near-dup losers too, a few
+    // percent of a healthy batch.
+    val hits = contaminationHits(afterEx, bench)
     label("tail-ckpt")
     val tail = org.apache.spark.sql.graftbridge.Bridge
       .dropCheckpointConstraints(withKeep
@@ -456,19 +461,42 @@ object CurationFlow {
     */
   def commit(dir: String, kept: DataFrame, buckets: Int = 16,
              keptBands: Option[DataFrame] = None): Unit = {
-    Dedup.bandIndexAppendPrecomputed(dir + "/digest",
-      kept.select(col("doc_id"), md5(col("text")).as("band")), buckets)
-    // a decide-supplied pinned band table skips the second minhash
-    // derivation; the no-bands form (the streaming REPLAY path, which
-    // reconstructs kept from the recorded decisions) re-derives
-    keptBands match {
-      case Some(b) =>
-        Dedup.bandIndexAppendPrecomputed(dir + "/bands",
-          b.select(col("doc_id"), col("band")), buckets)
-      case None =>
-        Dedup.bandIndexAppend(dir + "/bands", kept, "doc_id", "text",
-          buckets = buckets)
-    }
+    // the two appends touch DISJOINT dirs (digest/ vs bands/), each with
+    // its own staged-swap crash contract, and replay never depends on
+    // their relative order — run them CONCURRENTLY (r17 diet: the
+    // sequential pair was a fixed ~1 s of every batch wall). Failures
+    // surface only after BOTH sides finished, so a caller's retry never
+    // races an orphaned writer (the r16 ADVICE rule).
+    awaitBoth(
+      () => Dedup.bandIndexAppendPrecomputed(dir + "/digest",
+        kept.select(col("doc_id"), md5(col("text")).as("band")), buckets),
+      // a decide-supplied pinned band table skips the second minhash
+      // derivation; the no-bands form (the streaming REPLAY path, which
+      // reconstructs kept from the recorded decisions) re-derives
+      () => keptBands match {
+        case Some(b) =>
+          Dedup.bandIndexAppendPrecomputed(dir + "/bands",
+            b.select(col("doc_id"), col("band")), buckets)
+        case None =>
+          Dedup.bandIndexAppend(dir + "/bands", kept, "doc_id", "text",
+            buckets = buckets)
+      })
+  }
+
+  /** Run independent store mutations concurrently; rethrow the FIRST
+    * failure only after EVERY side has finished (an early rethrow lets a
+    * foreachBatch retry replay the batch against dirs an orphaned thread
+    * is still mutating — the r16 ADVICE single-writer rule). Shared by
+    * the flow commits ([[commit]], [[graft.ops.VectorFlow.commit]],
+    * [[graft.ops.UnifiedFlow.commit]]).
+    */
+  private[ops] def awaitBoth(sides: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val done = sides.map(s => Future(s()))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    done.foreach(_.get)
   }
 
   /** An empty frame with [[Dedup.BoundedCandidates]]' overflow schema —

@@ -40,7 +40,17 @@ object Packing {
     * expression; rows are laid out in ascending `idCol` order.
     */
   def packSequences(docs: DataFrame, idCol: String, tokCol: Column,
-                    budget: Long): DataFrame = {
+                    budget: Long): DataFrame =
+    packSequencesWithTotal(docs, idCol, tokCol, budget)._1
+
+  /** [[packSequences]] plus the input's TOTAL token count — the number
+    * the flows advance their cursor by. The total is the sum of the
+    * phase-2 subtotals this pack already collected, so a flow caller
+    * saves the separate aggregate job it used to run over the same
+    * pinned frame (r17 diet).
+    */
+  def packSequencesWithTotal(docs: DataFrame, idCol: String, tokCol: Column,
+                             budget: Long): (DataFrame, Long) = {
     require(budget > 0, s"budget must be positive, got $budget")
     // materialize the ranged layout once: phases 2 and 3 are separate
     // jobs, and __pid must name the SAME range in both (a re-executed
@@ -60,8 +70,8 @@ object Packing {
       .agg(coalesce(sum("n_tok"), lit(0L)).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     if (subtotals.isEmpty)
-      return ranged.select(col(idCol), col("n_tok"),
-        lit(0L).as("seq_id"), lit(0L).as("seq_offset"))
+      return (ranged.select(col(idCol), col("n_tok"),
+        lit(0L).as("seq_id"), lit(0L).as("seq_offset")), 0L)
     val bases: Map[Int, Long] = {
       var acc = 0L
       subtotals.map { case (pid, t) => val b = (pid, acc); acc += t; b }.toMap
@@ -71,12 +81,13 @@ object Packing {
     // than one range partition's rows.
     val w = Window.partitionBy("__pid").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
+    val packed = ranged
       .withColumn("__cum_before",
         coalesce(sum("n_tok").over(w), lit(0L)) +
           element_at(typedlit(bases), col("__pid")))
       .select(col(idCol), col("n_tok"),
         expr(s"__cum_before DIV ${budget}L").as("seq_id"),
         pmod(col("__cum_before"), lit(budget)).as("seq_offset"))
+    (packed, subtotals.map(_._2).sum)
   }
 }

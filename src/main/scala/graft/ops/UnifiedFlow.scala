@@ -100,49 +100,60 @@ object UnifiedFlow {
     // never written and `v.cursor` echoes the 0 passed here
     // (countCursor = false skips the one wasted count job per batch —
     // r15 ADVICE).
-    label("vecin-ckpt")
-    val vecIn = ckpt(batch
+    // vecIn is deliberately UNPINNED (r17 diet — the r16 vecin-ckpt was
+    // a redundant sync point): its only evaluation is inside the vector
+    // flow's own valid-ckpt, because this composition never consumes
+    // that flow's `invalid` decisions branch (the status filter below
+    // constant-folds it to an empty relation), and the broadcast side
+    // here is a filter of the pinned text tail.
+    label("vecin")
+    val vecIn = batch
       .filter(col("embedding").isNotNull)
       .select(col("doc_id").as("vec_id"), col("embedding"))
       .join(broadcast(g.kept.select(col("doc_id").as("vec_id"))),
-        Seq("vec_id"), "left_semi"))
+        Seq("vec_id"), "left_semi")
     val v = VectorFlow.decide(dir + "/vec", vecIn, 0L, vec,
       countCursor = false)
-    // pinned (r16 diet): the semantic-drop set is read by the kept
-    // anti-join AND the decisions union — without the pin the second
-    // reader re-evaluates the vector flow's decision-union fragments
-    label("semdrops-ckpt")
-    val semDrops = ckpt(v.decisions
+    // the semantic verdicts and the FINAL kept frame land in ONE pinned
+    // frame (r17 diet — the r16 shape pinned semDrops and kept
+    // separately): g.kept annotated with its semantic-drop status.
+    // kept / semDrops are filters of the pin; every consumer — the
+    // pack, the cursor aggregate, the decisions evaluation, the
+    // kept-bands semi-join, commit's five store writes — reads
+    // materialized blocks.
+    val vDrops = v.decisions
       .filter(col("status").isin("exact_history", "exact_batch",
         "neardup_history", "neardup_batch"))
       .select(col("vec_id").as("doc_id"),
         when(col("status") === "exact_history", "embdup_history")
           .when(col("status") === "exact_batch", "embdup_batch")
           .when(col("status") === "neardup_history", "semdup_history")
-          .otherwise("semdup_batch").as("status"),
-        col("matched_id")))
-    // the FINAL kept frame is CHECKPOINTED (r16 diet): it feeds the
-    // pack, the cursor aggregate, the decisions evaluation, the
-    // kept-bands semi-join, and commit's five store writes — without
-    // the pin, every one of those re-built the semDrops broadcast (a
-    // union over the vector flow's decision chain) as its own job
-    label("kept-ckpt")
-    val kept = ckpt(g.kept.join(broadcast(semDrops.select("doc_id")),
-      Seq("doc_id"), "left_anti"))
+          .otherwise("semdup_batch").as("sem_status"),
+        col("matched_id").as("sem_matched"))
+    label("semflag-ckpt")
+    val semFlag = ckpt(g.kept.join(broadcast(vDrops), Seq("doc_id"),
+      "left"))
+    val kept = semFlag.filter(col("sem_status").isNull)
+      .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"))
+    val semDrops = semFlag.filter(col("sem_status").isNotNull)
+      .select(col("doc_id"), col("sem_status").as("status"),
+        col("sem_matched").as("matched_id"))
 
     // pack the FINAL kept set at the carried cursor (the text flow's
     // exact tail — cb DIV keeps long math exact)
     label("pack")
-    val packed = Packing.packSequences(kept, "doc_id", col("n_tok"), budget)
+    val (packedRaw, tokTotal) = Packing.packSequencesWithTotal(kept,
+      "doc_id", col("n_tok"), budget)
+    val packed = packedRaw
       .withColumn("cb",
         lit(cursor) + col("seq_id") * lit(budget) + col("seq_offset"))
       .select(col("doc_id"), lit("kept").as("status"),
         lit(null).cast("long").as("matched_id"), col("n_tok"),
         expr(s"cb DIV $budget").as("seq_id"),
         pmod(col("cb"), lit(budget)).as("seq_offset"))
-    label("cursor-agg")
-    val newCursor = cursor +
-      kept.agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
+    // the cursor advance is the pack's own phase-2 total (r17 diet —
+    // the separate aggregate job over the same pinned frame is gone)
+    val newCursor = cursor + tokTotal
     sc.setJobDescription(null)
 
     val nulls = Seq(lit(null).cast("long").as("n_tok"),
@@ -208,16 +219,15 @@ object UnifiedFlow {
     // CONCURRENTLY (r16 diet: the five sequential store writes were a
     // fixed ~1.5 s of the batch wall; Spark schedules jobs from both
     // threads side by side)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val t = Future(
-      CurationFlow.commit(dir, staged.kept, buckets,
-        Some(staged.keptBands)))
-    val v = Future(
-      VectorFlow.commit(dir + "/vec", staged.keptVecs, vec,
+    // awaitBoth (r16 ADVICE): a failure surfaces only after BOTH modal
+    // commits finished — an early rethrow would let a foreachBatch retry
+    // replay the batch concurrently with the orphaned sibling writer.
+    // The modal commits are themselves internally concurrent (r17), so
+    // all five disjoint-dir appends run side by side.
+    CurationFlow.awaitBoth(
+      () => CurationFlow.commit(dir, staged.kept, buckets,
+        Some(staged.keptBands)),
+      () => VectorFlow.commit(dir + "/vec", staged.keptVecs, vec,
         Some(staged.keptVecBands), prio))
-    Await.result(t, Duration.Inf)
-    Await.result(v, Duration.Inf)
   }
 }

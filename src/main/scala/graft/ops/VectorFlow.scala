@@ -200,34 +200,38 @@ object VectorFlow {
       size(col("embedding")) === d &&
       Similarity.l2Norm(col("embedding")) > 0d))
 
-    // stage 2: exact vs history — batch digests broadcast against the
-    // bucket-pruned digest-index read. matched_id = min stored keeper.
+    // stages 2-3 — exact vs history AND exact within batch — in ONE
+    // pinned frame (r17 diet, the text flow's shape): `hist_matched` =
+    // the min stored keeper from the bucket-pruned digest-index read,
+    // `keep_id` = the batch election's winner among history-SURVIVORS
+    // sharing the digest. The election window can run over all valid
+    // rows because a digest group is hist-matched all-or-nothing (same
+    // digest ⇒ same stored match) — verdicts byte-identical to the old
+    // three-checkpoint chain, at a third of the sync points.
     val digests = valid.select(col("vec_id"), digestOf(spark).as("band"))
-    label("exhist-ckpt")
-    val exHist = ckpt(
-      Dedup.bandIndexPrunedStored(dir + "/digest",
-          digests.select(col("vec_id").as("doc_id"), col("band")),
-          params.buckets)
-        .join(broadcast(digests.select(col("band"), col("vec_id").as("bid"))),
-          Seq("band"))
-        .groupBy(col("bid").as("vec_id"))
-        .agg(min(col("doc_id")).as("matched_id")))
-    val afterHist = valid.join(broadcast(exHist), Seq("vec_id"), "left_anti")
-
-    // stage 3: exact within batch — min vec_id per digest keeps
-    val exKeep = afterHist.select(col("vec_id"), digestOf(spark).as("dg"))
-      .groupBy("dg").agg(min(col("vec_id")).as("keep_id"))
-    val exBatch = afterHist.select(col("vec_id"), digestOf(spark).as("dg"))
-      .join(exKeep, Seq("dg"))
-      .filter(col("vec_id") =!= col("keep_id"))
+    val histM = Dedup.bandIndexPrunedStored(dir + "/digest",
+        digests.select(col("vec_id").as("doc_id"), col("band")),
+        params.buckets)
+      .join(broadcast(digests.select(col("band"), col("vec_id").as("bid"))),
+        Seq("band"))
+      .groupBy(col("bid").as("vec_id"))
+      .agg(min(col("doc_id")).as("hist_matched"))
+    val wdg = org.apache.spark.sql.expressions.Window.partitionBy("dg")
+    label("exact-ckpt")
+    val exact = ckpt(valid
+      .withColumn("dg", digestOf(spark))
+      .join(broadcast(histM), Seq("vec_id"), "left")
+      .withColumn("keep_id",
+        min(when(col("hist_matched").isNull, col("vec_id"))).over(wdg))
+      .drop("dg"))
+    val exHist = exact.filter(col("hist_matched").isNotNull)
+      .select(col("vec_id"), col("hist_matched").as("matched_id"))
+    val exBatch = exact.filter(col("hist_matched").isNull &&
+        col("vec_id") =!= col("keep_id"))
       .select(col("vec_id"), col("keep_id").as("matched_id"))
-    // pinned (r15 diet): the exact-dedup survivors feed the signature
-    // derivation, the pair-side classification, the drop anti-joins, and
-    // the decisions evaluation — without the checkpoint each re-ran the
-    // digest groupBy shuffle
-    label("afterex-ckpt")
-    val afterEx = ckpt(afterHist.join(broadcast(exBatch.select("vec_id")),
-      Seq("vec_id"), "left_anti"))
+    val afterEx = exact.filter(col("hist_matched").isNull &&
+        col("vec_id") === col("keep_id"))
+      .select(col("vec_id"), col("embedding"))
 
     // stage 4 candidates: Hamming≤1 multi-probe against the band index
     // (read-only — only KEPT vectors ever index, at commit). Bounded
@@ -254,8 +258,17 @@ object VectorFlow {
           params.maxBucket)
         (b.pairs, ckpt(b.overflow))
       }
-    label("pairs-ckpt")
-    val pairs = ckpt(rawPairs)
+    // the pair table pins WITH its in-batch flags (r17: the raw-pairs
+    // pin left the two batchIds broadcasts to be re-built by every
+    // downstream evaluation)
+    val batchIds = afterEx.select(col("vec_id"))
+    label("flagged-ckpt")
+    val flagged = ckpt(rawPairs
+      .join(broadcast(batchIds.select(col("vec_id").as("a_id"),
+        lit(true).as("a_in"))), col("doc_a") === col("a_id"), "left")
+      .join(broadcast(batchIds.select(col("vec_id").as("b_id"),
+        lit(true).as("b_in"))), col("doc_b") === col("b_id"), "left")
+      .select(col("doc_a"), col("doc_b"), col("a_in"), col("b_in")))
 
     // stages 4-5 verification in ONE checkpointed pass (r15 diet): every
     // candidate pair — history pairs against the vbkt-pruned store
@@ -265,18 +278,12 @@ object VectorFlow {
     // pinned blocks (the first cut checkpointed those two SEPARATELY,
     // evaluating the flag/broadcast plans twice). A batch with NO
     // candidates at all (clean corpus — the common case) skips the
-    // verification, fetch, and CC machinery entirely: `pairs` is
+    // verification, fetch, and CC machinery entirely: `flagged` is
     // checkpointed, so the probe is one cheap take(1).
     val (ndHist, edges) =
-      if (pairs.isEmpty) (emptyLongPairs(spark, "vec_id", "matched_id"),
+      if (flagged.isEmpty) (emptyLongPairs(spark, "vec_id", "matched_id"),
         emptyLongPairs(spark, "doc_a", "doc_b"))
     else {
-      val batchIds = afterEx.select(col("vec_id"))
-      val flagged = pairs
-        .join(broadcast(batchIds.select(col("vec_id").as("a_id"),
-          lit(true).as("a_in"))), col("doc_a") === col("a_id"), "left")
-        .join(broadcast(batchIds.select(col("vec_id").as("b_id"),
-          lit(true).as("b_in"))), col("doc_b") === col("b_id"), "left")
       val histCand = flagged.filter(col("a_in").isNull || col("b_in").isNull)
         .select(
           when(col("a_in").isNotNull, col("doc_a")).otherwise(col("doc_b"))
@@ -427,19 +434,24 @@ object VectorFlow {
     val clean = kept.filter(col("embedding").isNotNull &&
       Similarity.l2Norm(col("embedding")) > 0d &&
       dAuth.map(dd => size(col("embedding")) === dd).getOrElse(lit(true)))
-    Dedup.bandIndexAppendPrecomputed(dir + "/digest",
-      clean.select(col("vec_id").as("doc_id"), digestOf(spark).as("band")),
-      params.buckets)
-    // a decide-supplied pinned home-band table skips the second
-    // hyperplane-signature derivation; the no-bands form (the streaming
-    // REPLAY path) re-derives
-    Dedup.bandIndexAppendPrecomputed(dir + "/bands",
-      keptBands.map(_.select(col("doc_id"), col("band")))
-        .getOrElse(Similarity.embBandTable(clean, "vec_id", "embedding",
-          params.bits, params.seed,
-          dAuth.getOrElse(params.dim), params.families)),
-      params.buckets)
-    vectorStoreAppend(dir + "/vectors", clean, params.buckets, prio)
+    // the three appends touch DISJOINT dirs, each with its own staged
+    // swap, and replay never depends on their relative order — run them
+    // CONCURRENTLY, surfacing failures only after all three finished
+    // (r17 diet; CurationFlow.awaitBoth's single-writer rationale)
+    CurationFlow.awaitBoth(
+      () => Dedup.bandIndexAppendPrecomputed(dir + "/digest",
+        clean.select(col("vec_id").as("doc_id"), digestOf(spark).as("band")),
+        params.buckets),
+      // a decide-supplied pinned home-band table skips the second
+      // hyperplane-signature derivation; the no-bands form (the streaming
+      // REPLAY path) re-derives
+      () => Dedup.bandIndexAppendPrecomputed(dir + "/bands",
+        keptBands.map(_.select(col("doc_id"), col("band")))
+          .getOrElse(Similarity.embBandTable(clean, "vec_id", "embedding",
+            params.bits, params.seed,
+            dAuth.getOrElse(params.dim), params.families)),
+        params.buckets),
+      () => vectorStoreAppend(dir + "/vectors", clean, params.buckets, prio))
   }
 
   /** [[lateDecide]]'s return: the correction rows plus the three

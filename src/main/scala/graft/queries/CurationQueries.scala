@@ -277,20 +277,19 @@ object CurationQueries {
     // (status, n_tok, seq_id, seq_offset, wave), dropped rows with NULL
     // pack fields.
     "q_curation_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val dir = CoreQueries.pidScopedDir("graft_curation_inc", d)
-      val bench = graft.ops.CurationFlow.benchShingles(docs)
-      val w1 = graft.ops.CurationFlow.ingest(dir.toString,
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0), bench, cursor = 0L)
-      val w2 = graft.ops.CurationFlow.ingest(dir.toString,
-        docs.filter(pmod(col("doc_id"), lit(2)) === 1), bench,
-        cursor = w1.cursor)
-      // matched_id (r16) is served — with its own oracle, including the
-      // transitive closure — by q_dup_map; this key keeps pinning the
-      // status/pack chain against the original recompute
-      w1.decisions.withColumn("wave", lit(1))
-        .unionByName(w2.decisions.withColumn("wave", lit(2)))
-        .drop("matched_id")
+      // the two-wave build itself is SHARED with q_dup_map (r17 — the
+      // r16 verdict's #1b: the two keys ran byte-identical builds
+      // back-to-back): whichever key runs first pays the build and
+      // lands the decisions artifact through the streaming loop's
+      // idempotent batch_id partitions; this key reads the artifact
+      // back — values identical to the live frames (longs and strings
+      // round-trip parquet exactly). matched_id (r16) is served — with
+      // its own oracle, including the transitive closure — by
+      // q_dup_map; this key keeps pinning the status/pack chain.
+      val art = s.read.parquet(SharedBuilds.textDecisionsArtifact(s, d))
+      art.select(col("doc_id"), col("status"), col("n_tok"),
+          col("seq_id"), col("seq_offset"),
+          (col("batch_id") + 1).cast("int").as("wave"))
         .orderBy("doc_id")
     }),
 
@@ -363,22 +362,17 @@ object CurationQueries {
     // NON-kept root when its keeper fell to benchmark/contamination
     // after winning the election). Scale shape: the closure runs on
     // dedup-DROP rows only (never the corpus), with CC's log-rounds
-    // contraction. Oracle: the q_curation_incremental recompute
-    // extended with matched keepers and a recursive root chase.
+    // contraction — and the build itself is the SHARED memoized
+    // two-wave run (r17), so the gate prices this key as what it is:
+    // the closure + serve, not a second corpus build. Oracle: the
+    // q_curation_incremental recompute extended with matched keepers
+    // and a recursive root chase.
     "q_dup_map" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val dir = CoreQueries.pidScopedDir("graft_dup_map", d)
-      val bench = graft.ops.CurationFlow.benchShingles(docs)
-      val w1 = graft.ops.CurationFlow.ingest(dir.toString,
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0), bench, cursor = 0L)
-      val w2 = graft.ops.CurationFlow.ingest(dir.toString,
-        docs.filter(pmod(col("doc_id"), lit(2)) === 1), bench,
-        cursor = w1.cursor)
-      graft.streaming.StreamOps.writeDecisions(w1.decisions, 0L,
-        s"$dir/decisions")
-      graft.streaming.StreamOps.writeDecisions(w2.decisions, 1L,
-        s"$dir/decisions")
-      val art = s.read.parquet(s"$dir/decisions")
+      // the consumer view proper: answer from the ARTIFACT alone. The
+      // two-wave build + landing is the SHARED memoized one (r17 —
+      // q_curation_incremental's exact build; this key used to re-run
+      // it, ~8 s of duplicated fixed flow cost per gate sweep)
+      val art = s.read.parquet(SharedBuilds.textDecisionsArtifact(s, d))
       val edges = art.filter(col("matched_id").isNotNull)
         .select("doc_id", "matched_id")
       // losers only: a non-kept ROOT (contaminated keeper) resolves its
