@@ -277,16 +277,17 @@ object CurationQueries {
     // (status, n_tok, seq_id, seq_offset, wave), dropped rows with NULL
     // pack fields.
     "q_curation_incremental" -> ((s, d) => {
-      // the two-wave build itself is SHARED with q_dup_map (r17 — the
-      // r16 verdict's #1b: the two keys ran byte-identical builds
-      // back-to-back): whichever key runs first pays the build and
-      // lands the decisions artifact through the streaming loop's
-      // idempotent batch_id partitions; this key reads the artifact
-      // back — values identical to the live frames (longs and strings
-      // round-trip parquet exactly). matched_id (r16) is served — with
-      // its own oracle, including the transitive closure — by
-      // q_dup_map; this key keeps pinning the status/pack chain.
-      val art = s.read.parquet(SharedBuilds.textDecisionsArtifact(s, d))
+      // this key BUILDS live on every invocation — it is the ingest
+      // throughput price, and the bench's untimed warmup pass must
+      // never hide it behind a memo — and PUBLISHES the landed
+      // artifact so q_dup_map serves from it instead of re-running a
+      // byte-identical build (r17, the r16 verdict's #1b). The result
+      // reads the artifact back — values identical to the live frames
+      // (longs and strings round-trip parquet exactly). matched_id
+      // (r16) is served — with its own oracle, including the
+      // transitive closure — by q_dup_map; this key keeps pinning the
+      // status/pack chain.
+      val art = s.read.parquet(SharedBuilds.publishTextBuild(s, d))
       art.select(col("doc_id"), col("status"), col("n_tok"),
           col("seq_id"), col("seq_offset"),
           (col("batch_id") + 1).cast("int").as("wave"))
