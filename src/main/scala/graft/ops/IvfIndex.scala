@@ -647,7 +647,18 @@ object IvfIndex {
     * whose watch aggregate already assigned the batch once.
     */
   private def appendAssigned(spark: SparkSession, path: String,
-                             assigned: DataFrame): Unit = {
+                             assigned: DataFrame): Unit =
+    writeAssignRows(spark, path, assigned, s"$path/assignments", "append")
+
+  /** The encode-and-lay-out core of the assignment writers: encode under
+    * the index's saved quantization (if any), land in the index's layout
+    * (cbkt dirs or per-cell dirs), at `target` with `mode`. Factored out
+    * so the ledgered maintain path can stage the SAME bytes into a
+    * pending dir ([[stagedAssignAppend]]) instead of appending directly.
+    */
+  private def writeAssignRows(spark: SparkSession, path: String,
+                              assigned: DataFrame, target: String,
+                              mode: String): Unit = {
     // a quantized index stays quantized: encode arrivals under the SAVED
     // params (the quantization grid / codebook is part of the index
     // contract, like the frozen centroids — refitting per append would
@@ -670,15 +681,126 @@ object IvfIndex {
       case Some(b) => // bucketed index: arrivals land in their cbkt dirs
         out.withColumn("cbkt", cbktOf(b))
           .repartition(col("cbkt")).sortWithinPartitions("cell")
-          .write.mode("append").partitionBy("cbkt").parquet(s"$path/assignments")
+          .write.mode(mode).partitionBy("cbkt").parquet(target)
       case None =>
         // repartition BY cell first — un-repartitioned partitionBy emits
         // one file per (task, cell): 32 tasks × nlist cells ≈ 8k files
         // PER APPEND (save()'s measured 15,248-file lesson applied to
         // the append path, where a maintenance loop pays it every batch)
         out.repartition(col("cell"))
-          .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
+          .write.mode(mode).partitionBy("cell").parquet(target)
     }
+  }
+
+  /** The maintain batch ledger (`_maintain_ledger`): the last APPLIED
+    * ledgered batch id, tmp+checked-rename like the flow cursors. A
+    * batch id at or below the recorded one is already fully in the
+    * stores and must not mutate again.
+    */
+  private def readMaintainLedger(spark: SparkSession,
+                                 path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_maintain_ledger")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val line = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      try Some(line.toLong)
+      catch { case _: NumberFormatException =>
+        throw new java.io.IOException(s"corrupt maintain ledger $p: $line") }
+    }
+  }
+
+  private def writeMaintainLedger(spark: SparkSession, path: String,
+                                  id: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fin = new org.apache.hadoop.fs.Path(path, "_maintain_ledger")
+    val tmp = new org.apache.hadoop.fs.Path(path, "_maintain_ledger.tmp")
+    val fs = fin.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(id.toString.getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(fin) && !fs.delete(fin, false))
+      throw new java.io.IOException(s"maintain ledger delete failed: $fin")
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"maintain ledger rename failed: $fin")
+  }
+
+  /** Remove every file a previous (possibly torn) attempt of ledgered
+    * batch `id` left behind: the deterministic `maint-b<id>-*` part
+    * files under assignments and the batch's occupancy delta file.
+    */
+  private def wipeBatchFootprint(spark: SparkSession, path: String,
+                                 id: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val glob = new org.apache.hadoop.fs.Path(
+      s"$path/assignments/*/maint-b$id-*")
+    Option(fs.globStatus(glob)).getOrElse(Array.empty)
+      .foreach(st => fs.delete(st.getPath, false))
+    val delta = new org.apache.hadoop.fs.Path(
+      s"$path/occupancy/delta-b$id.parquet")
+    if (fs.exists(delta)) fs.delete(delta, false)
+    val pending = new org.apache.hadoop.fs.Path(
+      s"$path/assignments_pending_b$id")
+    if (fs.exists(pending)) fs.delete(pending, true)
+  }
+
+  /** The batch's occupancy delta as ONE deterministically-named flat
+    * file inside `occupancy/` (`delta-b<id>.parquet`) — idempotent under
+    * retry (the wipe removed any previous attempt), and the summed read
+    * path is unchanged (spark reads every file in the flat dir).
+    */
+  private def writeOccupancyDelta(spark: SparkSession, path: String,
+                                  id: Long, counts: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val tmpDir = new org.apache.hadoop.fs.Path(
+      s"$path/occupancy/.delta-b$id.tmp")
+    counts.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir)
+      .map(_.getPath).find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new java.io.IOException(
+        s"occupancy delta write produced no parquet file under $tmpDir"))
+    val fin = new org.apache.hadoop.fs.Path(
+      s"$path/occupancy/delta-b$id.parquet")
+    if (!fs.rename(part, fin))
+      throw new java.io.IOException(s"occupancy delta rename failed: $fin")
+    fs.delete(tmpDir, true)
+  }
+
+  /** Stage the batch's assignment rows into a pending dir, then move
+    * each part file to its mirrored layout dir under a DETERMINISTIC
+    * name (`maint-b<id>-<k>.parquet`) — so a retry can wipe exactly this
+    * batch's footprint and redo it, whatever the crash point.
+    */
+  private def stagedAssignAppend(spark: SparkSession, path: String,
+                                 assigned: DataFrame, id: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val pending = s"$path/assignments_pending_b$id"
+    writeAssignRows(spark, path, assigned, pending, "overwrite")
+    val pendingPath = new org.apache.hadoop.fs.Path(pending)
+    val parts = fs.listStatus(pendingPath)
+      .filter(_.isDirectory) // cell=N / cbkt=N dirs
+      .sortBy(_.getPath.getName)
+      .flatMap { dir =>
+        fs.listStatus(dir.getPath)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+          .map(st => (dir.getPath.getName, st.getPath))
+      }
+    parts.zipWithIndex.foreach { case ((layoutDir, src), k) =>
+      val destDir = new org.apache.hadoop.fs.Path(
+        s"$path/assignments/$layoutDir")
+      fs.mkdirs(destDir)
+      val dest = new org.apache.hadoop.fs.Path(destDir,
+        s"maint-b$id-$k.parquet")
+      if (!fs.rename(src, dest))
+        throw new java.io.IOException(s"maintain append move failed: $dest")
+    }
+    fs.delete(pendingPath, true)
   }
 
   /** [[maintainAppend]]'s report — the numbers an operator (or the
@@ -724,10 +846,27 @@ object IvfIndex {
     * re-clusters behind the caller's back (`tools/IvfServeSoak` is the
     * measured loop: recall@10 flat across 20+ appended batches, the
     * watch firing on a planted tight modality, refine recovering it).
+    *
+    * CRASH CONTRACT (r16 ADVICE): pass `batchId >= 0` from any caller
+    * that can redeliver a batch (a foreachBatch loop, a retrying job).
+    * The ledgered protocol is exactly-once under any crash/replay
+    * interleaving: an already-applied id skips the mutation entirely
+    * (`_maintain_ledger`); a fresh attempt first WIPES the batch's
+    * previous (possibly torn) footprint — its `maint-b<id>-*`
+    * assignment files and its `delta-b<id>.parquet` occupancy file are
+    * deterministically named for exactly this — then writes the
+    * occupancy delta BEFORE the assignment moves (a torn batch
+    * OVER-counts occupancy transiently: the watch can only fire early,
+    * never late), and commits the ledger last. The legacy `batchId < 0`
+    * path keeps the delta-first ordering and its recovery recipe
+    * (delete `occupancy/` to force the one-time re-seed from
+    * assignments) but double-inserts if the caller retries — it exists
+    * for one-shot interactive use only.
     */
   def maintainAppend(spark: SparkSession, path: String, batch: DataFrame,
                      maxCellRows: Long, driftMargin: Double = 0.05,
-                     route: AssignRoute = FlatAssign): MaintainWatch = {
+                     route: AssignRoute = FlatAssign,
+                     batchId: Long = -1L): MaintainWatch = {
     require(maxCellRows >= 1, s"maxCellRows must be >= 1, got $maxCellRows")
     recoverIndexSwap(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -771,11 +910,26 @@ object IvfIndex {
           throw new java.io.IOException(s"maintain sidecar rename failed: $mf")
         meanCos
       } else 1.0
-    if (appended > 0) {
-      appendAssigned(spark, path, assigned)
-      assigned.groupBy(col("cell").cast("long").as("cell"))
-        .agg(count(lit(1)).as("cnt"))
-        .write.mode("append").parquet(occPath)
+    val applied = batchId >= 0 &&
+      readMaintainLedger(spark, path).exists(_ >= batchId)
+    if (appended > 0 && !applied) {
+      if (batchId >= 0) {
+        // exactly-once ledgered mutation; see the scaladoc contract
+        wipeBatchFootprint(spark, path, batchId)
+        writeOccupancyDelta(spark, path, batchId,
+          assigned.groupBy(col("cell").cast("long").as("cell"))
+            .agg(count(lit(1)).as("cnt")))
+        stagedAssignAppend(spark, path, assigned, batchId)
+        writeMaintainLedger(spark, path, batchId)
+      } else {
+        // legacy one-shot path: delta FIRST (a torn batch over-counts
+        // transiently; delete occupancy/ to re-seed), appends second —
+        // retrying callers must pass batchId
+        assigned.groupBy(col("cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("append").parquet(occPath)
+        appendAssigned(spark, path, assigned)
+      }
     }
     val occ = spark.read.schema(
         org.apache.spark.sql.types.StructType(Seq(
@@ -798,32 +952,56 @@ object IvfIndex {
       action)
   }
 
-  /** Apply the `refine` action to a PERSISTED plain index: load, split
-    * the hot cells ([[refine]]), save to a staging dir, swap it in
+  /** Apply the `refine` action to a PERSISTED index: load, split the
+    * hot cells ([[refine]]), save to a staging dir, swap it in
     * (aside + rename — the band-index swap discipline), re-seed the
     * occupancy ledger from the refined assignments, and drop the drift
     * baseline so the next [[maintainAppend]] re-stamps it against the
-    * refined geometry. Quantized indexes refuse loudly — their refresh
-    * is the offline re-quantizing rebuild (the codes' grid is frozen to
-    * the old cells). Single-writer like every index mutation.
+    * refined geometry. Single-writer like every index mutation.
+    *
+    * QUANTIZED indexes refine in place too (r16 verdict #4 — the PQ/SQ8
+    * serving ladder used to have maintenance for append only): [[load]]
+    * decodes the codes, the sub-Lloyd splits run on the reconstructions
+    * (quantization error is orders below a cell radius), and the staged
+    * save RE-ENCODES under the SAVED params — a lossless round-trip for
+    * every existing row, since decoded values are grid points (SQ8) or
+    * codebook reconstructions (PQ) that re-encode to their own codes.
+    * Only the cell structure changes; the stored codes never degrade.
+    * The maintain batch ledger survives the swap (a replayed ledgered
+    * batch must still skip), while the drift baseline is deliberately
+    * dropped.
     */
   def refineInPlace(spark: SparkSession, path: String, maxCellRows: Long,
                     splitInto: Int = 2, iters: Int = 2,
                     seed: Long = 43L): Unit = {
     recoverIndexSwap(spark, path)
-    require(quantParams(spark, path).isEmpty && pqParams(spark, path).isEmpty,
-      s"$path is a quantized index — refineInPlace would silently " +
-        "de-quantize it; rebuild offline with saveQuantized*")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val refined = refine(load(spark, path), maxCellRows, splitInto, iters,
       seed)
     val tmp = path + ".tmp"
     val aside = path + ".aside"
-    save(refined, tmp)
+    val sq = quantParams(spark, path)
+    val pq = pqParams(spark, path)
+    val cellBuckets = layoutCellBuckets(spark, path)
+    (sq, pq, cellBuckets) match {
+      case (Some(p), _, Some(b)) => saveQuantizedBucketed(refined, tmp, p, b)
+      case (Some(p), _, None) => saveQuantized(refined, tmp, p)
+      case (_, Some(p), Some(b)) => saveQuantizedPqBucketed(refined, tmp, p, b)
+      case (_, Some(p), None) => saveQuantizedPq(refined, tmp, p)
+      case _ => save(refined, tmp)
+    }
     refined.assignments.groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$tmp/occupancy")
+    // carry the maintain batch ledger across the swap: the refined index
+    // CONTAINS every ledgered batch, so forgetting the ledger would let
+    // a crash-replay double-insert one
+    val ledger = new org.apache.hadoop.fs.Path(path, "_maintain_ledger")
+    if (fs.exists(ledger))
+      org.apache.hadoop.fs.FileUtil.copy(fs, ledger, fs,
+        new org.apache.hadoop.fs.Path(tmp, "_maintain_ledger"), false,
+        spark.sparkContext.hadoopConfiguration)
     def mv(a: String, b: String): Unit =
       if (!fs.rename(new org.apache.hadoop.fs.Path(a),
           new org.apache.hadoop.fs.Path(b)))
@@ -1120,8 +1298,18 @@ object IvfIndex {
   private[graft] def probedCells(model: Model, probes: DataFrame,
                                  nprobe: Int): DataFrame = {
     dotF(model.centroids.sparkSession)
+    // rank cells by COSINE, not raw dot (r16 ADVICE): refineInPlace
+    // persists unit-normalized sub-centroids while build()'s vecMean
+    // centroids have norm < 1, so raw-dot ranking handed refined cells
+    // a systematic norm advantage in nprobe selection. Dividing by the
+    // centroid norm makes the ranking scale-consistent across refined
+    // and organic cells (the probe's own norm is constant per probe —
+    // it never changes the order). The epsilon floor only guards a
+    // degenerate all-zero centroid from NaN, which would sort FIRST
+    // under descending double order.
     model.centroids.crossJoin(broadcast(probes))
-      .withColumn("cscore", expr("graft_dot_f(centroid, probe_emb)"))
+      .withColumn("cscore", expr("graft_dot_f(centroid, probe_emb)") /
+        greatest(sqrt(expr("graft_dot_f(centroid, centroid)")), lit(1e-30)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("cscore").desc, col("cell"))))
       .filter(col("__rn") <= nprobe)
@@ -1169,7 +1357,10 @@ object IvfIndex {
     }
     import spark.implicits._
     val probeCellRows = probes.flatMap { case (pid, pv) =>
-      val ranked = cents.map { case (cell, c) => (cell, dot(pv, c)) }
+      // cosine ranking, matching probedCells (r16 ADVICE): refined
+      // sub-centroids are unit-normalized, organic ones are not
+      val ranked = cents.map { case (cell, c) =>
+        (cell, dot(pv, c) / math.max(math.sqrt(dot(c, c)), 1e-30)) }
         .sortBy { case (cell, s) => (-s, cell) }.take(nprobe).map(_._1)
       val lut = Pq.adcLut(pq, pv)
       ranked.map(cell => (cell, pid, lut.toSeq))

@@ -974,15 +974,25 @@ object StreamOps {
     graft.ops.CurationFlow.readLedger(spark, vdir) match {
       case Some((bid, _, _)) if bid == id =>
         val cor = recordedCorrections(spark, outPath, id)
+        // fetch-first on the ATTACH side too (r16 ADVICE): an attached
+        // id already present in the vector store proves the original
+        // attempt's three appends completed (lateCommitParts appends
+        // the vector store LAST), so re-appending would duplicate its
+        // store rows on every post-commit redelivery. Only the ids the
+        // store does NOT have re-run the appends.
         val attach = lateIn.join(
           cor.filter(col("status") === "attached")
             .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val attachNew = attach.join(
+          graft.ops.VectorFlow.vectorStoreFetch(spark, vdir + "/vectors",
+            attach.select("vec_id"), vec.buckets).select("vec_id"),
+          Seq("vec_id"), "left_anti")
         val evictIds = cor.filter(col("status").isin("embdup_late",
             "semdup_late")).select(col("doc_id").as("vec_id"))
           .join(lateIn.select("vec_id"), Seq("vec_id"), "left_anti")
         val evictRows = graft.ops.VectorFlow.vectorStoreFetch(spark,
           vdir + "/vectors", evictIds, vec.buckets)
-        graft.ops.VectorFlow.lateCommitParts(vdir, attach, None,
+        graft.ops.VectorFlow.lateCommitParts(vdir, attachNew, None,
           evictRows, vec)
       case led =>
         val start = led match {

@@ -34,6 +34,13 @@ object IvfServeSoak {
     val batches = args.headOption.map(_.toInt).getOrElse(24)
     val rows = args.lift(1).map(_.toInt).getOrElse(10000)
     val plantAt = args.lift(2).map(_.toInt).getOrElse(batches * 3 / 5)
+    // "pq" = maintain a PRODUCT-QUANTIZED serving index (r16 verdict #4:
+    // refineInPlace now re-quantizes, so the PQ ladder must hold recall
+    // through the same flood without rebuild). Recall is measured
+    // against the SAME index at full probe — the yardstick isolates
+    // cell-ranking recall from quantization error, which is the part
+    // maintenance can regress.
+    val mode = args.lift(3).getOrElse("flat")
     val nlist = 256
     val cap = 2500L
     val dim = 32
@@ -115,12 +122,18 @@ object IvfServeSoak {
       cursor = staged.cursor
       val (watch, wMaint) = t {
         if (!built) {
-          graft.ops.IvfIndex.save(
-            graft.ops.IvfIndex.build(staged.kept, nlist, iters = 2), idx)
+          val model = graft.ops.IvfIndex.build(staged.kept, nlist, iters = 2)
+          if (mode == "pq")
+            graft.ops.IvfIndex.saveQuantizedPq(model, idx,
+              graft.ops.Pq.fit(staged.kept, m = 8))
+          else graft.ops.IvfIndex.save(model, idx)
           built = true
           graft.ops.IvfIndex.MaintainWatch(0, 0, cap, 0, 1.0, 1.0, "build")
         } else
-          graft.ops.IvfIndex.maintainAppend(spark, idx, staged.kept, cap)
+          // ledgered (r16 ADVICE): the soak is the redelivering-caller
+          // shape — batchId makes the mutation exactly-once
+          graft.ops.IvfIndex.maintainAppend(spark, idx, staged.kept, cap,
+            batchId = b.toLong)
       }
       val (refined, wRefine) = t {
         if (watch.action == "refine") {

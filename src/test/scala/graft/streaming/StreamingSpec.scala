@@ -1105,11 +1105,17 @@ class StreamingSpec extends SparkTestBase {
       .select("doc_id", "status").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     assert(cor.toSeq.sorted === Seq(3L -> "attached", 21L -> "semdup_late"))
-    // a SECOND replay of the completed batch converges (all no-ops)
+    // a SECOND replay of the completed batch converges (all no-ops) —
+    // and converges to EXACTLY ONE store row per id (r16 ADVICE: the
+    // set-based assert masked the duplicate rows an unconditional
+    // replay re-append used to create for already-attached ids)
     StreamOps.lateEmbeddingStep(s"$base/idx", s"$base/lateout", vec)(
       late, 0L)
-    assert(spark.read.parquet(s"$base/idx/vec/vectors")
-      .select("vec_id").as[Long].collect().toSet === Set(1L, 3L))
+    val perId = spark.read.parquet(s"$base/idx/vec/vectors")
+      .groupBy("vec_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perId === Map(1L -> 1L, 3L -> 1L),
+      s"store must hold exactly one row per id after replays: $perId")
     assert(spark.read.parquet(s"$base/lateout").count() === 2L)
     // and the corrected corpus serves the ingest loop: a near-copy of
     // rot(2.0) drops against 3, not the evicted 21
