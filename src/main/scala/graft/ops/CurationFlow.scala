@@ -499,10 +499,112 @@ object CurationFlow {
     done.foreach(_.get)
   }
 
+  /** The TEXT KEEPER-META store (r17, the late-text correction's stored
+    * side): one row per text-kept document under a unified corpus —
+    * (doc_id, n_chars, prio, dg, bands) — bucketed by id hash exactly
+    * like the vector store, so the late pass fetches a candidate set's
+    * election metadata (keep order + length) and eviction handles (the
+    * digest and band strings a removal needs) through a planning-time
+    * pruned read, never an index scan. Maintained by
+    * [[graft.ops.UnifiedFlow.commit]]; rows leave via [[textMetaRemove]]
+    * when a retroactive correction evicts their doc.
+    */
+  private[ops] val textMetaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("prio",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dg",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bands",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+    org.apache.spark.sql.types.StructField("mbkt",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private def mbktOf(buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("doc_id")), lit(buckets.toLong)).cast("int")
+
+  /** Append keeper-meta rows ((doc_id, n_chars, prio, dg, bands)). */
+  private[ops] def textMetaAppend(path: String, rows: DataFrame,
+                                  buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(rows.sparkSession.sparkContext.hadoopConfiguration)
+    Dedup.recoverBandIndex(fs, path)
+    LayoutSidecar.check(fs, path, buckets,
+      legacyHint = "text-meta store without a layout sidecar — rewrite " +
+        "the corpus dir with UnifiedFlow.commit")
+    LayoutSidecar.stampAhead(fs, path, buckets)
+    rows.select(col("doc_id"), col("n_chars"), col("prio"), col("dg"),
+        col("bands"))
+      .withColumn("mbkt", mbktOf(buckets))
+      .repartition(col("mbkt"))
+      .write.mode("append").partitionBy("mbkt").parquet(path)
+  }
+
+  /** Fetch keeper-meta rows by id — bucket-pruned like the vector
+    * store's fetch. Returns the empty shape when the store is absent
+    * (a corpus written before r17 has no meta; the late-text pass
+    * REQUIRES it and refuses upstream).
+    */
+  private[ops] def textMetaFetch(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, ids: DataFrame,
+                                 buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.recoverBandIndex(fs, path)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(textMetaSchema.dropRight(1)))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) empty
+    else {
+      LayoutSidecar.check(fs, path, buckets,
+        legacyHint = "text-meta store without a layout sidecar — rewrite " +
+          "the corpus dir with UnifiedFlow.commit")
+      val touched = ids.select(mbktOf(buckets).as("mbkt")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) empty
+      else spark.read.schema(textMetaSchema).parquet(path)
+        .filter(col("mbkt").isInCollection(touched.toSeq))
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("prio"), lit(0L)).as("prio"), col("dg"),
+          col("bands"))
+    }
+  }
+
+  /** Remove keeper-meta rows by id (staged per-bucket swap — the
+    * vector store's eviction discipline).
+    */
+  private[ops] def textMetaRemove(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, ids: DataFrame,
+                                  buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.recoverBandIndex(fs, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return
+    LayoutSidecar.check(fs, path, buckets,
+      legacyHint = "text-meta store without a layout sidecar — rewrite " +
+        "the corpus dir with UnifiedFlow.commit")
+    val touched = ids.select(mbktOf(buckets).as("mbkt")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    Dedup.bucketedRemove(spark, path, textMetaSchema, "mbkt", "doc_id",
+      ids, touched.toSeq)
+  }
+
   /** An empty frame with [[Dedup.BoundedCandidates]]' overflow schema —
     * what [[decide]] reports on the exact route, so the report's shape
     * does not fork on `maxBucket`.
     */
+  private[ops] def emptyOverflowFrame(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    emptyOverflow(spark)
+
   private def emptyOverflow(spark: org.apache.spark.sql.SparkSession)
       : DataFrame = {
     import org.apache.spark.sql.types._

@@ -81,8 +81,15 @@ object UnifiedFlow {
     require(cursor >= 0, s"cursor must be >= 0, got $cursor")
     val sc = batch.sparkSession.sparkContext
     def label(l: String): Unit = sc.setJobDescription(s"udecide:$l")
+    // a NULL text is a PENDING modality (r17, the late-text symmetry):
+    // the doc enters on its embedding alone — no text gates run (there
+    // is nothing to gate yet), no packing, no text indexing — and a
+    // later [[lateTexts]] feed runs the retroactive text pass. An EMPTY
+    // text is a real (failing) rendering and shape-drops as before.
+    val textful = batch.filter(col("text").isNotNull)
+    val textless = batch.filter(col("text").isNull)
     val g = CurationFlow.gateAndDedup(dir,
-      batch.select(col("doc_id"), col("text"), col("n_chars")), bench,
+      textful.select(col("doc_id"), col("text"), col("n_chars")), bench,
       buckets, maxBucket)
 
     // semantic stage on the text survivors: recover their embeddings
@@ -110,17 +117,20 @@ object UnifiedFlow {
     val vecIn = batch
       .filter(col("embedding").isNotNull)
       .select(col("doc_id").as("vec_id"), col("embedding"))
-      .join(broadcast(g.kept.select(col("doc_id").as("vec_id"))),
+      .join(broadcast(g.kept.select(col("doc_id").as("vec_id"))
+        .unionByName(textless.select(col("doc_id").as("vec_id")))),
         Seq("vec_id"), "left_semi")
     val v = VectorFlow.decide(dir + "/vec", vecIn, 0L, vec,
       countCursor = false)
-    // the semantic verdicts and the FINAL kept frame land in ONE pinned
-    // frame (r17 diet — the r16 shape pinned semDrops and kept
-    // separately): g.kept annotated with its semantic-drop status.
-    // kept / semDrops are filters of the pin; every consumer — the
-    // pack, the cursor aggregate, the decisions evaluation, the
-    // kept-bands semi-join, commit's five store writes — reads
-    // materialized blocks.
+    // the semantic verdicts, the FINAL kept frame, AND the pending-text
+    // docs' verdicts land in ONE pinned frame (r17 diet — the r16 shape
+    // pinned semDrops and kept separately, and the first late-text cut
+    // evaluated the pending branch on its own broadcasts): g.kept and
+    // the textless rows, annotated with the vector stage's drop status
+    // and kept flag. kept / semDrops / textlessDec are filters of the
+    // pin; every consumer — the pack, the cursor aggregate, the
+    // decisions evaluation, the kept-bands semi-join, commit's six
+    // store writes — reads materialized blocks.
     val vDrops = v.decisions
       .filter(col("status").isin("exact_history", "exact_batch",
         "neardup_history", "neardup_batch"))
@@ -131,11 +141,19 @@ object UnifiedFlow {
           .otherwise("semdup_batch").as("sem_status"),
         col("matched_id").as("sem_matched"))
     label("semflag-ckpt")
-    val semFlag = ckpt(g.kept.join(broadcast(vDrops), Seq("doc_id"),
-      "left"))
-    val kept = semFlag.filter(col("sem_status").isNull)
+    val semFlag = ckpt(g.kept.withColumn("pending", lit(false))
+      .unionByName(textless.select(col("doc_id"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("long").as("n_chars"),
+        lit(null).cast("long").as("n_tok"),
+        lit(true).as("pending")))
+      .join(broadcast(vDrops), Seq("doc_id"), "left")
+      .join(broadcast(v.kept.select(col("vec_id").as("doc_id"),
+        lit(true).as("vk"))), Seq("doc_id"), "left"))
+    val kept = semFlag.filter(!col("pending") && col("sem_status").isNull)
       .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"))
-    val semDrops = semFlag.filter(col("sem_status").isNotNull)
+    val semDrops = semFlag.filter(!col("pending") &&
+        col("sem_status").isNotNull)
       .select(col("doc_id"), col("sem_status").as("status"),
         col("sem_matched").as("matched_id"))
 
@@ -159,11 +177,24 @@ object UnifiedFlow {
     val nulls = Seq(lit(null).cast("long").as("n_tok"),
       lit(null).cast("long").as("seq_id"),
       lit(null).cast("long").as("seq_offset"))
+    // pending-text docs are decided by the vector stage alone: its drop
+    // verdicts map to the semantic reasons, a kept vector holds the doc
+    // as `kept` with NULL pack fields (nothing to pack yet — the late
+    // text pass packs on attach), and no/invalid embedding with no text
+    // is `invalid`. A filter of the semFlag pin — never the vector
+    // flow's own invalid branch, which stays unevaluated in this
+    // composition.
+    val textlessDec = semFlag.filter(col("pending"))
+      .select(Seq(col("doc_id"),
+        coalesce(col("sem_status"),
+          when(col("vk"), "kept"), lit("invalid")).as("status"),
+        col("sem_matched").cast("long").as("matched_id")) ++ nulls: _*)
     val decisions = g.drops
       .select(Seq(col("doc_id"), col("status"),
         col("matched_id").cast("long").as("matched_id")) ++ nulls: _*)
       .unionByName(semDrops.select(Seq(col("doc_id"), col("status"),
         col("matched_id").cast("long").as("matched_id")) ++ nulls: _*))
+      .unionByName(textlessDec)
       .unionByName(packed)
     Staged(decisions, kept, newCursor, g.overflow, v.overflow,
       g.keptBands.join(broadcast(kept.select("doc_id")), Seq("doc_id"),
@@ -200,6 +231,388 @@ object UnifiedFlow {
         late.withColumnRenamed("doc_id", "vec_id"), vec)
       .withColumnRenamed("vec_id", "doc_id")
 
+  /** [[lateTextDecide]]'s staged result: the correction rows (doc_id,
+    * status, matched_id, n_tok, seq_id, seq_offset — pack fields only
+    * on `attached`), the advanced token cursor, the attach frame with
+    * its precomputed band table, the stored TEXT rows to evict (with
+    * their keeper-meta eviction handles), and the ids whose VECTORS
+    * must leave the `vec/` stores (every doc the corrections
+    * retroactively dropped, either side).
+    */
+  final case class LateTextStaged(corrections: DataFrame, cursor: Long,
+                                  attach: DataFrame, attachBands: DataFrame,
+                                  evictText: DataFrame,
+                                  evictVecIds: DataFrame,
+                                  overflow: DataFrame)
+
+  /** The LATE-TEXT correction pass — [[lateEmbeddings]]' mirror (r16
+    * verdict #3): in a real multimodal pipeline a document's text can
+    * render/re-crawl AFTER its embedding landed, so [[decide]] keeps a
+    * NULL-text doc on its vector alone (pending text — no gates, no
+    * packing, no text indexing), and a LATER doc with on-time near-dup
+    * text is then kept too, because there was nothing to text-dedup
+    * against. This pass reconciles the text corpus when the pending
+    * texts arrive.
+    *
+    * Input: (doc_id, text, n_chars, prio) — `prio` the doc's ORIGINAL
+    * keep order (its ingest wave). Election keys are exactly what the
+    * everything-on-time recompute would have used: exact dedup by
+    * (prio, doc_id) ascending — first-wins across waves, min id within
+    * one — and near dedup by (prio, -n_chars, doc_id) — first-wins
+    * across waves, keep-longest within one. Stage order mirrors
+    * [[VectorFlow.lateDecide]]: in-batch exact → stage A (late rows
+    * beaten by stored keepers, exact candidates before near — the
+    * on-time stage order) → stage B (batch-internal band components of
+    * the survivors, min-key keeper) → decontamination of the would-be
+    * attachers (benchmark/contaminated winners neither attach nor
+    * evict — on time they never entered the corpus) → stage C (stored
+    * rows beaten by an ATTACHING winner are evicted). Near candidacy is
+    * BAND candidacy, unverified — the text flow's own dup contract.
+    *
+    * Correction statuses: gate verdicts carry their on-time names
+    * (`shape`, `repetition`, `benchmark`, `contaminated` — a late text
+    * failing a gate means the doc retroactively never qualified, and
+    * its pending vector is EVICTED); `exact_late`/`neardup_late` flag
+    * dedup losers on EITHER side (late row beaten, or stored row
+    * evicted) with the winner in matched_id; `redundant_late` a
+    * digest-identical redelivery of an already-indexed doc; `attached`
+    * texts join the corpus — indexed, keeper-meta'd, and PACKED at the
+    * carried cursor (pack fields on the correction row).
+    *
+    * Stored-side metadata (keep order, length, eviction handles) comes
+    * from the keeper-meta store [[commit]] maintains — a corpus built
+    * before it exists refuses loudly. Documented divergences from the
+    * full on-time recompute, mirroring the vector pass: an evicted
+    * doc's packed sequences stand (immutable history); past drops
+    * whose matched_id is now evicted chain through the duplicate map;
+    * attached texts pack at correction time, so PACK fields (not the
+    * kept set) differ from the on-time world; a same-id redelivery
+    * with DIFFERENT text is outside the feed contract. Chain-vs-clique
+    * caveat as in [[VectorFlow.lateDecide]].
+    */
+  def lateTextDecide(dir: String, late: DataFrame, bench: DataFrame,
+                     cursor: Long, budget: Long = 256L, buckets: Int = 16,
+                     maxBucket: Int = Int.MaxValue): LateTextStaged = {
+    require(cursor >= 0, s"cursor must be >= 0, got $cursor")
+    val spark = late.sparkSession
+    def label(l: String): Unit =
+      spark.sparkContext.setJobDescription(s"ltext:$l")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(dir + "/textmeta")),
+      s"$dir has no keeper-meta store — the corpus predates the " +
+        "late-text correction (r17); re-ingest or backfill textmeta " +
+        "before feeding late texts")
+    val withPrio =
+      if (late.columns.contains("prio"))
+        late.select(col("doc_id"), col("text"), col("n_chars"),
+          coalesce(col("prio"), lit(0L)).as("prio"))
+      else late.select(col("doc_id"), col("text"), col("n_chars"),
+        lit(0L).as("prio"))
+
+    // gates (on-time stages 1-2) AND the in-batch exact election
+    // (lateDecide's first stage, min (prio, id) per digest among the
+    // gate survivors) in ONE pinned flags frame (r17 diet — the first
+    // cut pinned them separately); a late text failing the gates means
+    // the doc retroactively never qualified
+    val wdg = org.apache.spark.sql.expressions.Window.partitionBy("dg")
+    label("ltgates-ckpt")
+    val flags = ckpt(CurationFlow.repetitionVerdict(
+        CurationFlow.shapeGate(withPrio
+          .select(col("doc_id"), col("text"), col("n_chars"))))
+      .drop("tk")
+      .join(broadcast(withPrio.select(col("doc_id"), col("prio"))),
+        Seq("doc_id"))
+      .withColumn("dg", md5(col("text")))
+      .withColumn("__mk", min(when(col("rep_ok"),
+        struct(col("prio"), col("doc_id")))).over(wdg))
+      .withColumn("keep_id", col("__mk").getField("doc_id"))
+      .drop("__mk", "dg"))
+    val shapeDrop = withPrio
+      .join(broadcast(flags.select("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val repDrop = flags.filter(!col("rep_ok")).select("doc_id")
+    val exBatch = flags.filter(col("rep_ok") &&
+        col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("keep_id").as("matched_id"))
+    val afterExB = flags.filter(col("rep_ok") &&
+        col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"),
+        col("prio"))
+
+    // candidates vs stored: exact digest matches + LSH band pairs, both
+    // pinned BEFORE any commit mutates the indexes
+    val digests = afterExB.select(col("doc_id"), md5(col("text")).as("band"))
+    label("ltexhist-ckpt")
+    val exHistPairs = ckpt(
+      Dedup.bandIndexPrunedStored(dir + "/digest", digests, buckets)
+        .join(broadcast(digests.withColumnRenamed("doc_id", "l_id")),
+          Seq("band"))
+        .select(col("l_id"), col("doc_id").as("s_id")).distinct())
+    label("ltprobe")
+    val (rawPairs, overflow, lateBands) =
+      if (maxBucket == Int.MaxValue) {
+        val (cand, bands) = Dedup.bandIndexProbeWithBands(dir + "/bands",
+          afterExB, "doc_id", "text", buckets = buckets)
+        (cand, CurationFlow.emptyOverflowFrame(spark), bands)
+      } else {
+        val (b, bands) = Dedup.bandIndexProbeBoundedWithBands(
+          dir + "/bands", afterExB, "doc_id", "text", buckets = buckets,
+          maxBucket = maxBucket)
+        (b.pairs, ckpt(b.overflow), bands)
+      }
+    val batchIds = afterExB.select(col("doc_id"))
+    label("ltpairs-ckpt")
+    val flagged = ckpt(rawPairs
+      .join(broadcast(batchIds.select(col("doc_id").as("a_id"),
+        lit(true).as("a_in"))), col("doc_a") === col("a_id"), "left")
+      .join(broadcast(batchIds.select(col("doc_id").as("b_id"),
+        lit(true).as("b_in"))), col("doc_b") === col("b_id"), "left")
+      .select(col("doc_a"), col("doc_b"), col("a_in"), col("b_in")))
+    val nearHist = flagged.filter(col("a_in").isNull || col("b_in").isNull)
+      .select(
+        when(col("a_in").isNotNull, col("doc_a")).otherwise(col("doc_b"))
+          .as("l_id"),
+        when(col("a_in").isNotNull, col("doc_b")).otherwise(col("doc_a"))
+          .as("s_id"))
+
+    // a digest-identical redelivery of an already-indexed doc decides
+    // nothing (the cross-batch replay analog); a same-id redelivery
+    // with DIFFERENT text is outside the feed contract
+    val selfIds = exHistPairs.filter(col("l_id") === col("s_id"))
+      .select(col("l_id").as("doc_id")).distinct()
+
+    // stored-side election metadata + eviction handles, one pruned fetch
+    label("ltmeta-ckpt")
+    val meta = ckpt(CurationFlow.textMetaFetch(spark, dir + "/textmeta",
+      exHistPairs.select(col("s_id").as("doc_id"))
+        .unionByName(nearHist.select(col("s_id").as("doc_id")))
+        .distinct(), buckets))
+    val sMeta = meta.select(col("doc_id").as("s_id"),
+      col("prio").as("s_prio"), col("n_chars").as("s_nch"))
+    val lMeta = afterExB.select(col("doc_id").as("l_id"),
+      col("prio").as("l_prio"), col("n_chars").as("l_nch"))
+    def noSelf(df: DataFrame): DataFrame =
+      df.filter(col("l_id") =!= col("s_id"))
+        .join(broadcast(selfIds.select(col("doc_id").as("l_id"))),
+          Seq("l_id"), "left_anti")
+    val exEff = noSelf(exHistPairs)
+      .join(broadcast(lMeta), Seq("l_id")).join(sMeta, Seq("s_id"))
+    val nearEff = noSelf(nearHist)
+      .join(broadcast(lMeta), Seq("l_id")).join(sMeta, Seq("s_id"))
+    val lKeyEx = struct(col("l_prio"), col("l_id"))
+    val sKeyEx = struct(col("s_prio"), col("s_id"))
+    val lKeyN = struct(col("l_prio"), (-col("l_nch")).as("n"), col("l_id"))
+    val sKeyN = struct(col("s_prio"), (-col("s_nch")).as("n"), col("s_id"))
+
+    // stage A: late rows beaten by earlier-keyed stored keepers — ONE
+    // pinned frame with exact beats taking precedence over near (the
+    // on-time stage order; the precedence rank leads the winner key)
+    label("ltlostA-ckpt")
+    val lostA = ckpt(
+      exEff.filter(sKeyEx < lKeyEx)
+        .select(col("l_id"), col("s_id"), col("s_prio"), col("s_nch"),
+          lit(true).as("x"))
+        .unionByName(nearEff.filter(sKeyN < lKeyN)
+          .select(col("l_id"), col("s_id"), col("s_prio"), col("s_nch"),
+            lit(false).as("x")))
+        .groupBy(col("l_id").as("doc_id"))
+        .agg(min_by(struct(col("s_id").as("m"), col("x")),
+          struct(when(col("x"), 0).otherwise(1).as("k"), col("s_prio"),
+            when(col("x"), lit(0L)).otherwise(-col("s_nch")).as("n"),
+            col("s_id"))).as("wn"))
+        .select(col("doc_id"), col("wn.m").as("matched_id"),
+          col("wn.x").as("is_exact")))
+
+    // stage B: batch-internal band components among the survivors;
+    // keeper = min (prio, -n_chars, id) — on-time first-wins across
+    // waves, keep-longest within one
+    val surv = afterExB
+      .join(broadcast(lostA.select("doc_id")), Seq("doc_id"), "left_anti")
+      .join(broadcast(selfIds), Seq("doc_id"), "left_anti")
+    val edgesRem = flagged
+      .filter(col("a_in").isNotNull && col("b_in").isNotNull)
+      .select(col("doc_a"), col("doc_b"))
+      .join(broadcast(surv.select(col("doc_id").as("doc_a"))),
+        Seq("doc_a"), "left_semi")
+      .join(broadcast(surv.select(col("doc_id").as("doc_b"))),
+        Seq("doc_b"), "left_semi")
+    label("ltedges-empty-probe")
+    val memb =
+      if (edgesRem.isEmpty) surv.withColumn("grp", col("doc_id"))
+      else {
+        val labels = Graph.connectedComponents(
+          edgesRem.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        surv.join(labels.withColumnRenamed("node_id", "doc_id"),
+            Seq("doc_id"), "left")
+          .withColumn("grp", coalesce(col("component"), col("doc_id")))
+      }
+    // keeper election AND decontamination (on-time stage 7: a
+    // benchmark/contaminated winner neither attaches nor evicts — on
+    // time it never entered the corpus) in ONE pinned tail. The hits
+    // probe reads the pinned survivors' superset (afterExB), like the
+    // main flow's r17 shape — extra non-winner hit rows are inert.
+    val hits = CurationFlow.contaminationHits(afterExB, bench)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    label("lttail-ckpt")
+    val tail = ckpt(memb
+      .withColumn("keep_id", min_by(col("doc_id"),
+        struct(col("prio"), (-col("n_chars")).as("n"), col("doc_id")))
+        .over(w))
+      .join(broadcast(hits.withColumn("contam", lit(true))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"),
+        col("prio"), col("keep_id"),
+        coalesce(col("contam"), lit(false)).as("contam")))
+    val lostB = tail.filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("keep_id").as("matched_id"))
+    val wtail = tail.filter(col("doc_id") === col("keep_id"))
+    val benchDrop = wtail.filter(col("doc_id") % 100 === 0)
+      .select("doc_id")
+    val contamDrop = wtail.filter(col("doc_id") % 100 =!= 0 &&
+      col("contam")).select("doc_id")
+    val attach = wtail.filter(col("doc_id") % 100 =!= 0 && !col("contam"))
+      .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"),
+        col("prio"))
+
+    // stage C: stored rows beaten by an ATTACHING winner — exact beats
+    // take precedence over near (the on-time stage order)
+    label("ltevict-ckpt")
+    val evictWin = ckpt(
+      exEff.join(broadcast(attach.select(col("doc_id").as("l_id"))),
+          Seq("l_id"), "left_semi")
+        .filter(lKeyEx < sKeyEx)
+        .select(col("s_id"), col("l_id"), col("l_prio"), col("l_nch"),
+          lit(true).as("x"))
+        .unionByName(nearEff
+          .join(broadcast(attach.select(col("doc_id").as("l_id"))),
+            Seq("l_id"), "left_semi")
+          .filter(lKeyN < sKeyN)
+          .select(col("s_id"), col("l_id"), col("l_prio"), col("l_nch"),
+            lit(false).as("x")))
+        .groupBy(col("s_id").as("doc_id"))
+        .agg(min_by(struct(col("l_id").as("m"), col("x")),
+          struct(when(col("x"), 0).otherwise(1).as("k"), col("l_prio"),
+            (-col("l_nch")).as("n"), col("l_id"))).as("wn"))
+        .select(col("doc_id"), col("wn.m").as("matched_id"),
+          col("wn.x").as("is_exact")))
+    val evictText = meta.join(broadcast(evictWin.select("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+    // every retroactively-dropped doc's PENDING VECTOR leaves the vec
+    // stores: on time none of these docs would have been in the corpus
+    // (an id with no stored vector is a no-op at eviction)
+    val evictVecIds = Seq(shapeDrop, repDrop, exBatch.select("doc_id"),
+        lostA.select("doc_id"),
+        lostB.select("doc_id"), benchDrop, contamDrop,
+        evictWin.select("doc_id"))
+      .reduce(_ unionByName _).distinct()
+
+    // pack the attachers at the carried cursor (pack fields ride the
+    // `attached` correction rows; the on-time divergence is documented)
+    label("ltpack")
+    val (packedRaw, tokTotal) = Packing.packSequencesWithTotal(attach,
+      "doc_id", col("n_tok"), budget)
+    val packed = packedRaw
+      .withColumn("cb",
+        lit(cursor) + col("seq_id") * lit(budget) + col("seq_offset"))
+      .select(col("doc_id"), lit("attached").as("status"),
+        lit(null).cast("long").as("matched_id"), col("n_tok"),
+        expr(s"cb DIV $budget").as("seq_id"),
+        pmod(col("cb"), lit(budget)).as("seq_offset"))
+    spark.sparkContext.setJobDescription(null)
+
+    val nulls = Seq(lit(null).cast("long").as("n_tok"),
+      lit(null).cast("long").as("seq_id"),
+      lit(null).cast("long").as("seq_offset"))
+    def reason(ids: DataFrame, r: String): DataFrame =
+      ids.select(Seq(col("doc_id"), lit(r).as("status"),
+        lit(null).cast("long").as("matched_id")) ++ nulls: _*)
+    def reasonM(df: DataFrame, r: String): DataFrame =
+      df.select(Seq(col("doc_id"), lit(r).as("status"),
+        col("matched_id").cast("long").as("matched_id")) ++ nulls: _*)
+    val corrections = reason(shapeDrop, "shape")
+      .unionByName(reason(repDrop, "repetition"))
+      .unionByName(reasonM(exBatch, "exact_late"))
+      .unionByName(lostA.select(Seq(col("doc_id"),
+        when(col("is_exact"), "exact_late").otherwise("neardup_late")
+          .as("status"),
+        col("matched_id").cast("long").as("matched_id")) ++ nulls: _*))
+      .unionByName(reasonM(lostB, "neardup_late"))
+      .unionByName(reason(benchDrop, "benchmark"))
+      .unionByName(reason(contamDrop, "contaminated"))
+      .unionByName(evictWin.select(Seq(col("doc_id"),
+        when(col("is_exact"), "exact_late").otherwise("neardup_late")
+          .as("status"),
+        col("matched_id").cast("long").as("matched_id")) ++ nulls: _*))
+      .unionByName(reason(selfIds, "redundant_late"))
+      .unionByName(packed)
+    val attachBands = lateBands.join(broadcast(attach.select("doc_id")),
+      Seq("doc_id"), "left_semi")
+    LateTextStaged(corrections, cursor + tokTotal, attach, attachBands,
+      evictText, evictVecIds, overflow)
+  }
+
+  /** Apply a [[lateTextDecide]]d batch: TEXT evictions first (digest,
+    * bands, keeper-meta — handles from the staged meta rows), then the
+    * retroactive VECTOR evictions through the vec stores' shared
+    * eviction path, then the attach appends (text indexes + keeper-meta
+    * — both idempotent). Single-writer per dir, serialized with the
+    * ingest loop like every late pass.
+    */
+  def lateTextCommit(dir: String, staged: LateTextStaged,
+                     buckets: Int = 16,
+                     vec: VectorFlow.Params = VectorFlow.Params()): Unit = {
+    val spark = staged.attach.sparkSession
+    // evictions first, appends second (an attach append must never be
+    // visible while its beaten rival still serves). WITHIN each phase
+    // the mutations touch disjoint dirs — digest/, bands/, textmeta/,
+    // and the vec/ subtree (whose own three removals keep their
+    // store-LAST internal order through evictStored) — so each phase
+    // runs concurrently, failures surfaced only after every side
+    // finished (awaitBoth's single-writer rationale).
+    val anyEvict = !staged.evictText.isEmpty
+    val evictVecs = VectorFlow.vectorStoreFetch(spark,
+      dir + "/vec/vectors",
+      staged.evictVecIds.select(col("doc_id").as("vec_id")), vec.buckets)
+    CurationFlow.awaitBoth(
+      () => if (anyEvict) Dedup.bandIndexRemove(dir + "/digest",
+        staged.evictText.select(col("doc_id"), col("dg").as("band")),
+        buckets),
+      () => if (anyEvict) Dedup.bandIndexRemove(dir + "/bands",
+        staged.evictText.select(col("doc_id"),
+          explode(col("bands")).as("band")), buckets),
+      () => if (anyEvict) CurationFlow.textMetaRemove(spark,
+        dir + "/textmeta", staged.evictText.select("doc_id"), buckets),
+      () => VectorFlow.evictStored(dir + "/vec", evictVecs, vec))
+    CurationFlow.awaitBoth(
+      () => CurationFlow.commit(dir,
+        staged.attach.select(col("doc_id"), col("text"), col("n_chars"),
+          col("n_tok")), buckets, Some(staged.attachBands)),
+      () => CurationFlow.textMetaAppend(dir + "/textmeta",
+        staged.attach
+          .withColumn("dg", md5(col("text")))
+          .join(staged.attachBands.groupBy("doc_id")
+            .agg(array_sort(collect_list(col("band"))).as("bands")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chars"), col("prio"), col("dg"),
+            col("bands")),
+        buckets))
+  }
+
+  /** [[lateTextDecide]] then [[lateTextCommit]] — the batch-job form;
+    * returns the corrections and the advanced cursor.
+    */
+  def lateTexts(dir: String, late: DataFrame, bench: DataFrame,
+                cursor: Long, budget: Long = 256L, buckets: Int = 16,
+                maxBucket: Int = Int.MaxValue,
+                vec: VectorFlow.Params = VectorFlow.Params()): Result = {
+    val staged = lateTextDecide(dir, late, bench, cursor, budget, buckets,
+      maxBucket)
+    lateTextCommit(dir, staged, buckets, vec)
+    Result(staged.corrections, staged.cursor)
+  }
+
   /** Append the decided batch's kept corpus to BOTH modal stores —
     * text digests+bands at the root, the kept valid vectors under
     * `dir/vec/` (kept-only indexing across modalities; every frame is
@@ -228,6 +641,20 @@ object UnifiedFlow {
       () => CurationFlow.commit(dir, staged.kept, buckets,
         Some(staged.keptBands)),
       () => VectorFlow.commit(dir + "/vec", staged.keptVecs, vec,
-        Some(staged.keptVecBands), prio))
+        Some(staged.keptVecBands), prio),
+      // the keeper-meta store (r17): one row per text-kept doc with its
+      // keep order, length, and eviction handles — the late-text pass's
+      // stored side. Idempotent like the band appends (duplicate meta
+      // rows change no election: the fetch dedupes through the
+      // election aggregates).
+      () => CurationFlow.textMetaAppend(dir + "/textmeta",
+        staged.kept
+          .withColumn("dg", md5(col("text")))
+          .join(staged.keptBands.groupBy("doc_id")
+            .agg(array_sort(collect_list(col("band"))).as("bands")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chars"), lit(prio).as("prio"),
+            col("dg"), col("bands")),
+        buckets))
   }
 }

@@ -782,11 +782,16 @@ object VectorFlow {
     * reconstructs attach/evict from the recorded corrections and has no
     * pinned band table (None re-derives the home signatures).
     */
-  private[graft] def lateCommitParts(dir: String, attach: DataFrame,
-                                     attachBands: Option[DataFrame],
-                                     evict: DataFrame,
-                                     params: Params): Unit = {
-    val spark = attach.sparkSession
+  /** Remove stored rows ((vec_id, embedding) — the embedding recomputes
+    * the digest and home bands a removal needs) from all three stores:
+    * digest and band indexes, then the vector store LAST (the
+    * fetch-first replay contract: a still-present vector row proves the
+    * removals must re-run). Shared by [[lateCommitParts]] and the
+    * unified late-TEXT pass's retroactive vector evictions.
+    */
+  private[ops] def evictStored(dir: String, evict: DataFrame,
+                               params: Params): Unit = {
+    val spark = evict.sparkSession
     val dAuth = freezeParams(spark, dir, params, inferred = None,
       stamp = false)
     if (!evict.isEmpty) {
@@ -800,6 +805,16 @@ object VectorFlow {
       vectorStoreRemove(spark, dir + "/vectors",
         evict.select("vec_id"), params.buckets)
     }
+  }
+
+  private[graft] def lateCommitParts(dir: String, attach: DataFrame,
+                                     attachBands: Option[DataFrame],
+                                     evict: DataFrame,
+                                     params: Params): Unit = {
+    val spark = attach.sparkSession
+    val dAuth = freezeParams(spark, dir, params, inferred = None,
+      stamp = false)
+    evictStored(dir, evict, params)
     Dedup.bandIndexAppendPrecomputed(dir + "/digest",
       attach.select(col("vec_id").as("doc_id"),
         digestOf(spark).as("band")), params.buckets)

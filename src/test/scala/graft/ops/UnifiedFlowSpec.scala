@@ -163,6 +163,109 @@ class UnifiedFlowSpec extends SparkTestBase {
       matches(nA.decisions) === Map(31L -> 3L))
   }
 
+  test("late texts ≡ everything-on-time: pending docs hold on their vectors; the retroactive text pass evicts, attaches, and corrects") {
+    import spark.implicits._
+    val vec = VectorFlow.Params(minCos = 0.99, dim = Dim)
+    val bench = CurationFlow.benchShingles(
+      df(Seq((100L, goodText("bench"), noEmb))))
+    def mkDir() = java.nio.file.Files.createTempDirectory("unilatetext")
+      .toString + "/c"
+    // doc 3 and doc 5's texts render HOURS after their embeddings: in
+    // the late world they ingest TEXTLESS (pending). Doc 21 (wave 2)
+    // carries an exact COPY of 3's text, doc 23 a band-sharing NEAR dup
+    // of 5's — on time both drop at the text stage; late-fed, both are
+    // kept and indexed until the correction pass.
+    val T3 = goodText("c")
+    val T5 = goodText("e") + " tail99"
+    val T23 = goodText("e")
+
+    val dirA = mkDir()
+    val a1 = UnifiedFlow.ingest(dirA, df(Seq(
+      (1L, goodText("a"), rot(0)), (3L, T3, rot(2.0)),
+      (5L, T5, rot(4.0)))), bench, 0L, vec = vec, prio = 0L)
+    val a2 = UnifiedFlow.ingest(dirA, df(Seq(
+      (21L, T3, rot(1.0)), (23L, T23, rot(3.0)),
+      (22L, goodText("m"), rot(5.0)))), bench, a1.cursor, vec = vec,
+      prio = 1L)
+    assert(statuses(a2.decisions) === Map(21L -> "exact_history",
+      23L -> "neardup_history", 22L -> "kept"))
+    assert(matches(a2.decisions) === Map(21L -> 3L, 23L -> 5L))
+
+    val dirB = mkDir()
+    val nullText = null.asInstanceOf[String]
+    val b1 = UnifiedFlow.ingest(dirB, df(Seq(
+      (1L, goodText("a"), rot(0)), (3L, nullText, rot(2.0)),
+      (5L, nullText, rot(4.0)))), bench, 0L, vec = vec, prio = 0L)
+    // pending docs hold as kept on their vectors, with NULL pack fields
+    assert(statuses(b1.decisions) === Map(1L -> "kept", 3L -> "kept",
+      5L -> "kept"))
+    assert(b1.decisions.filter(col("doc_id").isin(3L, 5L) &&
+      col("n_tok").isNull).count() === 2L,
+      "pending-text keeps must carry no pack fields")
+    val b2 = UnifiedFlow.ingest(dirB, df(Seq(
+      (21L, T3, rot(1.0)), (23L, T23, rot(3.0)),
+      (22L, goodText("m"), rot(5.0)))), bench, b1.cursor, vec = vec,
+      prio = 1L)
+    // before the correction, the copies are (wrongly but inevitably) kept
+    assert(statuses(b2.decisions) === Map(21L -> "kept", 23L -> "kept",
+      22L -> "kept"))
+
+    // the late feed, at the docs' original keep order
+    val late = Seq((3L, T3, 0L), (5L, T5, 0L))
+      .toDF("doc_id", "text", "prio")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "n_chars", "prio")
+    val cor = UnifiedFlow.lateTexts(dirB, late, bench, b2.cursor,
+      vec = vec)
+    assert(statuses(cor.decisions) === Map(3L -> "attached",
+      5L -> "attached", 21L -> "exact_late", 23L -> "neardup_late"))
+    assert(matches(cor.decisions) === Map(21L -> 3L, 23L -> 5L))
+    // attached texts PACK at the carried cursor (the documented
+    // divergence is the pack position, never the kept set)
+    assert(cor.decisions.filter(col("status") === "attached" &&
+      col("n_tok").isNotNull && col("seq_id").isNotNull).count() === 2L)
+    assert(cor.cursor === b2.cursor + 22L + 23L,
+      "T3 is 22 tokens, T5 23 (the tail word)")
+
+    // FINAL-STATE equivalence: the vector corpus — the evicted copies'
+    // vectors left all stores (on time they were never indexed)
+    def storeIds(dir: String) = spark.read
+      .parquet(s"$dir/vec/vectors").select("vec_id").as[Long]
+      .collect().toSet
+    assert(storeIds(dirA) === storeIds(dirB) &&
+      storeIds(dirA) === Set(1L, 3L, 5L, 22L))
+    // and the keeper-meta store (the text corpus' id surface)
+    def metaIds(dir: String) = spark.read
+      .parquet(s"$dir/textmeta").select("doc_id").as[Long]
+      .collect().toSet
+    assert(metaIds(dirA) === metaIds(dirB) &&
+      metaIds(dirA) === Set(1L, 3L, 5L, 22L))
+
+    // FORWARD equivalence: the corrected corpus serves the next wave
+    // identically — a near-copy of T3 drops against 3 (not the evicted
+    // 21) in BOTH worlds, an exact copy likewise
+    def next(dir: String, cursor: Long) = UnifiedFlow.ingest(dir,
+      df(Seq((31L, T3 + " tail77", noEmb), (33L, T3, noEmb))), bench,
+      cursor, vec = vec, prio = 2L)
+    val nA = next(dirA, a2.cursor)
+    val nB = next(dirB, cor.cursor)
+    assert(statuses(nA.decisions) === statuses(nB.decisions) &&
+      statuses(nA.decisions) === Map(31L -> "neardup_history",
+        33L -> "exact_history"))
+    assert(matches(nA.decisions) === matches(nB.decisions) &&
+      matches(nA.decisions) === Map(31L -> 3L, 33L -> 3L))
+
+    // replaying the SAME late feed is inert (redundant_late; nothing
+    // evicts, nothing re-attaches, stores unchanged)
+    val cor2 = UnifiedFlow.lateTexts(dirB, late, bench, cor.cursor,
+      vec = vec)
+    assert(statuses(cor2.decisions) === Map(3L -> "redundant_late",
+      5L -> "redundant_late"))
+    assert(cor2.cursor === cor.cursor)
+    assert(storeIds(dirB) === Set(1L, 3L, 5L, 22L) &&
+      metaIds(dirB) === Set(1L, 3L, 5L, 22L))
+  }
+
   test("unifiedStep: ledger replay re-commits BOTH stores; pre-ledger crash exactly-once") {
     import spark.implicits._
     val vec = VectorFlow.Params(minCos = 0.99, dim = Dim)
