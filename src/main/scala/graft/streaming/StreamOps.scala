@@ -782,7 +782,8 @@ object StreamOps {
                                   bench: DataFrame, budget: Long,
                                   buckets: Int,
                                   maxBucket: Int = Int.MaxValue,
-                                  compactEvery: Int = 0)
+                                  compactEvery: Int = 0,
+                                  rootsPath: Option[String] = None)
                                  (batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
     graft.ops.CurationFlow.readLedger(spark, indexPath) match {
@@ -801,6 +802,11 @@ object StreamOps {
         val staged = graft.ops.CurationFlow.decide(indexPath, batch, bench,
           start, budget, buckets, maxBucket)
         writeDecisions(staged.decisions, id, outPath)
+        // roots BEFORE the ledger: a ledger-committed batch never
+        // re-decides, so its roots partition must already be durable;
+        // any crash before the ledger re-decides and rewrites both
+        // partitions idempotically
+        rootsPath.foreach(p => maintainRoots(p, staged.decisions, id))
         graft.ops.CurationFlow.writeLedger(spark, indexPath, id, start,
           staged.cursor)
         graft.ops.CurationFlow.commit(indexPath, staged.kept, buckets,
@@ -1088,6 +1094,41 @@ object StreamOps {
       .partitionBy("batch_id")
       .parquet(outPath)
 
+  /** Maintain the duplicate-map ROOTS view per ingested batch (r16
+    * verdict #5): `q_dup_map`'s closure answers the consumer question in
+    * batch from the full decisions artifact; a continuously-ingesting
+    * corpus wants the roots table MAINTAINED as decisions land. The
+    * batch's loser rows ((doc_id, matched_id) edges) chase to their
+    * terminal roots WITHIN the batch ([[graft.ops.Graph.dupRoots]] over
+    * the batch's own edges) — chains never need a cross-batch hop,
+    * because a cross-batch matched_id always points at a KEPT stored
+    * doc (the indexes hold the kept corpus only), and a kept doc never
+    * loses later in the plain ingest loop. The rows land as one
+    * idempotent `batch_id=` partition, exactly the decisions write's
+    * crash contract; the view's union over partitions therefore equals
+    * the full-artifact recompute at every batch boundary
+    * (StreamingSpec pins it). Kept docs root to themselves and gate
+    * drops to nothing, by construction — consumers coalesce exactly
+    * like `q_dup_map`'s serve.
+    *
+    * SCOPE: the plain ingest loop. The LATE correction passes evict
+    * previously-kept docs, which can invalidate recorded roots — a
+    * corpus running corrections should recompute the view from the
+    * decisions ∪ corrections artifacts (the q_dup_map shape) or apply
+    * a correction rewrite; maintaining roots THROUGH evictions is a
+    * ROADMAP item, not silently wrong here (the scope is stated).
+    */
+  private[graft] def maintainRoots(rootsPath: String, decisions: DataFrame,
+                                   id: Long): Unit = {
+    val edges = decisions.filter(col("matched_id").isNotNull)
+      .select(col("doc_id"), col("matched_id"))
+    if (!edges.isEmpty)
+      writeDecisions(
+        graft.ops.Graph.dupRoots(edges)
+          .join(edges.select("doc_id"), Seq("doc_id"), "left_semi"),
+        id, rootsPath)
+  }
+
   /** The CONTINUOUS corpus build as a stream — `q_curation_incremental`'s
     * arrival loop unbounded: each micro-batch of (doc_id, text, n_chars)
     * rows runs the first-wins stage chain against the persisted digest +
@@ -1100,18 +1141,20 @@ object StreamOps {
     * a finite `maxBucket` routes saturated bands through the star probe
     * ([[graft.ops.CurationFlow.decide]]'s documented recall trade) — the
     * dial belongs ON the unbounded loop, where a crawl's spam storm
-    * actually arrives.
+    * actually arrives. A `rootsPath` additionally maintains the
+    * duplicate-map roots view per batch ([[maintainRoots]]).
     */
   def curationIngestStream(docs: DataFrame, indexPath: String,
                            outPath: String, checkpoint: String,
                            bench: DataFrame, budget: Long = 256L,
                            buckets: Int = 16,
                            maxBucket: Int = Int.MaxValue,
-                           compactEvery: Int = 0)
+                           compactEvery: Int = 0,
+                           rootsPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(curationStep(indexPath, outPath, bench, budget,
-        buckets, maxBucket, compactEvery) _)
+        buckets, maxBucket, compactEvery, rootsPath) _)
       .start()
 }

@@ -921,6 +921,45 @@ class StreamingSpec extends SparkTestBase {
     assert(bid === 99L && end2 === cursor)
   }
 
+  test("maintainRoots: the per-batch roots view equals the full-artifact recompute at every batch boundary") {
+    import spark.implicits._
+    val docs = curationDocs()
+    val rows = docs.as[(Long, String, Long)].collect()
+    val bench = graft.ops.CurationFlow.benchShingles(docs)
+    val chunks = rows.grouped(50).toSeq
+    val base = java.nio.file.Files.createTempDirectory("curroots").toString
+    def recompute(upTo: Int): Map[Long, Long] = {
+      // q_dup_map's oracle shape: the closure over ALL landed decisions
+      val edges = spark.read.parquet(s"$base/out")
+        .filter(col("batch_id") <= upTo && col("matched_id").isNotNull)
+        .select("doc_id", "matched_id")
+      if (edges.isEmpty) Map.empty
+      else graft.ops.Graph.dupRoots(edges)
+        .join(edges.select("doc_id"), Seq("doc_id"), "left_semi")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      StreamOps.curationStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+        rootsPath = Some(s"$base/roots"))(
+        c.toSeq.toDF("doc_id", "text", "n_chars"), i.toLong)
+      val maintained = spark.read.parquet(s"$base/roots")
+        .filter(col("batch_id") <= i)
+        .select("doc_id", "root_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(maintained === recompute(i),
+        s"maintained roots must equal the batch recompute after batch $i")
+    }
+    // the view is non-trivial: the fixture plants cross-batch dup chains
+    assert(spark.read.parquet(s"$base/roots").count() > 0)
+    // replay of a ledger-committed batch leaves the view untouched
+    val before = spark.read.parquet(s"$base/roots").count()
+    StreamOps.curationStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      rootsPath = Some(s"$base/roots"))(
+      chunks.last.toSeq.toDF("doc_id", "text", "n_chars"),
+      (chunks.size - 1).toLong)
+    assert(spark.read.parquet(s"$base/roots").count() === before)
+  }
+
   test("curationStep replay: never re-decides — no new rows, cursor exact, kept corpus idempotent; half-commit window healed") {
     import spark.implicits._
     val docs = curationDocs()
