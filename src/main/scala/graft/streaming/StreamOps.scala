@@ -828,7 +828,8 @@ object StreamOps {
     */
   private[graft] def vectorCurationStep(indexPath: String, outPath: String,
                                         params: graft.ops.VectorFlow.Params,
-                                        compactEvery: Int = 0)
+                                        compactEvery: Int = 0,
+                                        rootsPath: Option[String] = None)
                                        (batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
     graft.ops.CurationFlow.readLedger(spark, indexPath) match {
@@ -845,6 +846,8 @@ object StreamOps {
         val staged = graft.ops.VectorFlow.decide(indexPath, batch, start,
           params)
         writeDecisions(staged.decisions, id, outPath)
+        rootsPath.foreach(p => maintainRoots(p,
+          staged.decisions.withColumnRenamed("vec_id", "doc_id"), id))
         graft.ops.CurationFlow.writeLedger(spark, indexPath, id, start,
           staged.cursor)
         graft.ops.VectorFlow.commit(indexPath, staged.kept, params,
@@ -872,12 +875,13 @@ object StreamOps {
                                  outPath: String, checkpoint: String,
                                  params: graft.ops.VectorFlow.Params =
                                    graft.ops.VectorFlow.Params(),
-                                 compactEvery: Int = 0)
+                                 compactEvery: Int = 0,
+                                 rootsPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(vectorCurationStep(indexPath, outPath, params,
-        compactEvery) _)
+        compactEvery, rootsPath) _)
       .start()
 
   /** [[curationStep]]'s UNIFIED twin — one micro-batch of the
@@ -893,7 +897,8 @@ object StreamOps {
                                  maxBucket: Int = Int.MaxValue,
                                  vec: graft.ops.VectorFlow.Params =
                                    graft.ops.VectorFlow.Params(),
-                                 compactEvery: Int = 0)
+                                 compactEvery: Int = 0,
+                                 rootsPath: Option[String] = None)
                                 (batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
     graft.ops.CurationFlow.readLedger(spark, indexPath) match {
@@ -913,6 +918,7 @@ object StreamOps {
         val staged = graft.ops.UnifiedFlow.decide(indexPath, batch, bench,
           start, budget, buckets, maxBucket, vec)
         writeDecisions(staged.decisions, id, outPath)
+        rootsPath.foreach(p => maintainRoots(p, staged.decisions, id))
         graft.ops.CurationFlow.writeLedger(spark, indexPath, id, start,
           staged.cursor)
         graft.ops.UnifiedFlow.commit(indexPath, staged, buckets, vec,
@@ -940,12 +946,13 @@ object StreamOps {
                           maxBucket: Int = Int.MaxValue,
                           vec: graft.ops.VectorFlow.Params =
                             graft.ops.VectorFlow.Params(),
-                          compactEvery: Int = 0)
+                          compactEvery: Int = 0,
+                          rootsPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(unifiedStep(indexPath, outPath, bench, budget,
-        buckets, maxBucket, vec, compactEvery) _)
+        buckets, maxBucket, vec, compactEvery, rootsPath) _)
       .start()
 
   /** One micro-batch of the LATE-EMBEDDING correction feed against a
@@ -971,7 +978,8 @@ object StreamOps {
     * foreachBatch loops on one dir void the index contract.
     */
   private[graft] def lateEmbeddingStep(indexPath: String, outPath: String,
-                                       vec: graft.ops.VectorFlow.Params)
+                                       vec: graft.ops.VectorFlow.Params,
+                                       rootsPath: Option[String] = None)
                                       (batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
     val vdir = indexPath + "/vec"
@@ -1006,8 +1014,13 @@ object StreamOps {
           case None => 0L
         }
         val staged = graft.ops.VectorFlow.lateDecide(vdir, lateIn, vec)
-        writeDecisions(staged.corrections
-          .withColumnRenamed("vec_id", "doc_id"), id, outPath)
+        val corrDocs = staged.corrections
+          .withColumnRenamed("vec_id", "doc_id")
+        writeDecisions(corrDocs, id, outPath)
+        // roots BEFORE the ledger, like the ingest loop's maintainRoots:
+        // a ledger-committed correction batch never re-decides, so its
+        // roots-correction partition must already be durable
+        rootsPath.foreach(p => correctRoots(p, corrDocs, id))
         graft.ops.CurationFlow.writeLedger(spark, vdir, id, start,
           start + staged.attach.count())
         graft.ops.VectorFlow.lateCommit(vdir, staged, vec)
@@ -1019,16 +1032,21 @@ object StreamOps {
     * asynchronously for docs already text-kept, prio = the doc's
     * original keep batch — runs the retroactive semantic pass against
     * the unified corpus's `vec/` stores ([[lateEmbeddingStep]]'s
-    * ledger/replay contract; see its SINGLE-WRITER note).
+    * ledger/replay contract; see its SINGLE-WRITER note). A `rootsPath`
+    * — the SAME dir the ingest loop maintains — additionally applies
+    * each pass's roots correction ([[correctRoots]]), keeping
+    * [[serveRoots]] exact through the evictions.
     */
   def lateEmbeddingStream(late: DataFrame, indexPath: String,
                           outPath: String, checkpoint: String,
                           vec: graft.ops.VectorFlow.Params =
-                            graft.ops.VectorFlow.Params())
+                            graft.ops.VectorFlow.Params(),
+                          rootsPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     late.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(lateEmbeddingStep(indexPath, outPath, vec) _)
+      .foreachBatch(lateEmbeddingStep(indexPath, outPath, vec,
+        rootsPath) _)
       .start()
 
   /** The replay path's read of a ledger-committed late batch's
@@ -1115,8 +1133,9 @@ object StreamOps {
     * previously-kept docs, which can invalidate recorded roots — a
     * corpus running corrections should recompute the view from the
     * decisions ∪ corrections artifacts (the q_dup_map shape) or apply
-    * a correction rewrite; maintaining roots THROUGH evictions is a
-    * ROADMAP item, not silently wrong here (the scope is stated).
+    * [[correctRoots]]' correction rewrite — the late steps do exactly
+    * that when given the same `rootsPath`, and [[serveRoots]] is the
+    * consumer read that composes the two.
     */
   private[graft] def maintainRoots(rootsPath: String, decisions: DataFrame,
                                    id: Long): Unit = {
@@ -1127,6 +1146,96 @@ object StreamOps {
         graft.ops.Graph.dupRoots(edges)
           .join(edges.select("doc_id"), Seq("doc_id"), "left_semi"),
         id, rootsPath)
+  }
+
+  /** Maintain the roots view THROUGH a late-correction pass
+    * ([[maintainRoots]]' stated scope gap, closed): a correction batch
+    * EVICTS previously-kept docs, so recorded roots can go stale — any
+    * doc rooted at a now-evicted keeper must chase one hop further to
+    * the evicted doc's own new root. Correction rows land in a SIBLING
+    * dir (`rootsPath + "_corr"`, its own `batch_id=` partition space —
+    * the late feed's ledger ids are independent of the ingest loop's,
+    * so sharing the plain dir would collide partitions), and
+    * [[serveRoots]] resolves latest-correction-wins per doc. Per pass:
+    *
+    *   - the pass's own loser edges (non-null `matched_id` — evicted
+    *     stored rows AND beaten late rows; gate re-verdicts like
+    *     `contaminated` carry null and correctly contribute no edge)
+    *     chase to terminal roots WITHIN the pass
+    *     ([[graft.ops.Graph.dupRoots]] — a pass can chain, e.g. a late
+    *     row beaten in stage A by a stored keeper that stage C then
+    *     evicts);
+    *   - every EXISTING row (plain or prior-correction) whose root is
+    *     one of this pass's losers is re-rooted at that loser's new
+    *     terminal root. The raw union is scan-safe without a
+    *     latest-wins pre-pass: a doc's superseded row can only name a
+    *     root that was ALREADY evicted when the newer row was written,
+    *     and an evicted doc — no longer indexed — can never lose again,
+    *     so at most the doc's LATEST row matches this pass's losers.
+    *
+    * Terminality: a correction `matched_id` always names a doc that is
+    * kept when the pass completes (stage C evicts only by ATTACHING
+    * winners; a beaten late row evicts nobody), so rewritten chains
+    * end at kept docs in one pass. Chains ending at a NON-kept root
+    * (a keeper dropped on a non-dedup gate) are preserved, exactly
+    * `q_dup_map`'s serve semantics. The write is one idempotent
+    * partition ([[writeDecisions]]' replay contract): a replayed pass
+    * recomputes identical rows — its own prior partition can never
+    * match the stale scan (its rows root at kept winners, and this
+    * pass's losers are not kept).
+    */
+  private[graft] def correctRoots(rootsPath: String, corrections: DataFrame,
+                                  id: Long): Unit = {
+    val spark = corrections.sparkSession
+    val edges = corrections.filter(col("matched_id").isNotNull)
+      .select(col("doc_id"), col("matched_id"))
+    if (!edges.isEmpty) {
+      val corrRoots = graft.ops.Graph.dupRoots(edges)
+        .join(edges.select("doc_id"), Seq("doc_id"), "left_semi")
+      val redirect = corrRoots.select(col("doc_id").as("old_root"),
+        col("root_id").as("new_root"))
+      val stale = readRootRows(spark, rootsPath)
+        .unionByName(readRootRows(spark, rootsPath + "_corr"))
+        .join(redirect, col("root_id") === col("old_root"))
+        .select(col("doc_id"), col("new_root").as("root_id"))
+      writeDecisions(corrRoots.unionByName(stale), id, rootsPath + "_corr")
+    }
+  }
+
+  /** The roots view's consumer read: plain per-batch rows overlaid by
+    * the correction dir, LATEST correction winning per doc (correction
+    * passes are ordered by their own ledger's batch ids; a plain row is
+    * superseded by any correction row — corrections only ever move a
+    * root FORWARD past an eviction). Returns (doc_id, root_id): every
+    * doc that ever lost a dedup election, mapped to its terminal root;
+    * kept docs root to themselves and gate drops root to nothing, by
+    * construction (coalesce exactly like `q_dup_map`'s serve).
+    */
+  def serveRoots(spark: org.apache.spark.sql.SparkSession,
+                 rootsPath: String): DataFrame = {
+    val corrLatest = readRootRows(spark, rootsPath + "_corr")
+      .groupBy("doc_id")
+      .agg(max_by(col("root_id"), col("batch_id")).as("root_id"))
+    readRootRows(spark, rootsPath).select("doc_id", "root_id")
+      .join(corrLatest, Seq("doc_id"), "left_anti")
+      .unionByName(corrLatest)
+  }
+
+  /** Absent-safe explicit-schema read of a roots dir ((doc_id, root_id,
+    * batch_id) — [[recordedKeptIds]]'s discipline: no schema inference,
+    * a missing dir is an empty view, the partition column pinned LONG).
+    */
+  private def readRootRows(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shape = StructType(Seq(StructField("doc_id", LongType),
+      StructField("root_id", LongType), StructField("batch_id", LongType)))
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
+    else spark.read.schema(shape).parquet(path)
   }
 
   /** The CONTINUOUS corpus build as a stream — `q_curation_incremental`'s

@@ -1167,6 +1167,96 @@ class StreamingSpec extends SparkTestBase {
     assert(st.toSeq === Seq((31L, "semdup_history", 3L)))
   }
 
+  test("correctRoots: the roots view stays exact through late-correction evictions; serve latest-wins == full recompute; replay no-op") {
+    import spark.implicits._
+    val vec = graft.ops.VectorFlow.Params(minCos = 0.99, dim = 8)
+    def rot(a: Double): Seq[Float] = {
+      val v = Array.fill(8)(0f)
+      v(0) = math.cos(a).toFloat; v(1) = math.sin(a).toFloat; v.toSeq
+    }
+    def goodText(seed: String): String =
+      "the of " + (0 until 20).map(j => s"w$seed$j").mkString(" ")
+    def udf2(rows: Seq[(Long, String, Seq[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .select("doc_id", "text", "n_chars", "embedding")
+    val noEmb = null.asInstanceOf[Seq[Float]]
+    val bench = graft.ops.CurationFlow.benchShingles(
+      udf2(Seq((100L, goodText("bench"), noEmb))))
+    val base = java.nio.file.Files.createTempDirectory("corroots").toString
+    val roots = Some(s"$base/roots")
+    def served: Map[Long, Long] =
+      StreamOps.serveRoots(spark, s"$base/roots").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the q_dup_map oracle shape over decisions ∪ corrections
+    def recompute: Map[Long, Long] = {
+      val dec = spark.read.parquet(s"$base/out")
+        .select("doc_id", "matched_id")
+      val cor = spark.read.parquet(s"$base/lateout")
+        .select("doc_id", "matched_id")
+      val edges = dec.unionByName(cor).filter(col("matched_id").isNotNull)
+      graft.ops.Graph.dupRoots(edges)
+        .join(edges.select("doc_id"), Seq("doc_id"), "left_semi")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // batch 0: docs 2 and 3 text-kept WITHOUT embeddings (pending
+    // semantic); doc 1 kept with one; doc 25 an exact text copy of 1
+    StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      vec = vec, rootsPath = roots)(
+      udf2(Seq((1L, goodText("a"), rot(0)), (2L, goodText("b"), noEmb),
+        (3L, goodText("c"), noEmb), (25L, goodText("a"), rot(1.0)))), 0L)
+    // batch 1: 21 kept at rot(2.02); 23 semdups against it in-batch
+    StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      vec = vec, rootsPath = roots)(
+      udf2(Seq((21L, goodText("k"), rot(2.02)),
+        (23L, goodText("m"), rot(2.03)))), 1L)
+    assert(served === Map(23L -> 21L, 25L -> 1L))
+    // late pass 0: 3's embedding (prio 0) beats 21 (prio 1) — 21
+    // evicted, and 23's recorded root must chase one hop to 3
+    def lateDf(rows: Seq[(Long, Seq[Float], Long)]) =
+      rows.toDF("doc_id", "embedding", "prio")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    StreamOps.lateEmbeddingStep(s"$base/idx", s"$base/lateout", vec,
+      roots)(lateDf(Seq((3L, rot(2.0), 0L))), 0L)
+    assert(served === Map(23L -> 3L, 21L -> 3L, 25L -> 1L))
+    assert(served === recompute)
+    // late pass 1: 2's embedding ties prio with 3 — (prio, id) elects
+    // 2, evicting 3: BOTH pass-0 correction rows (21→3) and plain rows
+    // (23→3-by-rewrite) must re-root at 2 (cross-pass rewrite)
+    StreamOps.lateEmbeddingStep(s"$base/idx", s"$base/lateout", vec,
+      roots)(lateDf(Seq((2L, rot(1.99), 0L))), 1L)
+    assert(served === Map(23L -> 2L, 21L -> 2L, 3L -> 2L, 25L -> 1L))
+    assert(served === recompute)
+    // replay of the ledger-committed pass leaves the view untouched
+    val before = spark.read.parquet(s"$base/roots_corr").count()
+    StreamOps.lateEmbeddingStep(s"$base/idx", s"$base/lateout", vec,
+      roots)(lateDf(Seq((2L, rot(1.99), 0L))), 1L)
+    assert(spark.read.parquet(s"$base/roots_corr").count() === before)
+    assert(served === recompute)
+  }
+
+  test("correctRoots: in-pass chains chase to terminal roots and gate re-verdicts contribute no edge (text-late schema)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("corrtext").toString
+    // a plain roots partition with 60 rooted at 40
+    StreamOps.maintainRoots(s"$base/roots",
+      Seq((60L, Option(40L)), (40L, Option.empty[Long]))
+        .toDF("doc_id", "matched_id"), 0L)
+    // one text-late pass: 50 beaten by stored keeper 40 in stage A,
+    // 40 itself evicted by attaching winner 30 in stage C, 70 a gate
+    // re-verdict (no edge) — the chase must land everything at 30
+    StreamOps.correctRoots(s"$base/roots",
+      Seq((50L, Option(40L), "exact_late"),
+        (40L, Option(30L), "neardup_late"),
+        (70L, Option.empty[Long], "contaminated"),
+        (30L, Option.empty[Long], "attached"))
+        .toDF("doc_id", "matched_id", "status"), 0L)
+    val got = StreamOps.serveRoots(spark, s"$base/roots").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(50L -> 30L, 40L -> 30L, 60L -> 30L))
+  }
+
   test("compactEvery: scheduled compaction bounds index files, decisions identical to the uncompacted twin") {
     import spark.implicits._
     val p = graft.ops.VectorFlow.Params(dim = 16)
