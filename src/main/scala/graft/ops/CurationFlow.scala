@@ -550,9 +550,9 @@ object CurationFlow {
     * (a corpus written before r17 has no meta; the late-text pass
     * REQUIRES it and refuses upstream).
     */
-  private[ops] def textMetaFetch(spark: org.apache.spark.sql.SparkSession,
-                                 path: String, ids: DataFrame,
-                                 buckets: Int): DataFrame = {
+  private[graft] def textMetaFetch(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, ids: DataFrame,
+                                   buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

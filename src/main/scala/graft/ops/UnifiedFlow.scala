@@ -554,50 +554,72 @@ object UnifiedFlow {
   }
 
   /** Apply a [[lateTextDecide]]d batch: TEXT evictions first (digest,
-    * bands, keeper-meta — handles from the staged meta rows), then the
-    * retroactive VECTOR evictions through the vec stores' shared
-    * eviction path, then the attach appends (text indexes + keeper-meta
-    * — both idempotent). Single-writer per dir, serialized with the
-    * ingest loop like every late pass.
+    * bands — handles from the staged meta rows), the retroactive VECTOR
+    * evictions through the vec stores' shared eviction path, THEN the
+    * keeper-meta removal; then the attach appends (text indexes, THEN
+    * keeper-meta). The keeper-meta store runs LAST within each phase —
+    * the vector store's fetch-first discipline transplanted: a meta row
+    * still present proves the text-index removals must (re-)run and
+    * carries the handles to do it; an attached id's meta row proves the
+    * original attempt's index appends completed, so a post-commit
+    * redelivery appends nothing. Single-writer per dir, serialized with
+    * the ingest loop like every late pass.
     */
   def lateTextCommit(dir: String, staged: LateTextStaged,
                      buckets: Int = 16,
-                     vec: VectorFlow.Params = VectorFlow.Params()): Unit = {
-    val spark = staged.attach.sparkSession
+                     vec: VectorFlow.Params = VectorFlow.Params()): Unit =
+    lateTextCommitParts(dir, staged.attach, Some(staged.attachBands),
+      staged.evictText, staged.evictVecIds, buckets, vec)
+
+  /** [[lateTextCommit]] from raw parts — shared with the streaming
+    * REPLAY path ([[graft.streaming.StreamOps]]), which reconstructs
+    * attach/evict from the recorded corrections: `attachBands = None`
+    * re-derives the attachers' band strings (the rare-path price;
+    * [[CurationFlow.commit]]'s replay form pays the same).
+    */
+  private[graft] def lateTextCommitParts(dir: String, attach: DataFrame,
+                                         attachBands: Option[DataFrame],
+                                         evictText: DataFrame,
+                                         evictVecIds: DataFrame,
+                                         buckets: Int,
+                                         vec: VectorFlow.Params): Unit = {
+    val spark = attach.sparkSession
     // evictions first, appends second (an attach append must never be
     // visible while its beaten rival still serves). WITHIN each phase
-    // the mutations touch disjoint dirs — digest/, bands/, textmeta/,
-    // and the vec/ subtree (whose own three removals keep their
-    // store-LAST internal order through evictStored) — so each phase
-    // runs concurrently, failures surfaced only after every side
-    // finished (awaitBoth's single-writer rationale).
-    val anyEvict = !staged.evictText.isEmpty
+    // the non-meta mutations touch disjoint dirs — digest/, bands/, and
+    // the vec/ subtree (whose own three removals keep their store-LAST
+    // internal order through evictStored) — so they run concurrently,
+    // failures surfaced only after every side finished (awaitBoth's
+    // single-writer rationale); the keeper-meta mutation runs strictly
+    // AFTER its phase's barrier (the store-LAST replay proof above).
+    val anyEvict = !evictText.isEmpty
     val evictVecs = VectorFlow.vectorStoreFetch(spark,
       dir + "/vec/vectors",
-      staged.evictVecIds.select(col("doc_id").as("vec_id")), vec.buckets)
+      evictVecIds.select(col("doc_id").as("vec_id")), vec.buckets)
     CurationFlow.awaitBoth(
       () => if (anyEvict) Dedup.bandIndexRemove(dir + "/digest",
-        staged.evictText.select(col("doc_id"), col("dg").as("band")),
+        evictText.select(col("doc_id"), col("dg").as("band")),
         buckets),
       () => if (anyEvict) Dedup.bandIndexRemove(dir + "/bands",
-        staged.evictText.select(col("doc_id"),
+        evictText.select(col("doc_id"),
           explode(col("bands")).as("band")), buckets),
-      () => if (anyEvict) CurationFlow.textMetaRemove(spark,
-        dir + "/textmeta", staged.evictText.select("doc_id"), buckets),
       () => VectorFlow.evictStored(dir + "/vec", evictVecs, vec))
-    CurationFlow.awaitBoth(
-      () => CurationFlow.commit(dir,
-        staged.attach.select(col("doc_id"), col("text"), col("n_chars"),
-          col("n_tok")), buckets, Some(staged.attachBands)),
-      () => CurationFlow.textMetaAppend(dir + "/textmeta",
-        staged.attach
-          .withColumn("dg", md5(col("text")))
-          .join(staged.attachBands.groupBy("doc_id")
-            .agg(array_sort(collect_list(col("band"))).as("bands")),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_chars"), col("prio"), col("dg"),
-            col("bands")),
-        buckets))
+    if (anyEvict) CurationFlow.textMetaRemove(spark,
+      dir + "/textmeta", evictText.select("doc_id"), buckets)
+    val bands = attachBands.getOrElse(
+      ckpt(Dedup.lshBandTable(attach, "doc_id", "text")))
+    CurationFlow.commit(dir,
+      attach.select(col("doc_id"), col("text"), col("n_chars"),
+        col("n_tok")), buckets, Some(bands))
+    CurationFlow.textMetaAppend(dir + "/textmeta",
+      attach
+        .withColumn("dg", md5(col("text")))
+        .join(bands.groupBy("doc_id")
+          .agg(array_sort(collect_list(col("band"))).as("bands")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"), col("prio"), col("dg"),
+          col("bands")),
+      buckets)
   }
 
   /** [[lateTextDecide]] then [[lateTextCommit]] — the batch-job form;
@@ -651,6 +673,44 @@ object UnifiedFlow {
         staged.kept
           .withColumn("dg", md5(col("text")))
           .join(staged.keptBands.groupBy("doc_id")
+            .agg(array_sort(collect_list(col("band"))).as("bands")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chars"), lit(prio).as("prio"),
+            col("dg"), col("bands")),
+        buckets))
+  }
+
+  /** The streaming REPLAY path's re-commit ([[graft.streaming.StreamOps]]
+    * unifiedStep): a ledger-committed batch re-runs its (idempotent)
+    * store appends from the recorded kept rows. This must mirror
+    * [[commit]]'s FULL store set — the keeper-meta append included: the
+    * pre-r17 replay re-ran only the two modal index commits, so a crash
+    * inside the original commit's concurrent phases could permanently
+    * lose the batch's textmeta rows, and a later [[lateTextDecide]]
+    * would silently skip the affected stored docs (its election
+    * metadata joins are inner on the fetched meta). Pending (null-text)
+    * kept docs re-commit their vector side only — they were never
+    * text-indexed or meta'd (the same filter also stops the null-text
+    * digest litter the old replay appended).
+    */
+  private[graft] def replayCommit(dir: String, kept: DataFrame,
+                                  buckets: Int = 16,
+                                  vec: VectorFlow.Params =
+                                    VectorFlow.Params(),
+                                  prio: Long = 0L): Unit = {
+    val keptText = kept.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    // one band derivation, shared by the index append and the meta rows
+    val bands = ckpt(Dedup.lshBandTable(keptText, "doc_id", "text"))
+    CurationFlow.awaitBoth(
+      () => CurationFlow.commit(dir, keptText, buckets, Some(bands)),
+      () => VectorFlow.commit(dir + "/vec",
+        kept.select(col("doc_id").as("vec_id"), col("embedding")), vec,
+        prio = prio),
+      () => CurationFlow.textMetaAppend(dir + "/textmeta",
+        keptText
+          .withColumn("dg", md5(col("text")))
+          .join(bands.groupBy("doc_id")
             .agg(array_sort(collect_list(col("band"))).as("bands")),
             Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_chars"), lit(prio).as("prio"),

@@ -905,16 +905,19 @@ object StreamOps {
       case Some((bid, _, _)) if bid == id =>
         val keptIds = recordedKeptIds(spark, outPath, id, "doc_id")
         val kept = batch.join(keptIds, Seq("doc_id"), "left_semi")
-        graft.ops.CurationFlow.commit(indexPath,
-          kept.select(col("doc_id"), col("text"), col("n_chars")), buckets)
-        graft.ops.VectorFlow.commit(indexPath + "/vec",
-          kept.select(col("doc_id").as("vec_id"), col("embedding")), vec,
+        // the FULL store set, keeper-meta included — the pre-r17 replay
+        // lost textmeta rows in the crash window (see replayCommit)
+        graft.ops.UnifiedFlow.replayCommit(indexPath, kept, buckets, vec,
           prio = id)
       case led =>
-        val start = led match {
-          case Some((_, _, e)) => e
-          case None => 0L
-        }
+        // the TOKEN cursor is global across the ingest loop and the
+        // late-TEXT correction feed (both pack sequences) — each feed
+        // keeps its OWN ledger for replay detection, and the cursor
+        // continues from whichever advanced it last (the feeds are
+        // serialized by the single-writer contract)
+        val start = math.max(led.map(_._3).getOrElse(0L),
+          graft.ops.CurationFlow.readLedger(spark, indexPath + "/ltext")
+            .map(_._3).getOrElse(0L))
         val staged = graft.ops.UnifiedFlow.decide(indexPath, batch, bench,
           start, budget, buckets, maxBucket, vec)
         writeDecisions(staged.decisions, id, outPath)
@@ -1048,6 +1051,139 @@ object StreamOps {
       .foreachBatch(lateEmbeddingStep(indexPath, outPath, vec,
         rootsPath) _)
       .start()
+
+  /** One micro-batch of the LATE-TEXT correction feed against a unified
+    * corpus — [[graft.ops.UnifiedFlow.lateTextDecide]]/
+    * [[graft.ops.UnifiedFlow.lateTextCommit]] under the shared
+    * ledger/idempotent-partition/replay machinery,
+    * [[lateEmbeddingStep]]'s full mirror. The feed's own ledger lives at
+    * `indexPath/ltext` (never written by the ingest loop or the
+    * embedding feed); because the pass PACKS its attachers, the token
+    * cursor it carries is GLOBAL — a fresh batch starts from
+    * max(ingest ledger end, ltext ledger end), and the ingest loop
+    * reads the same max, so sequence ids never collide across the two
+    * feeds. Write order: lateTextDecide pins the corrections against
+    * the current stores → idempotent `batch_id=` partition → roots
+    * correction (when maintained) → ltext ledger → lateTextCommit.
+    *
+    * Replay of a ledger-committed batch never re-decides. The
+    * keeper-meta store is each side's LAST mutation
+    * ([[graft.ops.UnifiedFlow.lateTextCommitParts]]), so the
+    * reconstruction is fetch-first: an attached id with a meta row
+    * proves the original index appends completed (skip); an evicted id
+    * whose meta row is still present proves the removals must (re-)run
+    * — and the row carries the digest/band handles to do it; absent
+    * means all removals finished. The retroactive vector drops re-run
+    * unconditionally (the pruned store fetch returns present rows only;
+    * the removals are idempotent).
+    *
+    * SINGLE-WRITER: this feed mutates the text indexes, the keeper-meta
+    * store, AND the `vec/` subtree — serialize it with the ingest loop
+    * and any late-embedding feed (alternate triggers or one driver
+    * thread); concurrent foreachBatch loops on one dir void the index
+    * contract.
+    */
+  private[graft] def lateTextStep(indexPath: String, outPath: String,
+                                  bench: DataFrame, budget: Long = 256L,
+                                  buckets: Int = 16,
+                                  maxBucket: Int = Int.MaxValue,
+                                  vec: graft.ops.VectorFlow.Params =
+                                    graft.ops.VectorFlow.Params(),
+                                  rootsPath: Option[String] = None)
+                                 (batch: DataFrame, id: Long): Unit = {
+    val spark = batch.sparkSession
+    val ltdir = indexPath + "/ltext"
+    val withPrio =
+      if (batch.columns.contains("prio"))
+        batch.select(col("doc_id"), col("text"), col("n_chars"),
+          coalesce(col("prio"), lit(0L)).as("prio"))
+      else batch.select(col("doc_id"), col("text"), col("n_chars"),
+        lit(0L).as("prio"))
+    graft.ops.CurationFlow.readLedger(spark, ltdir) match {
+      case Some((bid, _, _)) if bid == id =>
+        val cor = recordedCorrectionsWide(spark, outPath, id)
+        val attached = cor.filter(col("status") === "attached")
+        val attachAll = withPrio
+          .join(attached.select("doc_id"), Seq("doc_id"), "left_semi")
+          .join(attached.select(col("doc_id"), col("n_tok")),
+            Seq("doc_id"))
+        val attachNew = attachAll.join(
+          graft.ops.CurationFlow.textMetaFetch(spark,
+            indexPath + "/textmeta", attachAll.select("doc_id"), buckets)
+            .select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        val evictIds = cor
+          .filter(col("status").isin("exact_late", "neardup_late"))
+          .select("doc_id")
+          .join(withPrio.select("doc_id"), Seq("doc_id"), "left_anti")
+        val evictText = graft.ops.CurationFlow.textMetaFetch(spark,
+          indexPath + "/textmeta", evictIds, buckets)
+        val vecDrop = cor.filter(col("status").isin("shape",
+            "repetition", "benchmark", "contaminated", "exact_late",
+            "neardup_late"))
+          .select("doc_id")
+        graft.ops.UnifiedFlow.lateTextCommitParts(indexPath, attachNew,
+          None, evictText, vecDrop, buckets, vec)
+      case led =>
+        val start = math.max(led.map(_._3).getOrElse(0L),
+          graft.ops.CurationFlow.readLedger(spark, indexPath)
+            .map(_._3).getOrElse(0L))
+        val staged = graft.ops.UnifiedFlow.lateTextDecide(indexPath,
+          withPrio, bench, start, budget, buckets, maxBucket)
+        writeDecisions(staged.corrections, id, outPath)
+        rootsPath.foreach(p => correctRoots(p, staged.corrections, id))
+        graft.ops.CurationFlow.writeLedger(spark, ltdir, id, start,
+          staged.cursor)
+        graft.ops.UnifiedFlow.lateTextCommit(indexPath, staged, buckets,
+          vec)
+    }
+  }
+
+  /** The LATE-TEXT correction feed as a stream: each micro-batch of
+    * (doc_id, text, n_chars, prio) rows — texts re-crawled/re-rendered
+    * for docs the unified loop kept as PENDING on their vectors alone,
+    * prio = the doc's original keep batch — runs the retroactive text
+    * pass ([[lateTextStep]]'s ledger/replay contract; see its
+    * SINGLE-WRITER note). A `rootsPath` — the same dir the ingest loop
+    * maintains — applies each pass's roots correction
+    * ([[correctRoots]]).
+    */
+  def lateTextStream(late: DataFrame, indexPath: String, outPath: String,
+                     checkpoint: String, bench: DataFrame,
+                     budget: Long = 256L, buckets: Int = 16,
+                     maxBucket: Int = Int.MaxValue,
+                     vec: graft.ops.VectorFlow.Params =
+                       graft.ops.VectorFlow.Params(),
+                     rootsPath: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    late.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(lateTextStep(indexPath, outPath, bench, budget,
+        buckets, maxBucket, vec, rootsPath) _)
+      .start()
+
+  /** [[recordedCorrections]] with the late-TEXT replay's extra columns
+    * ((doc_id, status, n_tok) — the attach reconstruction needs the
+    * recorded token counts; same explicit-schema/absent-path
+    * discipline).
+    */
+  private def recordedCorrectionsWide(
+      spark: org.apache.spark.sql.SparkSession,
+      outPath: String, id: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shape = StructType(Seq(StructField("doc_id", LongType),
+      StructField("status", StringType),
+      StructField("n_tok", LongType)))
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
+    else spark.read.schema(StructType(shape.fields :+
+        StructField("batch_id", LongType))).parquet(outPath)
+      .filter(col("batch_id") === id)
+      .select("doc_id", "status", "n_tok").distinct()
+  }
 
   /** The replay path's read of a ledger-committed late batch's
     * correction rows ((doc_id, status) — [[recordedKeptIds]]'s

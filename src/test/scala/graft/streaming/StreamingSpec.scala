@@ -1236,6 +1236,138 @@ class StreamingSpec extends SparkTestBase {
     assert(served === recompute)
   }
 
+  test("lateTextStep: mid-crash eviction converges fetch-first; global token cursor continues; roots corrected") {
+    import spark.implicits._
+    val vec = graft.ops.VectorFlow.Params(minCos = 0.99, dim = 8)
+    def rot(a: Double): Seq[Float] = {
+      val v = Array.fill(8)(0f)
+      v(0) = math.cos(a).toFloat; v(1) = math.sin(a).toFloat; v.toSeq
+    }
+    def goodText(seed: String): String =
+      "the of " + (0 until 20).map(j => s"w$seed$j").mkString(" ")
+    def udf2(rows: Seq[(Long, String, Seq[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .select("doc_id", "text", "n_chars", "embedding")
+    val noEmb = null.asInstanceOf[Seq[Float]]
+    val t = goodText("t42")
+    val bench = graft.ops.CurationFlow.benchShingles(
+      udf2(Seq((100L, goodText("bench"), noEmb))))
+    val base = java.nio.file.Files.createTempDirectory("latetext").toString
+    val roots = Some(s"$base/roots")
+    // batch 0: doc 8 kept PENDING (vector only); batch 1: doc 42 keeps
+    // the text doc 8 will later deliver; batch 2: doc 44 exact-dups 42
+    StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      vec = vec, rootsPath = roots)(
+      udf2(Seq((1L, goodText("a"), rot(0)),
+        (8L, null.asInstanceOf[String], rot(1.0)))), 0L)
+    StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      vec = vec, rootsPath = roots)(udf2(Seq((42L, t, noEmb))), 1L)
+    StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      vec = vec, rootsPath = roots)(udf2(Seq((44L, t, noEmb))), 2L)
+    val Some((_, _, e2)) =
+      graft.ops.CurationFlow.readLedger(spark, s"$base/idx")
+    // MID-CRASH window: corrections + ltext ledger durable, commit
+    // never ran — 42's meta/index rows still serve
+    val late = Seq((8L, t, t.length.toLong, 0L))
+      .toDF("doc_id", "text", "n_chars", "prio")
+    val staged = graft.ops.UnifiedFlow.lateTextDecide(s"$base/idx", late,
+      bench, e2)
+    StreamOps.writeDecisions(staged.corrections, 0L, s"$base/ltout")
+    // the step's own order: decisions → roots → ledger (a committed
+    // ledger implies the roots correction is durable)
+    StreamOps.correctRoots(s"$base/roots", staged.corrections, 0L)
+    graft.ops.CurationFlow.writeLedger(spark, s"$base/idx/ltext", 0L, e2,
+      staged.cursor)
+    assert(graft.ops.CurationFlow.textMetaFetch(spark,
+      s"$base/idx/textmeta", Seq(42L).toDF("doc_id"), 16).count() === 1L,
+      "precondition: the crash window left 42's keeper-meta in place")
+    // replay: fetch-first reconstruction must evict 42 (meta-guided
+    // handles), attach+pack 8, and correct the roots view
+    StreamOps.lateTextStep(s"$base/idx", s"$base/ltout", bench, 256L, 16,
+      vec = vec, rootsPath = roots)(late, 0L)
+    def metaIds = graft.ops.CurationFlow.textMetaFetch(spark,
+      s"$base/idx/textmeta", Seq(1L, 8L, 42L).toDF("doc_id"), 16)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(metaIds === Seq(1L, 8L))
+    val cor = spark.read.parquet(s"$base/ltout")
+      .select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    assert(cor === Seq(8L -> "attached", 42L -> "exact_late"))
+    // roots: 42 chains to 8, and 44's recorded root rewrites to 8
+    def served = StreamOps.serveRoots(spark, s"$base/roots").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served === Map(42L -> 8L, 44L -> 8L))
+    // SECOND replay converges: exactly one meta/digest row per id
+    StreamOps.lateTextStep(s"$base/idx", s"$base/ltout", bench, 256L, 16,
+      vec = vec, rootsPath = roots)(late, 0L)
+    assert(metaIds === Seq(1L, 8L))
+    val digestPerId = spark.read.parquet(s"$base/idx/digest")
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(digestPerId.getOrElse(42L, 0L) === 0L, s"42 evicted: $digestPerId")
+    assert(digestPerId(8L) === 1L, s"8 attached once: $digestPerId")
+    // cursor continuity: the late pass advanced the GLOBAL token
+    // cursor; the next ingest batch must continue from it
+    val Some((_, ls, le)) =
+      graft.ops.CurationFlow.readLedger(spark, s"$base/idx/ltext")
+    assert(ls === e2 && le > e2, "the late pass packs at the carried cursor")
+    StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      vec = vec, rootsPath = roots)(udf2(Seq((66L, t, noEmb))), 3L)
+    val Some((_, s3, _)) =
+      graft.ops.CurationFlow.readLedger(spark, s"$base/idx")
+    assert(s3 === le, "ingest continues from the ltext ledger's end")
+    // and the corrected corpus serves: 66's text dups against 8, not 42
+    val st = spark.read.parquet(s"$base/out")
+      .filter(col("batch_id") === 3)
+      .select("doc_id", "status", "matched_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(st.toSeq === Seq((66L, "exact_history", 8L)))
+    assert(served === Map(42L -> 8L, 44L -> 8L, 66L -> 8L))
+  }
+
+  test("unifiedStep replay re-commits the FULL store set: keeper-meta rows survive the crash window") {
+    import spark.implicits._
+    val vec = graft.ops.VectorFlow.Params(minCos = 0.99, dim = 8)
+    def goodText(seed: String): String =
+      "the of " + (0 until 20).map(j => s"w$seed$j").mkString(" ")
+    def udf2(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("embedding",
+          lit(null).cast("array<float>"))
+        .select("doc_id", "text", "n_chars", "embedding")
+    val bench = graft.ops.CurationFlow.benchShingles(
+      udf2(Seq((100L, goodText("bench")))))
+    val base = java.nio.file.Files.createTempDirectory("unireplay").toString
+    StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      vec = vec)(udf2(Seq((1L, goodText("a")))), 0L)
+    // CRASH WINDOW on batch 1: decisions + ledger durable, the modal
+    // index commits ran, the keeper-meta append NEVER did (the exact
+    // interleaving the concurrent commit permits — and the pre-r17
+    // replay made permanent)
+    val batch1 = udf2(Seq((3L, goodText("c"))))
+    val staged = graft.ops.UnifiedFlow.decide(s"$base/idx", batch1, bench,
+      graft.ops.CurationFlow.readLedger(spark, s"$base/idx").get._3)
+    StreamOps.writeDecisions(staged.decisions, 1L, s"$base/out")
+    graft.ops.CurationFlow.writeLedger(spark, s"$base/idx", 1L, 0L,
+      staged.cursor)
+    graft.ops.CurationFlow.commit(s"$base/idx", staged.kept, 16,
+      Some(staged.keptBands))
+    assert(graft.ops.CurationFlow.textMetaFetch(spark,
+      s"$base/idx/textmeta", Seq(3L).toDF("doc_id"), 16).isEmpty,
+      "precondition: the crash lost 3's keeper-meta row")
+    // replay must heal the meta store (the late-text pass depends on it)
+    StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      vec = vec)(batch1, 1L)
+    val meta = graft.ops.CurationFlow.textMetaFetch(spark,
+      s"$base/idx/textmeta", Seq(3L).toDF("doc_id"), 16)
+    assert(meta.count() === 1L)
+    assert(meta.select("prio").as[Long].head() === 1L,
+      "replayed meta carries the batch's keep order")
+  }
+
   test("correctRoots: in-pass chains chase to terminal roots and gate re-verdicts contribute no edge (text-late schema)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("corrtext").toString
