@@ -1012,6 +1012,98 @@ object IvfIndex {
     fs.delete(new org.apache.hadoop.fs.Path(aside), true)
   }
 
+  /** Apply the `retrain` action to a PERSISTED index IN PLACE (r17 —
+    * the drift half of the serving ladder's maintenance, closing the
+    * [[refineInPlace]] gap: refine fixes hot CELLS, this fixes a moved
+    * DISTRIBUTION, which cell splitting cannot — the watch's own
+    * taxonomy). Re-runs Lloyd from fresh seeds over the stored corpus
+    * at the same (or caller-chosen) nlist, RE-FITS the quantization
+    * (SQ8 grid / PQ codebooks at the saved m) on that corpus, and
+    * staged-swaps the re-trained, re-encoded index in. Occupancy
+    * re-seeds from the new assignments; the drift baseline drops (the
+    * next [[maintainAppend]] re-stamps it against the new geometry);
+    * the maintain batch ledger survives the swap (every ledgered
+    * batch's rows are in the rebuilt index — a replayed batch must
+    * still skip).
+    *
+    * `source` is the production contract: a quantized index is LOSSY,
+    * and a drifted modality was already encoded under the stale grid —
+    * for the SQ8 case a dimension the old corpus never used decodes to
+    * ZERO, so re-training from decoded codes alone cannot recover what
+    * the codes never stored. Pass the kept-vector store (the serving
+    * loop's `vectors/` — (vec_id, embedding) float rows) and the
+    * retrain trains, re-fits, and re-encodes from TRUE vectors wherever
+    * the store has them (per-row coalesce; index rows missing from the
+    * source keep their decoded reconstruction, so membership never
+    * changes). Without `source`, reconstructions are used as-is —
+    * honest for un-quantized indexes and for mild drift still inside
+    * the grid.
+    *
+    * This is the heavy maintenance op by design — one full Lloyd build
+    * plus one index rewrite, the same bill as the offline rebuild it
+    * replaces, minus the serve gap: readers see the old index until one
+    * atomic rename. Single-writer like every index mutation.
+    */
+  def retrainInPlace(spark: SparkSession, path: String,
+                     source: Option[DataFrame] = None, nlist: Int = -1,
+                     iters: Int = 3, seed: Long = 44L,
+                     route: AssignRoute = FlatAssign): Unit = {
+    recoverIndexSwap(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val model = load(spark, path)
+    val decoded = model.assignments
+      .select(col("vec_id"), col("embedding").as("__dec"))
+    // pinned BEFORE any mutation: the build, the re-fit, and the staged
+    // save must all read one frozen snapshot of the pre-swap stores
+    val emb = ckpt(source match {
+      case Some(src) => decoded
+        .join(src.select(col("vec_id"), col("embedding").as("__true")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("__true"), col("__dec")).as("embedding"))
+      case None => decoded
+        .select(col("vec_id"), col("__dec").as("embedding"))
+    })
+    val n = if (nlist > 0) nlist else model.centroids.count().toInt
+    val rebuilt = build(emb, n, iters, seed, route = route)
+    val tmp = path + ".tmp"
+    val aside = path + ".aside"
+    val cellBuckets = layoutCellBuckets(spark, path)
+    (quantParams(spark, path), pqParams(spark, path)) match {
+      case (Some(_), _) =>
+        val fresh = Quantize.fitSq8(emb)
+        cellBuckets match {
+          case Some(b) => saveQuantizedBucketed(rebuilt, tmp, fresh, b)
+          case None => saveQuantized(rebuilt, tmp, fresh)
+        }
+      case (_, Some(old)) =>
+        val fresh = Pq.fit(emb, old.m, seed = seed)
+        cellBuckets match {
+          case Some(b) => saveQuantizedPqBucketed(rebuilt, tmp, fresh, b)
+          case None => saveQuantizedPq(rebuilt, tmp, fresh)
+        }
+      case _ => save(rebuilt, tmp)
+    }
+    rebuilt.assignments.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$tmp/occupancy")
+    val ledger = new org.apache.hadoop.fs.Path(path, "_maintain_ledger")
+    if (fs.exists(ledger))
+      org.apache.hadoop.fs.FileUtil.copy(fs, ledger, fs,
+        new org.apache.hadoop.fs.Path(tmp, "_maintain_ledger"), false,
+        spark.sparkContext.hadoopConfiguration)
+    def mv(a: String, b: String): Unit =
+      if (!fs.rename(new org.apache.hadoop.fs.Path(a),
+          new org.apache.hadoop.fs.Path(b)))
+        throw new java.io.IOException(s"retrain swap rename failed: $a -> $b")
+    fs.delete(new org.apache.hadoop.fs.Path(aside), true)
+    mv(path, aside)
+    mv(tmp, path)
+    fs.delete(new org.apache.hadoop.fs.Path(aside), true)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(emb)
+  }
+
   /** Split oversized cells IN PLACE — the rebalance the drift study
     * (`tools/IvfDriftBench`, SCALE.md r7) shows a same-nlist retrain
     * cannot deliver: a tight new modality is ONE k-means cell however

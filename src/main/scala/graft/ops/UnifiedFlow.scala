@@ -692,23 +692,37 @@ object UnifiedFlow {
     * kept docs re-commit their vector side only — they were never
     * text-indexed or meta'd (the same filter also stops the null-text
     * digest litter the old replay appended).
+    *
+    * The keeper-meta append is FETCH-FIRST (the r16 ADVICE discipline
+    * the late steps already carry): a post-commit redelivery finds
+    * every meta row present and re-appends none — meta rows feed the
+    * late-text ELECTION joins, so unlike the modal indexes' documented
+    * duplicate-row tolerance, inflating them would double every
+    * fetched keeper in a later correction pass's inputs. Index
+    * digest/band/vector duplicates from the same redelivery remain the
+    * long-priced membership-idempotent case.
     */
   private[graft] def replayCommit(dir: String, kept: DataFrame,
                                   buckets: Int = 16,
                                   vec: VectorFlow.Params =
                                     VectorFlow.Params(),
                                   prio: Long = 0L): Unit = {
+    val spark = kept.sparkSession
     val keptText = kept.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"), col("n_chars"))
     // one band derivation, shared by the index append and the meta rows
     val bands = ckpt(Dedup.lshBandTable(keptText, "doc_id", "text"))
+    val metaNew = keptText.join(
+      CurationFlow.textMetaFetch(spark, dir + "/textmeta",
+        keptText.select("doc_id"), buckets).select("doc_id"),
+      Seq("doc_id"), "left_anti")
     CurationFlow.awaitBoth(
       () => CurationFlow.commit(dir, keptText, buckets, Some(bands)),
       () => VectorFlow.commit(dir + "/vec",
         kept.select(col("doc_id").as("vec_id"), col("embedding")), vec,
         prio = prio),
       () => CurationFlow.textMetaAppend(dir + "/textmeta",
-        keptText
+        metaNew
           .withColumn("dg", md5(col("text")))
           .join(bands.groupBy("doc_id")
             .agg(array_sort(collect_list(col("band"))).as("bands")),

@@ -815,6 +815,7 @@ object StreamOps {
     if (dueForCompact(compactEvery, id)) {
       graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/digest")
       graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/bands")
+      rootsPath.foreach(p => compactRoots(spark, p))
     }
   }
 
@@ -857,6 +858,7 @@ object StreamOps {
       graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/digest")
       graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/bands")
       graft.ops.VectorFlow.vectorStoreCompact(spark, indexPath + "/vectors")
+      rootsPath.foreach(p => compactRoots(spark, p))
     }
   }
 
@@ -934,6 +936,7 @@ object StreamOps {
       graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/vec/bands")
       graft.ops.VectorFlow.vectorStoreCompact(spark,
         indexPath + "/vec/vectors")
+      rootsPath.foreach(p => compactRoots(spark, p))
     }
   }
 
@@ -1023,7 +1026,7 @@ object StreamOps {
         // roots BEFORE the ledger, like the ingest loop's maintainRoots:
         // a ledger-committed correction batch never re-decides, so its
         // roots-correction partition must already be durable
-        rootsPath.foreach(p => correctRoots(p, corrDocs, id))
+        rootsPath.foreach(p => correctRoots(p, corrDocs, id, feed = "lemb"))
         graft.ops.CurationFlow.writeLedger(spark, vdir, id, start,
           start + staged.attach.count())
         graft.ops.VectorFlow.lateCommit(vdir, staged, vec)
@@ -1131,7 +1134,8 @@ object StreamOps {
         val staged = graft.ops.UnifiedFlow.lateTextDecide(indexPath,
           withPrio, bench, start, budget, buckets, maxBucket)
         writeDecisions(staged.corrections, id, outPath)
-        rootsPath.foreach(p => correctRoots(p, staged.corrections, id))
+        rootsPath.foreach(p => correctRoots(p, staged.corrections, id,
+          feed = "ltext"))
         graft.ops.CurationFlow.writeLedger(spark, ltdir, id, start,
           staged.cursor)
         graft.ops.UnifiedFlow.lateTextCommit(indexPath, staged, buckets,
@@ -1275,6 +1279,7 @@ object StreamOps {
     */
   private[graft] def maintainRoots(rootsPath: String, decisions: DataFrame,
                                    id: Long): Unit = {
+    recoverRoots(decisions.sparkSession, rootsPath)
     val edges = decisions.filter(col("matched_id").isNotNull)
       .select(col("doc_id"), col("matched_id"))
     if (!edges.isEmpty)
@@ -1315,46 +1320,162 @@ object StreamOps {
     * end at kept docs in one pass. Chains ending at a NON-kept root
     * (a keeper dropped on a non-dedup gate) are preserved, exactly
     * `q_dup_map`'s serve semantics. The write is one idempotent
-    * partition ([[writeDecisions]]' replay contract): a replayed pass
-    * recomputes identical rows — its own prior partition can never
-    * match the stale scan (its rows root at kept winners, and this
-    * pass's losers are not kept).
+    * (feed, batch_id) partition ([[writeDecisions]]' replay contract):
+    * a replayed pass recomputes identical rows — its own prior
+    * partition can never match the stale scan (its rows root at kept
+    * winners, and this pass's losers are not kept).
+    *
+    * TWO correction feeds can maintain one view (the late-embedding and
+    * late-text streams each keep their OWN ledger, so their batch ids
+    * collide): `feed` namespaces each pass's partition, and every row
+    * is stamped with a global `seq` — 1 + the max stamp in the dir,
+    * assigned at write time, which under the feeds' single-writer
+    * serialization IS the true pass order. [[serveRoots]] resolves
+    * latest-`seq`-wins per doc; ordering by batch id alone would pick
+    * whichever FEED was further along, not whichever pass ran last. A
+    * crashed re-decide re-stamps its identical rows one seq higher into
+    * its own partition — content-equal, so the serve never moves.
     */
   private[graft] def correctRoots(rootsPath: String, corrections: DataFrame,
-                                  id: Long): Unit = {
+                                  id: Long, feed: String = "late"): Unit = {
     val spark = corrections.sparkSession
+    recoverRoots(spark, rootsPath)
     val edges = corrections.filter(col("matched_id").isNotNull)
       .select(col("doc_id"), col("matched_id"))
     if (!edges.isEmpty) {
+      val prior = readCorrRows(spark, rootsPath + "_corr")
+      val seq = prior.agg(coalesce(max(col("seq")), lit(0L)).as("m"))
+        .head().getLong(0) + 1L
       val corrRoots = graft.ops.Graph.dupRoots(edges)
         .join(edges.select("doc_id"), Seq("doc_id"), "left_semi")
       val redirect = corrRoots.select(col("doc_id").as("old_root"),
         col("root_id").as("new_root"))
-      val stale = readRootRows(spark, rootsPath)
-        .unionByName(readRootRows(spark, rootsPath + "_corr"))
+      val stale = readRootRows(spark, rootsPath).select("doc_id", "root_id")
+        .unionByName(prior.select("doc_id", "root_id"))
         .join(redirect, col("root_id") === col("old_root"))
         .select(col("doc_id"), col("new_root").as("root_id"))
-      writeDecisions(corrRoots.unionByName(stale), id, rootsPath + "_corr")
+      corrRoots.unionByName(stale)
+        .withColumn("seq", lit(seq))
+        .withColumn("feed", lit(feed))
+        .withColumn("batch_id", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("feed", "batch_id")
+        .parquet(rootsPath + "_corr")
     }
   }
 
   /** The roots view's consumer read: plain per-batch rows overlaid by
-    * the correction dir, LATEST correction winning per doc (correction
-    * passes are ordered by their own ledger's batch ids; a plain row is
-    * superseded by any correction row — corrections only ever move a
-    * root FORWARD past an eviction). Returns (doc_id, root_id): every
-    * doc that ever lost a dedup election, mapped to its terminal root;
-    * kept docs root to themselves and gate drops root to nothing, by
-    * construction (coalesce exactly like `q_dup_map`'s serve).
+    * the correction dir, the LATEST correction winning per doc — by the
+    * global `seq` stamp ([[correctRoots]]), which orders passes across
+    * BOTH late feeds; a plain row is superseded by any correction row
+    * (corrections only ever move a root FORWARD past an eviction).
+    * Returns (doc_id, root_id): every doc that ever lost a dedup
+    * election, mapped to its terminal root; kept docs root to
+    * themselves and gate drops root to nothing, by construction
+    * (coalesce exactly like `q_dup_map`'s serve). The plain side is
+    * deduped: a crashed ingest re-decide after a [[compactRoots]] fold
+    * can leave one doc's identical row in both the folded partition and
+    * its rewritten batch partition.
     */
   def serveRoots(spark: org.apache.spark.sql.SparkSession,
                  rootsPath: String): DataFrame = {
-    val corrLatest = readRootRows(spark, rootsPath + "_corr")
+    recoverRoots(spark, rootsPath)
+    val corrLatest = readCorrRows(spark, rootsPath + "_corr")
       .groupBy("doc_id")
-      .agg(max_by(col("root_id"), col("batch_id")).as("root_id"))
-    readRootRows(spark, rootsPath).select("doc_id", "root_id")
+      .agg(max_by(col("root_id"), col("seq")).as("root_id"))
+    readRootRows(spark, rootsPath).select("doc_id", "root_id").distinct()
       .join(corrLatest, Seq("doc_id"), "left_anti")
       .unionByName(corrLatest)
+  }
+
+  /** Fold the roots view's accumulated partitions — one per ingested
+    * batch, plus one per correction pass in the `_corr` sibling — into
+    * a SINGLE resolved partition, bounding the serve's read (the view
+    * otherwise grows a directory per pass forever). The resolved
+    * [[serveRoots]] rows land under the reserved partition
+    * `batch_id=-1`: foreachBatch ids start at 0, so no replay can ever
+    * rewrite the folded partition — a ledger-committed batch never
+    * re-decides (its roots write is skipped on replay), and a CRASHED
+    * batch's re-decide overwrites only its own non-negative partition
+    * (whose rows the fold may also hold — identical values, deduped at
+    * serve). Crash contract, [[graft.ops.Dedup.bandIndexCompact]]'s
+    * staged swap: tmp written fully → live aside → tmp promoted →
+    * aside dropped → `_corr` dropped ([[recoverRoots]] heals a torn
+    * swap at every roots entry point; a lingering `_corr` after a
+    * mid-delete crash is harmless — its per-doc latest values are
+    * exactly what the fold stored, and the next compact removes it).
+    * Single-writer like every mutation here: run it from the ingest
+    * loop (`compactEvery` wires it) or between batches.
+    */
+  def compactRoots(spark: org.apache.spark.sql.SparkSession,
+                   rootsPath: String, targetParts: Int = 1): Unit = {
+    require(targetParts >= 1, s"targetParts must be >= 1, got $targetParts")
+    recoverRoots(spark, rootsPath)
+    val p = new org.apache.hadoop.fs.Path(rootsPath)
+    val corrP = new org.apache.hadoop.fs.Path(rootsPath + "_corr")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) && !fs.exists(corrP)) return
+    val tmp = new org.apache.hadoop.fs.Path(rootsPath + ".tmp")
+    val aside = new org.apache.hadoop.fs.Path(rootsPath + ".aside")
+    // targetParts sizes the folded files (a 100 TB corpus's loser map is
+    // itself large — one file would serialize the rewrite); the fold
+    // stays ONE logical partition regardless
+    serveRoots(spark, rootsPath)
+      .withColumn("batch_id", lit(-1L))
+      .repartition(targetParts)
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(tmp.toString)
+    if (fs.exists(p)) renameRootsOrThrow(fs, p, aside)
+    renameRootsOrThrow(fs, tmp, p)
+    fs.delete(aside, true)
+    fs.delete(corrP, true)
+  }
+
+  /** Heal a roots view left mid-[[compactRoots]]: promote a complete
+    * tmp when the live dir is gone (the live rename happens only after
+    * tmp is fully written), then clear leftovers. Runs at every roots
+    * entry point — a write landing in an aside-state dir would
+    * otherwise make the recovery discard the folded tmp.
+    */
+  private def recoverRoots(spark: org.apache.spark.sql.SparkSession,
+                           rootsPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(rootsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(rootsPath + ".tmp")
+    val aside = new org.apache.hadoop.fs.Path(rootsPath + ".aside")
+    if (!fs.exists(p) && fs.exists(tmp)) renameRootsOrThrow(fs, tmp, p)
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** `FileSystem.rename` returns FALSE on failure under HDFS semantics
+    * (the band-index swap's lesson, VERDICT r13): throwing converts a
+    * failed swap step into a crash at a recoverable point.
+    */
+  private def renameRootsOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                                 src: org.apache.hadoop.fs.Path,
+                                 dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"roots view swap: rename $src -> $dst returned false")
+
+  /** Absent-safe explicit-schema read of the correction sibling
+    * ((doc_id, root_id, seq) + the (feed, batch_id) partition pair —
+    * [[readRootRows]]' discipline).
+    */
+  private def readCorrRows(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shape = StructType(Seq(StructField("doc_id", LongType),
+      StructField("root_id", LongType), StructField("seq", LongType),
+      StructField("feed", StringType), StructField("batch_id", LongType)))
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
+    else spark.read.schema(shape).parquet(path)
   }
 
   /** Absent-safe explicit-schema read of a roots dir ((doc_id, root_id,

@@ -40,7 +40,18 @@ object IvfServeSoak {
     // against the SAME index at full probe — the yardstick isolates
     // cell-ranking recall from quantization error, which is the part
     // maintenance can regress.
+    // "drift" / "driftpq" (r17): from `plantAt` on, the corpus SHIFTS to
+    // a fresh center family — the watch must flip to `retrain`, and the
+    // loop applies [[graft.ops.IvfIndex.retrainInPlace]] fed by the
+    // corpus flow's own kept-vector store (the production source-of-
+    // truth contract: a quantized index encoded the drifted rows under
+    // the stale codebooks, so the codes alone cannot carry the retrain).
+    // The extra `recon` column — mean cosine of the index's decoded
+    // rows vs the stored TRUE vectors — shows the stale-codebook
+    // degradation and its recovery.
     val mode = args.lift(3).getOrElse("flat")
+    val drifting = mode.startsWith("drift")
+    val quantized = mode == "pq" || mode == "driftpq"
     val nlist = 256
     val cap = 2500L
     val dim = 32
@@ -74,11 +85,17 @@ object IvfServeSoak {
     val K = 2048L
     def corpusVec(idCol: org.apache.spark.sql.Column) =
       mixVec(idCol, pmod(xxhash64(idCol, lit(77)), lit(K)), 0.15)
+    // the DRIFTED distribution: same clustered shape, a center family
+    // the corpus has never used (cid offset past K)
+    def driftVec(idCol: org.apache.spark.sql.Column) =
+      mixVec(idCol, pmod(xxhash64(idCol, lit(77)), lit(K)) + lit(1000000L),
+        0.15)
     def mkBatch(b: Int) = {
       val fresh = spark.range(rows)
         .select((col("id") * batches + b).as("vec_id"),
-          corpusVec(col("id") * batches + b).as("embedding"))
-      if (b != plantAt) fresh
+          (if (drifting && b >= plantAt) driftVec(col("id") * batches + b)
+           else corpusVec(col("id") * batches + b)).as("embedding"))
+      if (drifting || b != plantAt) fresh
       // the NEW MODALITY: one fresh center the corpus has never used
       // (cid tag 999999), noise 0.17 — a ~9° blob (one or two cells at
       // ~60° cell spacing) whose pairwise cosines sit safely BELOW the
@@ -123,7 +140,7 @@ object IvfServeSoak {
       val (watch, wMaint) = t {
         if (!built) {
           val model = graft.ops.IvfIndex.build(staged.kept, nlist, iters = 2)
-          if (mode == "pq")
+          if (quantized)
             graft.ops.IvfIndex.saveQuantizedPq(model, idx,
               graft.ops.Pq.fit(staged.kept, m = 8))
           else graft.ops.IvfIndex.save(model, idx)
@@ -135,19 +152,28 @@ object IvfServeSoak {
           graft.ops.IvfIndex.maintainAppend(spark, idx, staged.kept, cap,
             batchId = b.toLong)
       }
-      val (refined, wRefine) = t {
+      val (act, wRefine) = t {
         if (watch.action == "refine") {
           graft.ops.IvfIndex.refineInPlace(spark, idx, cap,
             splitInto = math.max(2, (watch.maxCell / cap + 1).toInt),
             iters = 3)
-          true
-        } else false
+          "refined"
+        } else if (watch.action == "retrain") {
+          // the production source-of-truth contract: retrain from the
+          // corpus flow's kept-vector store, never from the codes
+          graft.ops.IvfIndex.retrainInPlace(spark, idx,
+            source = Some(spark.read.parquet(s"$vdir/vectors")
+              .select("vec_id", "embedding")))
+          "retrained"
+        } else "-"
       }
       // MEASUREMENT harness (not the maintained path): recall@10 of the
       // served search vs the full-probe exact reference — the exact
       // side scans the whole corpus by construction, so ITS wall grows
-      // linearly; it is the yardstick, not the claim
-      val ((recall, ncells), wMeasure) = t {
+      // linearly; it is the yardstick, not the claim. In drift modes,
+      // `recon` = mean decoded-vs-stored cosine (stale-codebook damage
+      // and its recovery — cell ranking alone cannot see it).
+      val ((recall, ncells, recon), wMeasure) = t {
         val model = graft.ops.IvfIndex.load(spark, idx)
         val nc = model.centroids.count().toInt
         def topk(np: Int) = graft.ops.IvfIndex
@@ -155,13 +181,21 @@ object IvfServeSoak {
           .select("probe_id", "vec_id")
         val hits = topk(16).join(topk(nc), Seq("probe_id", "vec_id"))
           .count()
-        (hits / 320.0, nc)
+        val rc = if (!drifting) 1.0
+          else model.assignments
+            .join(spark.read.parquet(s"$vdir/vectors")
+              .select(col("vec_id"), col("embedding").as("t")),
+              Seq("vec_id"))
+            .agg(avg(graft.ops.Similarity.cosine(col("embedding"),
+              col("t"))))
+            .head().getDouble(0)
+        (hits / 320.0, nc, rc)
       }
       println(f"batch=$b%2d kept=$cursor%8d act=${watch.action}%-7s " +
         f"maxCell=${watch.maxCell}%6d cells=$ncells%4d " +
-        f"cos=${watch.meanAssignCos}%.3f refined=$refined%-5s " +
-        f"recall@10=$recall%.3f flow=$wFlow%5.1fs maint=$wMaint%5.1fs " +
-        f"refine=$wRefine%5.1fs measure=$wMeasure%5.1fs")
+        f"cos=${watch.meanAssignCos}%.3f fix=$act%-9s " +
+        f"recall@10=$recall%.3f recon=$recon%.3f flow=$wFlow%5.1fs " +
+        f"maint=$wMaint%5.1fs fixw=$wRefine%5.1fs measure=$wMeasure%5.1fs")
     }
     spark.stop()
   }

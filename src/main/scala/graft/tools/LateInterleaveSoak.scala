@@ -1,0 +1,251 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Interleaved three-feed soak of the unified corpus build — the
+  * documented SERIALIZATION of [[graft.streaming.StreamOps.unifiedStep]]
+  * with BOTH correction feeds ([[graft.streaming.StreamOps.lateEmbeddingStep]]
+  * and [[graft.streaming.StreamOps.lateTextStep]]) in one driver loop,
+  * the shape a production corpus actually runs: embeddings and
+  * re-crawled texts arrive asynchronously while ingest continues, each
+  * feed on its OWN ledger (colliding batch ids — the roots view's
+  * feed-namespaced `_corr` partitions and global `seq` ordering are
+  * under test here), with the duplicate-map roots view maintained
+  * through every pass and compacted on the ingest loop's schedule.
+  *
+  * Per cycle `b`: one ingest batch (`rows` docs: 5% embedding-withheld,
+  * 5% text-withheld/pending, the rest fully or partially modal), with
+  * planted twins of the PREVIOUS cycle's withheld modalities (a nudged
+  * copy of each withheld embedding under fresh text; an exact copy of
+  * each withheld text — both KEEP, there is nothing to dedup against);
+  * then the two late feeds deliver cycle `b-2`'s withheld modalities at
+  * their docs' original keep prio — every late arrival must ATTACH and
+  * its planted twin must be EVICTED at exactly its expected stage
+  * (`semdup_late` / `exact_late`, required per pass — the UnifiedSoak
+  * planted-verdict discipline). After every cycle the maintained roots
+  * view must equal the decisions ∪ corrections recompute (the q_dup_map
+  * oracle shape), and at the end the three feeds' packed sequences are
+  * audited for token-slot uniqueness (the global cursor dance: ingest
+  * and late-text packs must never collide a (seq_id, offset) slot). A
+  * replay drill at cycle `replayAt` re-runs all three ledger-committed
+  * steps and requires the stores and the serve to hold still.
+  */
+object LateInterleaveSoak {
+  def main(args: Array[String]): Unit = {
+    val cycles = args.headOption.map(_.toInt).getOrElse(8)
+    val rows = args.lift(1).map(_.toInt).getOrElse(2000)
+    val compactEvery = args.lift(2).map(_.toInt).getOrElse(3)
+    val replayAt = args.lift(3).map(_.toInt).getOrElse(4)
+    val dim = 32
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def unitVec(idCol: org.apache.spark.sql.Column) = {
+      val comps = (0 until dim).map(j =>
+        (pmod(xxhash64(idCol, lit(j)), lit(1000000L)).cast("double")
+          / lit(500000.0) - lit(1.0)))
+      val arr = array(comps.map(_.cast("float")): _*)
+      val nrm = sqrt(aggregate(transform(arr,
+        x => x.cast("double") * x.cast("double")), lit(0.0), _ + _))
+      transform(arr, x => (x.cast("double") / nrm).cast("float"))
+    }
+    def text(idCol: org.apache.spark.sql.Column) = {
+      val words = (0 until 20).map(j =>
+        concat(lit("w"), substring(md5(concat(idCol, lit(s"_p$j"))), 1, 7)))
+      concat(lit("the of "), concat_ws(" ", words: _*))
+    }
+    // withheld target sets for cycle b (doc_id = (i*cycles + b)*10 + 1
+    // — always ≡ 1 mod 10, so NO corpus doc is ever a pseudo-benchmark
+    // doc (≡ 0 mod 100): the contamination gate stays armed but inert,
+    // and no withheld target or twin can be outranked by the eval-set
+    // rule; i%20==0 embedding withheld, i%20==8 text withheld)
+    def embWithheld(b: Int) = spark.range(rows / 20)
+      .select((((col("id") * 20) * cycles + b) * 10 + 1).as("doc_id"))
+    def textWithheld(b: Int) = spark.range(rows / 20)
+      .select((((col("id") * 20 + 8) * cycles + b) * 10 + 1).as("doc_id"))
+    def mkBatch(b: Int) = {
+      val id = (col("id") * cycles + b) * 10 + 1
+      val i = col("id")
+      val fresh = spark.range(rows).select(id.as("doc_id"),
+        when(i % 20 === 8, lit(null).cast("string"))
+          .otherwise(text(id)).as("text"),
+        when(i % 20 === 0 || i % 2 === 1, lit(null).cast("array<float>"))
+          .otherwise(unitVec(id)).as("embedding"))
+      val out = if (b == 0) fresh else {
+        val embTwins = embWithheld(b - 1)
+          .select((col("doc_id") * 100 + 3).as("doc_id"),
+            transform(unitVec(col("doc_id")), (x, j) =>
+              when(j === 0, (x.cast("double") + 1e-5).cast("float"))
+                .otherwise(x)).as("embedding"))
+          .withColumn("text", text(col("doc_id")))
+        val textTwins = textWithheld(b - 1)
+          .select((col("doc_id") * 100 + 7).as("doc_id"),
+            text(col("doc_id")).as("text"))
+          .withColumn("embedding", lit(null).cast("array<float>"))
+        fresh.unionByName(embTwins.select("doc_id", "text", "embedding"))
+          .unionByName(textTwins.select("doc_id", "text", "embedding"))
+      }
+      out.withColumn("n_chars",
+          when(col("text").isNull, lit(null).cast("long"))
+            .otherwise(length(col("text")).cast("long")))
+        .select("doc_id", "text", "n_chars", "embedding")
+    }
+    // an external eval set disjoint from the corpus (ids ≡ 0 mod 100,
+    // corpus ids ≡ 1 mod 10): the gate runs on every batch, hits nothing
+    val bench = graft.ops.CurationFlow.benchShingles(
+      spark.range(50).select((col("id") * 100).as("doc_id"),
+        text(col("id") * 100 + 777).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    val vec = graft.ops.VectorFlow.Params(dim = dim, bits = 24)
+    val base = java.nio.file.Files.createTempDirectory("ilv_soak").toString
+    val roots = Some(s"$base/roots")
+    def served: Map[Long, Long] =
+      graft.streaming.StreamOps.serveRoots(spark, s"$base/roots").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recompute: Map[Long, Long] = {
+      val dirs = Seq(s"$base/out", s"$base/lembout", s"$base/ltextout")
+        .filter(d => new java.io.File(d).exists())
+      val edges = dirs.map(spark.read.parquet(_)
+          .select("doc_id", "matched_id"))
+        .reduce(_ unionByName _)
+        .filter(col("matched_id").isNotNull)
+      graft.ops.Graph.dupRoots(edges)
+        .join(edges.select("doc_id"), Seq("doc_id"), "left_semi")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    println(s"interleave soak: $cycles cycles x $rows docs, two late " +
+      s"feeds on colliding ledger ids, compactEvery=$compactEvery, " +
+      s"replay drill at cycle $replayAt")
+
+    var lateId = 0L
+    (0 until cycles).foreach { b =>
+      val t0 = System.nanoTime()
+      val batch = mkBatch(b)
+      graft.streaming.StreamOps.unifiedStep(s"$base/idx", s"$base/out",
+        bench, 256L, 16, vec = vec, compactEvery = compactEvery,
+        rootsPath = roots)(batch, b.toLong)
+      val wallI = (System.nanoTime() - t0) / 1e9
+      var wallE = 0.0; var wallT = 0.0
+      if (b >= 2) {
+        val origB = b - 2
+        val lateEmb = embWithheld(origB)
+          .select(col("doc_id"), unitVec(col("doc_id")).as("embedding"),
+            lit(origB.toLong).as("prio"))
+        val tE = System.nanoTime()
+        graft.streaming.StreamOps.lateEmbeddingStep(s"$base/idx",
+          s"$base/lembout", vec, roots)(lateEmb, lateId)
+        wallE = (System.nanoTime() - tE) / 1e9
+        val lateText = textWithheld(origB)
+          .select(col("doc_id"), text(col("doc_id")).as("text"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .withColumn("prio", lit(origB.toLong))
+        val tT = System.nanoTime()
+        graft.streaming.StreamOps.lateTextStep(s"$base/idx",
+          s"$base/ltextout", bench, 256L, 16, vec = vec,
+          rootsPath = roots)(lateText, lateId)
+        wallT = (System.nanoTime() - tT) / 1e9
+        // planted verdicts: every late arrival attached; every twin
+        // evicted at EXACTLY its stage, rooted at its orig
+        val ce = spark.read.parquet(s"$base/lembout")
+          .filter(col("batch_id") === lateId)
+        val expectedE = embWithheld(origB).count()
+        require(ce.filter(col("status") === "attached").count()
+          == expectedE, s"cycle $b: late embeddings must all attach: " +
+          ce.groupBy("status").count().collect().mkString(", "))
+        val badE = ce.filter(col("status") === "semdup_late" &&
+          (pmod(col("doc_id"), lit(100)) =!= 3 ||
+            col("matched_id") =!= expr("(doc_id - 3) DIV 100"))).count()
+        val evictedE = ce.filter(col("status") === "semdup_late").count()
+        require(badE == 0 && evictedE == expectedE,
+          s"cycle $b: emb twins must evict semdup_late at their origs " +
+            s"(got $evictedE/$expectedE, $badE misrooted)")
+        val ct = spark.read.parquet(s"$base/ltextout")
+          .filter(col("batch_id") === lateId)
+        val expectedT = textWithheld(origB).count()
+        require(ct.filter(col("status") === "attached").count()
+          == expectedT, s"cycle $b: late texts must all attach: " +
+          ct.groupBy("status").count().collect().mkString(", "))
+        val badT = ct.filter(col("status") === "exact_late" &&
+          (pmod(col("doc_id"), lit(100)) =!= 7 ||
+            col("matched_id") =!= expr("(doc_id - 7) DIV 100"))).count()
+        val evictedT = ct.filter(col("status") === "exact_late").count()
+        require(badT == 0 && evictedT == expectedT,
+          s"cycle $b: text twins must evict exact_late at their origs " +
+            s"(got $evictedT/$expectedT, $badT misrooted)")
+        lateId += 1
+      }
+      val s0 = served
+      require(s0 == recompute,
+        s"cycle $b: maintained roots diverged from the recompute")
+      if (b == replayAt && b >= 2) {
+        // replay drill: all three steps are ledger-committed — re-run
+        // each with its original inputs. Serve, store MEMBERSHIP, and
+        // the keeper-meta store must not move (the modal indexes'
+        // replay contract is membership-idempotent — duplicate
+        // digest/band/vector rows are priced and tolerated; the meta
+        // store's is row-exact, it feeds the late-text election)
+        def members(path: String, idCol: String): Long =
+          spark.read.parquet(path).select(idCol).distinct().count()
+        val digestM = members(s"$base/idx/digest", "doc_id")
+        val vecM = members(s"$base/idx/vec/vectors", "vec_id")
+        val metaRows = spark.read.parquet(s"$base/idx/textmeta").count()
+        graft.streaming.StreamOps.unifiedStep(s"$base/idx", s"$base/out",
+          bench, 256L, 16, vec = vec, rootsPath = roots)(batch, b.toLong)
+        graft.streaming.StreamOps.lateEmbeddingStep(s"$base/idx",
+          s"$base/lembout", vec, roots)(
+          embWithheld(b - 2).select(col("doc_id"),
+            unitVec(col("doc_id")).as("embedding"),
+            lit((b - 2).toLong).as("prio")), lateId - 1)
+        graft.streaming.StreamOps.lateTextStep(s"$base/idx",
+          s"$base/ltextout", bench, 256L, 16, vec = vec,
+          rootsPath = roots)(
+          textWithheld(b - 2).select(col("doc_id"),
+            text(col("doc_id")).as("text"))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+            .withColumn("prio", lit((b - 2).toLong)), lateId - 1)
+        require(served == s0, s"cycle $b: replay drill moved the serve")
+        require(members(s"$base/idx/digest", "doc_id") == digestM,
+          s"cycle $b: replay drill changed digest membership")
+        require(members(s"$base/idx/vec/vectors", "vec_id") == vecM,
+          s"cycle $b: replay drill changed vector-store membership")
+        require(spark.read.parquet(s"$base/idx/textmeta").count()
+          == metaRows,
+          s"cycle $b: replay drill inflated the keeper-meta store")
+        val dupMeta = spark.read.parquet(s"$base/idx/textmeta")
+          .groupBy("doc_id").count().filter(col("count") > 1).count()
+        require(dupMeta == 0,
+          s"cycle $b: $dupMeta duplicated keeper-meta rows")
+        println(s"  replay drill at cycle $b: serve, membership, and " +
+          "keeper-meta held")
+      }
+      println(f"cycle $b%3d  ingest=$wallI%6.2fs  lateEmb=$wallE%5.2fs" +
+        f"  lateText=$wallT%5.2fs  roots=${s0.size}%,6d ok")
+    }
+    // the global cursor dance: across the ingest AND late-text packs,
+    // every (seq_id, offset..offset+n_tok) token slot is claimed once
+    val packed = Seq(s"$base/out", s"$base/ltextout")
+      .map(spark.read.parquet(_)
+        .select("doc_id", "n_tok", "seq_id", "seq_offset"))
+      .reduce(_ unionByName _)
+      .filter(col("seq_id").isNotNull)
+    val slots = packed.count()
+    val distinctSlots = packed.select("seq_id", "seq_offset")
+      .distinct().count()
+    require(slots == distinctSlots,
+      s"packed slot collision: $slots rows, $distinctSlots distinct")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seq_id").orderBy("seq_offset")
+    val overlaps = packed
+      .withColumn("prev_end",
+        lag(col("seq_offset") + col("n_tok"), 1).over(w))
+      .filter(col("prev_end") > col("seq_offset")).count()
+    require(overlaps == 0, s"$overlaps overlapping packed token spans")
+    println(f"packed-sequence audit: $slots%,d docs across both packing " +
+      f"feeds, zero slot collisions, zero span overlaps")
+    spark.stop()
+  }
+}

@@ -949,6 +949,63 @@ class IvfIndexSpec extends SparkTestBase {
     assert(served.count() === 5L)
   }
 
+  test("retrainInPlace: a drifted quantized index re-trains and re-fits from the source store; membership, ledger, and baseline all carry") {
+    import spark.implicits._
+    def subUnit(seed: Int, n: Int, lo: Int): Seq[(Long, Seq[Float])] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        val v = Array.fill(16)(0f)
+        (lo until lo + 8).foreach(j => v(j) = rnd.nextGaussian().toFloat)
+        val nn = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+        (seed.toLong * 100000 + i, v.map(x => (x / nn).toFloat).toSeq)
+      }
+    }
+    def df(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfretrain")
+      .toString + "/idx"
+    // corpus lives in dims 0-7, SQ8-quantized: the fitted grid never
+    // saw dims 8-15, so a drifted batch ENCODES TO NOTHING there —
+    // exactly why retrain must read the source store, not the codes
+    val m0 = IvfIndex.build(df(subUnit(21, 400, 0)), nlist = 8, iters = 2)
+    IvfIndex.saveQuantized(m0, dir,
+      Quantize.fitSq8(m0.assignments, "embedding"))
+    val w0 = IvfIndex.maintainAppend(spark, dir, df(subUnit(22, 50, 0)),
+      maxCellRows = 2000, batchId = 0L)
+    assert(w0.action === "ok", s"$w0")
+    val drifted = subUnit(23, 100, 8)
+    val w1 = IvfIndex.maintainAppend(spark, dir, df(drifted),
+      maxCellRows = 2000, driftMargin = 0.05, batchId = 1L)
+    assert(w1.action === "retrain", s"$w1")
+    val src = df(subUnit(21, 400, 0) ++ subUnit(22, 50, 0) ++ drifted)
+    IvfIndex.retrainInPlace(spark, dir, source = Some(src))
+    val m2 = IvfIndex.load(spark, dir)
+    assert(m2.assignments.count() === 550L,
+      "retrain must preserve membership")
+    assert(spark.read.parquet(s"$dir/assignments").columns
+      .contains("codes"), "retrain must keep the index quantized")
+    // the re-fit grid covers the drifted subspace: stored codes now
+    // reconstruct the drifted rows (the stale grid decoded them to ~0)
+    val rec = m2.assignments
+      .join(df(drifted).select(col("vec_id"), col("embedding").as("t")),
+        Seq("vec_id"))
+      .agg(avg(Similarity.cosine(col("embedding"), col("t"))))
+      .head().getDouble(0)
+    assert(rec > 0.9, s"post-retrain reconstruction cosine $rec")
+    // the drifted modality is now home geometry: the next maintained
+    // batch re-stamps the dropped baseline and reads ok
+    val w2 = IvfIndex.maintainAppend(spark, dir, df(subUnit(24, 50, 8)),
+      maxCellRows = 2000, batchId = 2L)
+    assert(w2.action === "ok" && w2.baselineCos === w2.meanAssignCos &&
+      w2.meanAssignCos > 0.1, s"$w2")
+    // the maintain ledger survived the swap: replaying batch 1 skips
+    IvfIndex.maintainAppend(spark, dir, df(drifted),
+      maxCellRows = 2000, batchId = 1L)
+    assert(IvfIndex.load(spark, dir).assignments.count() === 600L,
+      "a replayed ledgered batch must not re-insert")
+  }
+
   test("maintainAppend ledger: exactly-once under replay and torn-batch retry") {
     import spark.implicits._
     def unit(seed: Int, n: Int): Seq[(Long, Seq[Float])] = {

@@ -1389,6 +1389,107 @@ class StreamingSpec extends SparkTestBase {
     assert(got === Map(50L -> 30L, 40L -> 30L, 60L -> 30L))
   }
 
+  test("correctRoots: two feeds share one view — colliding batch ids don't clobber, serve follows true pass order (seq), not batch id") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("tworoots").toString
+    def corr(rows: Seq[(Long, Option[Long], String)], id: Long,
+             feed: String): Unit =
+      StreamOps.correctRoots(s"$base/roots",
+        rows.toDF("doc_id", "matched_id", "status"), id, feed)
+    def served: Map[Long, Long] =
+      StreamOps.serveRoots(spark, s"$base/roots").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    StreamOps.maintainRoots(s"$base/roots",
+      Seq((61L, Option(41L))).toDF("doc_id", "matched_id"), 0L)
+    // the lemb feed is several passes along (its own ledger id 5) when
+    // it evicts 41 in favor of 30
+    corr(Seq((41L, Option(30L), "semdup_late"),
+      (30L, Option.empty[Long], "attached")), 5L, "lemb")
+    // the ltext feed's FIRST pass (batch id 0 < 5, but it runs LATER)
+    // then evicts 30 in favor of 20 — ordering by batch id would keep
+    // 61/41 at the stale root 30
+    corr(Seq((30L, Option(20L), "exact_late"),
+      (20L, Option.empty[Long], "attached")), 0L, "ltext")
+    assert(served === Map(61L -> 20L, 41L -> 20L, 30L -> 20L))
+    // a lemb pass whose batch id COLLIDES with the ltext partition: the
+    // feed-namespaced layout keeps both (one shared partition space
+    // dynamic-overwrote the other feed's rows away)
+    corr(Seq((20L, Option(10L), "semdup_late"),
+      (10L, Option.empty[Long], "attached")), 0L, "lemb")
+    assert(served ===
+      Map(61L -> 10L, 41L -> 10L, 30L -> 10L, 20L -> 10L))
+    val parts = new java.io.File(s"$base/roots_corr").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts === Seq("feed=lemb", "feed=ltext"))
+  }
+
+  test("compactRoots: folds plain+corr into one resolved partition; serve identical; later batches/passes/replays continue; torn swap heals") {
+    import spark.implicits._
+    val roots = java.nio.file.Files.createTempDirectory("rcomp")
+      .toString + "/roots"
+    def plain(rows: Seq[(Long, Option[Long])], id: Long): Unit =
+      StreamOps.maintainRoots(roots,
+        rows.toDF("doc_id", "matched_id"), id)
+    def corr(rows: Seq[(Long, Option[Long], String)], id: Long,
+             feed: String): Unit =
+      StreamOps.correctRoots(roots,
+        rows.toDF("doc_id", "matched_id", "status"), id, feed)
+    def served: Map[Long, Long] =
+      StreamOps.serveRoots(spark, roots).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fs = new org.apache.hadoop.fs.Path(roots)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    plain(Seq((61L, Option(41L))), 0L)
+    plain(Seq((62L, Option(42L))), 1L)
+    corr(Seq((41L, Option(30L), "semdup_late"),
+      (30L, Option.empty[Long], "attached")), 0L, "lemb")
+    val before = served
+    StreamOps.compactRoots(spark, roots)
+    assert(served === before)
+    assert(before === Map(61L -> 30L, 41L -> 30L, 62L -> 42L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(roots + "_corr")),
+      "the fold absorbs and drops the correction sibling")
+    val parts = new java.io.File(roots).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(parts === Seq("batch_id=-1"),
+      s"one reserved resolved partition, got $parts")
+    // the view keeps working on top of the fold: a new ingest batch, a
+    // new correction pass that re-roots a FOLDED row (62 -> 42 must
+    // chase through 42's eviction), and a crashed re-decide replaying
+    // an already-folded batch partition (identical rows, deduped serve)
+    plain(Seq((63L, Option(43L))), 2L)
+    corr(Seq((42L, Option(31L), "exact_late"),
+      (31L, Option.empty[Long], "attached")), 0L, "ltext")
+    val after = Map(61L -> 30L, 41L -> 30L, 62L -> 31L, 42L -> 31L,
+      63L -> 43L)
+    assert(served === after)
+    // second fold absorbs the new batch and pass, then a crashed
+    // re-decide replays the just-folded batch 2 (rows identical to the
+    // fold's — a crashed batch re-decides before any later pass can
+    // correct its docs, so this is the only replay-over-fold shape)
+    StreamOps.compactRoots(spark, roots)
+    assert(served === after)
+    plain(Seq((63L, Option(43L))), 2L)
+    val rows = StreamOps.serveRoots(spark, roots).collect()
+    assert(rows.length === after.size, "no duplicate rows from the replay")
+    assert(served === after)
+    // torn swap: a complete tmp staged, live renamed aside, crash —
+    // the next serve heals (promotes tmp, drops aside) and the
+    // lingering _corr stays consistent with the folded values
+    StreamOps.serveRoots(spark, roots)
+      .withColumn("batch_id", lit(-1L)).repartition(1)
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(roots + ".tmp")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(roots),
+      new org.apache.hadoop.fs.Path(roots + ".aside")))
+    assert(served === after, "recovery promotes the folded tmp")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(roots + ".aside")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(roots + ".tmp")))
+    // a second fold on the already-folded view is a no-op in content
+    StreamOps.compactRoots(spark, roots)
+    assert(served === after)
+  }
+
   test("compactEvery: scheduled compaction bounds index files, decisions identical to the uncompacted twin") {
     import spark.implicits._
     val p = graft.ops.VectorFlow.Params(dim = 16)
