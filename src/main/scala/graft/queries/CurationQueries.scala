@@ -387,6 +387,32 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // r17: the MAINTAINED duplicate-map roots view under the DRIVER's
+    // oracle (StreamingSpec pins it at crafted scale; this pins it at
+    // corpus scale against DuckDB's recursive chase): replay the shared
+    // build's landed decisions through the per-batch closure the ingest
+    // loop runs (StreamOps.maintainRoots — batch-local edges suffice:
+    // a cross-batch matched_id always names a kept stored doc), FOLD
+    // the view between the batches (StreamOps.compactRoots — the
+    // staged-swap fold sits on the oracle path, so a fold that lost or
+    // invented a row would fail the gate), then SERVE
+    // (StreamOps.serveRoots). Scale shape: each closure runs on its
+    // batch's drop rows only; the serve reads the folded partition
+    // plus one live partition — never the corpus.
+    "q_dup_roots_view" -> ((s, d) => {
+      val art = s.read.parquet(SharedBuilds.textDecisionsArtifact(s, d))
+      val dir = CoreQueries.pidScopedDir("graft_roots_view", d).toString +
+        "/roots"
+      graft.streaming.StreamOps.maintainRoots(dir,
+        art.filter(col("batch_id") === 0), 0L)
+      graft.streaming.StreamOps.compactRoots(s, dir)
+      graft.streaming.StreamOps.maintainRoots(dir,
+        art.filter(col("batch_id") === 1), 1L)
+      graft.streaming.StreamOps.serveRoots(s, dir)
+        .select(col("doc_id"), col("root_id"))
+        .orderBy("doc_id")
+    }),
+
     // North star — the LATE-ARRIVAL correction for the unified corpus
     // (ops.UnifiedFlow.lateEmbeddings — the r15 verdict's #1 — plus its
     // r16-verdict-#3 mirror ops.UnifiedFlow.lateTexts, ONE shared
@@ -675,6 +701,69 @@ object CurationQueries {
       graft.ops.TextOps.trainPhraseMerges(
         Tables.documents(s, d), "doc_id", "text", nMerges = 8)._1)
 
+  // the q_dup_map recompute through the loser->keeper EDGES and their
+  // recursive chase to terminal ROOTS - shared by q_dup_map (which adds
+  // the per-doc status/matched overlay) and q_dup_roots_view (which
+  // serves the chase alone)
+  private val dupChaseCte: String =
+    ("""WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id, text, n_chars, string_split_regex(trim(text), '\s+') AS tk FROM documents), """ +
+        """m AS MATERIALIZED (SELECT doc_id, text, n_chars, tk, CAST(len(tk) AS BIGINT) AS n_tok, """ +
+        """CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS BIGINT) AS sum_len, """ +
+        """CAST(len(list_filter(tk, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_digit, """ +
+        """CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq, """ +
+        """CAST(len(list_filter(list_distinct(tk), x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop FROM t), """ +
+        """g AS MATERIALIZED (SELECT doc_id, text, n_chars, tk, n_tok FROM m WHERE n_tok BETWEEN 20 AND 100000 AND sum_len BETWEEN 3 * n_tok AND 10 * n_tok AND n_stop >= 2 AND n_digit * 10 <= n_tok AND n_uniq * 10 >= n_tok * 3), """ +
+        """big AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM g), """ +
+        """bc AS MATERIALIZED (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2), """ +
+        """bs AS MATERIALIZED (SELECT doc_id, MAX(c) AS topc, SUM(c) AS n2 FROM bc GROUP BY 1), """ +
+        """r AS MATERIALIZED (SELECT g.* FROM g JOIN bs USING (doc_id) WHERE topc * 5 < n2), """ +
+        """bench AS MATERIALIZED (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle FROM t WHERE doc_id % 100 = 0 AND len(tk) >= 3), """ +
+        """w1 AS MATERIALIZED (SELECT * FROM r WHERE doc_id % 2 = 0), """ +
+        """w1exid AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM w1 GROUP BY md5(text)), """ +
+        """w1ex AS MATERIALIZED (SELECT w1.* FROM w1 JOIN w1exid USING (doc_id)), """ +
+        """w1exm AS MATERIALIZED (SELECT a.doc_id, b.mm AS m FROM w1 a JOIN (SELECT md5(text) AS h, MIN(doc_id) AS mm FROM w1 GROUP BY 1) b ON md5(a.text) = b.h WHERE a.doc_id <> b.mm), """ +
+        """w1sh AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg FROM w1ex WHERE len(tk) >= 3), """ +
+        """w1sig AS MATERIALIZED (SELECT doc_id, MIN(substr(md5(sg), 1, 8)) AS mh0, MIN(substr(md5(sg), 9, 8)) AS mh1, MIN(substr(md5(sg), 17, 8)) AS mh2, MIN(substr(md5(sg), 25, 8)) AS mh3 FROM w1sh GROUP BY doc_id), """ +
+        """w1band AS MATERIALIZED (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM w1sig), """ +
+        """w1pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM w1band a JOIN w1band b ON a.b = b.b AND a.doc_id < b.doc_id), """ +
+        """w1e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM w1pairs UNION SELECT doc_b, doc_a FROM w1pairs), """ +
+        """w1walk AS (SELECT a, b FROM w1e UNION SELECT w.a, e2.b FROM w1walk w JOIN w1e e2 ON w.b = e2.a), """ +
+        """w1reach AS MATERIALIZED (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon FROM w1walk GROUP BY a), """ +
+        """w1memb AS MATERIALIZED (SELECT w1ex.doc_id, COALESCE(rc.canon, w1ex.doc_id) AS canonical, w1ex.n_chars, w1ex.n_tok, w1ex.tk, w1ex.text FROM w1ex LEFT JOIN w1reach rc ON w1ex.doc_id = rc.doc_id), """ +
+        """w1keep AS MATERIALIZED (SELECT canonical, doc_id AS keep_id FROM (SELECT canonical, doc_id, ROW_NUMBER() OVER (PARTITION BY canonical ORDER BY n_chars DESC, doc_id) AS rn FROM w1memb) WHERE rn = 1), """ +
+        """w1ndm AS MATERIALIZED (SELECT mm.doc_id, k.keep_id AS m FROM w1memb mm JOIN w1keep k ON mm.canonical = k.canonical WHERE mm.doc_id <> k.keep_id), """ +
+        """w1nd AS MATERIALIZED (SELECT mm.* FROM w1memb mm JOIN w1keep k ON mm.canonical = k.canonical AND mm.doc_id = k.keep_id), """ +
+        """w1hits AS MATERIALIZED (SELECT DISTINCT d.doc_id FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle FROM w1nd WHERE len(tk) >= 3) d JOIN bench USING (shingle)), """ +
+        """w1kept AS MATERIALIZED (SELECT * FROM w1nd WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM w1hits)), """ +
+        """w2 AS MATERIALIZED (SELECT * FROM r WHERE doc_id % 2 = 1), """ +
+        """w2hm AS MATERIALIZED (SELECT a.doc_id, MIN(k.doc_id) AS m FROM w2 a JOIN w1kept k ON md5(a.text) = md5(k.text) GROUP BY a.doc_id), """ +
+        """w2a AS MATERIALIZED (SELECT * FROM w2 WHERE doc_id NOT IN (SELECT doc_id FROM w2hm)), """ +
+        """w2exid AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM w2a GROUP BY md5(text)), """ +
+        """w2ex AS MATERIALIZED (SELECT w2a.* FROM w2a JOIN w2exid USING (doc_id)), """ +
+        """w2exm AS MATERIALIZED (SELECT a.doc_id, b.mm AS m FROM w2a a JOIN (SELECT md5(text) AS h, MIN(doc_id) AS mm FROM w2a GROUP BY 1) b ON md5(a.text) = b.h WHERE a.doc_id <> b.mm), """ +
+        """w2sh AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg FROM w2ex WHERE len(tk) >= 3), """ +
+        """w2sig AS MATERIALIZED (SELECT doc_id, MIN(substr(md5(sg), 1, 8)) AS mh0, MIN(substr(md5(sg), 9, 8)) AS mh1, MIN(substr(md5(sg), 17, 8)) AS mh2, MIN(substr(md5(sg), 25, 8)) AS mh3 FROM w2sh GROUP BY doc_id), """ +
+        """w2band AS MATERIALIZED (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM w2sig), """ +
+        """s1sh AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg FROM w1kept WHERE len(tk) >= 3), """ +
+        """s1sig AS MATERIALIZED (SELECT doc_id, MIN(substr(md5(sg), 1, 8)) AS mh0, MIN(substr(md5(sg), 9, 8)) AS mh1, MIN(substr(md5(sg), 17, 8)) AS mh2, MIN(substr(md5(sg), 25, 8)) AS mh3 FROM s1sh GROUP BY doc_id), """ +
+        """s1band AS MATERIALIZED (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM s1sig), """ +
+        """w2nhm AS MATERIALIZED (SELECT a.doc_id, MIN(s.doc_id) AS m FROM w2band a JOIN s1band s ON a.b = s.b GROUP BY a.doc_id), """ +
+        """w2b AS MATERIALIZED (SELECT * FROM w2ex WHERE doc_id NOT IN (SELECT doc_id FROM w2nhm)), """ +
+        """w2pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM w2band a JOIN w2band b ON a.b = b.b AND a.doc_id < b.doc_id WHERE a.doc_id IN (SELECT doc_id FROM w2b) AND b.doc_id IN (SELECT doc_id FROM w2b)), """ +
+        """w2e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM w2pairs UNION SELECT doc_b, doc_a FROM w2pairs), """ +
+        """w2walk AS (SELECT a, b FROM w2e UNION SELECT w.a, e2.b FROM w2walk w JOIN w2e e2 ON w.b = e2.a), """ +
+        """w2reach AS MATERIALIZED (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon FROM w2walk GROUP BY a), """ +
+        """w2memb AS MATERIALIZED (SELECT w2b.doc_id, COALESCE(rc.canon, w2b.doc_id) AS canonical, w2b.n_chars, w2b.n_tok, w2b.tk, w2b.text FROM w2b LEFT JOIN w2reach rc ON w2b.doc_id = rc.doc_id), """ +
+        """w2keep AS MATERIALIZED (SELECT canonical, doc_id AS keep_id FROM (SELECT canonical, doc_id, ROW_NUMBER() OVER (PARTITION BY canonical ORDER BY n_chars DESC, doc_id) AS rn FROM w2memb) WHERE rn = 1), """ +
+        """w2ndm AS MATERIALIZED (SELECT mm.doc_id, k.keep_id AS m FROM w2memb mm JOIN w2keep k ON mm.canonical = k.canonical WHERE mm.doc_id <> k.keep_id), """ +
+        """w2nd AS MATERIALIZED (SELECT mm.* FROM w2memb mm JOIN w2keep k ON mm.canonical = k.canonical AND mm.doc_id = k.keep_id), """ +
+        """w2hits AS MATERIALIZED (SELECT DISTINCT d.doc_id FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle FROM w2nd WHERE len(tk) >= 3) d JOIN bench USING (shingle)), """ +
+        """w2kept AS MATERIALIZED (SELECT * FROM w2nd WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM w2hits)), """ +
+        // the loser -> keeper map and its recursive chase to terminal roots
+        """edges AS MATERIALIZED (SELECT doc_id, m FROM w1exm UNION ALL SELECT doc_id, m FROM w1ndm UNION ALL SELECT doc_id, m FROM w2hm UNION ALL SELECT doc_id, m FROM w2exm UNION ALL SELECT doc_id, m FROM w2nhm UNION ALL SELECT doc_id, m FROM w2ndm), """ +
+        """chase AS (SELECT doc_id, m AS root FROM edges UNION SELECT c.doc_id, e.m FROM chase c JOIN edges e ON c.root = e.doc_id), """ +
+        """roots AS MATERIALIZED (SELECT doc_id, root FROM chase WHERE root NOT IN (SELECT doc_id FROM edges))""")
+
   val sql: Map[String, String] = Map(
     "q_hash_split" ->
       ("""WITH h AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS c FROM documents) """ +
@@ -877,63 +966,7 @@ object CurationQueries {
     // bands, closures) PLUS per-stage matched keepers and a recursive
     // chase of the loser→keeper chains to their terminal roots
     "q_dup_map" ->
-      ("""WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id, text, n_chars, string_split_regex(trim(text), '\s+') AS tk FROM documents), """ +
-        """m AS MATERIALIZED (SELECT doc_id, text, n_chars, tk, CAST(len(tk) AS BIGINT) AS n_tok, """ +
-        """CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS BIGINT) AS sum_len, """ +
-        """CAST(len(list_filter(tk, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_digit, """ +
-        """CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq, """ +
-        """CAST(len(list_filter(list_distinct(tk), x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop FROM t), """ +
-        """g AS MATERIALIZED (SELECT doc_id, text, n_chars, tk, n_tok FROM m WHERE n_tok BETWEEN 20 AND 100000 AND sum_len BETWEEN 3 * n_tok AND 10 * n_tok AND n_stop >= 2 AND n_digit * 10 <= n_tok AND n_uniq * 10 >= n_tok * 3), """ +
-        """big AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM g), """ +
-        """bc AS MATERIALIZED (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2), """ +
-        """bs AS MATERIALIZED (SELECT doc_id, MAX(c) AS topc, SUM(c) AS n2 FROM bc GROUP BY 1), """ +
-        """r AS MATERIALIZED (SELECT g.* FROM g JOIN bs USING (doc_id) WHERE topc * 5 < n2), """ +
-        """bench AS MATERIALIZED (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle FROM t WHERE doc_id % 100 = 0 AND len(tk) >= 3), """ +
-        """w1 AS MATERIALIZED (SELECT * FROM r WHERE doc_id % 2 = 0), """ +
-        """w1exid AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM w1 GROUP BY md5(text)), """ +
-        """w1ex AS MATERIALIZED (SELECT w1.* FROM w1 JOIN w1exid USING (doc_id)), """ +
-        """w1exm AS MATERIALIZED (SELECT a.doc_id, b.mm AS m FROM w1 a JOIN (SELECT md5(text) AS h, MIN(doc_id) AS mm FROM w1 GROUP BY 1) b ON md5(a.text) = b.h WHERE a.doc_id <> b.mm), """ +
-        """w1sh AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg FROM w1ex WHERE len(tk) >= 3), """ +
-        """w1sig AS MATERIALIZED (SELECT doc_id, MIN(substr(md5(sg), 1, 8)) AS mh0, MIN(substr(md5(sg), 9, 8)) AS mh1, MIN(substr(md5(sg), 17, 8)) AS mh2, MIN(substr(md5(sg), 25, 8)) AS mh3 FROM w1sh GROUP BY doc_id), """ +
-        """w1band AS MATERIALIZED (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM w1sig), """ +
-        """w1pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM w1band a JOIN w1band b ON a.b = b.b AND a.doc_id < b.doc_id), """ +
-        """w1e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM w1pairs UNION SELECT doc_b, doc_a FROM w1pairs), """ +
-        """w1walk AS (SELECT a, b FROM w1e UNION SELECT w.a, e2.b FROM w1walk w JOIN w1e e2 ON w.b = e2.a), """ +
-        """w1reach AS MATERIALIZED (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon FROM w1walk GROUP BY a), """ +
-        """w1memb AS MATERIALIZED (SELECT w1ex.doc_id, COALESCE(rc.canon, w1ex.doc_id) AS canonical, w1ex.n_chars, w1ex.n_tok, w1ex.tk, w1ex.text FROM w1ex LEFT JOIN w1reach rc ON w1ex.doc_id = rc.doc_id), """ +
-        """w1keep AS MATERIALIZED (SELECT canonical, doc_id AS keep_id FROM (SELECT canonical, doc_id, ROW_NUMBER() OVER (PARTITION BY canonical ORDER BY n_chars DESC, doc_id) AS rn FROM w1memb) WHERE rn = 1), """ +
-        """w1ndm AS MATERIALIZED (SELECT mm.doc_id, k.keep_id AS m FROM w1memb mm JOIN w1keep k ON mm.canonical = k.canonical WHERE mm.doc_id <> k.keep_id), """ +
-        """w1nd AS MATERIALIZED (SELECT mm.* FROM w1memb mm JOIN w1keep k ON mm.canonical = k.canonical AND mm.doc_id = k.keep_id), """ +
-        """w1hits AS MATERIALIZED (SELECT DISTINCT d.doc_id FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle FROM w1nd WHERE len(tk) >= 3) d JOIN bench USING (shingle)), """ +
-        """w1kept AS MATERIALIZED (SELECT * FROM w1nd WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM w1hits)), """ +
-        """w2 AS MATERIALIZED (SELECT * FROM r WHERE doc_id % 2 = 1), """ +
-        """w2hm AS MATERIALIZED (SELECT a.doc_id, MIN(k.doc_id) AS m FROM w2 a JOIN w1kept k ON md5(a.text) = md5(k.text) GROUP BY a.doc_id), """ +
-        """w2a AS MATERIALIZED (SELECT * FROM w2 WHERE doc_id NOT IN (SELECT doc_id FROM w2hm)), """ +
-        """w2exid AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM w2a GROUP BY md5(text)), """ +
-        """w2ex AS MATERIALIZED (SELECT w2a.* FROM w2a JOIN w2exid USING (doc_id)), """ +
-        """w2exm AS MATERIALIZED (SELECT a.doc_id, b.mm AS m FROM w2a a JOIN (SELECT md5(text) AS h, MIN(doc_id) AS mm FROM w2a GROUP BY 1) b ON md5(a.text) = b.h WHERE a.doc_id <> b.mm), """ +
-        """w2sh AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg FROM w2ex WHERE len(tk) >= 3), """ +
-        """w2sig AS MATERIALIZED (SELECT doc_id, MIN(substr(md5(sg), 1, 8)) AS mh0, MIN(substr(md5(sg), 9, 8)) AS mh1, MIN(substr(md5(sg), 17, 8)) AS mh2, MIN(substr(md5(sg), 25, 8)) AS mh3 FROM w2sh GROUP BY doc_id), """ +
-        """w2band AS MATERIALIZED (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM w2sig), """ +
-        """s1sh AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sg FROM w1kept WHERE len(tk) >= 3), """ +
-        """s1sig AS MATERIALIZED (SELECT doc_id, MIN(substr(md5(sg), 1, 8)) AS mh0, MIN(substr(md5(sg), 9, 8)) AS mh1, MIN(substr(md5(sg), 17, 8)) AS mh2, MIN(substr(md5(sg), 25, 8)) AS mh3 FROM s1sh GROUP BY doc_id), """ +
-        """s1band AS MATERIALIZED (SELECT doc_id, unnest([md5('b0|' || mh0 || mh1), md5('b1|' || mh2 || mh3)]) AS b FROM s1sig), """ +
-        """w2nhm AS MATERIALIZED (SELECT a.doc_id, MIN(s.doc_id) AS m FROM w2band a JOIN s1band s ON a.b = s.b GROUP BY a.doc_id), """ +
-        """w2b AS MATERIALIZED (SELECT * FROM w2ex WHERE doc_id NOT IN (SELECT doc_id FROM w2nhm)), """ +
-        """w2pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM w2band a JOIN w2band b ON a.b = b.b AND a.doc_id < b.doc_id WHERE a.doc_id IN (SELECT doc_id FROM w2b) AND b.doc_id IN (SELECT doc_id FROM w2b)), """ +
-        """w2e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM w2pairs UNION SELECT doc_b, doc_a FROM w2pairs), """ +
-        """w2walk AS (SELECT a, b FROM w2e UNION SELECT w.a, e2.b FROM w2walk w JOIN w2e e2 ON w.b = e2.a), """ +
-        """w2reach AS MATERIALIZED (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon FROM w2walk GROUP BY a), """ +
-        """w2memb AS MATERIALIZED (SELECT w2b.doc_id, COALESCE(rc.canon, w2b.doc_id) AS canonical, w2b.n_chars, w2b.n_tok, w2b.tk, w2b.text FROM w2b LEFT JOIN w2reach rc ON w2b.doc_id = rc.doc_id), """ +
-        """w2keep AS MATERIALIZED (SELECT canonical, doc_id AS keep_id FROM (SELECT canonical, doc_id, ROW_NUMBER() OVER (PARTITION BY canonical ORDER BY n_chars DESC, doc_id) AS rn FROM w2memb) WHERE rn = 1), """ +
-        """w2ndm AS MATERIALIZED (SELECT mm.doc_id, k.keep_id AS m FROM w2memb mm JOIN w2keep k ON mm.canonical = k.canonical WHERE mm.doc_id <> k.keep_id), """ +
-        """w2nd AS MATERIALIZED (SELECT mm.* FROM w2memb mm JOIN w2keep k ON mm.canonical = k.canonical AND mm.doc_id = k.keep_id), """ +
-        """w2hits AS MATERIALIZED (SELECT DISTINCT d.doc_id FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle FROM w2nd WHERE len(tk) >= 3) d JOIN bench USING (shingle)), """ +
-        """w2kept AS MATERIALIZED (SELECT * FROM w2nd WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM w2hits)), """ +
-        // the loser -> keeper map and its recursive chase to terminal roots
-        """edges AS MATERIALIZED (SELECT doc_id, m FROM w1exm UNION ALL SELECT doc_id, m FROM w1ndm UNION ALL SELECT doc_id, m FROM w2hm UNION ALL SELECT doc_id, m FROM w2exm UNION ALL SELECT doc_id, m FROM w2nhm UNION ALL SELECT doc_id, m FROM w2ndm), """ +
-        """chase AS (SELECT doc_id, m AS root FROM edges UNION SELECT c.doc_id, e.m FROM chase c JOIN edges e ON c.root = e.doc_id), """ +
-        """roots AS MATERIALIZED (SELECT doc_id, root FROM chase WHERE root NOT IN (SELECT doc_id FROM edges)), """ +
+      (dupChaseCte + ", " +
         """allst AS MATERIALIZED (SELECT doc_id, 'shape' AS status FROM t WHERE doc_id NOT IN (SELECT doc_id FROM g) """ +
         """UNION ALL SELECT doc_id, 'repetition' FROM g WHERE doc_id NOT IN (SELECT doc_id FROM r) """ +
         """UNION ALL SELECT doc_id, 'exact_batch' FROM w1 WHERE doc_id NOT IN (SELECT doc_id FROM w1ex) """ +
@@ -952,6 +985,12 @@ object CurationQueries {
         """CASE WHEN s.status = 'kept' THEN s.doc_id ELSE r.root END AS root_id """ +
         """FROM allst s LEFT JOIN edges e ON s.doc_id = e.doc_id LEFT JOIN roots r ON s.doc_id = r.doc_id """ +
         """ORDER BY s.doc_id"""),
+    // the MAINTAINED roots view must equal the same chase - the
+    // streaming maintainRoots/compactRoots/serveRoots surface under the
+    // driver's oracle; losers only (kept docs serve no row)
+    "q_dup_roots_view" ->
+      (dupChaseCte +
+        """ SELECT doc_id, root AS root_id FROM roots ORDER BY doc_id"""),
     // serve_ok = 1 is the contract: the Spark side verifies the served
     // tokens in-query (reconstruction + bounds for every doc, mergeFold
     // reference equality on the 1-in-50 sample) and emits the integer
