@@ -597,6 +597,27 @@ object CurationFlow {
       ids, touched.toSeq)
   }
 
+  /** Scheduled file compaction of the keeper-meta store — the bucketed
+    * staged-swap core shared with the band indexes and the vector store
+    * ([[graft.ops.Dedup.compactSwap]]): one file per non-empty bucket,
+    * fetch-identical, a torn swap healed at every entry. Absent-safe
+    * (a text-only corpus predating the meta store compacts nothing).
+    */
+  private[graft] def textMetaCompact(spark: org.apache.spark.sql.SparkSession,
+                                     path: String,
+                                     targetParts: Int = 1): Unit = {
+    require(targetParts >= 1, s"targetParts must be >= 1, got $targetParts")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.recoverBandIndex(fs, path)
+    val stamped = LayoutSidecar.requireStamped(fs, path,
+      "text-meta store without a layout sidecar — rewrite the corpus " +
+        "dir with UnifiedFlow.commit")
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      Dedup.compactSwap(spark, path, textMetaSchema, "mbkt", targetParts,
+        stamped)
+  }
+
   /** An empty frame with [[Dedup.BoundedCandidates]]' overflow schema —
     * what [[decide]] reports on the exact route, so the report's shape
     * does not fork on `maxBucket`.

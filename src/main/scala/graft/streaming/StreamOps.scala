@@ -985,7 +985,8 @@ object StreamOps {
     */
   private[graft] def lateEmbeddingStep(indexPath: String, outPath: String,
                                        vec: graft.ops.VectorFlow.Params,
-                                       rootsPath: Option[String] = None)
+                                       rootsPath: Option[String] = None,
+                                       compactEvery: Int = 0)
                                       (batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
     val vdir = indexPath + "/vec"
@@ -1031,6 +1032,15 @@ object StreamOps {
           start + staged.attach.count())
         graft.ops.VectorFlow.lateCommit(vdir, staged, vec)
     }
+    // a correction-heavy corpus with sparse ingest must not wait for
+    // the ingest loop's schedule to bound its files (r17): the late
+    // feed compacts the stores IT mutates, roots fold included
+    if (dueForCompact(compactEvery, id)) {
+      graft.ops.Dedup.bandIndexCompact(spark, vdir + "/digest")
+      graft.ops.Dedup.bandIndexCompact(spark, vdir + "/bands")
+      graft.ops.VectorFlow.vectorStoreCompact(spark, vdir + "/vectors")
+      rootsPath.foreach(p => compactRoots(spark, p))
+    }
   }
 
   /** The LATE-EMBEDDING correction feed as a stream: each micro-batch
@@ -1047,12 +1057,13 @@ object StreamOps {
                           outPath: String, checkpoint: String,
                           vec: graft.ops.VectorFlow.Params =
                             graft.ops.VectorFlow.Params(),
-                          rootsPath: Option[String] = None)
+                          rootsPath: Option[String] = None,
+                          compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     late.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(lateEmbeddingStep(indexPath, outPath, vec,
-        rootsPath) _)
+        rootsPath, compactEvery) _)
       .start()
 
   /** One micro-batch of the LATE-TEXT correction feed against a unified
@@ -1092,7 +1103,8 @@ object StreamOps {
                                   maxBucket: Int = Int.MaxValue,
                                   vec: graft.ops.VectorFlow.Params =
                                     graft.ops.VectorFlow.Params(),
-                                  rootsPath: Option[String] = None)
+                                  rootsPath: Option[String] = None,
+                                  compactEvery: Int = 0)
                                  (batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
     val ltdir = indexPath + "/ltext"
@@ -1141,6 +1153,16 @@ object StreamOps {
         graft.ops.UnifiedFlow.lateTextCommit(indexPath, staged, buckets,
           vec)
     }
+    // the stores this feed mutates: the text indexes, the keeper-meta
+    // store, the vec store (pending-vector drops), and the roots view
+    if (dueForCompact(compactEvery, id)) {
+      graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/digest")
+      graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/bands")
+      graft.ops.CurationFlow.textMetaCompact(spark, indexPath + "/textmeta")
+      graft.ops.VectorFlow.vectorStoreCompact(spark,
+        indexPath + "/vec/vectors")
+      rootsPath.foreach(p => compactRoots(spark, p))
+    }
   }
 
   /** The LATE-TEXT correction feed as a stream: each micro-batch of
@@ -1158,12 +1180,13 @@ object StreamOps {
                      maxBucket: Int = Int.MaxValue,
                      vec: graft.ops.VectorFlow.Params =
                        graft.ops.VectorFlow.Params(),
-                     rootsPath: Option[String] = None)
+                     rootsPath: Option[String] = None,
+                     compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     late.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(lateTextStep(indexPath, outPath, bench, budget,
-        buckets, maxBucket, vec, rootsPath) _)
+        buckets, maxBucket, vec, rootsPath, compactEvery) _)
       .start()
 
   /** [[recordedCorrections]] with the late-TEXT replay's extra columns

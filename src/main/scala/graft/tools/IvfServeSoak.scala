@@ -49,9 +49,16 @@ object IvfServeSoak {
     // The extra `recon` column — mean cosine of the index's decoded
     // rows vs the stored TRUE vectors — shows the stale-codebook
     // degradation and its recovery.
+    // "driftflood" (r17): BOTH maintenance actions in one PQ run — the
+    // tight-modality flood at `plantAt` (refine) and the distribution
+    // shift from `plantAt + 4` on (retrain) — the watch's two verdicts
+    // composing on one serving index, no rebuild.
     val mode = args.lift(3).getOrElse("flat")
     val drifting = mode.startsWith("drift")
-    val quantized = mode == "pq" || mode == "driftpq"
+    val quantized = mode == "pq" || mode == "driftpq" || mode == "driftflood"
+    val driftAt = if (mode == "driftflood") plantAt + 4
+      else if (drifting) plantAt else Int.MaxValue
+    val floodAt = if (mode == "drift" || mode == "driftpq") -1 else plantAt
     val nlist = 256
     val cap = 2500L
     val dim = 32
@@ -93,9 +100,9 @@ object IvfServeSoak {
     def mkBatch(b: Int) = {
       val fresh = spark.range(rows)
         .select((col("id") * batches + b).as("vec_id"),
-          (if (drifting && b >= plantAt) driftVec(col("id") * batches + b)
+          (if (b >= driftAt) driftVec(col("id") * batches + b)
            else corpusVec(col("id") * batches + b)).as("embedding"))
-      if (drifting || b != plantAt) fresh
+      if (b != floodAt) fresh
       // the NEW MODALITY: one fresh center the corpus has never used
       // (cid tag 999999), noise 0.17 — a ~9° blob (one or two cells at
       // ~60° cell spacing) whose pairwise cosines sit safely BELOW the

@@ -1389,6 +1389,72 @@ class StreamingSpec extends SparkTestBase {
     assert(got === Map(50L -> 30L, 40L -> 30L, 60L -> 30L))
   }
 
+  test("late-feed compactEvery: the correction stream compacts the stores it mutates; serve and elections identical across folds") {
+    import spark.implicits._
+    val vec = graft.ops.VectorFlow.Params(minCos = 0.99, dim = 8)
+    def rot(a: Double): Seq[Float] = {
+      val v = Array.fill(8)(0f)
+      v(0) = math.cos(a).toFloat; v(1) = math.sin(a).toFloat; v.toSeq
+    }
+    def goodText(seed: String): String =
+      "the of " + (0 until 20).map(j => s"w$seed$j").mkString(" ")
+    def udf2(rows: Seq[(Long, String, Seq[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .select("doc_id", "text", "n_chars", "embedding")
+    val noEmb = null.asInstanceOf[Seq[Float]]
+    val bench = graft.ops.CurationFlow.benchShingles(
+      udf2(Seq((100L, goodText("bench"), noEmb))))
+    val base = java.nio.file.Files.createTempDirectory("latecomp").toString
+    val roots = Some(s"$base/roots")
+    def served: Map[Long, Long] =
+      StreamOps.serveRoots(spark, s"$base/roots").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def lateDf(rows: Seq[(Long, Seq[Float], Long)]) =
+      rows.toDF("doc_id", "embedding", "prio")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    // the certified correctRoots eviction scenario, now with the LATE
+    // feed compacting after every pass (compactEvery = 1)
+    StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      vec = vec, rootsPath = roots)(
+      udf2(Seq((1L, goodText("a"), rot(0)), (2L, goodText("b"), noEmb),
+        (3L, goodText("c"), noEmb), (25L, goodText("a"), rot(1.0)))), 0L)
+    StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      vec = vec, rootsPath = roots)(
+      udf2(Seq((21L, goodText("k"), rot(2.02)),
+        (23L, goodText("m"), rot(2.03)))), 1L)
+    StreamOps.lateEmbeddingStep(s"$base/idx", s"$base/lateout", vec,
+      roots, compactEvery = 1)(lateDf(Seq((3L, rot(2.0), 0L))), 0L)
+    // the pass compacted: roots folded into the reserved partition,
+    // correction sibling absorbed — serve still exact
+    assert(served === Map(23L -> 3L, 21L -> 3L, 25L -> 1L))
+    val fs = new org.apache.hadoop.fs.Path(s"$base/roots")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/roots_corr")))
+    assert(new java.io.File(s"$base/roots").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq === Seq("batch_id=-1"))
+    // a second pass runs against the COMPACTED stores: 2 ties prio with
+    // 3, (prio, id) elects 2 — the index probes, the store fetch, and
+    // the cross-pass roots rewrite (re-rooting FOLDED rows) all read
+    // the compacted layouts
+    StreamOps.lateEmbeddingStep(s"$base/idx", s"$base/lateout", vec,
+      roots, compactEvery = 1)(lateDf(Seq((2L, rot(1.99), 0L))), 1L)
+    assert(served === Map(23L -> 2L, 21L -> 2L, 3L -> 2L, 25L -> 1L))
+    val cor = spark.read.parquet(s"$base/lateout")
+      .filter(col("batch_id") === 1)
+      .select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cor === Map(2L -> "attached", 3L -> "semdup_late"))
+    // the vector store after two fold/compact cycles holds exactly the
+    // surviving vectors: 1 (kept with its vector), 2 (late-attached);
+    // 25 dropped at ingest (exact copy of 1), 21 and 3 evicted late
+    val stored = graft.ops.VectorFlow.vectorStoreFetch(spark,
+      s"$base/idx/vec/vectors", Seq(1L, 2L, 3L, 21L, 25L).toDF("vec_id"),
+      vec.buckets).select("vec_id").as[Long].collect().sorted.toSeq
+    assert(stored === Seq(1L, 2L))
+  }
+
   test("correctRoots: two feeds share one view — colliding batch ids don't clobber, serve follows true pass order (seq), not batch id") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("tworoots").toString
