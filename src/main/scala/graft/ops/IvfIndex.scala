@@ -968,8 +968,18 @@ object IvfIndex {
     * codebook reconstructions (PQ) that re-encode to their own codes.
     * Only the cell structure changes; the stored codes never degrade.
     * The maintain batch ledger survives the swap (a replayed ledgered
-    * batch must still skip), while the drift baseline is deliberately
-    * dropped.
+    * batch must still skip), and so does the DRIFT BASELINE (r17 —
+    * reversed from r16's deliberate drop): a refine only ADDS
+    * centroids, so the stamped expectation remains a conservative
+    * lower bound for the undrifted distribution — no false retrain —
+    * while dropping it let the FIRST batch after a refine re-stamp the
+    * baseline, and under sustained drift that batch is a drifted one:
+    * the poisoned (low) baseline then hid the drift from every later
+    * watch, starving the retrain verdict behind an endless refine
+    * churn (the `IvfServeSoak driftflood` finding — 7 refines in 10
+    * batches, cells creeping +1-2 per batch, where one retrain
+    * re-allocates the whole grid). [[retrainInPlace]] still drops it:
+    * a retrain replaces the geometry wholesale.
     */
   def refineInPlace(spark: SparkSession, path: String, maxCellRows: Long,
                     splitInto: Int = 2, iters: Int = 2,
@@ -1001,6 +1011,14 @@ object IvfIndex {
     if (fs.exists(ledger))
       org.apache.hadoop.fs.FileUtil.copy(fs, ledger, fs,
         new org.apache.hadoop.fs.Path(tmp, "_maintain_ledger"), false,
+        spark.sparkContext.hadoopConfiguration)
+    // the drift baseline survives a refine (see the scaladoc — a
+    // dropped baseline re-stamps on the NEXT batch, which under
+    // sustained drift poisons the signal the retrain verdict needs)
+    val mfile = new org.apache.hadoop.fs.Path(path, "_graft_maintain.json")
+    if (fs.exists(mfile))
+      org.apache.hadoop.fs.FileUtil.copy(fs, mfile, fs,
+        new org.apache.hadoop.fs.Path(tmp, "_graft_maintain.json"), false,
         spark.sparkContext.hadoopConfiguration)
     def mv(a: String, b: String): Unit =
       if (!fs.rename(new org.apache.hadoop.fs.Path(a),
@@ -1138,14 +1156,26 @@ object IvfIndex {
       (c, base + i.toLong * splitInto)
     }.toMap
 
-    // grouped Lloyd: seeds = splitInto hash-ranked members per hot cell
+    // grouped Lloyd: seeds = splitInto hash-ranked members per hot cell,
+    // L2-NORMALIZED like every later round's centroids (r17 — the r16
+    // spherical fix covered the Lloyd rounds but seeded round 0 with
+    // RAW member embeddings: on a quantized index the decoded members'
+    // norms vary a few percent, which inside a tight cell DOMINATES the
+    // directional spread, so round 0 collapsed winner-take-all onto the
+    // higher-norm seed, the empty sub vanished from the groupBy, and
+    // every later round kept the cell whole — the driftflood soak's
+    // 3,868-row flood-core cell survived refine after refine at every
+    // seed until this; unit-norm raw corpora never showed it)
     var subC = hotRows
       .withColumn("__r", xxhash64(col("vec_id"), lit(seed)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("cell").orderBy("__r")))
       .filter(col("__rn") <= splitInto)
+      .withColumn("__n", sqrt(aggregate(transform(col("embedding"),
+        x => x.cast("double") * x.cast("double")), lit(0.0), _ + _)))
       .select(col("cell"), (col("__rn") - 1).as("sub"),
-        col("embedding").as("centroid"))
+        transform(col("embedding"),
+          x => (x.cast("double") / col("__n")).cast("float")).as("centroid"))
     val vecMean = udaf(graft.functions.VecMeanAgg)
     // per-cell nearest-sub assignment, carrying every payload column
     // (same shape as assign's max_by fallback — rows × splitInto through

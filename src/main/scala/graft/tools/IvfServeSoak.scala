@@ -129,6 +129,12 @@ object IvfServeSoak {
 
     var cursor = 0L
     var built = false
+    // caller policy (the operator loop the watch is designed for): a
+    // drift reading that PERSISTS across consecutive watches despite a
+    // refine is the retrain case — hot cells take the watch's priority
+    // (a one-batch flood is refine's job), but splitting cannot chase a
+    // moved distribution batch by batch
+    var lastDrift = false
     for (b <- 0 until batches) {
       def t[A](f: => A): (A, Double) = {
         val t0 = System.nanoTime()
@@ -159,21 +165,24 @@ object IvfServeSoak {
           graft.ops.IvfIndex.maintainAppend(spark, idx, staged.kept, cap,
             batchId = b.toLong)
       }
+      val drifted = watch.appended > 0 &&
+        watch.meanAssignCos < watch.baselineCos - 0.05
       val (act, wRefine) = t {
-        if (watch.action == "refine") {
-          graft.ops.IvfIndex.refineInPlace(spark, idx, cap,
-            splitInto = math.max(2, (watch.maxCell / cap + 1).toInt),
-            iters = 3)
-          "refined"
-        } else if (watch.action == "retrain") {
+        if (watch.action == "retrain" || (drifted && lastDrift)) {
           // the production source-of-truth contract: retrain from the
           // corpus flow's kept-vector store, never from the codes
           graft.ops.IvfIndex.retrainInPlace(spark, idx,
             source = Some(spark.read.parquet(s"$vdir/vectors")
               .select("vec_id", "embedding")))
           "retrained"
+        } else if (watch.action == "refine") {
+          graft.ops.IvfIndex.refineInPlace(spark, idx, cap,
+            splitInto = math.max(2, (watch.maxCell / cap + 1).toInt),
+            iters = 3)
+          "refined"
         } else "-"
       }
+      lastDrift = drifted && act != "retrained"
       // MEASUREMENT harness (not the maintained path): recall@10 of the
       // served search vs the full-probe exact reference — the exact
       // side scans the whole corpus by construction, so ITS wall grows

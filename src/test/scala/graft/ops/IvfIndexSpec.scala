@@ -892,8 +892,12 @@ class IvfIndexSpec extends SparkTestBase {
     val w3 = IvfIndex.maintainAppend(spark, dir, df(unit(4, 50)),
       maxCellRows = 200)
     assert(w3.action === "ok" && w3.maxCell <= 200L, s"$w3")
-    // the baseline re-stamped against the refined geometry
-    assert(w3.baselineCos === w3.meanAssignCos)
+    // the baseline SURVIVES the refine (r17 — a refine only adds
+    // centroids, so the old expectation stays a conservative lower
+    // bound; re-stamping on the next batch let sustained drift poison
+    // the signal, the driftflood finding) and the organic batch still
+    // reads ok against it
+    assert(w3.baselineCos === w1.baselineCos)
 
     // drift: corpus and baseline batch live in dims 0-7, the drifted
     // batch in dims 8-15 — an ORTHOGONAL subspace, so every assign
@@ -947,6 +951,41 @@ class IvfIndexSpec extends SparkTestBase {
     val served = IvfIndex.searchTopK(IvfIndex.load(spark, qdir),
       corpus.head._1, k = 5, nprobe = 8)
     assert(served.count() === 5L)
+  }
+
+  test("refine: seed centroids are normalized — a tight varied-norm cell (the decoded-codes shape) must split") {
+    import spark.implicits._
+    // members share one direction cone (±0.03 per-dim noise, pairwise
+    // cos ≈ 0.99) but carry NORMS 0.95–0.99 — the PQ-reconstruction
+    // shape: an un-normalized seed round let the higher-norm seed's raw
+    // dot dominate the directional spread, round 0 collapsed
+    // winner-take-all, the empty sub vanished from the mean groupBy,
+    // and the cell survived refine after refine at every seed (the
+    // driftflood soak's 3,868-row flood-core cell). Unit-norm raw
+    // corpora never showed it.
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 400).map { i =>
+      val v = Array.fill(16)(0f)
+      v(0) = 1f
+      val jit = v.map(x => x + (rnd.nextGaussian() * 0.03).toFloat)
+      val n = math.sqrt(jit.map(x => x.toDouble * x).sum)
+      val scale = 0.95 + 0.04 * rnd.nextDouble()
+      (i.toLong, jit.map(x => (x / n * scale).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cents = Seq((0L, Array.fill(16)(0f).updated(0, 1f).toSeq))
+      .toDF("cell", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<float>"))
+    val model = IvfIndex.Model(cents, emb.withColumn("cell", lit(0L)))
+    val refined = IvfIndex.refine(model, maxCellRows = 200, splitInto = 2,
+      iters = 3)
+    val sizes = refined.assignments.groupBy("cell").count()
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(sizes.sum === 400L, "membership preserved")
+    assert(sizes.length >= 2 && sizes.max < 400L,
+      s"the cell must actually split, got $sizes")
+    assert(sizes.min >= 40L, s"a balanced-ish directional split, got $sizes")
   }
 
   test("retrainInPlace: a drifted quantized index re-trains and re-fits from the source store; membership, ledger, and baseline all carry") {
