@@ -814,14 +814,19 @@ object IvfIndex {
     *     modality, which is ONE k-means cell however fresh the
     *     centroids);
     *   - `retrain` — the batch's mean assign-cosine fell more than
-    *     `driftMargin` below the maintained baseline: the incoming
+    *     `driftMargin` below the maintained baseline (with no hot
+    *     cells, or for the SECOND consecutive watch even with them —
+    *     `driftStreak`, persisted in the sidecar): the incoming
     *     DISTRIBUTION moved away from every centroid, which cell
-    *     splitting cannot fix — schedule an offline [[build]]+[[save]].
+    *     splitting cannot fix — apply [[retrainInPlace]] (fed by the
+    *     kept-vector store for quantized indexes) or an offline
+    *     [[build]]+[[save]].
     */
   final case class MaintainWatch(appended: Long, maxCell: Long,
                                  cap: Long, hotCells: Long,
                                  meanAssignCos: Double,
-                                 baselineCos: Double, action: String)
+                                 baselineCos: Double, action: String,
+                                 driftStreak: Long = 0L)
 
   /** Continuous SERVING-index maintenance (r15 verdict #4): the corpus
     * flows land kept vectors and indexes build/save/compact, but
@@ -891,25 +896,42 @@ object IvfIndex {
     val appended = stats.getLong(0)
     val meanCos = if (appended == 0) 1.0 else stats.getDouble(1)
     val mf = new org.apache.hadoop.fs.Path(path, "_graft_maintain.json")
-    val baseline =
+    val mfTmp = new org.apache.hadoop.fs.Path(path,
+      "_graft_maintain.json.tmp")
+    def writeSidecar(b: Double, streak: Long): Unit = {
+      val out = fs.create(mfTmp, true)
+      try out.write(
+        s"""{"baselineCos":$b,"driftStreak":$streak}""".getBytes("UTF-8"))
+      finally out.close()
+      // rename refuses an existing destination on local-FS semantics;
+      // the delete→rename window is healed by the tmp promotion below
+      if (fs.exists(mf)) fs.delete(mf, false)
+      if (!fs.rename(mfTmp, mf))
+        throw new java.io.IOException(s"maintain sidecar rename failed: $mf")
+    }
+    // heal a crash between the delete and the rename of a streak
+    // update: the tmp is only ever a COMPLETE sidecar (written fully
+    // before the swap begins)
+    if (!fs.exists(mf) && fs.exists(mfTmp) && !fs.rename(mfTmp, mf))
+      throw new java.io.IOException(s"maintain sidecar recovery failed: $mf")
+    val (baseline, prevStreak) =
       if (fs.exists(mf)) {
         val in = fs.open(mf)
         val body = try scala.io.Source.fromInputStream(in).mkString
         finally in.close()
-        """"baselineCos"\s*:\s*(-?[0-9.eE+-]+)""".r.findFirstMatchIn(body)
+        val b = """"baselineCos"\s*:\s*(-?[0-9.eE+-]+)""".r
+          .findFirstMatchIn(body)
           .map(_.group(1).toDouble)
           .getOrElse(throw new java.io.IOException(
             s"corrupt maintain sidecar $mf: $body"))
+        // pre-streak sidecars read streak 0 (stamped by earlier rounds)
+        val s = """"driftStreak"\s*:\s*([0-9]+)""".r.findFirstMatchIn(body)
+          .map(_.group(1).toLong).getOrElse(0L)
+        (b, s)
       } else if (appended > 0) {
-        val tmp = new org.apache.hadoop.fs.Path(path,
-          "_graft_maintain.json.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(s"""{"baselineCos":$meanCos}""".getBytes("UTF-8"))
-        finally out.close()
-        if (!fs.rename(tmp, mf))
-          throw new java.io.IOException(s"maintain sidecar rename failed: $mf")
-        meanCos
-      } else 1.0
+        writeSidecar(meanCos, 0L)
+        (meanCos, 0L)
+      } else (1.0, 0L)
     val applied = batchId >= 0 &&
       readMaintainLedger(spark, path).exists(_ >= batchId)
     if (appended > 0 && !applied) {
@@ -944,20 +966,34 @@ object IvfIndex {
       .head()
     val (maxCell, hot) = (occ.getLong(0), occ.getLong(1))
     org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(assigned)
+    // the drift STREAK (r17 — the driftflood escalation, watch-native):
+    // consecutive drifted watches persist in the sidecar, surviving
+    // refines (refineInPlace carries the file) and resetting on retrain
+    // (retrainInPlace drops it) or on any un-drifted batch. Hot cells
+    // keep priority for a FIRST drifted reading (a one-batch flood dips
+    // the cos too, and refine is its measured right fix); drift that
+    // PERSISTS past that is a moved distribution, which splitting
+    // chases one cell per batch — retrain wins even with hot cells.
+    // Crash note: a replayed drifted batch can advance the streak twice
+    // — the watch can only recommend retrain EARLY, never late (the
+    // occupancy ledger's torn-batch convention).
+    val drifted = appended > 0 && meanCos < baseline - driftMargin
+    val streak = if (drifted) prevStreak + 1 else 0L
+    if (appended > 0 && streak != prevStreak && fs.exists(mf))
+      writeSidecar(baseline, streak)
     val action =
-      if (hot > 0) "refine"
-      else if (appended > 0 && meanCos < baseline - driftMargin) "retrain"
+      if (drifted && (hot == 0 || streak >= 2)) "retrain"
+      else if (hot > 0) "refine"
       else "ok"
     MaintainWatch(appended, maxCell, maxCellRows, hot, meanCos, baseline,
-      action)
+      action, streak)
   }
 
   /** Apply the `refine` action to a PERSISTED index: load, split the
     * hot cells ([[refine]]), save to a staging dir, swap it in
-    * (aside + rename — the band-index swap discipline), re-seed the
-    * occupancy ledger from the refined assignments, and drop the drift
-    * baseline so the next [[maintainAppend]] re-stamps it against the
-    * refined geometry. Single-writer like every index mutation.
+    * (aside + rename — the band-index swap discipline), and re-seed
+    * the occupancy ledger from the refined assignments. Single-writer
+    * like every index mutation.
     *
     * QUANTIZED indexes refine in place too (r16 verdict #4 — the PQ/SQ8
     * serving ladder used to have maintenance for append only): [[load]]
@@ -1028,6 +1064,46 @@ object IvfIndex {
     mv(path, aside)
     mv(tmp, path)
     fs.delete(new org.apache.hadoop.fs.Path(aside), true)
+  }
+
+  /** Per-cell reconstruction audit of a (typically quantized) serving
+    * index (r17 — the driftflood diagnosis needed a MANUAL
+    * decoded-vs-stored probe to see stale-codebook damage pooling in
+    * one cell: the soak's recall yardstick compares against the same
+    * index at full probe, so quantization error cancels, and the
+    * whole-index recon average hid a single garbage cell behind 200k
+    * good rows). Joins a 1-in-`sampleOneIn` hash sample of the index's
+    * decoded rows with the TRUE vectors in `source` (the kept-vector
+    * store) and reports per-cell sample size and mean/min cosine,
+    * worst cells first — the maintenance loop's early-warning read
+    * before damage costs recall. One scan of the index + one join
+    * against the sample (broadcast-sized at any real `sampleOneIn`);
+    * output is nlist-bounded. Index rows missing from `source` are
+    * skipped (they contribute no truth to compare against).
+    */
+  def reconByCell(spark: SparkSession, path: String, source: DataFrame,
+                  sampleOneIn: Int = 50): DataFrame = {
+    require(sampleOneIn >= 1, s"sampleOneIn must be >= 1, got $sampleOneIn")
+    val m = load(spark, path)
+    val sampled = m.assignments
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleOneIn.toLong)) === 0)
+      .select(col("vec_id"), col("cell"), col("embedding").as("__dec"))
+    sampled
+      .join(source.select(col("vec_id"), col("embedding").as("__true")),
+        Seq("vec_id"))
+      // a ZERO reconstruction (the stale-grid decode of a dimension the
+      // codebooks never saw) reads cosine 0 — the honest damage figure
+      // — instead of the raw formula's 0/0 NaN
+      .withColumn("__c",
+        when(Similarity.l2Norm(col("__dec")) > 0d &&
+            Similarity.l2Norm(col("__true")) > 0d,
+          Similarity.cosine(col("__dec"), col("__true")))
+          .otherwise(lit(0d)))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_sampled"),
+        avg(col("__c")).as("mean_cos"),
+        min(col("__c")).as("min_cos"))
+      .orderBy("mean_cos")
   }
 
   /** Apply the `retrain` action to a PERSISTED index IN PLACE (r17 —

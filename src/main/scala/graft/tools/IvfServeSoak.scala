@@ -129,12 +129,6 @@ object IvfServeSoak {
 
     var cursor = 0L
     var built = false
-    // caller policy (the operator loop the watch is designed for): a
-    // drift reading that PERSISTS across consecutive watches despite a
-    // refine is the retrain case — hot cells take the watch's priority
-    // (a one-batch flood is refine's job), but splitting cannot chase a
-    // moved distribution batch by batch
-    var lastDrift = false
     for (b <- 0 until batches) {
       def t[A](f: => A): (A, Double) = {
         val t0 = System.nanoTime()
@@ -165,10 +159,11 @@ object IvfServeSoak {
           graft.ops.IvfIndex.maintainAppend(spark, idx, staged.kept, cap,
             batchId = b.toLong)
       }
-      val drifted = watch.appended > 0 &&
-        watch.meanAssignCos < watch.baselineCos - 0.05
+      // the loop simply applies the watch's verdict — the drift-streak
+      // escalation (retrain over refine when drift persists past a
+      // first hot-celled reading) is watch-native via the sidecar
       val (act, wRefine) = t {
-        if (watch.action == "retrain" || (drifted && lastDrift)) {
+        if (watch.action == "retrain") {
           // the production source-of-truth contract: retrain from the
           // corpus flow's kept-vector store, never from the codes
           graft.ops.IvfIndex.retrainInPlace(spark, idx,
@@ -182,7 +177,6 @@ object IvfServeSoak {
           "refined"
         } else "-"
       }
-      lastDrift = drifted && act != "retrained"
       // MEASUREMENT harness (not the maintained path): recall@10 of the
       // served search vs the full-probe exact reference — the exact
       // side scans the whole corpus by construction, so ITS wall grows

@@ -1018,7 +1018,23 @@ class IvfIndexSpec extends SparkTestBase {
       maxCellRows = 2000, driftMargin = 0.05, batchId = 1L)
     assert(w1.action === "retrain", s"$w1")
     val src = df(subUnit(21, 400, 0) ++ subUnit(22, 50, 0) ++ drifted)
+    // the per-cell audit exposes the damage BEFORE it costs recall:
+    // the drifted rows decode to ~nothing under the stale grid
+    // (cosine ~0 vs the stored truth) and pool in the few old cells
+    // nearest them, dragging those cells' mean down and min to zero,
+    // while organic-only cells reconstruct ~1 — a whole-index average
+    // hides the damage behind 450 good rows, and the full-probe recall
+    // yardstick cannot see it at all
+    val audit = IvfIndex.reconByCell(spark, dir, src, sampleOneIn = 1)
+      .collect()
+    assert(audit.head.getDouble(2) < 0.6 && audit.head.getDouble(3) < 0.1,
+      s"the stale-grid cell must surface worst: ${audit.head}")
+    assert(audit.last.getDouble(2) > 0.9,
+      s"organic cells reconstruct: ${audit.last}")
     IvfIndex.retrainInPlace(spark, dir, source = Some(src))
+    val audit2 = IvfIndex.reconByCell(spark, dir, src, sampleOneIn = 1)
+      .agg(min(col("mean_cos"))).head().getDouble(0)
+    assert(audit2 > 0.9, s"post-retrain every cell reconstructs: $audit2")
     val m2 = IvfIndex.load(spark, dir)
     assert(m2.assignments.count() === 550L,
       "retrain must preserve membership")
@@ -1043,6 +1059,58 @@ class IvfIndexSpec extends SparkTestBase {
       maxCellRows = 2000, batchId = 1L)
     assert(IvfIndex.load(spark, dir).assignments.count() === 600L,
       "a replayed ledgered batch must not re-insert")
+  }
+
+  test("maintainAppend driftStreak: drift persisting past a hot-celled first reading escalates to retrain; a calm batch resets") {
+    import spark.implicits._
+    def subUnit(seed: Int, n: Int, lo: Int): Seq[(Long, Seq[Float])] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        val v = Array.fill(16)(0f)
+        (lo until lo + 8).foreach(j => v(j) = rnd.nextGaussian().toFloat)
+        val nn = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+        (seed.toLong * 100000 + i, v.map(x => (x / nn).toFloat).toSeq)
+      }
+    }
+    // BOTH signals at once: a tight blob (saturates one cell) in the
+    // ORTHOGONAL subspace (assign cos ~ 0 — drifted)
+    def blob(seed: Int, n: Int): Seq[(Long, Seq[Float])] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        val v = Array.fill(16)(0f)
+        v(8) = 1f
+        (8 until 16).foreach(j => v(j) = v(j) +
+          (rnd.nextGaussian() * 0.05).toFloat)
+        val nn = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+        (seed.toLong * 100000 + i, v.map(x => (x / nn).toFloat).toSeq)
+      }
+    }
+    def df(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfstreak")
+      .toString + "/idx"
+    IvfIndex.save(IvfIndex.build(df(subUnit(31, 400, 0)), nlist = 8,
+      iters = 2), dir)
+    val w0 = IvfIndex.maintainAppend(spark, dir, df(subUnit(32, 50, 0)),
+      maxCellRows = 2000)
+    assert(w0.action === "ok" && w0.driftStreak === 0L, s"$w0")
+    // first hot+drifted reading: hot cells keep priority (a one-batch
+    // flood dips the cos too), streak starts
+    val w1 = IvfIndex.maintainAppend(spark, dir, df(blob(33, 300)),
+      maxCellRows = 100, driftMargin = 0.05)
+    assert(w1.action === "refine" && w1.hotCells >= 1L &&
+      w1.driftStreak === 1L, s"$w1")
+    // drift persists: splitting cannot chase a moved distribution —
+    // retrain wins even with hot cells
+    val w2 = IvfIndex.maintainAppend(spark, dir, df(blob(34, 300)),
+      maxCellRows = 100, driftMargin = 0.05)
+    assert(w2.action === "retrain" && w2.driftStreak === 2L, s"$w2")
+    // a calm organic batch resets the streak; the still-hot cells go
+    // back to refine
+    val w3 = IvfIndex.maintainAppend(spark, dir, df(subUnit(35, 50, 0)),
+      maxCellRows = 100, driftMargin = 0.05)
+    assert(w3.driftStreak === 0L && w3.action === "refine", s"$w3")
   }
 
   test("maintainAppend ledger: exactly-once under replay and torn-batch retry") {
