@@ -1066,6 +1066,49 @@ object IvfIndex {
     fs.delete(new org.apache.hadoop.fs.Path(aside), true)
   }
 
+  /** Logical DELETE for a maintained serving index (r17 — the corpus
+    * flows EVICT vectors retroactively through the late-correction
+    * passes, and the serving index must stop serving them without
+    * waiting for a rebuild). An id→cell lookup cannot prune the write:
+    * a row's stored cell is its nearest centroid AS OF its append, and
+    * a later refine's sub-centroids can capture it from a neighboring
+    * cell — so removal is a TOMBSTONE, the log-structured answer: ids
+    * land in `tombstones/` (duplicate-tolerant idempotent appends — a
+    * replayed removal needs no ledger), every serving read anti-joins
+    * them out ([[load]] covers every decode-domain consumer — search,
+    * refine, retrain, recall yardsticks; [[searchTopKBatchAdc]] covers
+    * the codes domain), and the next [[refineInPlace]] or
+    * [[retrainInPlace]] PURGES them physically for free — both load
+    * (tombstone-filtered) and whole-dir swap (the staged tmp carries no
+    * tombstones dir). Occupancy keeps counting physical rows until the
+    * purge: the watch can only fire early, the ledger convention.
+    * Single-writer like every index mutation. CONTRACT: a tombstoned
+    * id must not be re-appended before a purge (the filter would hide
+    * the new row too) — the corpus flows satisfy it by construction,
+    * an evicted doc id never returns.
+    */
+  def maintainRemove(spark: SparkSession, path: String,
+                     ids: DataFrame): Unit = {
+    recoverIndexSwap(spark, path)
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .repartition(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** The tombstone set, absent-safe ((vec_id) — explicit schema, no
+    * inference on a data-file-less dir).
+    */
+  private def tombstones(spark: SparkSession,
+                         path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(s"$path/tombstones").distinct())
+  }
+
   /** Per-cell reconstruction audit of a (typically quantized) serving
     * index (r17 — the driftflood diagnosis needed a MANUAL
     * decoded-vs-stored probe to see stale-codebook damage pooling in
@@ -1477,7 +1520,13 @@ object IvfIndex {
         case None => asg
       }
     }
-    Model(spark.read.parquet(s"$path/centroids"), decoded)
+    // tombstoned rows never load (maintainRemove): one filter point
+    // covers every decode-domain consumer — search, refine, retrain,
+    // compaction-through-save, and the soaks' recall yardsticks
+    val served = tombstones(spark, path)
+      .map(t => decoded.join(t, Seq("vec_id"), "left_anti"))
+      .getOrElse(decoded)
+    Model(spark.read.parquet(s"$path/centroids"), served)
   }
 
   /** The (cell, probe_id, probe_emb) table of cells each probe scans: per
@@ -1576,7 +1625,12 @@ object IvfIndex {
         asgRaw.filter(col("cbkt").isInCollection(bkts)).drop("cbkt")
       case None => asgRaw
     }
-    asg
+    // the codes domain anti-joins tombstones itself (load's filter
+    // never runs here — ADC reads the raw codes)
+    val live = tombstones(spark, path)
+      .map(t => asg.join(t, Seq("vec_id"), "left_anti"))
+      .getOrElse(asg)
+    live
       .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell").isInCollection(cellList)) // static partition prune
       .join(broadcast(probeCells), Seq("cell"))

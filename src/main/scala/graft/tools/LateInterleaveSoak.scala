@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   * and late-text packs must never collide a (seq_id, offset) slot). A
   * replay drill at cycle `replayAt` re-runs all three ledger-committed
   * steps and requires the stores and the serve to hold still.
+  *
+  * A maintained SERVING IVF index rides along (r17): every cycle's
+  * kept vectors append (`maintainAppend`, ledgered), the late pass's
+  * attached vectors append, and its evictions TOMBSTONE
+  * (`maintainRemove`) — the served membership must equal the
+  * kept-vector store's at every cycle boundary, closing the loop
+  * between the corpus build and ANN serving: an evicted duplicate
+  * stops being served the moment its correction lands, no rebuild.
   */
 object LateInterleaveSoak {
   def main(args: Array[String]): Unit = {
@@ -121,6 +129,23 @@ object LateInterleaveSoak {
       s"feeds on colliding ledger ids, compactEvery=$compactEvery, " +
       s"replay drill at cycle $replayAt")
 
+    // ---- serving-index composition (r17): a maintained IVF index
+    // follows the corpus through ingest appends, late ATTACHES, and
+    // late EVICTIONS (maintainRemove tombstones) — its served
+    // membership must equal the kept-vector store's at every cycle
+    val sidx = s"$base/serving"
+    var servingBuilt = false
+    var servingSeq = 0L
+    def servingAppend(vecs: org.apache.spark.sql.DataFrame): Unit =
+      if (!servingBuilt) {
+        graft.ops.IvfIndex.save(
+          graft.ops.IvfIndex.build(vecs, nlist = 64, iters = 2), sidx)
+        servingBuilt = true
+      } else {
+        graft.ops.IvfIndex.maintainAppend(spark, sidx, vecs,
+          maxCellRows = 1000000L, batchId = servingSeq)
+        servingSeq += 1
+      }
     var lateId = 0L
     (0 until cycles).foreach { b =>
       val t0 = System.nanoTime()
@@ -178,6 +203,31 @@ object LateInterleaveSoak {
             s"(got $evictedT/$expectedT, $badT misrooted)")
         lateId += 1
       }
+      // serving composition: append the cycle's kept vectors, the late
+      // pass's attached vectors, and tombstone its evictions
+      val keptIds = spark.read.parquet(s"$base/out")
+        .filter(col("batch_id") === b && col("status") === "kept")
+        .select("doc_id")
+      servingAppend(batch.join(keptIds, Seq("doc_id"), "left_semi")
+        .filter(col("embedding").isNotNull)
+        .select(col("doc_id").as("vec_id"), col("embedding")))
+      if (b >= 2) {
+        servingAppend(embWithheld(b - 2)
+          .select(col("doc_id").as("vec_id"),
+            unitVec(col("doc_id")).as("embedding")))
+        graft.ops.IvfIndex.maintainRemove(spark, sidx,
+          spark.read.parquet(s"$base/lembout")
+            .filter(col("batch_id") === (lateId - 1) &&
+              col("status") === "semdup_late")
+            .select(col("doc_id").as("vec_id")))
+      }
+      val storeIds = spark.read.parquet(s"$base/idx/vec/vectors")
+        .select("vec_id").distinct()
+      val servedIds = graft.ops.IvfIndex.load(spark, sidx)
+        .assignments.select("vec_id").distinct()
+      require(storeIds.join(servedIds, Seq("vec_id"), "left_anti").isEmpty
+          && servedIds.join(storeIds, Seq("vec_id"), "left_anti").isEmpty,
+        s"cycle $b: the serving index diverged from the kept-vector store")
       val s0 = served
       require(s0 == recompute,
         s"cycle $b: maintained roots diverged from the recompute")

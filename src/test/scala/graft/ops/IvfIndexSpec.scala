@@ -1061,6 +1061,68 @@ class IvfIndexSpec extends SparkTestBase {
       "a replayed ledgered batch must not re-insert")
   }
 
+  test("maintainRemove: tombstoned vectors stop serving on every read path; the next maintenance rewrite purges them physically") {
+    import spark.implicits._
+    def unit(seed: Int, n: Int): Seq[(Long, Seq[Float])] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        val v = Array.fill(16)(0f).map(_ => rnd.nextGaussian().toFloat)
+        val nn = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+        (seed.toLong * 100000 + i, v.map(x => (x / nn).toFloat).toSeq)
+      }
+    }
+    def df(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    val corpus = unit(41, 300)
+    // a near-twin pair: probe 900001 must retrieve victim 900002 until
+    // the victim is tombstoned
+    val base = corpus.head._2.toArray
+    val twin = base.clone(); twin(0) = (twin(0) * 1.001f)
+    val tn = math.sqrt(twin.map(x => x.toDouble * x).sum)
+    val pair = Seq((900001L, base.toSeq),
+      (900002L, twin.map(x => (x / tn).toFloat).toSeq))
+    val dir = java.nio.file.Files.createTempDirectory("ivftomb")
+      .toString + "/idx"
+    IvfIndex.save(IvfIndex.build(df(corpus ++ pair), nlist = 8,
+      iters = 2), dir)
+    def hits: Seq[Long] = IvfIndex.searchTopKBatch(
+      IvfIndex.load(spark, dir), Seq(900001L), k = 3, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits.contains(900002L), s"precondition: the twin serves: $hits")
+    IvfIndex.maintainRemove(spark, dir, Seq(900002L).toDF("vec_id"))
+    assert(!hits.contains(900002L), "a tombstoned vector must stop serving")
+    assert(IvfIndex.load(spark, dir).assignments
+      .filter(col("vec_id") === 900002L).isEmpty)
+    // idempotent replay
+    IvfIndex.maintainRemove(spark, dir, Seq(900002L).toDF("vec_id"))
+    assert(IvfIndex.load(spark, dir).assignments.count() === 301L)
+    // the ADC (codes-domain) path filters too
+    val qdir = java.nio.file.Files.createTempDirectory("ivftombq")
+      .toString + "/idx"
+    val qm = IvfIndex.build(df(corpus ++ pair), nlist = 8, iters = 2)
+    IvfIndex.saveQuantizedPq(qm, qdir, Pq.fit(qm.assignments, m = 8))
+    def adcHits: Seq[Long] = IvfIndex.searchTopKBatchAdc(spark, qdir,
+      Seq((900001L, base)), k = 3, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(adcHits.contains(900002L), s"ADC precondition: $adcHits")
+    IvfIndex.maintainRemove(spark, qdir, Seq(900002L).toDF("vec_id"))
+    assert(!adcHits.contains(900002L), "ADC must filter tombstones")
+    // any maintenance rewrite purges physically and drops the dir —
+    // refineInPlace with no hot cells still rewrites through the
+    // tombstone-filtered load
+    IvfIndex.refineInPlace(spark, dir, maxCellRows = 10000)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+      "the rewrite swap drops the tombstone dir")
+    assert(spark.read.parquet(s"$dir/assignments")
+      .filter(col("vec_id") === 900002L).isEmpty,
+      "the victim is physically gone")
+    assert(IvfIndex.load(spark, dir).assignments.count() === 301L)
+    assert(!hits.contains(900002L))
+  }
+
   test("maintainAppend driftStreak: drift persisting past a hot-celled first reading escalates to retrain; a calm batch resets") {
     import spark.implicits._
     def subUnit(seed: Int, n: Int, lo: Int): Seq[(Long, Seq[Float])] = {
