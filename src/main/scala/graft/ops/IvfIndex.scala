@@ -909,26 +909,38 @@ object IvfIndex {
       if (!fs.rename(mfTmp, mf))
         throw new java.io.IOException(s"maintain sidecar rename failed: $mf")
     }
-    // heal a crash between the delete and the rename of a streak
-    // update: the tmp is only ever a COMPLETE sidecar (written fully
-    // before the swap begins)
-    if (!fs.exists(mf) && fs.exists(mfTmp) && !fs.rename(mfTmp, mf))
-      throw new java.io.IOException(s"maintain sidecar recovery failed: $mf")
+    def parseSidecar(p: org.apache.hadoop.fs.Path): Option[(Double, Long)] = {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in).mkString
+      finally in.close()
+      """"baselineCos"\s*:\s*(-?[0-9.eE+-]+)""".r
+        .findFirstMatchIn(body)
+        .map(_.group(1).toDouble)
+        .map { b =>
+          // pre-streak sidecars read streak 0 (stamped by earlier rounds)
+          val s = """"driftStreak"\s*:\s*([0-9]+)""".r.findFirstMatchIn(body)
+            .map(_.group(1).toLong).getOrElse(0L)
+          (b, s)
+        }
+    }
+    // heal a crash between the delete and the rename of a streak update —
+    // but VALIDATE first: fs.create→write→close is not atomic, so a crash
+    // mid-write on the FIRST stamp (live file never existed) leaves a
+    // partial/empty tmp; promoting that blindly would make every later
+    // maintainAppend throw "corrupt maintain sidecar" until manual
+    // cleanup. An unparsable tmp is deleted and the fresh-stamp path
+    // below re-creates the sidecar from this batch's stats.
+    if (!fs.exists(mf) && fs.exists(mfTmp)) {
+      if (parseSidecar(mfTmp).isDefined) {
+        if (!fs.rename(mfTmp, mf))
+          throw new java.io.IOException(s"maintain sidecar recovery failed: $mf")
+      } else fs.delete(mfTmp, false)
+    }
     val (baseline, prevStreak) =
-      if (fs.exists(mf)) {
-        val in = fs.open(mf)
-        val body = try scala.io.Source.fromInputStream(in).mkString
-        finally in.close()
-        val b = """"baselineCos"\s*:\s*(-?[0-9.eE+-]+)""".r
-          .findFirstMatchIn(body)
-          .map(_.group(1).toDouble)
-          .getOrElse(throw new java.io.IOException(
-            s"corrupt maintain sidecar $mf: $body"))
-        // pre-streak sidecars read streak 0 (stamped by earlier rounds)
-        val s = """"driftStreak"\s*:\s*([0-9]+)""".r.findFirstMatchIn(body)
-          .map(_.group(1).toLong).getOrElse(0L)
-        (b, s)
-      } else if (appended > 0) {
+      if (fs.exists(mf))
+        parseSidecar(mf).getOrElse(throw new java.io.IOException(
+          s"corrupt maintain sidecar $mf"))
+      else if (appended > 0) {
         writeSidecar(meanCos, 0L)
         (meanCos, 0L)
       } else (1.0, 0L)
@@ -1285,13 +1297,19 @@ object IvfIndex {
     // every later round kept the cell whole — the driftflood soak's
     // 3,868-row flood-core cell survived refine after refine at every
     // seed until this; unit-norm raw corpora never showed it)
+    // zero-norm guard BEFORE seed ranking: a stale-grid SQ8 decode can
+    // yield an all-zero member (a dim the old corpus never used decodes
+    // to zero — see reconByCell), and dividing by __n = 0 would poison
+    // the sub-Lloyd for that cell with a NaN centroid. Filtering first
+    // lets the next hash-ranked member take the seed slot instead.
     var subC = hotRows
+      .withColumn("__n", sqrt(aggregate(transform(col("embedding"),
+        x => x.cast("double") * x.cast("double")), lit(0.0), _ + _)))
+      .filter(col("__n") > 0.0)
       .withColumn("__r", xxhash64(col("vec_id"), lit(seed)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("cell").orderBy("__r")))
       .filter(col("__rn") <= splitInto)
-      .withColumn("__n", sqrt(aggregate(transform(col("embedding"),
-        x => x.cast("double") * x.cast("double")), lit(0.0), _ + _)))
       .select(col("cell"), (col("__rn") - 1).as("sub"),
         transform(col("embedding"),
           x => (x.cast("double") / col("__n")).cast("float")).as("centroid"))

@@ -1301,7 +1301,7 @@ object StreamOps {
     * consumer read that composes the two.
     */
   private[graft] def maintainRoots(rootsPath: String, decisions: DataFrame,
-                                   id: Long): Unit = {
+                                   id: Long): Unit = rootsLock(rootsPath) {
     recoverRoots(decisions.sparkSession, rootsPath)
     val edges = decisions.filter(col("matched_id").isNotNull)
       .select(col("doc_id"), col("matched_id"))
@@ -1311,6 +1311,25 @@ object StreamOps {
           .join(edges.select("doc_id"), Seq("doc_id"), "left_semi"),
         id, rootsPath)
   }
+
+  /** One JVM-wide monitor per roots view, serializing every mutation AND
+    * serve (r17 ADVICE: the view is mutated by THREE independent
+    * streaming feeds — ingest `compactEvery` plus both late-correction
+    * steps — and separate StreamingQueries run their foreachBatch
+    * bodies on concurrent threads, so nothing short of an explicit lock
+    * enforces the single-writer serialization the `seq` stamp and the
+    * fold's read-then-delete rely on). The three feeds of one view live
+    * in one Spark driver (one SparkSession hosts the queries), so a JVM
+    * monitor IS the serialization domain; a deployment spreading
+    * writers across drivers would need an external lease on the view
+    * dir — out of contract, documented here so nobody assumes
+    * otherwise. Keyed by the caller's `rootsPath` string verbatim
+    * (every caller passes the one configured path; no normalization).
+    */
+  private val rootsMonitors =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def rootsLock[T](rootsPath: String)(body: => T): T =
+    rootsMonitors.getOrElseUpdate(rootsPath, new Object).synchronized(body)
 
   /** Maintain the roots view THROUGH a late-correction pass
     * ([[maintainRoots]]' stated scope gap, closed): a correction batch
@@ -1352,7 +1371,7 @@ object StreamOps {
     * late-text streams each keep their OWN ledger, so their batch ids
     * collide): `feed` namespaces each pass's partition, and every row
     * is stamped with a global `seq` — 1 + the max stamp in the dir,
-    * assigned at write time, which under the feeds' single-writer
+    * assigned at write time, which under [[rootsLock]]'s enforced
     * serialization IS the true pass order. [[serveRoots]] resolves
     * latest-`seq`-wins per doc; ordering by batch id alone would pick
     * whichever FEED was further along, not whichever pass ran last. A
@@ -1360,7 +1379,9 @@ object StreamOps {
     * its own partition — content-equal, so the serve never moves.
     */
   private[graft] def correctRoots(rootsPath: String, corrections: DataFrame,
-                                  id: Long, feed: String = "late"): Unit = {
+                                  id: Long, feed: String = "late"): Unit =
+                                  rootsLock(rootsPath) {
+    require(feed != foldFeed, s"feed name $foldFeed is reserved for the fold")
     val spark = corrections.sparkSession
     recoverRoots(spark, rootsPath)
     val edges = corrections.filter(col("matched_id").isNotNull)
@@ -1397,12 +1418,16 @@ object StreamOps {
     * election, mapped to its terminal root; kept docs root to
     * themselves and gate drops root to nothing, by construction
     * (coalesce exactly like `q_dup_map`'s serve). The plain side is
-    * deduped: a crashed ingest re-decide after a [[compactRoots]] fold
-    * can leave one doc's identical row in both the folded partition and
-    * its rewritten batch partition.
+    * deduped: leftover partitions after a crashed [[compactRoots]] can
+    * duplicate rows the fold already holds. The fold lives on the
+    * CORRECTION side (`feed=__fold`, the dir's max `seq` at fold time),
+    * so a crashed un-ledgered ingest batch replaying AFTER a fold that
+    * absorbed a late correction of its docs loses the per-doc anti-join
+    * to the folded value — the replay's recomputed (stale-rooted) plain
+    * row never resurfaces (r17 ADVICE's fold-vs-replay window).
     */
   def serveRoots(spark: org.apache.spark.sql.SparkSession,
-                 rootsPath: String): DataFrame = {
+                 rootsPath: String): DataFrame = rootsLock(rootsPath) {
     recoverRoots(spark, rootsPath)
     val corrLatest = readCorrRows(spark, rootsPath + "_corr")
       .groupBy("doc_id")
@@ -1412,64 +1437,118 @@ object StreamOps {
       .unionByName(corrLatest)
   }
 
+  /** The reserved correction-feed name the fold lands under. */
+  private val foldFeed = "__fold"
+
   /** Fold the roots view's accumulated partitions — one per ingested
     * batch, plus one per correction pass in the `_corr` sibling — into
     * a SINGLE resolved partition, bounding the serve's read (the view
     * otherwise grows a directory per pass forever). The resolved
-    * [[serveRoots]] rows land under the reserved partition
-    * `batch_id=-1`: foreachBatch ids start at 0, so no replay can ever
-    * rewrite the folded partition — a ledger-committed batch never
-    * re-decides (its roots write is skipped on replay), and a CRASHED
-    * batch's re-decide overwrites only its own non-negative partition
-    * (whose rows the fold may also hold — identical values, deduped at
-    * serve). Crash contract, [[graft.ops.Dedup.bandIndexCompact]]'s
-    * staged swap: tmp written fully → live aside → tmp promoted →
-    * aside dropped → `_corr` dropped ([[recoverRoots]] heals a torn
-    * swap at every roots entry point; a lingering `_corr` after a
-    * mid-delete crash is harmless — its per-doc latest values are
-    * exactly what the fold stored, and the next compact removes it).
-    * Single-writer like every mutation here: run it from the ingest
-    * loop (`compactEvery` wires it) or between batches.
+    * [[serveRoots]] rows land on the CORRECTION side, under the
+    * reserved partition `feed=__fold/batch_id=-1`, stamped with the
+    * dir's max `seq` at fold time (r17 ADVICE — the fold-vs-replay
+    * window): folded rows must KEEP correction rank, because a crashed
+    * un-ledgered ingest batch can replay after the fold and rewrite its
+    * plain partition with a recomputed root that a late pass had
+    * already corrected — demoting the fold to a plain partition (the
+    * pre-r18 shape) let that stale replay row serve alongside the
+    * folded one. On the corr side the fold wins the per-doc anti-join;
+    * a LATER correction pass stamps `seq` one higher and supersedes the
+    * fold per doc, exactly as it superseded the rows the fold absorbed.
+    *
+    * Deletes are SCOPED to the partitions the fold actually read
+    * (listed before the serve, removed after the fold lands): a
+    * concurrent writer in another JVM — out of the serialization
+    * contract ([[rootsLock]]), but defended anyway — never loses a
+    * partition the fold didn't absorb. Crash contract: fold tmp written
+    * fully (Spark's `_SUCCESS` commit marker is the completeness
+    * witness) → previous fold partition dropped → tmp promoted →
+    * absorbed partitions dropped. [[recoverRoots]] heals the
+    * delete→promote window at every roots entry point; leftover
+    * absorbed partitions after a mid-delete crash are serve-neutral
+    * (their per-doc values are exactly what the fold stored — the
+    * plain side anti-joins away, the corr side ties at equal value)
+    * and the next compact removes them.
+    *
+    * Single-writer like every mutation here — and the serialization is
+    * now ENFORCED by [[rootsLock]], not assumed: `compactEvery` wires
+    * this into all three feeds (ingest + both late-correction steps),
+    * whose foreachBatch bodies run on concurrent threads.
     */
   def compactRoots(spark: org.apache.spark.sql.SparkSession,
-                   rootsPath: String, targetParts: Int = 1): Unit = {
+                   rootsPath: String, targetParts: Int = 1): Unit =
+                   rootsLock(rootsPath) {
     require(targetParts >= 1, s"targetParts must be >= 1, got $targetParts")
     recoverRoots(spark, rootsPath)
     val p = new org.apache.hadoop.fs.Path(rootsPath)
     val corrP = new org.apache.hadoop.fs.Path(rootsPath + "_corr")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p) && !fs.exists(corrP)) return
-    val tmp = new org.apache.hadoop.fs.Path(rootsPath + ".tmp")
-    val aside = new org.apache.hadoop.fs.Path(rootsPath + ".aside")
+    // list the exact partitions this fold will absorb BEFORE reading
+    val plainParts: Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+        .filter(_.getName.startsWith("batch_id="))
+    val corrFeedDirs: Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(corrP)) Seq.empty
+      else fs.listStatus(corrP).filter(_.isDirectory).map(_.getPath).toSeq
+        .filter(_.getName.startsWith("feed="))
+    val corrParts: Seq[org.apache.hadoop.fs.Path] = corrFeedDirs
+      .filterNot(_.getName == s"feed=$foldFeed")
+      .flatMap(f => fs.listStatus(f).filter(_.isDirectory).map(_.getPath))
+    val resolved = serveRoots(spark, rootsPath)
+    if (resolved.isEmpty) return
+    val maxSeq = readCorrRows(spark, rootsPath + "_corr")
+      .agg(coalesce(max(col("seq")), lit(0L)).as("m")).head().getLong(0)
+    val foldTmp = new org.apache.hadoop.fs.Path(rootsPath + "_corr.foldtmp")
+    val foldDir = new org.apache.hadoop.fs.Path(corrP, s"feed=$foldFeed")
     // targetParts sizes the folded files (a 100 TB corpus's loser map is
     // itself large — one file would serialize the rewrite); the fold
     // stays ONE logical partition regardless
-    serveRoots(spark, rootsPath)
-      .withColumn("batch_id", lit(-1L))
+    resolved.withColumn("seq", lit(maxSeq))
       .repartition(targetParts)
-      .write.mode("overwrite").partitionBy("batch_id")
-      .parquet(tmp.toString)
-    if (fs.exists(p)) renameRootsOrThrow(fs, p, aside)
-    renameRootsOrThrow(fs, tmp, p)
-    fs.delete(aside, true)
-    fs.delete(corrP, true)
+      .write.mode("overwrite").parquet(foldTmp.toString)
+    if (fs.exists(foldDir)) fs.delete(foldDir, true)
+    fs.mkdirs(foldDir)
+    renameRootsOrThrow(fs, foldTmp,
+      new org.apache.hadoop.fs.Path(foldDir, "batch_id=-1"))
+    plainParts.foreach(fs.delete(_, true))
+    corrParts.foreach(fs.delete(_, true))
+    // drop dirs the scoped deletes emptied (an empty plain dir would
+    // still read fine under readRootRows' explicit schema; tidiness)
+    corrFeedDirs.filterNot(_.getName == s"feed=$foldFeed")
+      .filter(d => fs.exists(d) && fs.listStatus(d).isEmpty)
+      .foreach(fs.delete(_, false))
+    if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, false)
   }
 
-  /** Heal a roots view left mid-[[compactRoots]]: promote a complete
-    * tmp when the live dir is gone (the live rename happens only after
-    * tmp is fully written), then clear leftovers. Runs at every roots
-    * entry point — a write landing in an aside-state dir would
-    * otherwise make the recovery discard the folded tmp.
+  /** Heal a roots view left mid-[[compactRoots]]: the only torn window
+    * is between dropping the previous fold partition and promoting the
+    * fold tmp — promote a COMPLETE tmp (Spark's `_SUCCESS` marker; a
+    * partial tmp from a crash mid-write is deleted, never promoted —
+    * the absorbed partitions still hold every row in that case) when
+    * the fold partition is gone, then clear leftovers. Runs at every
+    * roots entry point under [[rootsLock]].
     */
   private def recoverRoots(spark: org.apache.spark.sql.SparkSession,
                            rootsPath: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(rootsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(rootsPath + ".tmp")
-    val aside = new org.apache.hadoop.fs.Path(rootsPath + ".aside")
-    if (!fs.exists(p) && fs.exists(tmp)) renameRootsOrThrow(fs, tmp, p)
-    if (fs.exists(aside)) fs.delete(aside, true)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val corrP = new org.apache.hadoop.fs.Path(rootsPath + "_corr")
+    val fs = corrP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foldTmp = new org.apache.hadoop.fs.Path(rootsPath + "_corr.foldtmp")
+    val foldDir = new org.apache.hadoop.fs.Path(corrP, s"feed=$foldFeed")
+    // the promote condition is the PARTITION dir, not the feed dir: a
+    // crash between the compact's mkdirs and its rename leaves the feed
+    // dir present but empty, and deleting the tmp there would lose the
+    // previous fold's rows (their only remaining copy) for good
+    val foldPart = new org.apache.hadoop.fs.Path(foldDir, "batch_id=-1")
+    if (fs.exists(foldTmp)) {
+      val complete = fs.exists(
+        new org.apache.hadoop.fs.Path(foldTmp, "_SUCCESS"))
+      if (complete && !fs.exists(foldPart)) {
+        fs.mkdirs(foldDir)
+        renameRootsOrThrow(fs, foldTmp, foldPart)
+      } else fs.delete(foldTmp, true)
+    }
   }
 
   /** `FileSystem.rename` returns FALSE on failure under HDFS semantics

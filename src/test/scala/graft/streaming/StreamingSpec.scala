@@ -1426,14 +1426,17 @@ class StreamingSpec extends SparkTestBase {
         (23L, goodText("m"), rot(2.03)))), 1L)
     StreamOps.lateEmbeddingStep(s"$base/idx", s"$base/lateout", vec,
       roots, compactEvery = 1)(lateDf(Seq((3L, rot(2.0), 0L))), 0L)
-    // the pass compacted: roots folded into the reserved partition,
-    // correction sibling absorbed — serve still exact
+    // the pass compacted: roots folded into the reserved __fold
+    // correction partition, absorbed partitions dropped — serve exact
     assert(served === Map(23L -> 3L, 21L -> 3L, 25L -> 1L))
     val fs = new org.apache.hadoop.fs.Path(s"$base/roots")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/roots_corr")))
-    assert(new java.io.File(s"$base/roots").listFiles()
-      .filter(_.isDirectory).map(_.getName).toSeq === Seq("batch_id=-1"))
+    assert(new java.io.File(s"$base/roots_corr").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq === Seq("feed=__fold"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/roots")) ||
+      new java.io.File(s"$base/roots").listFiles()
+        .count(_.isDirectory) === 0,
+      "the plain dir's absorbed batch partitions are gone")
     // a second pass runs against the COMPACTED stores: 2 ties prio with
     // 3, (prio, id) elects 2 — the index probes, the store fetch, and
     // the cross-pass roots rewrite (re-rooting FOLDED rows) all read
@@ -1489,7 +1492,7 @@ class StreamingSpec extends SparkTestBase {
     assert(parts === Seq("feed=lemb", "feed=ltext"))
   }
 
-  test("compactRoots: folds plain+corr into one resolved partition; serve identical; later batches/passes/replays continue; torn swap heals") {
+  test("compactRoots: folds plain+corr into one resolved __fold partition; serve identical; stale replay after fold loses; torn swap heals") {
     import spark.implicits._
     val roots = java.nio.file.Files.createTempDirectory("rcomp")
       .toString + "/roots"
@@ -1513,47 +1516,98 @@ class StreamingSpec extends SparkTestBase {
     StreamOps.compactRoots(spark, roots)
     assert(served === before)
     assert(before === Map(61L -> 30L, 41L -> 30L, 62L -> 42L))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(roots + "_corr")),
-      "the fold absorbs and drops the correction sibling")
-    val parts = new java.io.File(roots).listFiles()
-      .filter(_.isDirectory).map(_.getName).toSeq
-    assert(parts === Seq("batch_id=-1"),
-      s"one reserved resolved partition, got $parts")
-    // the view keeps working on top of the fold: a new ingest batch, a
-    // new correction pass that re-roots a FOLDED row (62 -> 42 must
-    // chase through 42's eviction), and a crashed re-decide replaying
-    // an already-folded batch partition (identical rows, deduped serve)
+    // the fold keeps CORRECTION rank (r17 ADVICE, fold-vs-replay): it
+    // lands under the reserved feed on the corr side; the absorbed
+    // plain batches and correction passes are deleted (scoped)
+    val corrParts = new java.io.File(roots + "_corr").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(corrParts === Seq("feed=__fold"),
+      s"one reserved resolved fold partition, got $corrParts")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(roots)) ||
+      new java.io.File(roots).listFiles().count(_.isDirectory) === 0,
+      "the plain dir's absorbed batch partitions are gone")
+    // the view keeps working on top of the fold: a new ingest batch and
+    // a new correction pass that re-roots a FOLDED row (62 -> 42 must
+    // chase through 42's eviction)
     plain(Seq((63L, Option(43L))), 2L)
     corr(Seq((42L, Option(31L), "exact_late"),
       (31L, Option.empty[Long], "attached")), 0L, "ltext")
     val after = Map(61L -> 30L, 41L -> 30L, 62L -> 31L, 42L -> 31L,
       63L -> 43L)
     assert(served === after)
-    // second fold absorbs the new batch and pass, then a crashed
-    // re-decide replays the just-folded batch 2 (rows identical to the
-    // fold's — a crashed batch re-decides before any later pass can
-    // correct its docs, so this is the only replay-over-fold shape)
     StreamOps.compactRoots(spark, roots)
     assert(served === after)
+    // the r17 ADVICE scenario: batch 1 (doc 62 -> keeper 42) crashed
+    // un-ledgered; the ltext pass corrected 62 past 42's eviction and
+    // the fold absorbed the correction; NOW the batch replays and
+    // rewrites its plain partition with the recomputed STALE root —
+    // the folded correction must win the per-doc serve
+    plain(Seq((62L, Option(42L))), 1L)
+    assert(served === after,
+      "a stale replay after the fold never resurfaces past the folded correction")
+    // identical replay of a just-folded batch: no duplicate rows either
     plain(Seq((63L, Option(43L))), 2L)
     val rows = StreamOps.serveRoots(spark, roots).collect()
-    assert(rows.length === after.size, "no duplicate rows from the replay")
+    assert(rows.length === after.size, "no duplicate rows from the replays")
     assert(served === after)
-    // torn swap: a complete tmp staged, live renamed aside, crash —
-    // the next serve heals (promotes tmp, drops aside) and the
-    // lingering _corr stays consistent with the folded values
-    StreamOps.serveRoots(spark, roots)
-      .withColumn("batch_id", lit(-1L)).repartition(1)
-      .write.mode("overwrite").partitionBy("batch_id")
-      .parquet(roots + ".tmp")
-    assert(fs.rename(new org.apache.hadoop.fs.Path(roots),
-      new org.apache.hadoop.fs.Path(roots + ".aside")))
-    assert(served === after, "recovery promotes the folded tmp")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(roots + ".aside")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(roots + ".tmp")))
+    // torn swap: a complete fold tmp staged (Spark _SUCCESS marker),
+    // the previous fold partition dropped, crash — the next serve
+    // heals by promoting the tmp
+    StreamOps.compactRoots(spark, roots)
+    StreamOps.serveRoots(spark, roots).withColumn("seq", lit(2L))
+      .repartition(1)
+      .write.mode("overwrite").parquet(roots + "_corr.foldtmp")
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(roots + "_corr/feed=__fold"), true))
+    assert(served === after, "recovery promotes the complete fold tmp")
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(roots + "_corr.foldtmp")))
+    // a PARTIAL tmp (no _SUCCESS — crash mid-write) is deleted, never
+    // promoted: the live fold partition still holds every row
+    val junkTmp = new java.io.File(roots + "_corr.foldtmp")
+    junkTmp.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(junkTmp.getPath, "part-torn.parquet"),
+      Array[Byte](80, 65, 82))
+    assert(served === after, "a partial fold tmp is discarded, not promoted")
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(roots + "_corr.foldtmp")))
     // a second fold on the already-folded view is a no-op in content
     StreamOps.compactRoots(spark, roots)
     assert(served === after)
+  }
+
+  test("rootsLock: concurrent correction passes from separate threads stamp distinct, gapless seqs") {
+    import spark.implicits._
+    val roots = java.nio.file.Files.createTempDirectory("rlock")
+      .toString + "/roots"
+    StreamOps.maintainRoots(roots,
+      Seq((100L, Option(1L))).toDF("doc_id", "matched_id"), 0L)
+    // three feeds of one view run their foreachBatch bodies on
+    // concurrent threads (ingest compactEvery + both late steps) — the
+    // seq stamp is read-then-write, so without rootsLock two passes can
+    // read the same max(seq) and collide; with it the stamps are the
+    // true pass order 1..n
+    val n = 6
+    val threads = (0 until n).map { i =>
+      new Thread(() => StreamOps.correctRoots(roots,
+        Seq((200L + i, Option(50L + i), "semdup_late"),
+          (50L + i, Option.empty[Long], "attached"))
+          .toDF("doc_id", "matched_id", "status"),
+        i.toLong, feed = if (i % 2 == 0) "lemb" else "ltext"))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val seqs = spark.read.parquet(roots + "_corr")
+      .select("seq").as[Long].collect().toSeq.sorted
+    assert(seqs === (1 to n).map(_.toLong),
+      s"expected gapless distinct seqs 1..$n, got $seqs")
+    // and a concurrent-era compact folds to the exact recompute
+    StreamOps.compactRoots(spark, roots)
+    val got = StreamOps.serveRoots(spark, roots).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (Map(100L -> 1L) ++
+      (0 until n).map(i => (200L + i) -> (50L + i)).toMap))
   }
 
   test("compactEvery: scheduled compaction bounds index files, decisions identical to the uncompacted twin") {
