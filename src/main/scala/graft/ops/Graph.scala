@@ -217,6 +217,79 @@ object Graph {
   }
 
   /** Degree table of an undirected edge frame. */
+  /** [[pageRank]] in FIXED-POINT integer arithmetic — the engine-
+    * reproducible variant: every quantity is a BIGINT in units of
+    * 1/`scale`, every operation is exact integer add/multiply/`div`, so
+    * the result is bit-identical regardless of partitioning, shuffle
+    * order, executor count, OR ENGINE — a DuckDB twin running the same
+    * arithmetic produces the same longs (the class-A oracle argument,
+    * VERIFY_NOTES.md: float PageRank sums contributions in engine-
+    * specific order, so its low bits never cross engines; a training-
+    * data pipeline wanting a REPRODUCIBLE importance score has the same
+    * problem this solves). Same dataflow as [[pageRank]]: two equi-joins
+    * + one aggregate per round, one scalar dangling term, lineage cut
+    * per round. Semantics differences, deliberate and documented:
+    *
+    *   - contributions truncate (`rank div out_deg`) — the per-node
+    *     truncation dust (< out_deg/scale per node per round) joins the
+    *     dangling mass and redistributes uniformly, keeping the total
+    *     within n·iters/scale of the float version's n;
+    *   - damping is the exact rational 85/100, applied as
+    *     `(85 * x) div 100`;
+    *   - no epsilon termination (a fixed-iteration contract is the
+    *     reproducible one).
+    *
+    * Overflow headroom: total mass ≈ n·scale; the hottest intermediate
+    * is `85 * (in_sum + dm div n)` ≤ 85·n·scale, so n·scale must stay
+    * under ~1e17 — at scale=1e9 that is 100M nodes; a larger graph
+    * drops scale accordingly (the REQUIRE guards it).
+    *
+    * Returns (node_id, rank_fp) with rank_fp ≈ rank × scale.
+    */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int = 3,
+                         scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.selectExpr("cast(src as long) as src",
+      "cast(dst as long) as dst").na.drop().distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node_id"))
+      .unionByName(e.select(col("dst").as("node_id")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n == 0 || scale <= 1000000000000000000L / math.max(n, 1) / 85,
+      s"n*scale*85 must fit a long: n=$n scale=$scale")
+    if (n == 0) return nodes.withColumn("rank_fp", lit(0L))
+    val outDeg = e.groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).as("out_deg")).localCheckpoint()
+    val base = (15L * scale) / 100L
+    var ranks = nodes.withColumn("rank_fp", lit(scale)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val contribs = ranks.join(outDeg, Seq("node_id"))
+        .select(col("node_id").as("src"),
+          expr("rank_fp div out_deg").as("c"))
+        .join(e, Seq("src"))
+        .groupBy(col("dst").as("node_id"))
+        .agg(sum("c").as("in_sum"))
+        .localCheckpoint()
+      val dangling = contribs
+        .agg(greatest(lit(0L),
+          lit(n * scale) - coalesce(sum("in_sum"), lit(0L)))
+          .as("dm"))
+      val next = nodes.join(contribs, Seq("node_id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node_id"),
+          (lit(base) + expr(
+            s"(85 * (coalesce(in_sum, 0L) + (dm div ${n}L))) div 100")
+            ).as("rank_fp"))
+        .localCheckpoint()
+      Bridge.unpersistLocalCheckpoint(ranks)
+      Bridge.unpersistLocalCheckpoint(contribs)
+      ranks = next
+      i += 1
+    }
+    ranks
+  }
+
   /** Fixed-iteration PageRank over a directed edge frame (src, dst) —
     * the second instance of the G4 iterate(join-along-edges → aggregate-
     * at-vertices → update) shape, with dense per-round messages where CC

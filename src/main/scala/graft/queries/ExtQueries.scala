@@ -691,8 +691,14 @@ object ExtQueries {
     // G4 dataflow shape — connected components by large-star/small-star
     // contraction (O(log n) rounds, proven fixed point or throw) over the
     // order↔part bipartite graph (part nodes sign-flipped to share the id
-    // space). No SQL oracle (iterative); invariants are GraphSpec's —
-    // driver records the rows-only check.
+    // space). ORACLE-BACKED (r18, closing the r17 verdict's #1): the
+    // DuckDB twin exploits the construction's bipartite shape — orders
+    // all collapse onto their parts in one hop, so components are the
+    // part-graph's (parts sharing an order), closed by a recursive
+    // local-minima label spread whose row set stays bounded (labels are
+    // component-minimum CANDIDATES only, propagated strictly downhill —
+    // never the all-pairs transitive closure the q_dup_map chase can
+    // afford on its small loser sets).
     "q_connected_components" -> ((s, d) => {
       val edges = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("src"), (-col("l_partkey") - 1).as("dst"))
@@ -703,19 +709,19 @@ object ExtQueries {
 
     // G4+ — PageRank over the same order-part bipartite bond graph as
     // q_connected_components: 3 power-iteration rounds, each two
-    // equi-joins + one aggregate with scalar dangling redistribution
-    // (Graph.pageRank). Declared no-oracle like CC (iterative double
-    // math has no engine-stable SQL twin); GraphSpec pins the fixed
-    // point / mass conservation / partitioning independence, and the
-    // output here is bucketed rank mass (integer-stable) per magnitude
-    // decile for a deterministic row shape.
+    // equi-joins + one aggregate with scalar dangling redistribution.
+    // ORACLE-BACKED (r18, closing the r17 verdict's #1): served by the
+    // FIXED-POINT variant (Graph.pageRankFixedPoint — BIGINT ranks in
+    // 1e-9 units, exact integer div/mul throughout), so the per-node
+    // longs are bit-identical across engines by construction (class A,
+    // VERIFY_NOTES.md) — no ROUND of an engine-divergent double
+    // anywhere. The float-double pageRank (epsilon termination, mass
+    // conservation) stays pinned by GraphSpec.
     "q_pagerank" -> ((s, d) => {
       val edges = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("src"), (-col("l_partkey") - 1).as("dst"))
-      graft.ops.Graph.pageRank(edges, iters = 3)
-        .groupBy(floor(log10(col("rank") + 1e-12)).cast("long").as("rank_decade"))
-        .agg(count(lit(1)).as("n_nodes"))
-        .orderBy("rank_decade")
+      graft.ops.Graph.pageRankFixedPoint(edges, iters = 3)
+        .orderBy("node_id")
     }),
 
     // F9 — combined text statistics (token/char/regex counts).
@@ -744,7 +750,51 @@ object ExtQueries {
       s"SELECT doc_id, $bits AS simhash FROM a ORDER BY doc_id"
   }
 
+  // q_connected_components' DuckDB twin. The generic contraction CC has
+  // no cheap SQL form, but THIS query's graph is bipartite by
+  // construction (orders positive, parts negative): every order's
+  // component is its parts', so CC reduces to the part graph (parts
+  // sharing an order). The recursive closure propagates LOCAL-MINIMUM
+  // labels only, strictly downhill (lbl < receiver) — the component
+  // minimum is a local minimum and reaches every member, every other
+  // label is a bounded candidate set — so the walk's row count is
+  // #locmins × reach, not the all-pairs transitive closure (which on
+  // one giant component would be |V|² rows).
+  private val ccSql: String =
+    """WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src, CAST(-l_partkey - 1 AS BIGINT) AS dst FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), """ +
+      """pp AS MATERIALIZED (SELECT DISTINCT a.dst AS p1, b.dst AS p2 FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst), """ +
+      """ppu AS MATERIALIZED (SELECT p1 AS a, p2 AS b FROM pp UNION ALL SELECT p2, p1 FROM pp), """ +
+      """locmin AS MATERIALIZED (SELECT a FROM ppu GROUP BY a HAVING MIN(b) > a), """ +
+      """walk AS (SELECT a AS node, a AS lbl FROM locmin UNION SELECT e2.b AS node, w.lbl FROM walk w JOIN ppu e2 ON w.node = e2.a WHERE w.lbl < e2.b), """ +
+      """plab AS MATERIALIZED (SELECT p.part, LEAST(p.part, COALESCE(MIN(w.lbl), p.part)) AS comp FROM (SELECT DISTINCT dst AS part FROM e) p LEFT JOIN walk w ON w.node = p.part GROUP BY p.part), """ +
+      """olab AS MATERIALIZED (SELECT e.src AS node, MIN(pl.comp) AS comp FROM e JOIN plab pl ON e.dst = pl.part GROUP BY e.src), """ +
+      """alln AS (SELECT part AS node, comp FROM plab UNION ALL SELECT node, comp FROM olab) """ +
+      """SELECT comp AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM alln GROUP BY 1 ORDER BY 1"""
+
+  // q_pagerank's DuckDB twin: the SAME exact integer arithmetic as
+  // Graph.pageRankFixedPoint (scale 1e9, damping 85/100, truncating
+  // div, dangling = n*scale - Σ delivered), unrolled over the fixed 3
+  // iterations — class-A bit-identical longs, no doubles anywhere
+  // (VERIFY_NOTES.md discipline). DuckDB SUMs of BIGINT are HUGEINT:
+  // every sum is cast back before reuse.
+  private val pagerankSql: String = {
+    def iter(k: Int): String =
+      s"c$k AS MATERIALIZED (SELECT e.dst AS node_id, CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS in_sum FROM r${k - 1} r JOIN outdeg d USING (node_id) JOIN e ON e.src = r.node_id GROUP BY e.dst), " +
+        s"d$k AS MATERIALIZED (SELECT GREATEST(0, (SELECT nn FROM n) * 1000000000 - CAST(COALESCE(SUM(in_sum), 0) AS BIGINT)) AS dm FROM c$k), " +
+        s"r$k AS MATERIALIZED (SELECT nodes.node_id, 150000000 + (85 * (COALESCE(c$k.in_sum, 0) + (SELECT dm FROM d$k) // (SELECT nn FROM n))) // 100 AS rank_fp FROM nodes LEFT JOIN c$k USING (node_id)), "
+    "WITH e AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src, CAST(-l_partkey - 1 AS BIGINT) AS dst FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
+      "nodes AS MATERIALIZED (SELECT src AS node_id FROM e UNION SELECT dst FROM e), " +
+      "n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes), " +
+      "outdeg AS MATERIALIZED (SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY 1), " +
+      "r0 AS MATERIALIZED (SELECT node_id, CAST(1000000000 AS BIGINT) AS rank_fp FROM nodes), " +
+      (1 to 3).map(iter).mkString +
+      "f AS (SELECT node_id, rank_fp FROM r3) " +
+      "SELECT node_id, CAST(rank_fp AS BIGINT) AS rank_fp FROM f ORDER BY node_id"
+  }
+
   val sql: Map[String, String] = Map(
+    "q_connected_components" -> ccSql,
+    "q_pagerank" -> pagerankSql,
     "q_range_join" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b FROM events a JOIN events b ON a.user_id = b.user_id AND a.event_id < b.event_id AND ABS(epoch_ms(a.ts) - epoch_ms(b.ts)) < 60000 ORDER BY 1, 2""",
     "q_asof_curve" ->

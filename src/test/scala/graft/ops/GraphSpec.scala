@@ -160,6 +160,38 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(a.map(_._2).sum - a.length) < 1e-6)
   }
 
+  test("pageRankFixedPoint: bit-identical across partitionings; tracks the float ranks within truncation dust; cycle is stationary") {
+    import spark.implicits._
+    // the q_pagerank oracle contract: every operation is exact integer
+    // arithmetic, so the longs are REPRODUCIBLE — same values for any
+    // partitioning (a float PageRank only ties within ulp tolerance)
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 400)
+      .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    def run(parts: Int): Seq[(Long, Long)] =
+      Graph.pageRankFixedPoint(edges.repartition(parts), iters = 3)
+        .orderBy("node_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = run(3)
+    assert(a === run(9), "fixed-point ranks must be bit-identical")
+    // scaled-down float twin: each rank within iters*n/scale + per-node
+    // truncation (bounded loosely — the contract is reproducibility,
+    // not float equality; this pins that the arithmetic is PageRank)
+    val f = Graph.pageRank(edges, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    a.foreach { case (id, fp) =>
+      assert(math.abs(fp / 1e9 - f(id)) < 1e-4,
+        s"node $id: fixed-point ${fp / 1e9} vs float ${f(id)}")
+    }
+    // 5-cycle: out_deg 1 everywhere so division truncates nothing and
+    // rank=scale is EXACTLY stationary in integer math
+    val cyc = (0 until 5).map(i => (i.toLong, ((i + 1) % 5).toLong))
+      .toDF("src", "dst")
+    Graph.pageRankFixedPoint(cyc, iters = 7).collect()
+      .foreach(r => assert(r.getLong(1) === 1000000000L, r.toString))
+  }
+
   test("pageRank: epsilon termination exits early; tol=0 is the fixed-iters path") {
     import spark.implicits._
     // cycle: rank 1.0 is exactly stationary, so round 1 reproduces it and
