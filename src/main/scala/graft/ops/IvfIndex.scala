@@ -820,13 +820,20 @@ object IvfIndex {
     *     DISTRIBUTION moved away from every centroid, which cell
     *     splitting cannot fix — apply [[retrainInPlace]] (fed by the
     *     kept-vector store for quantized indexes) or an offline
-    *     [[build]]+[[save]].
+    *     [[build]]+[[save]];
+    *   - `purge` — tombstoned rows ([[maintainRemove]]) crossed
+    *     `maxTombstoneFrac` of the physical index with nothing more
+    *     urgent firing (refine/retrain purge as a side effect): apply
+    *     [[purgeInPlace]] — an evict-heavy, drift-free corpus would
+    *     otherwise filter a growing dead fraction on every scan
+    *     forever (r17 verdict #3).
     */
   final case class MaintainWatch(appended: Long, maxCell: Long,
                                  cap: Long, hotCells: Long,
                                  meanAssignCos: Double,
                                  baselineCos: Double, action: String,
-                                 driftStreak: Long = 0L)
+                                 driftStreak: Long = 0L,
+                                 tombstoneFrac: Double = 0.0)
 
   /** Continuous SERVING-index maintenance (r15 verdict #4): the corpus
     * flows land kept vectors and indexes build/save/compact, but
@@ -871,7 +878,8 @@ object IvfIndex {
   def maintainAppend(spark: SparkSession, path: String, batch: DataFrame,
                      maxCellRows: Long, driftMargin: Double = 0.05,
                      route: AssignRoute = FlatAssign,
-                     batchId: Long = -1L): MaintainWatch = {
+                     batchId: Long = -1L,
+                     maxTombstoneFrac: Double = 0.2): MaintainWatch = {
     require(maxCellRows >= 1, s"maxCellRows must be >= 1, got $maxCellRows")
     recoverIndexSwap(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -974,9 +982,17 @@ object IvfIndex {
       .parquet(occPath)
       .groupBy("cell").agg(sum(col("cnt")).as("cnt"))
       .agg(coalesce(max(col("cnt")), lit(0L)).as("mx"),
-        count(when(col("cnt") > maxCellRows, lit(1))).as("hot"))
+        count(when(col("cnt") > maxCellRows, lit(1))).as("hot"),
+        coalesce(sum(col("cnt")), lit(0L)).as("tot"))
       .head()
-    val (maxCell, hot) = (occ.getLong(0), occ.getLong(1))
+    val (maxCell, hot, physRows) =
+      (occ.getLong(0), occ.getLong(1), occ.getLong(2))
+    // tombstone fraction vs PHYSICAL rows (occupancy counts tombstoned
+    // rows until a purge — consistent numerator and denominator); the
+    // count is one single-column scan of the id log, not an index read
+    val nTomb = tombstones(spark, path).map(_.count()).getOrElse(0L)
+    val tombFrac =
+      if (physRows <= 0L) 0.0 else nTomb.toDouble / physRows.toDouble
     org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(assigned)
     // the drift STREAK (r17 — the driftflood escalation, watch-native):
     // consecutive drifted watches persist in the sidecar, surviving
@@ -996,9 +1012,10 @@ object IvfIndex {
     val action =
       if (drifted && (hot == 0 || streak >= 2)) "retrain"
       else if (hot > 0) "refine"
+      else if (tombFrac > maxTombstoneFrac) "purge"
       else "ok"
     MaintainWatch(appended, maxCell, maxCellRows, hot, meanCos, baseline,
-      action, streak)
+      action, streak, tombFrac)
   }
 
   /** Apply the `refine` action to a PERSISTED index: load, split the
@@ -1033,26 +1050,56 @@ object IvfIndex {
                     splitInto: Int = 2, iters: Int = 2,
                     seed: Long = 43L): Unit = {
     recoverIndexSwap(spark, path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val refined = refine(load(spark, path), maxCellRows, splitInto, iters,
       seed)
+    swapModelInPlace(spark, path, refined)
+  }
+
+  /** Apply the `purge` action (r18 — the churn half of maintenance):
+    * physically rewrite the index WITHOUT tombstoned rows, at the
+    * existing centroids and encoding. Tombstones are logical until a
+    * refine/retrain purges them as a side effect ([[maintainRemove]]),
+    * but an evict-heavy, drift-free corpus never earns either — the
+    * filtered fraction grows without bound in time (bounded only by
+    * churn), every cell scan paying the anti-join and the dead rows'
+    * IO forever. The watch recommends this when the tombstone fraction
+    * crosses `maxTombstoneFrac` and nothing more urgent fired
+    * (refine/retrain purge for free). Same staged-swap machinery as
+    * [[refineInPlace]] — load is tombstone-filtered, so the saved tmp
+    * carries no dead rows and (by the swap) no `tombstones/` dir;
+    * occupancy re-seeds to the post-purge physical counts.
+    */
+  def purgeInPlace(spark: SparkSession, path: String): Unit = {
+    recoverIndexSwap(spark, path)
+    swapModelInPlace(spark, path, load(spark, path))
+  }
+
+  /** Staged whole-index swap shared by [[refineInPlace]] and
+    * [[purgeInPlace]]: save `model` to a tmp sibling in the live
+    * index's own encoding/layout, re-seed occupancy from its
+    * assignments, carry the maintain ledger and drift baseline, then
+    * aside→promote ([[recoverIndexSwap]] heals a tear at every entry).
+    */
+  private def swapModelInPlace(spark: SparkSession, path: String,
+                               model: Model): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = path + ".tmp"
     val aside = path + ".aside"
     val sq = quantParams(spark, path)
     val pq = pqParams(spark, path)
     val cellBuckets = layoutCellBuckets(spark, path)
     (sq, pq, cellBuckets) match {
-      case (Some(p), _, Some(b)) => saveQuantizedBucketed(refined, tmp, p, b)
-      case (Some(p), _, None) => saveQuantized(refined, tmp, p)
-      case (_, Some(p), Some(b)) => saveQuantizedPqBucketed(refined, tmp, p, b)
-      case (_, Some(p), None) => saveQuantizedPq(refined, tmp, p)
-      case _ => save(refined, tmp)
+      case (Some(p), _, Some(b)) => saveQuantizedBucketed(model, tmp, p, b)
+      case (Some(p), _, None) => saveQuantized(model, tmp, p)
+      case (_, Some(p), Some(b)) => saveQuantizedPqBucketed(model, tmp, p, b)
+      case (_, Some(p), None) => saveQuantizedPq(model, tmp, p)
+      case _ => save(model, tmp)
     }
-    refined.assignments.groupBy(col("cell").cast("long").as("cell"))
+    model.assignments.groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$tmp/occupancy")
-    // carry the maintain batch ledger across the swap: the refined index
+    // carry the maintain batch ledger across the swap: the new index
     // CONTAINS every ledgered batch, so forgetting the ledger would let
     // a crash-replay double-insert one
     val ledger = new org.apache.hadoop.fs.Path(path, "_maintain_ledger")
@@ -1060,7 +1107,7 @@ object IvfIndex {
       org.apache.hadoop.fs.FileUtil.copy(fs, ledger, fs,
         new org.apache.hadoop.fs.Path(tmp, "_maintain_ledger"), false,
         spark.sparkContext.hadoopConfiguration)
-    // the drift baseline survives a refine (see the scaladoc — a
+    // the drift baseline survives a refine/purge (see the scaladoc — a
     // dropped baseline re-stamps on the NEXT batch, which under
     // sustained drift poisons the signal the retrain verdict needs)
     val mfile = new org.apache.hadoop.fs.Path(path, "_graft_maintain.json")
@@ -1071,7 +1118,7 @@ object IvfIndex {
     def mv(a: String, b: String): Unit =
       if (!fs.rename(new org.apache.hadoop.fs.Path(a),
           new org.apache.hadoop.fs.Path(b)))
-        throw new java.io.IOException(s"refine swap rename failed: $a -> $b")
+        throw new java.io.IOException(s"index swap rename failed: $a -> $b")
     fs.delete(new org.apache.hadoop.fs.Path(aside), true)
     mv(path, aside)
     mv(tmp, path)

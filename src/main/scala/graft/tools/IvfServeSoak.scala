@@ -53,12 +53,23 @@ object IvfServeSoak {
     // tight-modality flood at `plantAt` (refine) and the distribution
     // shift from `plantAt + 4` on (retrain) — the watch's two verdicts
     // composing on one serving index, no rebuild.
+    // "churn" (r18, the r17 verdict's #3): evict-heavy and DRIFT-FREE —
+    // half of every batch's kept ids are tombstoned right after the
+    // append, so neither refine nor retrain ever fires to purge them as
+    // a side effect. The tombstone-fraction watch must recommend
+    // `purge` as the dead fraction crosses the threshold, purgeInPlace
+    // must compact (tombstone dir dropped, occupancy re-seeded), served
+    // membership must equal the live accounting at every cycle, and the
+    // serve wall must stay FLAT (without the purge the filtered dead
+    // rows' IO and anti-join grow without bound in time).
     val mode = args.lift(3).getOrElse("flat")
     val drifting = mode.startsWith("drift")
+    val churn = mode == "churn"
     val quantized = mode == "pq" || mode == "driftpq" || mode == "driftflood"
     val driftAt = if (mode == "driftflood") plantAt + 4
       else if (drifting) plantAt else Int.MaxValue
-    val floodAt = if (mode == "drift" || mode == "driftpq") -1 else plantAt
+    val floodAt =
+      if (mode == "drift" || mode == "driftpq" || churn) -1 else plantAt
     val nlist = 256
     val cap = 2500L
     val dim = 32
@@ -129,6 +140,7 @@ object IvfServeSoak {
 
     var cursor = 0L
     var built = false
+    var liveRows = 0L
     for (b <- 0 until batches) {
       def t[A](f: => A): (A, Double) = {
         val t0 = System.nanoTime()
@@ -159,11 +171,29 @@ object IvfServeSoak {
           graft.ops.IvfIndex.maintainAppend(spark, idx, staged.kept, cap,
             batchId = b.toLong)
       }
+      // churn: tombstone half of THIS batch's kept ids (distinct ids
+      // per batch, so the no-re-append contract holds by construction);
+      // live accounting tracked for the membership assert below
+      val evicted = if (churn && built && b >= 1) {
+        // hash split, NOT vec_id parity: ids are id*batches + b, so with
+        // an even batch count parity is a constant per batch and a
+        // parity filter evicts all-or-nothing instead of half
+        val ev = staged.kept.select("vec_id")
+          .filter(pmod(xxhash64(col("vec_id"), lit(99)), lit(2)) === 0)
+        val n = ev.count()
+        graft.ops.IvfIndex.maintainRemove(spark, idx, ev)
+        n
+      } else 0L
+      liveRows += (if (b == 0) staged.kept.count()
+        else watch.appended) - evicted
       // the loop simply applies the watch's verdict — the drift-streak
       // escalation (retrain over refine when drift persists past a
       // first hot-celled reading) is watch-native via the sidecar
       val (act, wRefine) = t {
-        if (watch.action == "retrain") {
+        if (watch.action == "purge") {
+          graft.ops.IvfIndex.purgeInPlace(spark, idx)
+          "purged"
+        } else if (watch.action == "retrain") {
           // the production source-of-truth contract: retrain from the
           // corpus flow's kept-vector store, never from the codes
           graft.ops.IvfIndex.retrainInPlace(spark, idx,
@@ -186,6 +216,13 @@ object IvfServeSoak {
       val ((recall, ncells, recon), wMeasure) = t {
         val model = graft.ops.IvfIndex.load(spark, idx)
         val nc = model.centroids.count().toInt
+        if (churn) {
+          // served membership ≡ the live accounting at EVERY cycle —
+          // across evictions, purges, and the batches in between
+          val sv = model.assignments.count()
+          assert(sv == liveRows,
+            s"batch $b: served $sv rows, live accounting says $liveRows")
+        }
         def topk(np: Int) = graft.ops.IvfIndex
           .searchTopKBatch(model, probes, 10, np)
           .select("probe_id", "vec_id")
@@ -204,7 +241,9 @@ object IvfServeSoak {
       println(f"batch=$b%2d kept=$cursor%8d act=${watch.action}%-7s " +
         f"maxCell=${watch.maxCell}%6d cells=$ncells%4d " +
         f"cos=${watch.meanAssignCos}%.3f fix=$act%-9s " +
-        f"recall@10=$recall%.3f recon=$recon%.3f flow=$wFlow%5.1fs " +
+        f"recall@10=$recall%.3f recon=$recon%.3f " +
+        f"tombFrac=${watch.tombstoneFrac}%.3f live=$liveRows%8d " +
+        f"flow=$wFlow%5.1fs " +
         f"maint=$wMaint%5.1fs fixw=$wRefine%5.1fs measure=$wMeasure%5.1fs")
     }
     spark.stop()

@@ -1123,6 +1123,59 @@ class IvfIndexSpec extends SparkTestBase {
     assert(!hits.contains(900002L))
   }
 
+  test("maintainAppend purge watch: tombstone fraction past threshold recommends purge; purgeInPlace compacts; hotter actions keep priority") {
+    import spark.implicits._
+    def unit(seed: Int, n: Int): Seq[(Long, Seq[Float])] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        val v = Array.fill(16)(0f).map(_ => rnd.nextGaussian().toFloat)
+        val nn = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+        (seed.toLong * 100000 + i, v.map(x => (x / nn).toFloat).toSeq)
+      }
+    }
+    def df(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    val corpus = unit(47, 300)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpurge")
+      .toString + "/idx"
+    IvfIndex.save(IvfIndex.build(df(corpus), nlist = 8, iters = 2), dir)
+    val w1 = IvfIndex.maintainAppend(spark, dir, df(unit(48, 40)),
+      maxCellRows = 10000, batchId = 0L)
+    assert(w1.action === "ok")
+    assert(w1.tombstoneFrac === 0.0)
+    // evict 120 of 340 physical rows (~35% > the 20% default threshold);
+    // the watch reads the fraction against PHYSICAL occupancy
+    IvfIndex.maintainRemove(spark, dir,
+      corpus.take(120).map(_._1).toDF("vec_id"))
+    val w2 = IvfIndex.maintainAppend(spark, dir, df(unit(49, 10)),
+      maxCellRows = 10000, batchId = 1L)
+    assert(w2.action === "purge", s"expected purge, got $w2")
+    assert(math.abs(w2.tombstoneFrac - 120.0 / 350.0) < 1e-9, w2.toString)
+    IvfIndex.purgeInPlace(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+      "the purge swap drops the tombstone dir")
+    assert(IvfIndex.load(spark, dir).assignments.count() === 230L)
+    // occupancy re-seeded to the post-purge physical counts
+    assert(spark.read.parquet(s"$dir/occupancy")
+      .agg(sum("cnt")).head().getLong(0) === 230L)
+    val w3 = IvfIndex.maintainAppend(spark, dir, df(unit(50, 10)),
+      maxCellRows = 10000, batchId = 2L)
+    assert(w3.action === "ok")
+    assert(w3.tombstoneFrac === 0.0)
+    assert(w3.baselineCos === w1.baselineCos,
+      "the drift baseline survives the purge swap")
+    // priority: a saturated cell outranks purge — refine purges free
+    IvfIndex.maintainRemove(spark, dir,
+      corpus.drop(120).take(100).map(_._1).toDF("vec_id"))
+    val w4 = IvfIndex.maintainAppend(spark, dir, df(unit(51, 10)),
+      maxCellRows = 20, batchId = 3L)
+    assert(w4.hotCells > 0 && w4.action === "refine",
+      s"a hot cell must outrank purge: $w4")
+  }
+
   test("maintainAppend driftStreak: drift persisting past a hot-celled first reading escalates to retrain; a calm batch resets") {
     import spark.implicits._
     def subUnit(seed: Int, n: Int, lo: Int): Seq[(Long, Seq[Float])] = {
