@@ -1344,16 +1344,23 @@ object IvfIndex {
     // every later round kept the cell whole — the driftflood soak's
     // 3,868-row flood-core cell survived refine after refine at every
     // seed until this; unit-norm raw corpora never showed it)
-    // zero-norm guard BEFORE seed ranking: a stale-grid SQ8 decode can
+    // zero-norm guard BEFORE seed selection: a stale-grid SQ8 decode can
     // yield an all-zero member (a dim the old corpus never used decodes
     // to zero — see reconByCell), and dividing by __n = 0 would poison
-    // the sub-Lloyd for that cell with a NaN centroid. Filtering first
-    // lets the next hash-ranked member take the seed slot instead.
+    // the sub-Lloyd for that cell with a NaN centroid. The guard must
+    // not price every hot row's norm (hot cells can be most of a corpus
+    // when maxCellRows is tight — q_ann_refine's shape): hash-rank a 4×
+    // CANDIDATE pool first, norm-check only the pool, re-rank survivors
+    // — the next candidate takes a zero-norm seed's slot unless a cell
+    // is >75% zero-decode, which no stale grid produces.
     var subC = hotRows
+      .withColumn("__r", xxhash64(col("vec_id"), lit(seed)))
+      .withColumn("__rc", row_number().over(
+        Window.partitionBy("cell").orderBy("__r")))
+      .filter(col("__rc") <= splitInto * 4)
       .withColumn("__n", sqrt(aggregate(transform(col("embedding"),
         x => x.cast("double") * x.cast("double")), lit(0.0), _ + _)))
       .filter(col("__n") > 0.0)
-      .withColumn("__r", xxhash64(col("vec_id"), lit(seed)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("cell").orderBy("__r")))
       .filter(col("__rn") <= splitInto)

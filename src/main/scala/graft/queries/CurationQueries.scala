@@ -441,64 +441,32 @@ object CurationQueries {
     // Output: both passes' correction rows, `pass` naming the modality.
     // No SQL oracle (seeded hyperplane family + full flow composition);
     // both late-fed ≡ on-time equivalences are UnifiedFlowSpec's —
-    // driver records the rows-only check. Runs on QUARTER-slices — the
-    // operators under test are the correction passes, not the ingest
-    // throughput q_unified_curation already prices (SIXTEENTH slices
-    // r17 — the correction passes cost what they cost; the setup waves
-    // do not need to).
+    // driver records the rows-only check. r18 (the r17 verdict's #4,
+    // the q_dup_map treatment): the two-wave SETUP is a memoized
+    // fixture (SharedBuilds.unifiedLateFixture — it carried both the
+    // tallest gate cost and the widest spread); each invocation COPIES
+    // the stores into a fresh work dir (the passes MUTATE them) and
+    // pays copy + the two correction passes — the operators actually
+    // under test. Unified ingest throughput stays priced, live, by
+    // q_unified_curation.
     "q_unified_late" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d).select(col("vec_id"),
         col("embedding"))
-      val dir = CoreQueries.pidScopedDir("graft_unified_late", d)
       val bench = graft.ops.CurationFlow.benchShingles(docs)
-      val base = docs.join(emb.withColumnRenamed("vec_id", "doc_id"),
-        Seq("doc_id"), "left")
-        .select(col("doc_id"), col("text"), col("n_chars"), col("embedding"))
-      def freshText(idCol: org.apache.spark.sql.Column) = {
-        val words = (0 until 20).map(j =>
-          concat(lit("u"), substring(md5(concat(idCol, lit(s"_l$j"))), 1, 7)))
-        concat(lit("the of "), concat_ws(" ", words: _*))
-      }
-      val embPending = pmod(col("doc_id"), lit(20)) === 0
-      val textPending = col("embedding").isNotNull &&
-        pmod(col("doc_id"), lit(20)) === 8
-      val w1in = base.filter(pmod(col("doc_id"), lit(16)) === 0)
-        .withColumn("embedding",
-          when(embPending, lit(null).cast("array<float>"))
-            .otherwise(col("embedding")))
-        .withColumn("n_chars",
-          when(textPending, lit(null).cast("long")).otherwise(col("n_chars")))
-        .withColumn("text",
-          when(textPending, lit(null).cast("string")).otherwise(col("text")))
-      val w1 = graft.ops.UnifiedFlow.ingest(dir.toString, w1in, bench,
-        cursor = 0L, prio = 1L)
-      val embTwins = emb
-        .filter(pmod(col("vec_id"), lit(80)) === 0)
-        // %80 = every withheld embedding of the %16 slice (lcm rules)
-        .select((col("vec_id") * 100 + 3000001L).as("doc_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, (x * lit(1.001)).cast("float"))
-              .otherwise(x)).as("embedding"))
-        .withColumn("text", freshText(col("doc_id")))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .select(col("doc_id"), col("text"), col("n_chars"), col("embedding"))
-      val textTwins = base
-        .filter(pmod(col("doc_id"), lit(16)) === 0 && textPending)
-        .select((col("doc_id") * 100 + 5000001L).as("doc_id"),
-          concat(col("text"), lit(" tdup99")).as("text"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .withColumn("embedding", lit(null).cast("array<float>"))
-        .select(col("doc_id"), col("text"), col("n_chars"), col("embedding"))
-      val w2in = base.filter(pmod(col("doc_id"), lit(16)) === 4)
-        .unionByName(embTwins).unionByName(textTwins)
-      val w2 = graft.ops.UnifiedFlow.ingest(dir.toString, w2in, bench,
-        cursor = w1.cursor, prio = 2L)
+      val (fix, cursor) = SharedBuilds.unifiedLateFixture(s, d)
+      val dir = CoreQueries.pidScopedDir("graft_unified_late_work", d)
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(fix).getFileSystem(conf)
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(s"$fix/store"), fs,
+          new org.apache.hadoop.fs.Path(dir.toString), false, conf))
+        throw new java.io.IOException(
+          s"unified-late fixture copy failed: $fix/store -> $dir")
       // the late feeds, each at the docs' original keep order (the
       // decisions artifact's batch id in the streaming twins; the wave
       // number here); only wave-1-KEPT docs have anything to correct
-      val w1kept = w1.decisions.filter(col("status") === "kept")
-        .select("doc_id")
+      val w1kept = s.read.parquet(s"$fix/w1kept")
       val lateEmb = emb.withColumnRenamed("vec_id", "doc_id")
         .filter(pmod(col("doc_id"), lit(20)) === 0)
         .join(w1kept, Seq("doc_id"), "left_semi")
@@ -511,7 +479,7 @@ object CurationQueries {
         .join(w1kept, Seq("doc_id"), "left_semi")
         .withColumn("prio", lit(1L))
       val corText = graft.ops.UnifiedFlow.lateTexts(dir.toString,
-        lateText, bench, cursor = w2.cursor).decisions
+        lateText, bench, cursor = cursor).decisions
       corEmb.select(col("doc_id"), col("status"), col("matched_id"),
           lit(null).cast("long").as("n_tok"),
           lit(null).cast("long").as("seq_id"),

@@ -64,4 +64,86 @@ object SharedBuilds {
     */
   def textDecisionsArtifact(s: SparkSession, d: String): String =
     twoWave.computeIfAbsent(d, _ => runTextBuild(s, d))
+
+  private val unifiedLateFix = new ConcurrentHashMap[String, (String, Long)]()
+
+  /** The memoized two-wave UNIFIED fixture behind `q_unified_late` (r17
+    * verdict #4 — the `q_dup_map` treatment): the operators that key
+    * tests are the two LATE-CORRECTION passes; the two-wave build that
+    * stages their scenario is fixture, and it carried both the tallest
+    * gate cost and the widest run-to-run spread (18.7–26.6 s at r17,
+    * the per-job scheduling gaps of ~17 checkpointed ingest phases).
+    * The build now runs ONCE per (JVM, dataset dir); every invocation
+    * COPIES the stores into a fresh work dir (the correction passes
+    * MUTATE them — evictions, attachments, packing) and pays only
+    * copy + corrections. The unified INGEST throughput stays priced,
+    * live, by `q_unified_curation`. Returns (fixture root, cursor after
+    * wave 2); the stores live under `<root>/store`, wave 1's kept doc
+    * ids under `<root>/w1kept`.
+    *
+    * Scenario (unchanged from the in-key r17 build): wave 1 ingests the
+    * %16==0 slice with doc_id%20==0 EMBEDDINGS withheld and
+    * doc_id%20==8-with-an-embedding TEXTS withheld (vector-kept pending
+    * text); wave 2 ingests the %16==4 slice plus semantic twins of the
+    * withheld embeddings (+3M ids, 0.1%-nudged, fresh gate-passing
+    * text) and band-sharing text twins of the withheld texts (+5M ids,
+    * no embedding) — all KEEP, exactly the two gaps the late passes
+    * must close.
+    */
+  def unifiedLateFixture(s: SparkSession, d: String): (String, Long) =
+    unifiedLateFix.computeIfAbsent(d, _ => buildUnifiedLateFixture(s, d))
+
+  private def buildUnifiedLateFixture(s: SparkSession,
+                                      d: String): (String, Long) = {
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val root = CoreQueries.pidScopedDir("graft_unified_late_fix", d)
+    val store = s"$root/store"
+    val bench = graft.ops.CurationFlow.benchShingles(docs)
+    val base = docs.join(emb.withColumnRenamed("vec_id", "doc_id"),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("n_chars"), col("embedding"))
+    def freshText(idCol: org.apache.spark.sql.Column) = {
+      val words = (0 until 20).map(j =>
+        concat(lit("u"), substring(md5(concat(idCol, lit(s"_l$j"))), 1, 7)))
+      concat(lit("the of "), concat_ws(" ", words: _*))
+    }
+    val embPending = pmod(col("doc_id"), lit(20)) === 0
+    val textPending = col("embedding").isNotNull &&
+      pmod(col("doc_id"), lit(20)) === 8
+    val w1in = base.filter(pmod(col("doc_id"), lit(16)) === 0)
+      .withColumn("embedding",
+        when(embPending, lit(null).cast("array<float>"))
+          .otherwise(col("embedding")))
+      .withColumn("n_chars",
+        when(textPending, lit(null).cast("long")).otherwise(col("n_chars")))
+      .withColumn("text",
+        when(textPending, lit(null).cast("string")).otherwise(col("text")))
+    val w1 = graft.ops.UnifiedFlow.ingest(store, w1in, bench,
+      cursor = 0L, prio = 1L)
+    val embTwins = emb
+      .filter(pmod(col("vec_id"), lit(80)) === 0)
+      // %80 = every withheld embedding of the %16 slice (lcm rules)
+      .select((col("vec_id") * 100 + 3000001L).as("doc_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, (x * lit(1.001)).cast("float"))
+            .otherwise(x)).as("embedding"))
+      .withColumn("text", freshText(col("doc_id")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("text"), col("n_chars"), col("embedding"))
+    val textTwins = base
+      .filter(pmod(col("doc_id"), lit(16)) === 0 && textPending)
+      .select((col("doc_id") * 100 + 5000001L).as("doc_id"),
+        concat(col("text"), lit(" tdup99")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("embedding", lit(null).cast("array<float>"))
+      .select(col("doc_id"), col("text"), col("n_chars"), col("embedding"))
+    val w2in = base.filter(pmod(col("doc_id"), lit(16)) === 4)
+      .unionByName(embTwins).unionByName(textTwins)
+    val w2 = graft.ops.UnifiedFlow.ingest(store, w2in, bench,
+      cursor = w1.cursor, prio = 2L)
+    w1.decisions.filter(col("status") === "kept").select("doc_id")
+      .write.mode("overwrite").parquet(s"$root/w1kept")
+    (root.toString, w2.cursor)
+  }
 }
