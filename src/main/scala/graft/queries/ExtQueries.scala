@@ -698,13 +698,24 @@ object ExtQueries {
     // local-minima label spread whose row set stays bounded (labels are
     // component-minimum CANDIDATES only, propagated strictly downhill —
     // never the all-pairs transitive closure the q_dup_map chase can
-    // afford on its small loser sets).
+    // afford on its small loser sets). TWO graphs per run: the FULL
+    // bond graph (the scale shape — one giant component on every
+    // dataset, so its check reduces to the global min label + exact
+    // node count) and the SPARSE line-1 subgraph, whose hundreds of
+    // components make the oracle discriminate per-component labelings
+    // (340 components at sf0.01), not just the global count.
     "q_connected_components" -> ((s, d) => {
-      val edges = Tables.lineitem(s, d)
+      val li = Tables.lineitem(s, d)
+      def counts(e: org.apache.spark.sql.DataFrame, tag: String) =
+        graft.ops.Graph.connectedComponents(e)
+          .groupBy("component").agg(count(lit(1)).as("n_nodes"))
+          .withColumn("graph", lit(tag))
+      def edges(f: org.apache.spark.sql.Column) = li.filter(f)
         .select(col("l_orderkey").as("src"), (-col("l_partkey") - 1).as("dst"))
-      graft.ops.Graph.connectedComponents(edges)
-        .groupBy("component").agg(count(lit(1)).as("n_nodes"))
-        .orderBy("component")
+      counts(edges(lit(true)), "full")
+        .unionByName(counts(edges(col("l_linenumber") === 1), "sparse"))
+        .select("graph", "component", "n_nodes")
+        .orderBy("graph", "component")
     }),
 
     // G4+ — PageRank over the same order-part bipartite bond graph as
@@ -760,16 +771,26 @@ object ExtQueries {
   // label is a bounded candidate set — so the walk's row count is
   // #locmins × reach, not the all-pairs transitive closure (which on
   // one giant component would be |V|² rows).
+  // one chase per graph, CTE names prefixed so both recursions share a
+  // single WITH RECURSIVE clause
+  private def ccChaseCtes(pred: String, w: String): String =
+    s"""${w}e AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src, CAST(-l_partkey - 1 AS BIGINT) AS dst FROM lineitem WHERE ($pred) AND l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), """ +
+      s"""${w}pp AS MATERIALIZED (SELECT DISTINCT a.dst AS p1, b.dst AS p2 FROM ${w}e a JOIN ${w}e b ON a.src = b.src AND a.dst < b.dst), """ +
+      s"""${w}ppu AS MATERIALIZED (SELECT p1 AS a, p2 AS b FROM ${w}pp UNION ALL SELECT p2, p1 FROM ${w}pp), """ +
+      s"""${w}locmin AS MATERIALIZED (SELECT a FROM ${w}ppu GROUP BY a HAVING MIN(b) > a), """ +
+      s"""${w}walk AS (SELECT a AS node, a AS lbl FROM ${w}locmin UNION SELECT e2.b AS node, w.lbl FROM ${w}walk w JOIN ${w}ppu e2 ON w.node = e2.a WHERE w.lbl < e2.b), """ +
+      s"""${w}plab AS MATERIALIZED (SELECT p.part, LEAST(p.part, COALESCE(MIN(w.lbl), p.part)) AS comp FROM (SELECT DISTINCT dst AS part FROM ${w}e) p LEFT JOIN ${w}walk w ON w.node = p.part GROUP BY p.part), """ +
+      s"""${w}olab AS MATERIALIZED (SELECT e.src AS node, MIN(pl.comp) AS comp FROM ${w}e e JOIN ${w}plab pl ON e.dst = pl.part GROUP BY e.src), """ +
+      s"""${w}alln AS (SELECT part AS node, comp FROM ${w}plab UNION ALL SELECT node, comp FROM ${w}olab)"""
+
   private val ccSql: String =
-    """WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src, CAST(-l_partkey - 1 AS BIGINT) AS dst FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), """ +
-      """pp AS MATERIALIZED (SELECT DISTINCT a.dst AS p1, b.dst AS p2 FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst), """ +
-      """ppu AS MATERIALIZED (SELECT p1 AS a, p2 AS b FROM pp UNION ALL SELECT p2, p1 FROM pp), """ +
-      """locmin AS MATERIALIZED (SELECT a FROM ppu GROUP BY a HAVING MIN(b) > a), """ +
-      """walk AS (SELECT a AS node, a AS lbl FROM locmin UNION SELECT e2.b AS node, w.lbl FROM walk w JOIN ppu e2 ON w.node = e2.a WHERE w.lbl < e2.b), """ +
-      """plab AS MATERIALIZED (SELECT p.part, LEAST(p.part, COALESCE(MIN(w.lbl), p.part)) AS comp FROM (SELECT DISTINCT dst AS part FROM e) p LEFT JOIN walk w ON w.node = p.part GROUP BY p.part), """ +
-      """olab AS MATERIALIZED (SELECT e.src AS node, MIN(pl.comp) AS comp FROM e JOIN plab pl ON e.dst = pl.part GROUP BY e.src), """ +
-      """alln AS (SELECT part AS node, comp FROM plab UNION ALL SELECT node, comp FROM olab) """ +
-      """SELECT comp AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM alln GROUP BY 1 ORDER BY 1"""
+    "WITH RECURSIVE " + ccChaseCtes("TRUE", "f") + ", " +
+      ccChaseCtes("l_linenumber = 1", "s") + " " +
+      "SELECT * FROM (" +
+      "SELECT 'full' AS graph, comp AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM falln GROUP BY 2 " +
+      "UNION ALL " +
+      "SELECT 'sparse' AS graph, comp AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM salln GROUP BY 2" +
+      ") ORDER BY graph, component"
 
   // q_pagerank's DuckDB twin: the SAME exact integer arithmetic as
   // Graph.pageRankFixedPoint (scale 1e9, damping 85/100, truncating
