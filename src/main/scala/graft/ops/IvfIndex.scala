@@ -1018,6 +1018,50 @@ object IvfIndex {
       action, streak, tombFrac)
   }
 
+  /** One SELF-MAINTAINING serving cycle — the composition every soak
+    * loop writes by hand (`IvfServeSoak`, `LateInterleaveSoak`), as one
+    * call for production callers: ledgered append, tombstone removals,
+    * then APPLY the watch's verdict with the escalation policy the
+    * soaks validated (retrain from `source` on persistent drift, refine
+    * on hot cells with the occupancy-proportional split the flood soak
+    * settled on, purge past the tombstone threshold, nothing on `ok`).
+    *
+    * Exactly-once shape: the append is ledgered (`batchId`), removals
+    * are duplicate-tolerant, and the ACTION needs no ledger — every
+    * action is resolution-idempotent: a crash between the append's
+    * ledger commit and the action means the next cycle's watch simply
+    * RE-RECOMMENDS it (occupancy still hot → refine again; baseline
+    * still drifted → retrain again; fraction still high → purge again),
+    * so maintenance converges under any crash/replay interleaving —
+    * it can only run a fix later than recommended, never lose one.
+    *
+    * `source` is the kept-vector store a retrain re-fits from (the
+    * production source-of-truth contract — REQUIRED for quantized
+    * indexes, where codes alone cannot carry a retrain); evaluated
+    * lazily, only if the retrain verdict fires. Returns the watch
+    * (pre-action) — callers log it or assert on it.
+    */
+  def maintainCycle(spark: SparkSession, path: String, appends: DataFrame,
+                    removals: Option[DataFrame], maxCellRows: Long,
+                    batchId: Long, source: => Option[DataFrame] = None,
+                    driftMargin: Double = 0.05,
+                    route: AssignRoute = FlatAssign,
+                    maxTombstoneFrac: Double = 0.2): MaintainWatch = {
+    val watch = maintainAppend(spark, path, appends, maxCellRows,
+      driftMargin, route, batchId, maxTombstoneFrac)
+    removals.foreach(r => maintainRemove(spark, path, r))
+    watch.action match {
+      case "retrain" => retrainInPlace(spark, path, source = source,
+        route = route)
+      case "refine" => refineInPlace(spark, path, maxCellRows,
+        splitInto = math.max(2, (watch.maxCell / maxCellRows + 1).toInt),
+        iters = 3)
+      case "purge" => purgeInPlace(spark, path)
+      case _ => ()
+    }
+    watch
+  }
+
   /** Apply the `refine` action to a PERSISTED index: load, split the
     * hot cells ([[refine]]), save to a staging dir, swap it in
     * (aside + rename — the band-index swap discipline), and re-seed

@@ -1176,6 +1176,58 @@ class IvfIndexSpec extends SparkTestBase {
       s"a hot cell must outrank purge: $w4")
   }
 
+  test("maintainCycle: one call appends, tombstones, and applies the watch verdict — ok, refine, and purge each resolve") {
+    import spark.implicits._
+    def unit(seed: Int, n: Int): Seq[(Long, Seq[Float])] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        val v = Array.fill(16)(0f).map(_ => rnd.nextGaussian().toFloat)
+        val nn = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+        (seed.toLong * 100000 + i, v.map(x => (x / nn).toFloat).toSeq)
+      }
+    }
+    def df(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    val corpus = unit(53, 300)
+    val dir = java.nio.file.Files.createTempDirectory("ivfcycle")
+      .toString + "/idx"
+    IvfIndex.save(IvfIndex.build(df(corpus), nlist = 8, iters = 2), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // cycle 1: organic growth, no removals — ok, nothing applied
+    val w1 = IvfIndex.maintainCycle(spark, dir, df(unit(54, 40)),
+      removals = None, maxCellRows = 10000, batchId = 0L)
+    assert(w1.action === "ok")
+    // cycle 2: a saturating batch under a tight cap — refine verdict,
+    // APPLIED inline: the cell count must grow within the same call
+    val cellsBefore = IvfIndex.load(spark, dir).centroids.count()
+    val w2 = IvfIndex.maintainCycle(spark, dir, df(unit(55, 60)),
+      removals = None, maxCellRows = 40, batchId = 1L)
+    assert(w2.action === "refine")
+    assert(IvfIndex.load(spark, dir).centroids.count() > cellsBefore,
+      "the refine verdict must be applied inside the cycle")
+    // cycle 3: removals land this cycle; the fraction is read by the
+    // NEXT cycle's watch (occupancy convention: fire early, never late)
+    val w3 = IvfIndex.maintainCycle(spark, dir, df(unit(56, 10)),
+      removals = Some(corpus.take(150).map(_._1).toDF("vec_id")),
+      maxCellRows = 10000, batchId = 2L)
+    assert(w3.action === "ok")
+    // cycle 4: purge verdict, applied — tombstone dir gone, membership
+    // physically compacted, and the NEXT watch is calm
+    val w4 = IvfIndex.maintainCycle(spark, dir, df(unit(57, 10)),
+      removals = None, maxCellRows = 10000, batchId = 3L)
+    assert(w4.action === "purge", s"expected purge, got $w4")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    val w5 = IvfIndex.maintainCycle(spark, dir, df(unit(58, 10)),
+      removals = None, maxCellRows = 10000, batchId = 4L)
+    assert(w5.action === "ok")
+    assert(w5.tombstoneFrac === 0.0)
+    // membership: everything appended minus the 150 evicted
+    assert(IvfIndex.load(spark, dir).assignments.count() ===
+      (300 + 40 + 60 + 10 + 10 + 10 - 150).toLong)
+  }
+
   test("maintainAppend driftStreak: drift persisting past a hot-celled first reading escalates to retrain; a calm batch resets") {
     import spark.implicits._
     def subUnit(seed: Int, n: Int, lo: Int): Seq[(Long, Seq[Float])] = {
