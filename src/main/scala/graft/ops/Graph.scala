@@ -241,8 +241,14 @@ object Graph {
     *
     * Overflow headroom: total mass ≈ n·scale; the hottest intermediate
     * is `85 * (in_sum + dm div n)` ≤ 85·n·scale, so n·scale must stay
-    * under ~1e17 — at scale=1e9 that is 100M nodes; a larger graph
-    * drops scale accordingly (the REQUIRE guards it).
+    * under Long.MaxValue/85 ≈ 1.08e17 — at scale=1e9 that is ~108M
+    * nodes (the REQUIRE guards exactly this bound, r18 ADVICE: the old
+    * guard used 1e18 and under-promised the doc by ~9×). `scale = -1`
+    * picks the largest power of 10 the graph's node count admits,
+    * capped at the 1e9 default — callers that must not abort at any
+    * scale factor (q_pagerank, the bench) use it, and an ORACLE twin
+    * can reproduce the choice with the same integer arithmetic
+    * (powers-of-10 table ∩ `Long.MaxValue/85/n`, no floats).
     *
     * Returns (node_id, rank_fp) with rank_fp ≈ rank × scale.
     */
@@ -255,13 +261,14 @@ object Graph {
       .unionByName(e.select(col("dst").as("node_id")))
       .distinct().localCheckpoint()
     val n = nodes.count()
-    require(n == 0 || scale <= 1000000000000000000L / math.max(n, 1) / 85,
-      s"n*scale*85 must fit a long: n=$n scale=$scale")
+    val sc = if (scale == -1L) autoScale(n) else scale
+    require(n == 0 || sc <= Long.MaxValue / math.max(n, 1) / 85,
+      s"n*scale*85 must fit a long: n=$n scale=$sc")
     if (n == 0) return nodes.withColumn("rank_fp", lit(0L))
     val outDeg = e.groupBy(col("src").as("node_id"))
       .agg(count(lit(1)).as("out_deg")).localCheckpoint()
-    val base = (15L * scale) / 100L
-    var ranks = nodes.withColumn("rank_fp", lit(scale)).localCheckpoint()
+    val base = (15L * sc) / 100L
+    var ranks = nodes.withColumn("rank_fp", lit(sc)).localCheckpoint()
     var i = 0
     while (i < iters) {
       val contribs = ranks.join(outDeg, Seq("node_id"))
@@ -273,7 +280,7 @@ object Graph {
         .localCheckpoint()
       val dangling = contribs
         .agg(greatest(lit(0L),
-          lit(n * scale) - coalesce(sum("in_sum"), lit(0L)))
+          lit(n * sc) - coalesce(sum("in_sum"), lit(0L)))
           .as("dm"))
       val next = nodes.join(contribs, Seq("node_id"), "left")
         .crossJoin(broadcast(dangling))
@@ -288,6 +295,19 @@ object Graph {
       i += 1
     }
     ranks
+  }
+
+  /** [[pageRankFixedPoint]]'s `scale = -1` resolution: the largest
+    * power of 10 whose n·scale·85 fits a long, capped at the 1e9
+    * default — pure integer arithmetic (a powers table against
+    * `Long.MaxValue/85/n`), so an oracle in any engine reproduces the
+    * exact same choice without touching floats.
+    */
+  private[graft] def autoScale(n: Long): Long = {
+    val bound = Long.MaxValue / 85 / math.max(n, 1)
+    Iterator.iterate(1L)(_ * 10).take(10)
+      .takeWhile(p => p <= bound && p <= 1000000000L)
+      .foldLeft(1L)((_, p) => p)
   }
 
   /** Fixed-iteration PageRank over a directed edge frame (src, dst) —

@@ -692,14 +692,34 @@ object IvfIndex {
     }
   }
 
-  /** The maintain batch ledger (`_maintain_ledger`): the last APPLIED
-    * ledgered batch id, tmp+checked-rename like the flow cursors. A
-    * batch id at or below the recorded one is already fully in the
-    * stores and must not mutate again.
+  /** Lane-qualified names for the ledgered maintain protocol (r19 —
+    * the in-loop serving wiring): a serving index maintained by
+    * SEVERAL streaming feeds (the unified ingest loop plus both
+    * late-correction steps) sees each feed's foreachBatch ids start at
+    * 0 independently, so one max-id ledger would let feed B's batch 0
+    * be "skipped" by feed A's batch 5. Each feed passes a `lane` —
+    * lowercase alphanumeric, no separators (the dash is the name
+    * delimiter) — and gets its OWN ledger file and footprint namespace;
+    * ids are monotonic per lane (foreachBatch's contract), which is all
+    * the per-lane max-id ledger needs. The empty lane is the original
+    * single-caller protocol, byte-compatible with existing indexes.
     */
-  private def readMaintainLedger(spark: SparkSession,
-                                 path: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(path, "_maintain_ledger")
+  private def laneTag(lane: String): String = {
+    require(lane.matches("[a-z0-9]*"),
+      s"maintain lane must be lowercase alphanumeric, got '$lane'")
+    if (lane.isEmpty) "" else s"$lane-"
+  }
+  private def ledgerName(lane: String): String =
+    if (lane.isEmpty) "_maintain_ledger" else s"_maintain_ledger_$lane"
+
+  /** The maintain batch ledger (`_maintain_ledger`, per lane): the last
+    * APPLIED ledgered batch id, tmp+checked-rename like the flow
+    * cursors. A batch id at or below the recorded one is already fully
+    * in the stores and must not mutate again.
+    */
+  private def readMaintainLedger(spark: SparkSession, path: String,
+                                 lane: String = ""): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, ledgerName(lane))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
@@ -713,10 +733,10 @@ object IvfIndex {
   }
 
   private def writeMaintainLedger(spark: SparkSession, path: String,
-                                  id: Long): Unit = {
+                                  id: Long, lane: String = ""): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fin = new org.apache.hadoop.fs.Path(path, "_maintain_ledger")
-    val tmp = new org.apache.hadoop.fs.Path(path, "_maintain_ledger.tmp")
+    val fin = new org.apache.hadoop.fs.Path(path, ledgerName(lane))
+    val tmp = new org.apache.hadoop.fs.Path(path, ledgerName(lane) + ".tmp")
     val fs = fin.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(id.toString.getBytes("UTF-8"))
@@ -727,23 +747,44 @@ object IvfIndex {
       throw new java.io.IOException(s"maintain ledger rename failed: $fin")
   }
 
-  /** Remove every file a previous (possibly torn) attempt of ledgered
-    * batch `id` left behind: the deterministic `maint-b<id>-*` part
-    * files under assignments and the batch's occupancy delta file.
+  /** Copy every lane's maintain ledger (`_maintain_ledger*`) into a
+    * staged swap tmp — the new index CONTAINS every ledgered batch from
+    * every lane, so forgetting any one would let a crash-replay
+    * double-insert it.
     */
-  private def wipeBatchFootprint(spark: SparkSession, path: String,
-                                 id: Long): Unit = {
+  private def carryMaintainLedgers(spark: SparkSession, path: String,
+                                   tmp: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(path, "_maintain_ledger*")))
+      .getOrElse(Array.empty)
+      .filterNot(_.getPath.getName.endsWith(".tmp"))
+      .foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(tmp, st.getPath.getName), false,
+          conf)
+      }
+  }
+
+  /** Remove every file a previous (possibly torn) attempt of ledgered
+    * batch `id` left behind: the deterministic `maint-[<lane>-]b<id>-*`
+    * part files under assignments and the batch's occupancy delta file.
+    */
+  private def wipeBatchFootprint(spark: SparkSession, path: String,
+                                 id: Long, lane: String = ""): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val tag = laneTag(lane)
     val glob = new org.apache.hadoop.fs.Path(
-      s"$path/assignments/*/maint-b$id-*")
+      s"$path/assignments/*/maint-${tag}b$id-*")
     Option(fs.globStatus(glob)).getOrElse(Array.empty)
       .foreach(st => fs.delete(st.getPath, false))
     val delta = new org.apache.hadoop.fs.Path(
-      s"$path/occupancy/delta-b$id.parquet")
+      s"$path/occupancy/delta-${tag}b$id.parquet")
     if (fs.exists(delta)) fs.delete(delta, false)
     val pending = new org.apache.hadoop.fs.Path(
-      s"$path/assignments_pending_b$id")
+      s"$path/assignments_pending_${tag}b$id")
     if (fs.exists(pending)) fs.delete(pending, true)
   }
 
@@ -753,18 +794,20 @@ object IvfIndex {
     * path is unchanged (spark reads every file in the flat dir).
     */
   private def writeOccupancyDelta(spark: SparkSession, path: String,
-                                  id: Long, counts: DataFrame): Unit = {
+                                  id: Long, counts: DataFrame,
+                                  lane: String = ""): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val tag = laneTag(lane)
     val tmpDir = new org.apache.hadoop.fs.Path(
-      s"$path/occupancy/.delta-b$id.tmp")
+      s"$path/occupancy/.delta-${tag}b$id.tmp")
     counts.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
     val part = fs.listStatus(tmpDir)
       .map(_.getPath).find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new java.io.IOException(
         s"occupancy delta write produced no parquet file under $tmpDir"))
     val fin = new org.apache.hadoop.fs.Path(
-      s"$path/occupancy/delta-b$id.parquet")
+      s"$path/occupancy/delta-${tag}b$id.parquet")
     if (!fs.rename(part, fin))
       throw new java.io.IOException(s"occupancy delta rename failed: $fin")
     fs.delete(tmpDir, true)
@@ -776,10 +819,12 @@ object IvfIndex {
     * batch's footprint and redo it, whatever the crash point.
     */
   private def stagedAssignAppend(spark: SparkSession, path: String,
-                                 assigned: DataFrame, id: Long): Unit = {
+                                 assigned: DataFrame, id: Long,
+                                 lane: String = ""): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val pending = s"$path/assignments_pending_b$id"
+    val tag = laneTag(lane)
+    val pending = s"$path/assignments_pending_${tag}b$id"
     writeAssignRows(spark, path, assigned, pending, "overwrite")
     val pendingPath = new org.apache.hadoop.fs.Path(pending)
     val parts = fs.listStatus(pendingPath)
@@ -796,7 +841,7 @@ object IvfIndex {
         s"$path/assignments/$layoutDir")
       fs.mkdirs(destDir)
       val dest = new org.apache.hadoop.fs.Path(destDir,
-        s"maint-b$id-$k.parquet")
+        s"maint-${tag}b$id-$k.parquet")
       if (!fs.rename(src, dest))
         throw new java.io.IOException(s"maintain append move failed: $dest")
     }
@@ -874,12 +919,20 @@ object IvfIndex {
     * (delete `occupancy/` to force the one-time re-seed from
     * assignments) but double-inserts if the caller retries — it exists
     * for one-shot interactive use only.
+    *
+    * `lane` (r19) namespaces the ledger and footprint for MULTI-FEED
+    * maintenance — see [[laneTag]]: each streaming feed of one serving
+    * index passes its own lane, and ids only need to be monotonic
+    * within it. Feeds must still be mutually serialized (the
+    * single-writer contract is per index, not per lane —
+    * [[graft.streaming.StreamOps]] wraps a JVM monitor around it).
     */
   def maintainAppend(spark: SparkSession, path: String, batch: DataFrame,
                      maxCellRows: Long, driftMargin: Double = 0.05,
                      route: AssignRoute = FlatAssign,
                      batchId: Long = -1L,
-                     maxTombstoneFrac: Double = 0.2): MaintainWatch = {
+                     maxTombstoneFrac: Double = 0.2,
+                     lane: String = ""): MaintainWatch = {
     require(maxCellRows >= 1, s"maxCellRows must be >= 1, got $maxCellRows")
     recoverIndexSwap(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -953,16 +1006,16 @@ object IvfIndex {
         (meanCos, 0L)
       } else (1.0, 0L)
     val applied = batchId >= 0 &&
-      readMaintainLedger(spark, path).exists(_ >= batchId)
+      readMaintainLedger(spark, path, lane).exists(_ >= batchId)
     if (appended > 0 && !applied) {
       if (batchId >= 0) {
         // exactly-once ledgered mutation; see the scaladoc contract
-        wipeBatchFootprint(spark, path, batchId)
+        wipeBatchFootprint(spark, path, batchId, lane)
         writeOccupancyDelta(spark, path, batchId,
           assigned.groupBy(col("cell").cast("long").as("cell"))
-            .agg(count(lit(1)).as("cnt")))
-        stagedAssignAppend(spark, path, assigned, batchId)
-        writeMaintainLedger(spark, path, batchId)
+            .agg(count(lit(1)).as("cnt")), lane)
+        stagedAssignAppend(spark, path, assigned, batchId, lane)
+        writeMaintainLedger(spark, path, batchId, lane)
       } else {
         // legacy one-shot path: delta FIRST (a torn batch over-counts
         // transiently; delete occupancy/ to re-seed), appends second —
@@ -1046,9 +1099,10 @@ object IvfIndex {
                     batchId: Long, source: => Option[DataFrame] = None,
                     driftMargin: Double = 0.05,
                     route: AssignRoute = FlatAssign,
-                    maxTombstoneFrac: Double = 0.2): MaintainWatch = {
+                    maxTombstoneFrac: Double = 0.2,
+                    lane: String = ""): MaintainWatch = {
     val watch = maintainAppend(spark, path, appends, maxCellRows,
-      driftMargin, route, batchId, maxTombstoneFrac)
+      driftMargin, route, batchId, maxTombstoneFrac, lane)
     removals.foreach(r => maintainRemove(spark, path, r))
     watch.action match {
       case "retrain" => retrainInPlace(spark, path, source = source,
@@ -1060,6 +1114,35 @@ object IvfIndex {
       case _ => ()
     }
     watch
+  }
+
+  /** Bootstrap a serving index from its FIRST non-empty kept batch —
+    * the in-loop wiring's build step (r19; the soaks did this by hand
+    * with a `built` flag, which a crashed-and-replayed foreachBatch
+    * loop does not have). Builds at `nlist`, saves STAGED to
+    * `path + ".boot"`, records `batchId` in `lane`'s maintain ledger
+    * INSIDE the staged dir, then promotes with one rename — so the
+    * bootstrap is exactly-once under any crash point: pre-promote
+    * crashes find the live path absent and redo the whole bootstrap
+    * (the stale boot dir is wiped first), post-promote replays of the
+    * same batch hit the ledger in [[maintainAppend]] and skip the
+    * append that would double-insert the built rows.
+    */
+  private[graft] def bootstrapServing(spark: SparkSession, path: String,
+                                      batch: DataFrame, nlist: Int,
+                                      iters: Int = 2, seed: Long = 42L,
+                                      lane: String = "",
+                                      batchId: Long = 0L): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val boot = path + ".boot"
+    fs.delete(new org.apache.hadoop.fs.Path(boot), true)
+    save(build(batch, nlist, iters, seed), boot)
+    writeMaintainLedger(spark, boot, batchId, lane)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(boot),
+        new org.apache.hadoop.fs.Path(path)))
+      throw new java.io.IOException(
+        s"serving bootstrap promote failed: $boot -> $path")
   }
 
   /** Apply the `refine` action to a PERSISTED index: load, split the
@@ -1143,14 +1226,10 @@ object IvfIndex {
     model.assignments.groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$tmp/occupancy")
-    // carry the maintain batch ledger across the swap: the new index
-    // CONTAINS every ledgered batch, so forgetting the ledger would let
-    // a crash-replay double-insert one
-    val ledger = new org.apache.hadoop.fs.Path(path, "_maintain_ledger")
-    if (fs.exists(ledger))
-      org.apache.hadoop.fs.FileUtil.copy(fs, ledger, fs,
-        new org.apache.hadoop.fs.Path(tmp, "_maintain_ledger"), false,
-        spark.sparkContext.hadoopConfiguration)
+    // carry the maintain batch ledgers (every lane) across the swap:
+    // the new index CONTAINS every ledgered batch, so forgetting one
+    // would let a crash-replay double-insert it
+    carryMaintainLedgers(spark, path, tmp)
     // the drift baseline survives a refine/purge (see the scaladoc — a
     // dropped baseline re-stamps on the NEXT batch, which under
     // sustained drift poisons the signal the retrain verdict needs)
@@ -1328,11 +1407,7 @@ object IvfIndex {
     rebuilt.assignments.groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$tmp/occupancy")
-    val ledger = new org.apache.hadoop.fs.Path(path, "_maintain_ledger")
-    if (fs.exists(ledger))
-      org.apache.hadoop.fs.FileUtil.copy(fs, ledger, fs,
-        new org.apache.hadoop.fs.Path(tmp, "_maintain_ledger"), false,
-        spark.sparkContext.hadoopConfiguration)
+    carryMaintainLedgers(spark, path, tmp)
     def mv(a: String, b: String): Unit =
       if (!fs.rename(new org.apache.hadoop.fs.Path(a),
           new org.apache.hadoop.fs.Path(b)))

@@ -682,6 +682,125 @@ object StreamOps {
   private def dueForCompact(compactEvery: Int, id: Long): Boolean =
     compactEvery > 0 && (id + 1) % compactEvery == 0
 
+  /** Attach a continuously-MAINTAINED ANN serving index to a streaming
+    * corpus flow (r19 — the r18 verdict's #1, closing the serving
+    * lifecycle's last human-in-the-loop step): with a `Serving` passed
+    * to [[vectorCurationIngestStream]] / [[unifiedIngestStream]] /
+    * [[lateEmbeddingStream]] / [[lateTextStream]], every micro-batch
+    * ends by driving [[graft.ops.IvfIndex.maintainCycle]] — kept
+    * vectors append (ledgered, exactly-once per feed lane), evicted
+    * vectors tombstone, and the watch's verdict (refine / retrain /
+    * purge) is APPLIED inline on the batch cadence instead of waiting
+    * for an operator. The index bootstraps itself from the kept-vector
+    * store at the first maintained batch ([[graft.ops.IvfIndex
+    * .bootstrapServing]] — so attaching mid-stream serves the full
+    * live corpus, not just post-attach arrivals), and a retrain verdict
+    * re-fits from the same store (the production source-of-truth
+    * contract). `onWatch` observes each cycle's verdict (log it, alert
+    * on `retrain` streaks, assert on it in tests).
+    *
+    * maxCellRows is per-cell occupancy before `refine`; nlist the
+    * bootstrap's cell count. All feeds of one unified dir pass the SAME
+    * `Serving` (same path): their mutations are serialized by a JVM
+    * monitor here (the [[rootsLock]] single-driver rationale), and each
+    * feed's appends are ledgered under its own lane, so the feeds'
+    * independent foreachBatch id sequences never collide.
+    */
+  final case class Serving(path: String,
+                           maxCellRows: Long = 100000L,
+                           nlist: Int = 64,
+                           driftMargin: Double = 0.05,
+                           maxTombstoneFrac: Double = 0.2,
+                           buildIters: Int = 2,
+                           onWatch: graft.ops.IvfIndex.MaintainWatch => Unit =
+                             _ => ())
+
+  private val servingMonitors =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def servingLock[T](path: String)(body: => T): T =
+    servingMonitors.getOrElseUpdate(path, new Object).synchronized(body)
+
+  /** One serving-maintenance cycle for a corpus-flow micro-batch: the
+    * composition [[graft.ops.IvfIndex.maintainCycle]] packages, under
+    * the per-index monitor, fed with the batch's kept vectors and
+    * evicted ids and sourced (for retrain) from the kept-vector store
+    * at `storePath`. Crash contract: runs LAST in each step, after the
+    * flow's own ledger+commit — a crash before it replays the batch,
+    * whose reconstructed kept/evict sets re-drive this cycle with the
+    * same (lane, batchId); the lane ledger skips an already-applied
+    * append, removals are idempotent, and the watch's action is
+    * resolution-idempotent (a lost action is re-recommended next
+    * cycle). Appends are validity-filtered exactly like
+    * [[graft.ops.VectorFlow.commit]]'s mutation boundary, so served
+    * membership mirrors the store's.
+    */
+  private[graft] def maintainServing(sv: Serving, storePath: String,
+                                     appends: DataFrame,
+                                     removals: Option[DataFrame],
+                                     id: Long, lane: String,
+                                     replay: Boolean = false): Unit =
+                                     servingLock(sv.path) {
+    val spark = appends.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(sv.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def centroidsExist = fs.exists(
+      new org.apache.hadoop.fs.Path(sv.path + "/centroids"))
+    val clean = appends
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull &&
+        graft.ops.Similarity.l2Norm(col("embedding")) > 0d)
+    if (!centroidsExist) {
+      // first maintained batch: bootstrap from the kept-vector store —
+      // the flow's commit ran before this, so the store already holds
+      // THIS batch's kept rows plus any corpus built before the serving
+      // spec was attached (full live membership, and the bootstrap
+      // ledgers this id in our lane so a replay skips its append)
+      // no removals here: store evictions are PHYSICAL (the commit ran
+      // first), so the post-commit store — hence the bootstrap — never
+      // contains this batch's evicted rows
+      if (fs.exists(new org.apache.hadoop.fs.Path(storePath))) {
+        val store = spark.read.parquet(storePath)
+          .select("vec_id", "embedding")
+        if (!store.isEmpty)
+          graft.ops.IvfIndex.bootstrapServing(spark, sv.path, store,
+            sv.nlist, sv.buildIters, lane = lane, batchId = id)
+      }
+    } else {
+      // REPLAY dedupe: a crashed batch can replay after ANOTHER feed's
+      // first cycle bootstrapped the index from the store (which held
+      // this batch's committed rows) without this lane's ledger knowing
+      // — the anti-join keeps the replayed append membership-exact. A
+      // replay whose original append DID ledger skips in maintainCycle
+      // regardless; the scan is replay-only, never the hot path.
+      val toAppend =
+        if (!replay) clean
+        else clean.join(
+          spark.read.parquet(sv.path + "/assignments").select("vec_id"),
+          Seq("vec_id"), "left_anti")
+      val watch = graft.ops.IvfIndex.maintainCycle(spark, sv.path, toAppend,
+        removals.map(_.select(col("vec_id").cast("long").as("vec_id"))),
+        sv.maxCellRows, batchId = id,
+        source = Some(spark.read.parquet(storePath)
+          .select("vec_id", "embedding")),
+        driftMargin = sv.driftMargin,
+        maxTombstoneFrac = sv.maxTombstoneFrac, lane = lane)
+      sv.onWatch(watch)
+    }
+  }
+
+  /** An empty (vec_id, embedding) frame — the append side of a
+    * removal-only serving cycle (the late-TEXT feed evicts pending
+    * vectors but attaches none).
+    */
+  private def emptyVecs(spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+  }
+
   /** [[dedupIndexIngestStream]]'s EMBEDDING twin — streaming ingest
     * against the persisted hyperplane-bucket index
     * ([[graft.ops.Similarity.embIndexIngest]]): each micro-batch of
@@ -830,15 +949,18 @@ object StreamOps {
   private[graft] def vectorCurationStep(indexPath: String, outPath: String,
                                         params: graft.ops.VectorFlow.Params,
                                         compactEvery: Int = 0,
-                                        rootsPath: Option[String] = None)
+                                        rootsPath: Option[String] = None,
+                                        serving: Option[Serving] = None)
                                        (batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
     graft.ops.CurationFlow.readLedger(spark, indexPath) match {
       case Some((bid, _, _)) if bid == id =>
         val keptIds = recordedKeptIds(spark, outPath, id, "vec_id")
-        graft.ops.VectorFlow.commit(indexPath,
-          batch.join(keptIds, Seq("vec_id"), "left_semi"), params,
-          prio = id)
+        val kept = batch.join(keptIds, Seq("vec_id"), "left_semi")
+        graft.ops.VectorFlow.commit(indexPath, kept, params, prio = id)
+        serving.foreach(sv => maintainServing(sv, indexPath + "/vectors",
+          kept.select("vec_id", "embedding"), None, id, lane = "ing",
+          replay = true))
       case led =>
         val start = led match {
           case Some((_, _, e)) => e
@@ -853,6 +975,9 @@ object StreamOps {
           staged.cursor)
         graft.ops.VectorFlow.commit(indexPath, staged.kept, params,
           Some(staged.keptBands), prio = id)
+        serving.foreach(sv => maintainServing(sv, indexPath + "/vectors",
+          staged.kept.select("vec_id", "embedding"), None, id,
+          lane = "ing"))
     }
     if (dueForCompact(compactEvery, id)) {
       graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/digest")
@@ -878,12 +1003,13 @@ object StreamOps {
                                  params: graft.ops.VectorFlow.Params =
                                    graft.ops.VectorFlow.Params(),
                                  compactEvery: Int = 0,
-                                 rootsPath: Option[String] = None)
+                                 rootsPath: Option[String] = None,
+                                 serving: Option[Serving] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(vectorCurationStep(indexPath, outPath, params,
-        compactEvery, rootsPath) _)
+        compactEvery, rootsPath, serving) _)
       .start()
 
   /** [[curationStep]]'s UNIFIED twin — one micro-batch of the
@@ -900,7 +1026,8 @@ object StreamOps {
                                  vec: graft.ops.VectorFlow.Params =
                                    graft.ops.VectorFlow.Params(),
                                  compactEvery: Int = 0,
-                                 rootsPath: Option[String] = None)
+                                 rootsPath: Option[String] = None,
+                                 serving: Option[Serving] = None)
                                 (batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
     graft.ops.CurationFlow.readLedger(spark, indexPath) match {
@@ -911,6 +1038,10 @@ object StreamOps {
         // lost textmeta rows in the crash window (see replayCommit)
         graft.ops.UnifiedFlow.replayCommit(indexPath, kept, buckets, vec,
           prio = id)
+        serving.foreach(sv => maintainServing(sv,
+          indexPath + "/vec/vectors",
+          kept.select(col("doc_id").as("vec_id"), col("embedding")),
+          None, id, lane = "ing", replay = true))
       case led =>
         // the TOKEN cursor is global across the ingest loop and the
         // late-TEXT correction feed (both pack sequences) — each feed
@@ -928,6 +1059,10 @@ object StreamOps {
           staged.cursor)
         graft.ops.UnifiedFlow.commit(indexPath, staged, buckets, vec,
           prio = id)
+        serving.foreach(sv => maintainServing(sv,
+          indexPath + "/vec/vectors",
+          staged.keptVecs.select("vec_id", "embedding"), None, id,
+          lane = "ing"))
     }
     if (dueForCompact(compactEvery, id)) {
       graft.ops.Dedup.bandIndexCompact(spark, indexPath + "/digest")
@@ -953,12 +1088,13 @@ object StreamOps {
                           vec: graft.ops.VectorFlow.Params =
                             graft.ops.VectorFlow.Params(),
                           compactEvery: Int = 0,
-                          rootsPath: Option[String] = None)
+                          rootsPath: Option[String] = None,
+                          serving: Option[Serving] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(unifiedStep(indexPath, outPath, bench, budget,
-        buckets, maxBucket, vec, compactEvery, rootsPath) _)
+        buckets, maxBucket, vec, compactEvery, rootsPath, serving) _)
       .start()
 
   /** One micro-batch of the LATE-EMBEDDING correction feed against a
@@ -986,7 +1122,8 @@ object StreamOps {
   private[graft] def lateEmbeddingStep(indexPath: String, outPath: String,
                                        vec: graft.ops.VectorFlow.Params,
                                        rootsPath: Option[String] = None,
-                                       compactEvery: Int = 0)
+                                       compactEvery: Int = 0,
+                                       serving: Option[Serving] = None)
                                       (batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
     val vdir = indexPath + "/vec"
@@ -1015,6 +1152,11 @@ object StreamOps {
           vdir + "/vectors", evictIds, vec.buckets)
         graft.ops.VectorFlow.lateCommitParts(vdir, attachNew, None,
           evictRows, vec)
+        // the FULL attached set (not attachNew): the serving lane's own
+        // ledger and the replay dedupe decide what actually appends
+        serving.foreach(sv => maintainServing(sv, vdir + "/vectors",
+          attach.select("vec_id", "embedding"), Some(evictIds), id,
+          lane = "lemb", replay = true))
       case led =>
         val start = led match {
           case Some((_, _, e)) => e
@@ -1031,6 +1173,9 @@ object StreamOps {
         graft.ops.CurationFlow.writeLedger(spark, vdir, id, start,
           start + staged.attach.count())
         graft.ops.VectorFlow.lateCommit(vdir, staged, vec)
+        serving.foreach(sv => maintainServing(sv, vdir + "/vectors",
+          staged.attach.select("vec_id", "embedding"),
+          Some(staged.evict.select("vec_id")), id, lane = "lemb"))
     }
     // a correction-heavy corpus with sparse ingest must not wait for
     // the ingest loop's schedule to bound its files (r17): the late
@@ -1058,12 +1203,13 @@ object StreamOps {
                           vec: graft.ops.VectorFlow.Params =
                             graft.ops.VectorFlow.Params(),
                           rootsPath: Option[String] = None,
-                          compactEvery: Int = 0)
+                          compactEvery: Int = 0,
+                          serving: Option[Serving] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     late.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(lateEmbeddingStep(indexPath, outPath, vec,
-        rootsPath, compactEvery) _)
+        rootsPath, compactEvery, serving) _)
       .start()
 
   /** One micro-batch of the LATE-TEXT correction feed against a unified
@@ -1104,7 +1250,8 @@ object StreamOps {
                                   vec: graft.ops.VectorFlow.Params =
                                     graft.ops.VectorFlow.Params(),
                                   rootsPath: Option[String] = None,
-                                  compactEvery: Int = 0)
+                                  compactEvery: Int = 0,
+                                  serving: Option[Serving] = None)
                                  (batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
     val ltdir = indexPath + "/ltext"
@@ -1139,6 +1286,14 @@ object StreamOps {
           .select("doc_id")
         graft.ops.UnifiedFlow.lateTextCommitParts(indexPath, attachNew,
           None, evictText, vecDrop, buckets, vec)
+        // removal-only serving cycle: a retroactively-dropped doc's
+        // pending vector leaves the serving index with the store; the
+        // empty append still runs the watch so a drop-heavy text feed
+        // earns its purge without waiting for another feed's traffic
+        serving.foreach(sv => maintainServing(sv,
+          indexPath + "/vec/vectors", emptyVecs(spark),
+          Some(vecDrop.select(col("doc_id").as("vec_id"))), id,
+          lane = "ltext", replay = true))
       case led =>
         val start = math.max(led.map(_._3).getOrElse(0L),
           graft.ops.CurationFlow.readLedger(spark, indexPath)
@@ -1152,6 +1307,10 @@ object StreamOps {
           staged.cursor)
         graft.ops.UnifiedFlow.lateTextCommit(indexPath, staged, buckets,
           vec)
+        serving.foreach(sv => maintainServing(sv,
+          indexPath + "/vec/vectors", emptyVecs(spark),
+          Some(staged.evictVecIds.select(col("doc_id").as("vec_id"))), id,
+          lane = "ltext"))
     }
     // the stores this feed mutates: the text indexes, the keeper-meta
     // store, the vec store (pending-vector drops), and the roots view
@@ -1181,12 +1340,13 @@ object StreamOps {
                      vec: graft.ops.VectorFlow.Params =
                        graft.ops.VectorFlow.Params(),
                      rootsPath: Option[String] = None,
-                     compactEvery: Int = 0)
+                     compactEvery: Int = 0,
+                     serving: Option[Serving] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     late.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(lateTextStep(indexPath, outPath, bench, budget,
-        buckets, maxBucket, vec, rootsPath, compactEvery) _)
+        buckets, maxBucket, vec, rootsPath, compactEvery, serving) _)
       .start()
 
   /** [[recordedCorrections]] with the late-TEXT replay's extra columns
@@ -1425,6 +1585,18 @@ object StreamOps {
     * absorbed a late correction of its docs loses the per-doc anti-join
     * to the folded value — the replay's recomputed (stale-rooted) plain
     * row never resurfaces (r17 ADVICE's fold-vs-replay window).
+    *
+    * The returned rows are MATERIALIZED inside the lock (an eager
+    * localCheckpoint — distributed, never a driver collect): a lazy
+    * plan would release the monitor at return and scan the parquet
+    * files at the consumer's leisure, racing a concurrent
+    * [[compactRoots]]' scoped deletes into FileNotFound (r18 ADVICE —
+    * the monitor now covers consumption, making the scaladoc's
+    * "mutation AND serve" claim true rather than construction-only).
+    * The checkpoint is node-count-bounded (the loser map), its blocks
+    * freed by the ContextCleaner once the consumer drops the frame;
+    * [[compactRoots]] — the hot repeated caller — unpersists its serve
+    * explicitly after the fold lands.
     */
   def serveRoots(spark: org.apache.spark.sql.SparkSession,
                  rootsPath: String): DataFrame = rootsLock(rootsPath) {
@@ -1435,6 +1607,7 @@ object StreamOps {
     readRootRows(spark, rootsPath).select("doc_id", "root_id").distinct()
       .join(corrLatest, Seq("doc_id"), "left_anti")
       .unionByName(corrLatest)
+      .localCheckpoint()
   }
 
   /** The reserved correction-feed name the fold lands under. */
@@ -1496,8 +1669,16 @@ object StreamOps {
     val corrParts: Seq[org.apache.hadoop.fs.Path] = corrFeedDirs
       .filterNot(_.getName == s"feed=$foldFeed")
       .flatMap(f => fs.listStatus(f).filter(_.isDirectory).map(_.getPath))
+    // serveRoots is an eager localCheckpoint: the emptiness probe and
+    // the fold write below both read the materialized blocks — the
+    // pre-r18 lazy serve executed the full resolution TWICE here (r18
+    // ADVICE), once for isEmpty and once for the write
     val resolved = serveRoots(spark, rootsPath)
-    if (resolved.isEmpty) return
+    if (resolved.isEmpty) {
+      org.apache.spark.sql.graftbridge.Bridge
+        .unpersistLocalCheckpoint(resolved)
+      return
+    }
     val maxSeq = readCorrRows(spark, rootsPath + "_corr")
       .agg(coalesce(max(col("seq")), lit(0L)).as("m")).head().getLong(0)
     val foldTmp = new org.apache.hadoop.fs.Path(rootsPath + "_corr.foldtmp")
@@ -1508,6 +1689,7 @@ object StreamOps {
     resolved.withColumn("seq", lit(maxSeq))
       .repartition(targetParts)
       .write.mode("overwrite").parquet(foldTmp.toString)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(resolved)
     if (fs.exists(foldDir)) fs.delete(foldDir, true)
     fs.mkdirs(foldDir)
     renameRootsOrThrow(fs, foldTmp,
@@ -1528,12 +1710,39 @@ object StreamOps {
     * partial tmp from a crash mid-write is deleted, never promoted —
     * the absorbed partitions still hold every row in that case) when
     * the fold partition is gone, then clear leftovers. Runs at every
-    * roots entry point under [[rootsLock]].
+    * roots entry point under [[rootsLock]]. Also heals, one-shot, a
+    * view crashed mid-compact under the PRE-r18 aside/tmp layout (r18
+    * ADVICE — see the inline note).
     */
   private def recoverRoots(spark: org.apache.spark.sql.SparkSession,
                            rootsPath: String): Unit = {
     val corrP = new org.apache.hadoop.fs.Path(rootsPath + "_corr")
     val fs = corrP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ---- one-shot LEGACY heal (r18 ADVICE): a view crashed mid-compact
+    // under the pre-r18 layout left its live dir renamed to
+    // `<roots>.aside` with the fold staged at `<roots>.tmp` — dirs the
+    // current layout never writes, so without this the plain dir stayed
+    // missing and the aside rows were stranded forever. A COMPLETE tmp
+    // (it was written with Spark's _SUCCESS commit marker) holds the
+    // full pre-crash serve: promote it to the plain dir (its
+    // batch_id=-1 partition reads fine under readRootRows, exactly what
+    // the old compact produced; the next new-style compact absorbs it).
+    // An incomplete tmp means the old live dir is intact in the aside:
+    // restore it. Whatever remains after the heal is superseded.
+    val legacyTmp = new org.apache.hadoop.fs.Path(rootsPath + ".tmp")
+    val legacyAside = new org.apache.hadoop.fs.Path(rootsPath + ".aside")
+    if (fs.exists(legacyTmp) || fs.exists(legacyAside)) {
+      val p = new org.apache.hadoop.fs.Path(rootsPath)
+      val tmpComplete = fs.exists(
+        new org.apache.hadoop.fs.Path(legacyTmp, "_SUCCESS"))
+      if (!fs.exists(p)) {
+        if (tmpComplete) renameRootsOrThrow(fs, legacyTmp, p)
+        else if (fs.exists(legacyAside))
+          renameRootsOrThrow(fs, legacyAside, p)
+      }
+      if (fs.exists(legacyTmp)) fs.delete(legacyTmp, true)
+      if (fs.exists(legacyAside)) fs.delete(legacyAside, true)
+    }
     val foldTmp = new org.apache.hadoop.fs.Path(rootsPath + "_corr.foldtmp")
     val foldDir = new org.apache.hadoop.fs.Path(corrP, s"feed=$foldFeed")
     // the promote condition is the PARTITION dir, not the feed dir: a

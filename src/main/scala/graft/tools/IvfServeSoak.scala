@@ -62,6 +62,15 @@ object IvfServeSoak {
     // membership must equal the live accounting at every cycle, and the
     // serve wall must stay FLAT (without the purge the filtered dead
     // rows' IO and anti-join grow without bound in time).
+    // "loop" (r19, the r18 verdict's #1): the SAME flood scenario as
+    // "flat", but the corpus build AND the serving maintenance run
+    // through the production streaming step
+    // (StreamOps.vectorCurationStep with a StreamOps.Serving attached)
+    // instead of this soak's hand-rolled decide/commit/maintain
+    // sequence — the bootstrap, the lane-ledgered appends, and the
+    // watch's applied refine all happen INSIDE the loop; the soak only
+    // measures. Claims: the in-loop watch fires refine at the flood,
+    // recall@10 recovers to the envelope, serve wall flat.
     val mode = args.lift(3).getOrElse("flat")
     val drifting = mode.startsWith("drift")
     val churn = mode == "churn"
@@ -137,6 +146,48 @@ object IvfServeSoak {
       .select((col("id") + 800000000L).as("probe_id"),
         corpusVec(col("id") + 800000000L).as("probe_emb"))
       .localCheckpoint()
+
+    if (mode == "loop") {
+      // the production wiring end to end: the streaming step owns the
+      // decide/commit/ledger AND the serving maintenance (bootstrap,
+      // lane-ledgered append, watch verdict applied) — the soak only
+      // observes the watch and measures recall
+      var lastWatch: Option[graft.ops.IvfIndex.MaintainWatch] = None
+      val serving = Some(graft.streaming.StreamOps.Serving(idx,
+        maxCellRows = cap, nlist = nlist,
+        onWatch = w => lastWatch = Some(w)))
+      for (b <- 0 until batches) {
+        def t[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        lastWatch = None
+        val (_, wStep) = t {
+          graft.streaming.StreamOps.vectorCurationStep(vdir,
+            s"$base/decisions", p, serving = serving)(mkBatch(b), b.toLong)
+        }
+        val ((recall, ncells), wMeasure) = t {
+          val model = graft.ops.IvfIndex.load(spark, idx)
+          val nc = model.centroids.count().toInt
+          def topk(np: Int) = graft.ops.IvfIndex
+            .searchTopKBatch(model, probes, 10, np)
+            .select("probe_id", "vec_id")
+          (topk(16).join(topk(nc), Seq("probe_id", "vec_id"))
+            .count() / 320.0, nc)
+        }
+        val kept = graft.ops.CurationFlow.readLedger(spark, vdir)
+          .map(_._3).getOrElse(0L)
+        println(f"batch=$b%2d kept=$kept%8d " +
+          f"act=${lastWatch.map(_.action).getOrElse("build")}%-7s " +
+          f"maxCell=${lastWatch.map(_.maxCell).getOrElse(0L)}%6d " +
+          f"cells=$ncells%4d " +
+          f"cos=${lastWatch.map(_.meanAssignCos).getOrElse(1.0)}%.3f " +
+          f"recall@10=$recall%.3f step=$wStep%5.1fs " +
+          f"measure=$wMeasure%5.1fs")
+      }
+      spark.stop()
+      return
+    }
 
     var cursor = 0L
     var built = false

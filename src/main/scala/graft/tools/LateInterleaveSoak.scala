@@ -31,13 +31,16 @@ import org.apache.spark.sql.functions._
   * replay drill at cycle `replayAt` re-runs all three ledger-committed
   * steps and requires the stores and the serve to hold still.
   *
-  * A maintained SERVING IVF index rides along (r17): every cycle's
-  * kept vectors append (`maintainAppend`, ledgered), the late pass's
-  * attached vectors append, and its evictions TOMBSTONE
-  * (`maintainRemove`) — the served membership must equal the
-  * kept-vector store's at every cycle boundary, closing the loop
-  * between the corpus build and ANN serving: an evicted duplicate
-  * stops being served the moment its correction lands, no rebuild.
+  * A maintained SERVING IVF index rides along — IN-LOOP as of r19
+  * (the r18 verdict's #1): all three steps carry one
+  * [[graft.streaming.StreamOps.Serving]], so the bootstrap, the
+  * per-lane ledgered appends (ingest keeps + late attaches), the
+  * eviction tombstones, and the watch's applied verdicts happen inside
+  * the streaming loop itself — the exact production wiring. The soak's
+  * claim is unchanged and now checks that wiring: served membership
+  * must equal the kept-vector store's at every cycle boundary, through
+  * the replay drill included — an evicted duplicate stops being served
+  * the moment its correction lands, no rebuild, no operator.
   */
 object LateInterleaveSoak {
   def main(args: Array[String]): Unit = {
@@ -129,30 +132,28 @@ object LateInterleaveSoak {
       s"feeds on colliding ledger ids, compactEvery=$compactEvery, " +
       s"replay drill at cycle $replayAt")
 
-    // ---- serving-index composition (r17): a maintained IVF index
-    // follows the corpus through ingest appends, late ATTACHES, and
-    // late EVICTIONS (maintainRemove tombstones) — its served
-    // membership must equal the kept-vector store's at every cycle
+    // ---- serving-index composition, IN-LOOP (r19 — the r18 verdict's
+    // #1): the r17 soak drove this by hand (a servingAppend helper +
+    // explicit maintainRemove after every cycle); now the three
+    // streaming steps carry a StreamOps.Serving and the maintenance —
+    // bootstrap, per-lane ledgered appends, eviction tombstones, and
+    // the watch's applied verdict — happens inside the loop, which is
+    // exactly what production callers get. The membership requirement
+    // below (served ≡ kept-vector store at every cycle boundary) now
+    // validates the wired path.
     val sidx = s"$base/serving"
-    var servingBuilt = false
-    var servingSeq = 0L
-    def servingAppend(vecs: org.apache.spark.sql.DataFrame): Unit =
-      if (!servingBuilt) {
-        graft.ops.IvfIndex.save(
-          graft.ops.IvfIndex.build(vecs, nlist = 64, iters = 2), sidx)
-        servingBuilt = true
-      } else {
-        graft.ops.IvfIndex.maintainAppend(spark, sidx, vecs,
-          maxCellRows = 1000000L, batchId = servingSeq)
-        servingSeq += 1
-      }
+    val serving = Some(graft.streaming.StreamOps.Serving(sidx,
+      maxCellRows = 1000000L, nlist = 64,
+      onWatch = w => if (w.action != "ok")
+        println(s"  serving watch: ${w.action} " +
+          f"(maxCell=${w.maxCell} tombFrac=${w.tombstoneFrac}%.3f)")))
     var lateId = 0L
     (0 until cycles).foreach { b =>
       val t0 = System.nanoTime()
       val batch = mkBatch(b)
       graft.streaming.StreamOps.unifiedStep(s"$base/idx", s"$base/out",
         bench, 256L, 16, vec = vec, compactEvery = compactEvery,
-        rootsPath = roots)(batch, b.toLong)
+        rootsPath = roots, serving = serving)(batch, b.toLong)
       val wallI = (System.nanoTime() - t0) / 1e9
       var wallE = 0.0; var wallT = 0.0
       if (b >= 2) {
@@ -162,7 +163,8 @@ object LateInterleaveSoak {
             lit(origB.toLong).as("prio"))
         val tE = System.nanoTime()
         graft.streaming.StreamOps.lateEmbeddingStep(s"$base/idx",
-          s"$base/lembout", vec, roots)(lateEmb, lateId)
+          s"$base/lembout", vec, roots,
+          serving = serving)(lateEmb, lateId)
         wallE = (System.nanoTime() - tE) / 1e9
         val lateText = textWithheld(origB)
           .select(col("doc_id"), text(col("doc_id")).as("text"))
@@ -171,7 +173,7 @@ object LateInterleaveSoak {
         val tT = System.nanoTime()
         graft.streaming.StreamOps.lateTextStep(s"$base/idx",
           s"$base/ltextout", bench, 256L, 16, vec = vec,
-          rootsPath = roots)(lateText, lateId)
+          rootsPath = roots, serving = serving)(lateText, lateId)
         wallT = (System.nanoTime() - tT) / 1e9
         // planted verdicts: every late arrival attached; every twin
         // evicted at EXACTLY its stage, rooted at its orig
@@ -203,24 +205,9 @@ object LateInterleaveSoak {
             s"(got $evictedT/$expectedT, $badT misrooted)")
         lateId += 1
       }
-      // serving composition: append the cycle's kept vectors, the late
-      // pass's attached vectors, and tombstone its evictions
-      val keptIds = spark.read.parquet(s"$base/out")
-        .filter(col("batch_id") === b && col("status") === "kept")
-        .select("doc_id")
-      servingAppend(batch.join(keptIds, Seq("doc_id"), "left_semi")
-        .filter(col("embedding").isNotNull)
-        .select(col("doc_id").as("vec_id"), col("embedding")))
-      if (b >= 2) {
-        servingAppend(embWithheld(b - 2)
-          .select(col("doc_id").as("vec_id"),
-            unitVec(col("doc_id")).as("embedding")))
-        graft.ops.IvfIndex.maintainRemove(spark, sidx,
-          spark.read.parquet(s"$base/lembout")
-            .filter(col("batch_id") === (lateId - 1) &&
-              col("status") === "semdup_late")
-            .select(col("doc_id").as("vec_id")))
-      }
+      // the serving maintenance ran IN-LOOP (appends, attaches,
+      // eviction tombstones, watch verdicts) — here only the claim is
+      // checked: served membership ≡ the kept-vector store
       val storeIds = spark.read.parquet(s"$base/idx/vec/vectors")
         .select("vec_id").distinct()
       val servedIds = graft.ops.IvfIndex.load(spark, sidx)
@@ -244,15 +231,16 @@ object LateInterleaveSoak {
         val vecM = members(s"$base/idx/vec/vectors", "vec_id")
         val metaRows = spark.read.parquet(s"$base/idx/textmeta").count()
         graft.streaming.StreamOps.unifiedStep(s"$base/idx", s"$base/out",
-          bench, 256L, 16, vec = vec, rootsPath = roots)(batch, b.toLong)
+          bench, 256L, 16, vec = vec, rootsPath = roots,
+          serving = serving)(batch, b.toLong)
         graft.streaming.StreamOps.lateEmbeddingStep(s"$base/idx",
-          s"$base/lembout", vec, roots)(
+          s"$base/lembout", vec, roots, serving = serving)(
           embWithheld(b - 2).select(col("doc_id"),
             unitVec(col("doc_id")).as("embedding"),
             lit((b - 2).toLong).as("prio")), lateId - 1)
         graft.streaming.StreamOps.lateTextStep(s"$base/idx",
           s"$base/ltextout", bench, 256L, 16, vec = vec,
-          rootsPath = roots)(
+          rootsPath = roots, serving = serving)(
           textWithheld(b - 2).select(col("doc_id"),
             text(col("doc_id")).as("text"))
             .withColumn("n_chars", length(col("text")).cast("long"))

@@ -192,6 +192,30 @@ class GraphSpec extends SparkTestBase {
       .foreach(r => assert(r.getLong(1) === 1000000000L, r.toString))
   }
 
+  test("pageRankFixedPoint: scale=-1 resolves from the node count (capped at 1e9) and matches the explicit default on small graphs") {
+    import spark.implicits._
+    // the r18 ADVICE contract: the guard is Long.MaxValue-based
+    // (n*scale*85 fits a long, ~108M nodes at 1e9) and auto-scale picks
+    // the largest admissible power of 10 so a bench at any SF never
+    // aborts — the oracle reproduces the choice with the same integer
+    // powers-table walk
+    assert(Graph.autoScale(10L) === 1000000000L)
+    assert(Graph.autoScale(108000000L) === 1000000000L, "cap binds to ~108M")
+    assert(Graph.autoScale(2000000000L) === 10000000L,
+      "2B nodes: Long.MaxValue/85/2e9 ~ 5.4e7 -> 1e7")
+    assert(Graph.autoScale(0L) === 1000000000L)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    def run(sc: Long) = Graph.pageRankFixedPoint(edges, 3, scale = sc)
+      .orderBy("node_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(run(-1L) === run(1000000000L).toSeq,
+      "auto-scale is the 1e9 default wherever the cap binds")
+    // past the guard, an explicit oversized scale still throws
+    intercept[IllegalArgumentException] {
+      Graph.pageRankFixedPoint(edges, 3, scale = Long.MaxValue / 85)
+        .collect()
+    }
+  }
+
   test("pageRank: epsilon termination exits early; tol=0 is the fixed-iters path") {
     import spark.implicits._
     // cycle: rank 1.0 is exactly stationary, so round 1 reproduces it and

@@ -1345,4 +1345,65 @@ class IvfIndexSpec extends SparkTestBase {
     assert(rows() === 340L,
       "a ledgered batch replayed after a refine swap must still skip")
   }
+
+  test("maintain lanes: per-feed ledgers are independent; footprints never cross; every lane's ledger survives a swap") {
+    import spark.implicits._
+    def unit(seed: Int, n: Int): Seq[(Long, Seq[Float])] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        val v = Array.fill(16)(0f).map(_ => rnd.nextGaussian().toFloat)
+        val nn = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+        (seed.toLong * 100000 + i, v.map(x => (x / nn).toFloat).toSeq)
+      }
+    }
+    def df(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("ivflane")
+      .toString + "/idx"
+    IvfIndex.save(IvfIndex.build(df(unit(1, 200)), nlist = 8, iters = 1),
+      dir)
+    def rows(): Long = spark.read.parquet(s"$dir/assignments").count()
+    // the multi-feed shape: feed A (lane "ing") is already at batch 5
+    // when feed B (lane "lemb") delivers ITS batch 0 — one max-id
+    // ledger would wrongly skip B's batch (5 >= 0, the r19 wiring's
+    // motivating defect)
+    IvfIndex.maintainAppend(spark, dir, df(unit(2, 40)), 500,
+      batchId = 5L, lane = "ing")
+    assert(rows() === 240L)
+    IvfIndex.maintainAppend(spark, dir, df(unit(3, 30)), 500,
+      batchId = 0L, lane = "lemb")
+    assert(rows() === 270L,
+      "lane lemb batch 0 must apply despite lane ing being at 5")
+    // replays skip per lane
+    IvfIndex.maintainAppend(spark, dir, df(unit(2, 40)), 500,
+      batchId = 5L, lane = "ing")
+    IvfIndex.maintainAppend(spark, dir, df(unit(3, 30)), 500,
+      batchId = 0L, lane = "lemb")
+    assert(rows() === 270L, "per-lane replays must both skip")
+    // a torn retry in one lane wipes ONLY its own footprint: delete
+    // lane lemb's ledger (crash-before-ledger state) and retry — lane
+    // ing's batch-5 rows must survive the wipe
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(
+      new org.apache.hadoop.fs.Path(dir, "_maintain_ledger_lemb"), false)
+    IvfIndex.maintainAppend(spark, dir, df(unit(3, 30)), 500,
+      batchId = 0L, lane = "lemb")
+    assert(rows() === 270L,
+      "the lemb retry must re-land exactly its own 30 rows")
+    assert(spark.read.parquet(s"$dir/assignments")
+      .groupBy("vec_id").count().filter(col("count") > 1).count() === 0L)
+    // a purge swap carries EVERY lane's ledger — both replays still skip
+    IvfIndex.maintainRemove(spark, dir, df(unit(2, 40)).select("vec_id")
+      .limit(10))
+    IvfIndex.purgeInPlace(spark, dir)
+    assert(rows() === 260L)
+    IvfIndex.maintainAppend(spark, dir, df(unit(2, 40)), 500,
+      batchId = 5L, lane = "ing")
+    IvfIndex.maintainAppend(spark, dir, df(unit(3, 30)), 500,
+      batchId = 0L, lane = "lemb")
+    assert(rows() === 260L,
+      "every lane's ledger must survive the purge swap")
+  }
 }

@@ -1577,6 +1577,178 @@ class StreamingSpec extends SparkTestBase {
     assert(served === after)
   }
 
+  test("in-loop serving maintenance: bootstrap, ledgered appends, eviction tombstones, and the watch's PURGE fire inside the streaming loop; decisions identical to the serving-less twin") {
+    import spark.implicits._
+    val vec = graft.ops.VectorFlow.Params(minCos = 0.99, dim = 8)
+    def rot(a: Double): Seq[Float] = {
+      val v = Array.fill(8)(0f)
+      v(0) = math.cos(a).toFloat; v(1) = math.sin(a).toFloat; v.toSeq
+    }
+    def goodText(seed: String): String =
+      "the of " + (0 until 20).map(j => s"w$seed$j").mkString(" ")
+    def udf2(rows: Seq[(Long, String, Seq[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .select("doc_id", "text", "n_chars", "embedding")
+    def lateDf(rows: Seq[(Long, Seq[Float], Long)]) =
+      rows.toDF("doc_id", "embedding", "prio")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    val noEmb = null.asInstanceOf[Seq[Float]]
+    val bench = graft.ops.CurationFlow.benchShingles(
+      udf2(Seq((100L, goodText("bench"), noEmb))))
+    // batches: ingest 0 = 4 pending docs (1-4, embeddings late) + 6
+    // vectored docs (11-16); ingest 1 = 6 vectored (21-26); two late
+    // passes attach 1-4's embeddings as near-dups of 21-24 (earlier
+    // prio -> each EVICTS its stored twin); ingest 2 = 2 vectored
+    // (31,32). Tombstones cross maxTombstoneFrac=0.2 before batch 2's
+    // cycle, which must purge IN-LOOP.
+    def b0 = udf2((1L to 4L).map(i => (i, goodText(s"p$i"), noEmb)) ++
+      (0 until 6).map(i => (11L + i, goodText(s"a$i"), rot(0.25 * i))))
+    def b1 = udf2((0 until 6).map(i =>
+      (21L + i, goodText(s"b$i"), rot(2.0 + 0.25 * i))))
+    def b2 = udf2(Seq((31L, goodText("c0"), rot(4.0)),
+      (32L, goodText("c1"), rot(4.25))))
+    def l0 = lateDf(Seq((1L, rot(2.005), 0L), (2L, rot(2.255), 0L)))
+    def l1 = lateDf(Seq((3L, rot(2.505), 0L), (4L, rot(2.755), 0L)))
+    def drive(base: String, serving: Option[StreamOps.Serving]): Unit = {
+      StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+        vec = vec, serving = serving)(b0, 0L)
+      StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+        vec = vec, serving = serving)(b1, 1L)
+      StreamOps.lateEmbeddingStep(s"$base/idx", s"$base/lateout", vec,
+        serving = serving)(l0, 0L)
+      StreamOps.lateEmbeddingStep(s"$base/idx", s"$base/lateout", vec,
+        serving = serving)(l1, 1L)
+      StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+        vec = vec, serving = serving)(b2, 2L)
+    }
+    val a = java.nio.file.Files.createTempDirectory("srvA").toString
+    val b = java.nio.file.Files.createTempDirectory("srvB").toString
+    val watches =
+      scala.collection.mutable.ArrayBuffer
+        .empty[graft.ops.IvfIndex.MaintainWatch]
+    // driftMargin 1.0: this scenario's batches land far from the
+    // bootstrap centroids by construction — the purge lifecycle is
+    // under test, not the retrain escalation (IvfServeSoak's drift
+    // modes own that)
+    val sv = StreamOps.Serving(s"$b/serving", maxCellRows = 1000L,
+      nlist = 2, driftMargin = 1.0, maxTombstoneFrac = 0.2,
+      onWatch = w => watches += w)
+    drive(a, None)
+    drive(b, Some(sv))
+    // the watch fired purge INSIDE the loop (batch 2's cycle: 4
+    // tombstones / 18 physical = 0.22 > 0.2), and the purge landed —
+    // tombstones dir gone, occupancy compacted
+    assert(watches.map(_.action).toSeq === Seq("ok", "ok", "ok", "purge"),
+      s"watch actions: ${watches.map(_.action)}")
+    assert(watches.last.tombstoneFrac > 0.2)
+    val fs = new org.apache.hadoop.fs.Path(s"$b/serving")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$b/serving/tombstones")),
+      "purgeInPlace must drop the tombstone log")
+    // served membership == the kept-vector store, exactly (bootstrap +
+    // ledgered appends + tombstoned evictions + purge)
+    val servedIds = graft.ops.IvfIndex.load(spark, s"$b/serving")
+      .assignments.select("vec_id").as[Long].collect().toSet
+    val storeIds = spark.read.parquet(s"$b/idx/vec/vectors")
+      .select("vec_id").as[Long].collect().toSet
+    assert(servedIds === storeIds, s"served=$servedIds store=$storeIds")
+    assert(servedIds === ((11L to 16L) ++ (25L to 26L) ++ (1L to 4L) ++
+      Seq(31L, 32L)).toSet)
+    // decisions byte-identical with and without the serving attachment
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$b/out") === rows(s"$a/out"))
+    assert(rows(s"$b/lateout") === rows(s"$a/lateout"))
+    // replay of a ledgered batch: the serving lane ledger skips the
+    // append — membership unchanged, no duplicate rows
+    StreamOps.unifiedStep(s"$b/idx", s"$b/out", bench, 256L, 16,
+      vec = vec, serving = Some(sv))(b2, 2L)
+    val perId = graft.ops.IvfIndex.load(spark, s"$b/serving")
+      .assignments.groupBy("vec_id").count()
+      .filter(col("count") > 1).count()
+    assert(perId === 0L, "no duplicate served rows after a replay")
+    assert(graft.ops.IvfIndex.load(spark, s"$b/serving")
+      .assignments.count() === storeIds.size.toLong)
+  }
+
+  test("serveRoots: served rows are materialized under the lock — a later compact's scoped deletes cannot fail consumption") {
+    import spark.implicits._
+    val roots = java.nio.file.Files.createTempDirectory("rserve")
+      .toString + "/roots"
+    StreamOps.maintainRoots(roots,
+      Seq((61L, Option(41L))).toDF("doc_id", "matched_id"), 0L)
+    // take a serve handle, then let TWO compacts delete and rewrite the
+    // partitions a lazy plan would have scanned at consumption time (the
+    // r18 ADVICE race: compactEvery folds on a concurrent feed thread)
+    val snapshot = StreamOps.serveRoots(spark, roots)
+    StreamOps.compactRoots(spark, roots)
+    StreamOps.correctRoots(roots,
+      Seq((41L, Option(30L), "semdup_late"),
+        (30L, Option.empty[Long], "attached"))
+        .toDF("doc_id", "matched_id", "status"), 0L, "lemb")
+    StreamOps.compactRoots(spark, roots)
+    val got = snapshot.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(61L -> 41L),
+      "the pre-compact snapshot must read intact after the folds")
+    // and the live serve sees the corrected state
+    val live = StreamOps.serveRoots(spark, roots).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live === Map(61L -> 30L, 41L -> 30L))
+  }
+
+  test("recoverRoots: one-shot legacy heal of a pre-r18 mid-compact crash (aside restore and complete-tmp promote)") {
+    import spark.implicits._
+    val fsFor = (p: String) => new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def served(roots: String): Map[Long, Long] =
+      StreamOps.serveRoots(spark, roots).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (a) crash between the old layout's live->aside rename and the tmp
+    // promote with an INCOMPLETE tmp: the aside holds the only copy —
+    // restore it
+    val r1 = java.nio.file.Files.createTempDirectory("rleg1")
+      .toString + "/roots"
+    StreamOps.maintainRoots(r1,
+      Seq((61L, Option(41L))).toDF("doc_id", "matched_id"), 0L)
+    val fs1 = fsFor(r1)
+    assert(fs1.rename(new org.apache.hadoop.fs.Path(r1),
+      new org.apache.hadoop.fs.Path(r1 + ".aside")))
+    val junk = new java.io.File(r1 + ".tmp")
+    junk.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(junk.getPath, "part-torn.parquet"),
+      Array[Byte](80, 65, 82))
+    assert(served(r1) === Map(61L -> 41L),
+      "the stranded aside rows are restored")
+    assert(!fs1.exists(new org.apache.hadoop.fs.Path(r1 + ".aside")))
+    assert(!fs1.exists(new org.apache.hadoop.fs.Path(r1 + ".tmp")))
+    // (b) crash after staging a COMPLETE old-layout fold tmp (_SUCCESS)
+    // with the live dir already set aside: the tmp holds the full
+    // pre-crash serve — promote it
+    val r2 = java.nio.file.Files.createTempDirectory("rleg2")
+      .toString + "/roots"
+    StreamOps.maintainRoots(r2,
+      Seq((62L, Option(42L))).toDF("doc_id", "matched_id"), 0L)
+    StreamOps.serveRoots(spark, r2)
+      .withColumn("batch_id", lit(-1L)).repartition(1)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(r2 + ".tmp")
+    val fs2 = fsFor(r2)
+    assert(fs2.rename(new org.apache.hadoop.fs.Path(r2),
+      new org.apache.hadoop.fs.Path(r2 + ".aside")))
+    assert(served(r2) === Map(62L -> 42L),
+      "the complete legacy fold tmp is promoted")
+    assert(!fs2.exists(new org.apache.hadoop.fs.Path(r2 + ".aside")))
+    assert(!fs2.exists(new org.apache.hadoop.fs.Path(r2 + ".tmp")))
+    // the healed view keeps working under the current layout
+    StreamOps.maintainRoots(r2,
+      Seq((63L, Option(43L))).toDF("doc_id", "matched_id"), 1L)
+    StreamOps.compactRoots(spark, r2)
+    assert(served(r2) === Map(62L -> 42L, 63L -> 43L))
+  }
+
   test("rootsLock: concurrent correction passes from separate threads stamp distinct, gapless seqs") {
     import spark.implicits._
     val roots = java.nio.file.Files.createTempDirectory("rlock")
