@@ -915,6 +915,25 @@ object VectorFlow {
     }
   }
 
+  /** The sidecar's FROZEN dimension, if the dir has stamped one — a
+    * read-only accessor for the in-query self-verdicts (r19), which
+    * must mirror decide's validity gate (null / zero-norm /
+    * dim-mismatched vectors are never stored) without re-running it.
+    */
+  private[graft] def frozenDim(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Option[Int] = {
+    val f = new org.apache.hadoop.fs.Path(dir, "_graft_vecflow.json")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val body = try scala.io.Source.fromInputStream(in).mkString
+      finally in.close()
+      """"dim"\s*:\s*(-?\d+)""".r.findFirstMatchIn(body)
+        .map(_.group(1).toInt)
+    }
+  }
+
   /** Content digest of the embedding column: md5 over the array's raw
     * IEEE-754 bit image ([[graft.functions.FloatBitsF]] — 4 big-endian
     * bytes per element from `Float.floatToRawIntBits`). The digest is a

@@ -344,8 +344,53 @@ object CurationQueries {
         .unionByName(planted)
       val w2 = graft.ops.UnifiedFlow.ingest(dir.toString, w2in, bench,
         cursor = w1.cursor)
-      w1.decisions.withColumn("wave", lit(1))
+      val decisions = w1.decisions.withColumn("wave", lit(1))
         .unionByName(w2.decisions.withColumn("wave", lit(2)))
+      // ---- in-query self-verdicts (r19, the r18 verdict's #2 — the
+      // q_tokenize_stats treatment for a no-oracle flow key):
+      //   dup_cos_ok — every semantic drop re-verified against the TRUE
+      //     input embeddings (embdup_*: byte-equal; semdup_*: cosine >=
+      //     minCos, the decide verification's own expression);
+      //   store_ok — kept docs (and only they) in the textmeta store;
+      //     docs kept with a valid embedding (and only they) in the
+      //     vector store — one flipped membership fails the gate;
+      //   pack_ok — the packed rows' global token cursor reconstructed
+      //     and required gap-free/collision-free across both waves.
+      // tools/check.py requires every *_ok column all-1 on no-oracle
+      // keys; FlowVerdictsSpec plants the regressions. Driver rows-only.
+      val allIn = base.unionByName(planted)
+      decisions
+        .join(allIn.select(col("doc_id"), col("embedding").as("__e")),
+          Seq("doc_id"), "left")
+        .join(allIn.select(col("doc_id").as("matched_id"),
+          col("embedding").as("__m")), Seq("matched_id"), "left")
+        .join(Verdicts.storedFlag(s, dir.toString + "/textmeta", "doc_id",
+          "__meta"), Seq("doc_id"), "left")
+        .join(Verdicts.storedFlag(s, dir.toString + "/vec/vectors",
+          "vec_id", "__vec").withColumnRenamed("vec_id", "doc_id"),
+          Seq("doc_id"), "left")
+        .withColumn("dup_cos_ok", Verdicts.dupCosOkCol(
+          Seq("embdup_history", "embdup_batch"),
+          Seq("semdup_history", "semdup_batch"),
+          graft.ops.VectorFlow.Params().minCos))
+        .withColumn("store_ok", {
+          // vec-store eligibility mirrors decide's validity gate via
+          // the flow's own frozen sidecar: null / zero-norm /
+          // dim-mismatched embeddings are never stored even for a
+          // text-kept doc
+          val dAuth = graft.ops.VectorFlow.frozenDim(s,
+            dir.toString + "/vec")
+          val eValid = col("__e").isNotNull &&
+            graft.ops.Similarity.l2Norm(col("__e")) > 0d &&
+            dAuth.map(dd => size(col("__e")) === dd).getOrElse(lit(true))
+          (Verdicts.storeOkCol(col("status") === "kept", "__meta") *
+            Verdicts.storeOkCol(col("status") === "kept" && eValid,
+              "__vec")).cast("int")
+        })
+        .withColumn("pack_ok", Verdicts.packOkCol(256L))
+        .select(col("doc_id"), col("status"), col("matched_id"),
+          col("n_tok"), col("seq_id"), col("seq_offset"), col("wave"),
+          col("dup_cos_ok"), col("store_ok"), col("pack_ok"))
         .orderBy("doc_id")
     }),
 
@@ -480,12 +525,60 @@ object CurationQueries {
         .withColumn("prio", lit(1L))
       val corText = graft.ops.UnifiedFlow.lateTexts(dir.toString,
         lateText, bench, cursor = cursor).decisions
-      corEmb.select(col("doc_id"), col("status"), col("matched_id"),
+      val out = corEmb.select(col("doc_id"), col("status"),
+          col("matched_id"),
           lit(null).cast("long").as("n_tok"),
           lit(null).cast("long").as("seq_id"),
           lit(null).cast("long").as("seq_offset"),
           lit("embedding").as("pass"))
         .unionByName(corText.withColumn("pass", lit("text")))
+      // ---- in-query self-verdicts (r19, the r18 verdict's #2):
+      //   dup_cos_ok — every semdup_late eviction re-verified: the
+      //     evicted twin's embedding comes from the FIXTURE's
+      //     pre-correction store snapshot (the work-dir copy's source —
+      //     the eviction removed it from the live store, which is
+      //     exactly why the fixture is the honest witness), the
+      //     winner's from the embeddings table it arrived late from;
+      //   store_ok — post-pass membership row by row: attached docs
+      //     present (vec store for the embedding pass, keeper-meta for
+      //     the text pass), evicted/gate-dropped docs absent from BOTH
+      //     (a late-text eviction also drops the pending vector);
+      //   pack_ok — the attached texts' pack slots reconstructed
+      //     gap-free from the carried fixture cursor.
+      // tools/check.py requires *_ok all-1 on no-oracle keys;
+      // FlowVerdictsSpec plants the regressions. Driver rows-only.
+      val meta = Verdicts.storedFlag(s, dir.toString + "/textmeta",
+        "doc_id", "__meta")
+      val vecs = Verdicts.storedFlag(s, dir.toString + "/vec/vectors",
+        "vec_id", "__vec").withColumnRenamed("vec_id", "doc_id")
+      val fixVecs = s.read.parquet(s"$fix/store/vec/vectors")
+        .select(col("vec_id").as("doc_id"), col("embedding").as("__e"))
+      out
+        .join(meta, Seq("doc_id"), "left")
+        .join(vecs, Seq("doc_id"), "left")
+        .join(fixVecs, Seq("doc_id"), "left")
+        .join(emb.select(col("vec_id").as("matched_id"),
+          col("embedding").as("__m")), Seq("matched_id"), "left")
+        .withColumn("dup_cos_ok", when(col("pass") === "embedding",
+            Verdicts.dupCosOkCol(Seq("embdup_late"), Seq("semdup_late"),
+              graft.ops.VectorFlow.Params().minCos))
+          .otherwise(lit(1)))
+        .withColumn("store_ok",
+          when(col("pass") === "embedding",
+            when(col("status") === "attached", col("__vec").isNotNull)
+              .when(col("status").isin("semdup_late", "embdup_late"),
+                col("__vec").isNull)
+              .otherwise(lit(true)))
+          .otherwise(
+            when(col("status") === "attached", col("__meta").isNotNull)
+              .when(col("status").isin("exact_late", "neardup_late",
+                "shape", "repetition", "benchmark", "contaminated"),
+                col("__meta").isNull && col("__vec").isNull)
+              .otherwise(lit(true))).cast("int"))
+        .withColumn("pack_ok", Verdicts.packOkCol(256L, start = cursor))
+        .select(col("doc_id"), col("status"), col("matched_id"),
+          col("n_tok"), col("seq_id"), col("seq_offset"), col("pass"),
+          col("dup_cos_ok"), col("store_ok"), col("pack_ok"))
         .orderBy("doc_id", "pass")
     }),
 

@@ -530,7 +530,15 @@ object ExtQueries {
     // drop is TRUE-cosine-verified, unlike the text flow's
     // band-candidacy contract. No SQL oracle (seeded hyperplane family);
     // the two-wave exactness, verification gate, and replay contracts
-    // are VectorFlowSpec's/StreamingSpec's — driver records rows-only.
+    // are VectorFlowSpec's/StreamingSpec's. r19 (the r18 verdict's #2):
+    // the key now SELF-VERIFIES in-query — dup_cos_ok re-verifies every
+    // dedup drop against the true input embeddings (exact statuses:
+    // byte-equal vectors; neardup statuses: cosine >= minCos, the same
+    // expression decide's verification ran), store_ok pins kept <=>
+    // in-the-vector-store row by row. tools/check.py requires every
+    // *_ok column of a no-oracle key to be all-1, so a skipped
+    // verification or a lost store row now FAILS the gate
+    // (FlowVerdictsSpec plants both). Driver still records rows-only.
     "q_vector_curation" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val dir = CoreQueries.pidScopedDir("graft_vector_curation", d)
@@ -547,8 +555,22 @@ object ExtQueries {
       val w2in = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
         .unionByName(copies).unionByName(nudged)
       val w2 = graft.ops.VectorFlow.ingest(dir.toString, w2in, w1.cursor, p)
-      w1.decisions.withColumn("wave", lit(1))
+      val decisions = w1.decisions.withColumn("wave", lit(1))
         .unionByName(w2.decisions.withColumn("wave", lit(2)))
+      val allIn = evens.unionByName(w2in)
+      decisions
+        .join(allIn.select(col("vec_id"), col("embedding").as("__e")),
+          Seq("vec_id"), "left")
+        .join(allIn.select(col("vec_id").as("matched_id"),
+          col("embedding").as("__m")), Seq("matched_id"), "left")
+        .join(Verdicts.storedFlag(s, dir.toString + "/vectors", "vec_id"),
+          Seq("vec_id"), "left")
+        .withColumn("dup_cos_ok", Verdicts.dupCosOkCol(
+          Seq("exact_history", "exact_batch"),
+          Seq("neardup_history", "neardup_batch"), p.minCos))
+        .withColumn("store_ok", Verdicts.storeOkCol(col("status") === "kept"))
+        .select(col("vec_id"), col("status"), col("matched_id"),
+          col("wave"), col("dup_cos_ok"), col("store_ok"))
         .orderBy("vec_id")
     }),
 
@@ -728,10 +750,15 @@ object ExtQueries {
     // VERIFY_NOTES.md) — no ROUND of an engine-divergent double
     // anywhere. The float-double pageRank (epsilon termination, mass
     // conservation) stays pinned by GraphSpec.
+    // scale = -1 (r18 ADVICE): the largest power of 10 the node count
+    // admits, capped at 1e9 — identical to the hardcoded 1e9 at every
+    // test SF (the cap binds until ~108M nodes), but the bench never
+    // aborts on a larger graph; the oracle computes the same choice
+    // with the same integer arithmetic.
     "q_pagerank" -> ((s, d) => {
       val edges = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("src"), (-col("l_partkey") - 1).as("dst"))
-      graft.ops.Graph.pageRankFixedPoint(edges, iters = 3)
+      graft.ops.Graph.pageRankFixedPoint(edges, iters = 3, scale = -1L)
         .orderBy("node_id")
     }),
 
@@ -793,21 +820,25 @@ object ExtQueries {
       ") ORDER BY graph, component"
 
   // q_pagerank's DuckDB twin: the SAME exact integer arithmetic as
-  // Graph.pageRankFixedPoint (scale 1e9, damping 85/100, truncating
-  // div, dangling = n*scale - Σ delivered), unrolled over the fixed 3
-  // iterations — class-A bit-identical longs, no doubles anywhere
-  // (VERIFY_NOTES.md discipline). DuckDB SUMs of BIGINT are HUGEINT:
-  // every sum is cast back before reuse.
+  // Graph.pageRankFixedPoint (auto scale — the largest power of 10
+  // with n*scale*85 inside a long, capped at 1e9, chosen by the same
+  // integer powers-table walk as Graph.autoScale; damping 85/100,
+  // truncating div, dangling = n*scale - Σ delivered), unrolled over
+  // the fixed 3 iterations — class-A bit-identical longs, no doubles
+  // anywhere (VERIFY_NOTES.md discipline). DuckDB SUMs of BIGINT are
+  // HUGEINT: every sum is cast back before reuse.
   private val pagerankSql: String = {
     def iter(k: Int): String =
       s"c$k AS MATERIALIZED (SELECT e.dst AS node_id, CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS in_sum FROM r${k - 1} r JOIN outdeg d USING (node_id) JOIN e ON e.src = r.node_id GROUP BY e.dst), " +
-        s"d$k AS MATERIALIZED (SELECT GREATEST(0, (SELECT nn FROM n) * 1000000000 - CAST(COALESCE(SUM(in_sum), 0) AS BIGINT)) AS dm FROM c$k), " +
-        s"r$k AS MATERIALIZED (SELECT nodes.node_id, 150000000 + (85 * (COALESCE(c$k.in_sum, 0) + (SELECT dm FROM d$k) // (SELECT nn FROM n))) // 100 AS rank_fp FROM nodes LEFT JOIN c$k USING (node_id)), "
+        s"d$k AS MATERIALIZED (SELECT GREATEST(0, (SELECT nn FROM n) * (SELECT s FROM sc) - CAST(COALESCE(SUM(in_sum), 0) AS BIGINT)) AS dm FROM c$k), " +
+        s"r$k AS MATERIALIZED (SELECT nodes.node_id, (15 * (SELECT s FROM sc)) // 100 + (85 * (COALESCE(c$k.in_sum, 0) + (SELECT dm FROM d$k) // (SELECT nn FROM n))) // 100 AS rank_fp FROM nodes LEFT JOIN c$k USING (node_id)), "
+    val pows = (0 to 9).map(i => s"(${math.pow(10, i).toLong})").mkString(",")
     "WITH e AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src, CAST(-l_partkey - 1 AS BIGINT) AS dst FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
       "nodes AS MATERIALIZED (SELECT src AS node_id FROM e UNION SELECT dst FROM e), " +
       "n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes), " +
+      s"sc AS MATERIALIZED (SELECT CAST(MAX(p) AS BIGINT) AS s FROM (VALUES $pows) t(p) WHERE CAST(p AS BIGINT) <= 9223372036854775807 // 85 // GREATEST((SELECT nn FROM n), 1)), " +
       "outdeg AS MATERIALIZED (SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY 1), " +
-      "r0 AS MATERIALIZED (SELECT node_id, CAST(1000000000 AS BIGINT) AS rank_fp FROM nodes), " +
+      "r0 AS MATERIALIZED (SELECT node_id, (SELECT s FROM sc) AS rank_fp FROM nodes), " +
       (1 to 3).map(iter).mkString +
       "f AS (SELECT node_id, rank_fp FROM r3) " +
       "SELECT node_id, CAST(rank_fp AS BIGINT) AS rank_fp FROM f ORDER BY node_id"

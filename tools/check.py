@@ -59,6 +59,31 @@ def main(sf_dir, out_dir):
             failures.append((name, "; ".join(diffs)[:400]))
         else:
             passes.append((name, len(got)))
+    # NO-ORACLE keys (r19): every output dir without an oracle entry is
+    # still constrained by its in-query integer self-verdicts — any
+    # column named *_ok must be all-1 (and never NULL). This is the
+    # q_tokenize_stats treatment for the flow keys DuckDB can't twin:
+    # a silently skipped verification / lost store row / packing
+    # collision flips the column and fails THIS gate.
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        if name in oracle:
+            continue
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            failures.append((name, "NO-ORACLE KEY: EMPTY OUTPUT DIR")); continue
+        try:
+            got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        except Exception as e:
+            failures.append((name, f"NO-ORACLE KEY READ: {e}")); continue
+        ok_cols = [c for c in got.columns if c.endswith("_ok")]
+        bad = [f"{c}: {int((got[c] != 1).sum() + got[c].isna().sum())} rows != 1"
+               for c in ok_cols
+               if got[c].isna().any() or (got[c] != 1).any()]
+        if bad:
+            failures.append((name, "SELF-VERDICT " + "; ".join(bad)[:380]))
+        else:
+            passes.append((name, len(got)))
     for n, r in passes:
         print(f"PASS {n} ({r} rows)")
     for n, msg in failures:
