@@ -359,7 +359,7 @@ object CurationQueries {
       // tools/check.py requires every *_ok column all-1 on no-oracle
       // keys; FlowVerdictsSpec plants the regressions. Driver rows-only.
       val allIn = base.unionByName(planted)
-      decisions
+      val verdicted = decisions
         .join(allIn.select(col("doc_id"), col("embedding").as("__e")),
           Seq("doc_id"), "left")
         .join(allIn.select(col("doc_id").as("matched_id"),
@@ -387,7 +387,7 @@ object CurationQueries {
             Verdicts.storeOkCol(col("status") === "kept" && eValid,
               "__vec")).cast("int")
         })
-        .withColumn("pack_ok", Verdicts.packOkCol(256L))
+      Verdicts.withPackOk(verdicted, "doc_id", 256L)
         .select(col("doc_id"), col("status"), col("matched_id"),
           col("n_tok"), col("seq_id"), col("seq_offset"), col("wave"),
           col("dup_cos_ok"), col("store_ok"), col("pack_ok"))
@@ -553,7 +553,7 @@ object CurationQueries {
         "vec_id", "__vec").withColumnRenamed("vec_id", "doc_id")
       val fixVecs = s.read.parquet(s"$fix/store/vec/vectors")
         .select(col("vec_id").as("doc_id"), col("embedding").as("__e"))
-      out
+      val verdicted = out
         .join(meta, Seq("doc_id"), "left")
         .join(vecs, Seq("doc_id"), "left")
         .join(fixVecs, Seq("doc_id"), "left")
@@ -575,7 +575,7 @@ object CurationQueries {
                 "shape", "repetition", "benchmark", "contaminated"),
                 col("__meta").isNull && col("__vec").isNull)
               .otherwise(lit(true))).cast("int"))
-        .withColumn("pack_ok", Verdicts.packOkCol(256L, start = cursor))
+      Verdicts.withPackOk(verdicted, "doc_id", 256L, start = cursor)
         .select(col("doc_id"), col("status"), col("matched_id"),
           col("n_tok"), col("seq_id"), col("seq_offset"), col("pass"),
           col("dup_cos_ok"), col("store_ok"), col("pack_ok"))

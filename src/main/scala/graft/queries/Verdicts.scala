@@ -71,26 +71,63 @@ private[graft] object Verdicts {
     when(presentCond, col(flag).isNotNull)
       .otherwise(col(flag).isNull).cast("int")
 
-  /** `pack_ok` over packed rows (`n_tok`, `seq_id`, `seq_offset`):
-    * reconstructs each row's global token cursor
-    * (`cb = seq_id*budget + seq_offset`) and requires it to equal
-    * `start` + the exact prefix sum of every earlier packed row's
-    * n_tok — gap-free, collision-free, budget-aligned packing is fully
-    * determined by this one per-row equality (plus the offset staying
-    * inside [0, budget)). Rows with NULL pack fields (drops) are
-    * vacuously 1. The prefix window is a single global sort — the
-    * VERDICT's price, not the operator's (Packing itself runs the
-    * two-phase distributed prefix; at 100 TB the verdict would sample
-    * or run per-partition with the same bases).
+  /** Add `pack_ok` to decision rows (`idCol` unique, `n_tok`,
+    * `seq_id`, `seq_offset`): reconstructs each packed row's global
+    * token cursor (`cb = seq_id*budget + seq_offset`) and requires the
+    * layout to be the canonical gap-free, collision-free packing from
+    * `start` — per row: its offset inside [0, budget) and its cb equal
+    * to the PREVIOUS packed row's `cb + n_tok` (the first row's to its
+    * partition base, chained from `start`). Adjacent-link equality
+    * chained from `start` is exactly prefix-sum equality, checked
+    * WITHOUT a single-partition global window (the naive
+    * `Window.orderBy(cb)` serializes the corpus through one task — the
+    * anti-pattern Packing's own two-phase prefix exists to avoid):
+    * rows range-partition by cb, each partition checks its internal
+    * links with a partitioned lag, and the partition boundary bases
+    * are an nparts-row driver prefix — the [[graft.ops.Packing]]
+    * scale shape, applied to the verdict. Rows with NULL pack fields
+    * (drops) are vacuously 1.
     */
-  def packOkCol(budget: Long, start: Long = 0L): Column = {
-    val cb = col("seq_id") * budget + col("seq_offset")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(cb)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
-    when(col("n_tok").isNull || col("seq_id").isNull, lit(1))
-      .otherwise((col("seq_offset") >= 0 && col("seq_offset") < budget &&
-        cb === lit(start) + coalesce(sum(col("n_tok")).over(w), lit(0L)))
-        .cast("int"))
+  def withPackOk(df: DataFrame, idCol: String, budget: Long,
+                 start: Long = 0L): DataFrame = {
+    val packed = df
+      .filter(col("n_tok").isNotNull && col("seq_id").isNotNull &&
+        col("seq_offset").isNotNull)
+      .select(col(idCol),
+        col("n_tok").cast("long").as("n_tok"),
+        (col("seq_id") * budget + col("seq_offset")).as("__cb"),
+        col("seq_offset"))
+    // materialize the ranged layout once: the bounds aggregate and the
+    // link check are separate jobs and __pid must name the same range
+    // in both (Packing's own discipline)
+    val ranged = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(packed
+        .repartitionByRange(col("__cb")).sortWithinPartitions("__cb")
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint())
+    val bounds = ranged.groupBy("__pid")
+      .agg(max_by(col("__cb") + col("n_tok"), col("__cb")).as("lastEnd"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (bounds.isEmpty) return df.withColumn("pack_ok", lit(1))
+    // each partition's expected base = the previous partition's actual
+    // end (an internal gap flips inside its own partition and never
+    // cascades), the first partition's = `start`
+    val bases: Map[Int, Long] = {
+      var acc = start
+      bounds.map { case (pid, lastEnd) =>
+        val b = (pid, acc); acc = lastEnd; b
+      }.toMap
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("__cb")
+    val verdict = ranged
+      .withColumn("__prevEnd",
+        coalesce(lag(col("__cb") + col("n_tok"), 1).over(w),
+          element_at(typedlit(bases), col("__pid"))))
+      .select(col(idCol),
+        (col("seq_offset") >= 0 && col("seq_offset") < budget &&
+          col("__cb") === col("__prevEnd")).cast("int").as("pack_ok"))
+    df.join(verdict, Seq(idCol), "left")
+      .withColumn("pack_ok", coalesce(col("pack_ok"), lit(1)))
   }
 }

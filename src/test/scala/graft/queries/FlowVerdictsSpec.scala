@@ -60,9 +60,11 @@ class FlowVerdictsSpec extends SparkTestBase {
   test("pack_ok: canonical packing reads all-1; a gap, a collision, and an out-of-range offset each flip") {
     import spark.implicits._
     def packOf(rows: Seq[(Long, Long, Long, Long)], start: Long = 0L) =
-      rows.toDF("doc_id", "n_tok", "seq_id", "seq_offset")
-        .withColumn("v", Verdicts.packOkCol(16L, start))
-        .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+      Verdicts.withPackOk(
+          rows.toDF("doc_id", "n_tok", "seq_id", "seq_offset"), "doc_id",
+          16L, start)
+        .select("doc_id", "pack_ok")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     // canonical gap-free layout under budget 16: tokens 5,7,6,4 at
     // global cursors 0,5,12,18
     val good = Seq((1L, 5L, 0L, 0L), (2L, 7L, 0L, 5L), (3L, 6L, 0L, 12L),
@@ -84,15 +86,26 @@ class FlowVerdictsSpec extends SparkTestBase {
     val carried = Seq((1L, 5L, 2L, 0L), (2L, 7L, 2L, 5L))
     assert(packOf(carried, start = 32L).values.forall(_ == 1))
     // dropped rows (null pack fields) are vacuously 1
-    val withNull = Seq((1L, 5L, 0L, 0L)).toDF("doc_id", "n_tok", "seq_id",
-      "seq_offset")
-      .unionByName(Seq(2L).toDF("doc_id")
-        .withColumn("n_tok", lit(null).cast("long"))
-        .withColumn("seq_id", lit(null).cast("long"))
-        .withColumn("seq_offset", lit(null).cast("long")))
-      .withColumn("v", Verdicts.packOkCol(16L))
-      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    val withNull = Verdicts.withPackOk(
+        Seq((1L, 5L, 0L, 0L)).toDF("doc_id", "n_tok", "seq_id",
+          "seq_offset")
+        .unionByName(Seq(2L).toDF("doc_id")
+          .withColumn("n_tok", lit(null).cast("long"))
+          .withColumn("seq_id", lit(null).cast("long"))
+          .withColumn("seq_offset", lit(null).cast("long"))), "doc_id", 16L)
+      .select("doc_id", "pack_ok")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(withNull === Map(1L -> 1, 2L -> 1))
+    // the distributed two-phase check is partitioning-invariant: the
+    // same canonical layout over many range partitions still reads
+    // all-1 (partition-boundary links close through the driver bases)
+    val many = (0L until 400L).map(i => (i, 3L, (i * 3) / 16, (i * 3) % 16))
+    assert(packOf(many).values.forall(_ == 1))
+    val manyGap = many.map { case (id, t, s, o) =>
+      if (id == 200L) (id, t, s, o + 1) else (id, t, s, o) }
+    val g2 = packOf(manyGap)
+    assert(g2(200L) === 0 && g2.count(_._2 == 0) <= 2,
+      "a mid-corpus shifted row flips locally, not globally")
   }
 
   test("end to end: a real vector flow's verdicts are all-1; tampering the store flips exactly the tampered rows") {
