@@ -1327,6 +1327,64 @@ class StreamingSpec extends SparkTestBase {
     assert(served === Map(42L -> 8L, 44L -> 8L, 66L -> 8L))
   }
 
+  test("late-TEXT lane serving removals: a retroactive gate drop tombstones the pending vector in-loop (empty-append watch cycle)") {
+    import spark.implicits._
+    val vec = graft.ops.VectorFlow.Params(minCos = 0.99, dim = 8)
+    def rot(a: Double): Seq[Float] = {
+      val v = Array.fill(8)(0f)
+      v(0) = math.cos(a).toFloat; v(1) = math.sin(a).toFloat; v.toSeq
+    }
+    def goodText(seed: String): String =
+      "the of " + (0 until 20).map(j => s"w$seed$j").mkString(" ")
+    def udf2(rows: Seq[(Long, String, Seq[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .select("doc_id", "text", "n_chars", "embedding")
+    val noEmb = null.asInstanceOf[Seq[Float]]
+    val bench = graft.ops.CurationFlow.benchShingles(
+      udf2(Seq((100L, goodText("bench"), noEmb))))
+    val base = java.nio.file.Files.createTempDirectory("ltsrv").toString
+    val watches =
+      scala.collection.mutable.ArrayBuffer
+        .empty[graft.ops.IvfIndex.MaintainWatch]
+    val sv = Some(StreamOps.Serving(s"$base/serving", maxCellRows = 1000L,
+      nlist = 2, driftMargin = 1.0, onWatch = w => watches += w))
+    // doc 8 kept PENDING TEXT (vector only) — its vector serves
+    StreamOps.unifiedStep(s"$base/idx", s"$base/out", bench, 256L, 16,
+      vec = vec, serving = sv)(
+      udf2(Seq((1L, goodText("a"), rot(0)),
+        (8L, null.asInstanceOf[String], rot(1.0)))), 0L)
+    def servedIds = graft.ops.IvfIndex.load(spark, s"$base/serving")
+      .assignments.select("vec_id").as[Long].collect().toSet
+    assert(servedIds === Set(1L, 8L), "the pending doc's vector serves")
+    // the late text FAILS a gate (1-distinct-token repetition): the doc
+    // retroactively never qualified — lateTextCommit drops its pending
+    // vector from the store, and the serving attachment must tombstone
+    // it in the SAME batch (the ltext lane's removal-only cycle)
+    val bad = Seq.fill(30)("the").mkString(" ")
+    StreamOps.lateTextStep(s"$base/idx", s"$base/ltout", bench, 256L, 16,
+      vec = vec, serving = sv)(
+      Seq((8L, bad, bad.length.toLong, 0L))
+        .toDF("doc_id", "text", "n_chars", "prio"), 0L)
+    val st = spark.read.parquet(s"$base/ltout")
+      .filter(col("doc_id") === 8L).select("status").head().getString(0)
+    assert(Set("shape", "repetition").contains(st), s"gate drop, got $st")
+    assert(servedIds === Set(1L), "the dropped pending vector stops serving")
+    val storeIds = spark.read.parquet(s"$base/idx/vec/vectors")
+      .select("vec_id").as[Long].collect().toSet
+    assert(servedIds === storeIds, "served membership == the store's")
+    // the removal-only cycle ran the watch with an empty append (the
+    // drop-heavy-text-feed purge path needs no other feed's traffic)
+    assert(watches.last.appended === 0L)
+    // replay of the ledger-committed late batch changes nothing
+    StreamOps.lateTextStep(s"$base/idx", s"$base/ltout", bench, 256L, 16,
+      vec = vec, serving = sv)(
+      Seq((8L, bad, bad.length.toLong, 0L))
+        .toDF("doc_id", "text", "n_chars", "prio"), 0L)
+    assert(servedIds === Set(1L))
+  }
+
   test("unifiedStep replay re-commits the FULL store set: keeper-meta rows survive the crash window") {
     import spark.implicits._
     val vec = graft.ops.VectorFlow.Params(minCos = 0.99, dim = 8)
