@@ -707,6 +707,14 @@ object IvfIndex {
   private def laneTag(lane: String): String = {
     require(lane.matches("[a-z0-9]*"),
       s"maintain lane must be lowercase alphanumeric, got '$lane'")
+    // a lane spelled like a batch id ("b5") would make lane footprints
+    // `maint-b5-b<k>-*` MATCH the legacy empty-lane wipe glob
+    // `maint-b5-*` — a legacy caller's torn retry of batch 5 could then
+    // wipe lane "b5"'s already-applied assignment rows on the same
+    // index (r19 ADVICE). The two namespaces must never overlap.
+    require(!lane.matches("b[0-9]+"),
+      s"maintain lane '$lane' collides with the legacy batch-footprint " +
+        "namespace (b<digits>) — pick a lane not of that form")
     if (lane.isEmpty) "" else s"$lane-"
   }
   private def ledgerName(lane: String): String =
@@ -1139,8 +1147,22 @@ object IvfIndex {
     fs.delete(new org.apache.hadoop.fs.Path(boot), true)
     save(build(batch, nlist, iters, seed), boot)
     writeMaintainLedger(spark, boot, batchId, lane)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(boot),
-        new org.apache.hadoop.fs.Path(path)))
+    // destination guard (r19 ADVICE): on HDFS, rename onto an EXISTING
+    // dir nests boot INSIDE it — a live path with no top-level
+    // centroids that every caller's `centroids`-absence probe re-
+    // bootstraps forever. Callers gate on path+"/centroids", so a bare
+    // `path` here is a stale centroid-less remnant: wipe it (mirroring
+    // the boot-dir wipe above) — but never a LIVE index, which would
+    // mean two bootstrappers raced outside the serving lock.
+    val dest = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(dest)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(path + "/centroids")))
+        throw new IllegalStateException(
+          s"serving bootstrap: $path is already a live index — " +
+            "bootstrap must run under the index's single-writer lock")
+      fs.delete(dest, true)
+    }
+    if (!fs.rename(new org.apache.hadoop.fs.Path(boot), dest))
       throw new java.io.IOException(
         s"serving bootstrap promote failed: $boot -> $path")
   }

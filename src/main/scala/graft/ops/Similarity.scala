@@ -450,8 +450,13 @@ object Similarity {
     * sub-blocked compare (cell, n_rows, n_buckets, max_bucket), so
     * residual bucket skew inside a routed cell (an all-identical spam
     * cluster saturating one sign bucket) is visible, not silent.
+    * `centroids` is the quantizer's (cell, centroid) table — exposed
+    * (r19 verdict #1) so an in-query keeper-rule verdict can re-resolve
+    * [[KeepFarFromCentroid]] from the emitted rows without re-running
+    * the seeded build.
     */
-  final case class SemDedup(result: DataFrame, routedCells: DataFrame)
+  final case class SemDedup(result: DataFrame, routedCells: DataFrame,
+                            centroids: DataFrame)
 
   /** Exact within-cell candidate pairs at cosine ≥ `minCos`: the cell
     * equi-join, quadratic only inside a cell. Input columns (vec_id,
@@ -615,7 +620,7 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(sum(col("occ")).as("n_rows"),
         count(lit(1)).as("n_buckets"), max(col("occ")).as("max_bucket"))
-    SemDedup(result, routed)
+    SemDedup(result, routed, model.centroids)
   }
 
   /** Sub-blocked near-duplicate ranking — the bounded scale path for

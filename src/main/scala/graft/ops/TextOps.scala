@@ -140,6 +140,31 @@ object TextOps {
       (x, y) => struct(x.as("a"), y.as("b"), lit(sign).as("dn")))
       .cast("array<struct<a:string,b:string,dn:bigint>>")
 
+  /** The argmax adjacent pair of the corpus REWRITTEN by a merge
+    * prefix — [[trainPhraseMergesRecount]]'s per-round pick (count
+    * desc, then (a, b) lexicographic), recomputed from the raw corpus
+    * in one pass: tokenize, apply `prefix` through the serving
+    * expression, explode adjacent pairs, count, take the ordered head.
+    * This is the in-query self-verdict's oracle for a trained merge
+    * list (r19 verdict #1): rank r's emitted merge must equal
+    * `argmaxPairAfter(merges.take(r-1))` with count ≥ 2, or the
+    * speculative trainer diverged from the sequential semantics it is
+    * pinned to. Returns None on a pair-less corpus.
+    */
+  def argmaxPairAfter(docs: DataFrame, idCol: String, textCol: String,
+                      prefix: Seq[(String, String)])
+      : Option[(String, String, Long)] = {
+    val toks0 = tokens(col(textCol))
+    val toks = if (prefix.isEmpty) toks0
+               else applyMerges(docs.sparkSession, toks0, prefix)
+    docs.select(explode(adjacentPairs(toks, 1L)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(1).collect().headOption
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
 
   /** BPE phrase-merge TRAINING, default route: incrementally maintained
     * pair counts + SPECULATIVE MERGE BATCHING with exact

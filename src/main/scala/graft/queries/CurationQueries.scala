@@ -575,7 +575,12 @@ object CurationQueries {
                 "shape", "repetition", "benchmark", "contaminated"),
                 col("__meta").isNull && col("__vec").isNull)
               .otherwise(lit(true))).cast("int"))
-      Verdicts.withPackOk(verdicted, "doc_id", 256L, start = cursor)
+      // (doc_id, pass) is the row key here — a doc corrected in BOTH
+      // passes has an embedding-pass row (no pack fields → vacuous 1)
+      // and a text-pass row; joining on doc_id alone leaked the text
+      // verdict onto the embedding row (r19 ADVICE)
+      Verdicts.withPackOk(verdicted, "doc_id", 256L, start = cursor,
+          extraKeys = Seq("pass"))
         .select(col("doc_id"), col("status"), col("matched_id"),
           col("n_tok"), col("seq_id"), col("seq_offset"), col("pass"),
           col("dup_cos_ok"), col("store_ok"), col("pack_ok"))
@@ -696,16 +701,33 @@ object CurationQueries {
     // training order — deterministic (ties break lexicographically,
     // partitioning-independent; OpsSpec pins both). No SQL oracle: BPE
     // is sequential by definition (round r+1's pair counts depend on
-    // round r's rewritten corpus), so the driver records the rows-only
-    // check; value-level behavior is OpsSpec's closed-form fixtures.
+    // round r's rewritten corpus). r20 (the r19 verdict's #1): each
+    // rank now carries merge_ok — the rank's pair re-verified as THE
+    // argmax (count desc, lex tie-break, count >= 2) over the FULL
+    // corpus rewritten by the preceding prefix
+    // (TextOps.argmaxPairAfter, the recount trainer's per-round pick
+    // recomputed from raw text through the serving expression). A full
+    // recount, not a sample: a sampled argmax can legitimately differ
+    // from the trained full-corpus pick, so a sampled verdict would
+    // false-fail; N bounded recount passes stay linear in the corpus.
+    // check.py requires merge_ok all-1.
     // The MergeSep glue is rendered '+' for a printable artifact.
     "q_bpe_merges" -> ((s, d) => {
       import s.implicits._
       val merges = sharedMerges(s, d)
+      val docs = Tables.documents(s, d)
+      val okByRank = merges.indices.map { i =>
+        graft.ops.TextOps.argmaxPairAfter(docs, "doc_id", "text",
+          merges.take(i)) match {
+          case Some((a, b, n)) => n >= 2L && (a, b) == merges(i)
+          case None => false
+        }
+      }
       merges.zipWithIndex.map { case ((a, b), i) =>
         (i + 1, a.replace(graft.ops.TextOps.MergeSep, "+"),
-          b.replace(graft.ops.TextOps.MergeSep, "+"))
-      }.toDF("rank", "left_unit", "right_unit")
+          b.replace(graft.ops.TextOps.MergeSep, "+"),
+          if (okByRank(i)) 1 else 0)
+      }.toDF("rank", "left_unit", "right_unit", "merge_ok")
         .orderBy("rank")
     }),
 

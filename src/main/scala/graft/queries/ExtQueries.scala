@@ -441,14 +441,23 @@ object ExtQueries {
     // North star scale path — the bounded variant of q_embed_neardup:
     // hyperplane-LSH sub-blocking caps in-block pair growth (the soak's
     // one quadratic hotspot). No SQL oracle (seeded hyperplane family);
-    // recall-vs-exact is SimilaritySpec's contract — driver records the
-    // rows-only check.
+    // recall-vs-exact is SimilaritySpec's contract. r20 (the r19
+    // verdict's #1): pair_ok re-verifies each emitted pair against the
+    // raw input embeddings (recomputed round(dot,4), block membership,
+    // orientation) — tools/check.py requires it all-1, so the gate now
+    // constrains the key beyond row counts; recall/completeness stays
+    // the spec's contract (re-deriving the bounded candidate set
+    // in-query would just re-run the operator).
     "q_embed_neardup_bounded" -> ((s, d) => {
       // dim inferred from the data (one tiny head job): a hardcoded 64
       // silently truncated the planes against 16-dim fuzz corpora — the
       // same defect fixed on q_semantic_dedup_bounded (review find)
-      Similarity.topPairsPerBlockBounded(Tables.embeddings(s, d), "label", 3)
-        .select(col("block").as("label"), col("id_a"), col("id_b"), col("cos_sim"))
+      val emb = Tables.embeddings(s, d)
+      Verdicts.withPairCosOk(
+        Similarity.topPairsPerBlockBounded(emb, "label", 3)
+          .select(col("block").as("label"), col("id_a"), col("id_b"),
+            col("cos_sim")),
+        emb, "label")
         .orderBy("label", "id_a", "id_b")
     }),
 
@@ -465,9 +474,14 @@ object ExtQueries {
     // would skip the pairs→components→canonical path entirely; 0.45
     // exercises it non-vacuously and the spec pins semantics at 0.99 on
     // planted clusters.
+    // r20 (the r19 verdict's #1): cos_ok re-verifies every grouped row's
+    // pair evidence from the raw embeddings, keeper_ok re-resolves the
+    // KeepMinId rule per group — check.py requires both all-1.
     "q_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      Similarity.semanticDedup(emb, nlist = 16, minCos = 0.45)
+      Verdicts.withSemanticVerdicts(
+        Similarity.semanticDedup(emb, nlist = 16, minCos = 0.45),
+        emb, minCos = 0.45, centroids = None)
         .orderBy("vec_id")
     }),
 
@@ -485,6 +499,11 @@ object ExtQueries {
     // cold==exact equivalence, the Hamming<=1 hot-cell driver
     // reference, the keeper-rule driver reference, and the routed-cell
     // report are SimilaritySpec's pins — driver records rows-only.
+    // r20 (the r19 verdict's #1): cos_ok — pair evidence from raw
+    // embeddings (valid on routed cells too: an emitted hot-cell pair is
+    // cosine-verified, so the full-cell evidence scan is a superset);
+    // keeper_ok — the far-from-centroid argmin re-resolved per group
+    // against the build's exposed centroids.
     "q_semantic_dedup_bounded" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       // dim inferred from the data: a hardcoded width silently truncates
@@ -492,10 +511,12 @@ object ExtQueries {
       // testdata is 64 — DotProductF folds over the common prefix, so
       // wrong-width planes produce a VALID but unintended signature
       // family; review find)
-      Similarity.semanticDedupBounded(emb, nlist = 16, minCos = 0.45,
-          maxCell = 32,
-          keeper = Similarity.KeepFarFromCentroid)
-        .result.orderBy("vec_id")
+      val sd = Similarity.semanticDedupBounded(emb, nlist = 16,
+        minCos = 0.45, maxCell = 32,
+        keeper = Similarity.KeepFarFromCentroid)
+      Verdicts.withSemanticVerdicts(sd.result, emb, minCos = 0.45,
+          centroids = Some(sd.centroids))
+        .orderBy("vec_id")
     }),
 
     // North star — INCREMENTAL embedding near-dup against a persisted
@@ -507,6 +528,14 @@ object ExtQueries {
     // q_embed_neardup_bounded); the incremental ≡ restricted-full and
     // sharded-completeness contracts are SimilaritySpec's — driver
     // records the rows-only check.
+    // r20 (the r19 verdict's #1): the incremental ≡ restricted-full
+    // contract, previously SimilaritySpec-only, now ALSO verified
+    // in-query — the expected pair set is recomputed DIRECTLY from the
+    // raw embeddings (arrival probes × all home bands, no store), then
+    // pair_ok pins emitted ⊆ direct (a corrupted store emitting a bogus
+    // candidate flips its row) and complete_ok pins direct ⊆ emitted (a
+    // store that LOST a row flips every row — a missing pair has no row
+    // of its own to flip). check.py requires both all-1.
     "q_embed_dedup_incremental" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val history = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
@@ -514,7 +543,15 @@ object ExtQueries {
       val dir = CoreQueries.pidScopedDir("graft_emb_band_index", d)
       val home = Similarity.embBandTable(history, "vec_id", "embedding")
       Dedup.bandIndexAppendPrecomputed(dir.toString, home)
-      Similarity.embIndexProbe(dir.toString, arrivals)
+      val direct = Similarity.embBandTable(emb, "vec_id", "embedding")
+        .join(Similarity.embProbeTable(arrivals, "vec_id", "embedding")
+          .select(col("doc_id").as("doc_n"), col("band").as("band_n")),
+          col("band") === col("band_n") && col("doc_id") =!= col("doc_n"))
+        .select(least(col("doc_id"), col("doc_n")).as("doc_a"),
+          greatest(col("doc_id"), col("doc_n")).as("doc_b"))
+      Verdicts.withPairSetOk(
+        Similarity.embIndexProbe(dir.toString, arrivals),
+        direct, "doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
     }),
 

@@ -87,16 +87,25 @@ private[graft] object Verdicts {
     * are an nparts-row driver prefix — the [[graft.ops.Packing]]
     * scale shape, applied to the verdict. Rows with NULL pack fields
     * (drops) are vacuously 1.
+    *
+    * `(idCol, extraKeys*)` must be unique across `df` — the verdict
+    * joins back on exactly those columns. A caller whose id alone is
+    * NOT unique (q_unified_late emits one row per doc_id per PASS)
+    * must pass the disambiguating columns, or a doc corrected in both
+    * passes would have its no-pack row inherit the packed row's
+    * verdict instead of the documented vacuous 1 (r19 ADVICE).
     */
   def withPackOk(df: DataFrame, idCol: String, budget: Long,
-                 start: Long = 0L): DataFrame = {
+                 start: Long = 0L,
+                 extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = idCol +: extraKeys
     val packed = df
       .filter(col("n_tok").isNotNull && col("seq_id").isNotNull &&
         col("seq_offset").isNotNull)
-      .select(col(idCol),
+      .select(keys.map(col) ++ Seq(
         col("n_tok").cast("long").as("n_tok"),
         (col("seq_id") * budget + col("seq_offset")).as("__cb"),
-        col("seq_offset"))
+        col("seq_offset")): _*)
     // materialize the ranged layout once: the bounds aggregate and the
     // link check are separate jobs and __pid must name the same range
     // in both (Packing's own discipline)
@@ -124,10 +133,135 @@ private[graft] object Verdicts {
       .withColumn("__prevEnd",
         coalesce(lag(col("__cb") + col("n_tok"), 1).over(w),
           element_at(typedlit(bases), col("__pid"))))
-      .select(col(idCol),
+      .select(keys.map(col) :+
         (col("seq_offset") >= 0 && col("seq_offset") < budget &&
-          col("__cb") === col("__prevEnd")).cast("int").as("pack_ok"))
-    df.join(verdict, Seq(idCol), "left")
+          col("__cb") === col("__prevEnd")).cast("int").as("pack_ok"): _*)
+    df.join(verdict, keys, "left")
       .withColumn("pack_ok", coalesce(col("pack_ok"), lit(1)))
+  }
+
+  /** Add `cos_ok` + `keeper_ok` to a semantic-dedup result
+    * (vec_id, cell, canonical, is_dup) — the r19 verdict's #1,
+    * extending the in-query self-verdict treatment to the two
+    * semantic-dedup keys the gate checked rows-only:
+    *
+    *  - `cos_ok`: every member of a NON-SINGLETON group (dups and their
+    *    canonical alike — any vertex of a ≥2-member component has at
+    *    least one incident edge) must have ≥ 1 same-cell neighbor at
+    *    TRUE cosine ≥ `minCos`, recomputed from the raw input
+    *    embeddings (the `dupCosOkCol` discipline: evidence from
+    *    inputs, never from the machinery under test). Direct cosine to
+    *    the canonical is NOT required — group membership is transitive
+    *    by contract, so that check would false-fail a legitimate
+    *    chain. Singletons are vacuously 1; a missing/NULL embedding on
+    *    a checked row reads 0, never a silent pass. The evidence join
+    *    is the same cell equi-join shape as the query itself
+    *    (quadratic only within a cell, probe side = grouped rows
+    *    only), so the verdict scales exactly as far as the operator.
+    *  - `keeper_ok`: the keeper rule re-resolved per group from the
+    *    emitted rows — with `centroids` (KeepFarFromCentroid) the
+    *    argmin of (cosine-to-centroid, vec_id); without (KeepMinId)
+    *    the group's min vec_id — plus the structural contract: the
+    *    canonical's own row is in the output mapping to itself, and
+    *    `is_dup` ≡ (vec_id ≠ canonical) on every row.
+    */
+  def withSemanticVerdicts(result: DataFrame, emb: DataFrame,
+                           minCos: Double,
+                           centroids: Option[DataFrame]): DataFrame = {
+    val outCols = result.columns.toSeq
+    val withE = result.join(
+      emb.select(col("vec_id"), col("embedding")), Seq("vec_id"), "left")
+    val enriched = centroids match {
+      case Some(c) => withE
+        .join(broadcast(c.select(col("cell").cast("long").as("__ccell"),
+          col("centroid"))), col("cell").cast("long") === col("__ccell"),
+          "left")
+        .withColumn("__cosc",
+          graft.ops.Similarity.cosine(col("embedding"), col("centroid")))
+      case None => withE.withColumn("__cosc", lit(0d))
+    }
+    val gstats = enriched.groupBy(col("canonical").as("__g"))
+      .agg(count(lit(1)).as("__gn"),
+        min(col("vec_id")).as("__gmin"),
+        max((col("vec_id") === col("canonical")).cast("int")).as("__gself"),
+        min_by(col("vec_id"),
+          struct(col("__cosc"), col("vec_id"))).as("__gfar"))
+    val joined = enriched.join(gstats, col("canonical") === col("__g"),
+      "left")
+    val nbrs = withE.select(col("cell"), col("vec_id").as("__nid"),
+      col("embedding").as("__nemb"))
+    val evid = joined.filter(col("__gn") > 1)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .join(nbrs, Seq("cell"))
+      .filter(col("__nid") =!= col("vec_id") &&
+        graft.ops.Similarity.cosine(col("embedding"), col("__nemb"))
+          >= minCos)
+      .select("vec_id").distinct().withColumn("__ev", lit(1))
+    val keeperPick =
+      if (centroids.isDefined) col("__gfar") else col("__gmin")
+    joined.join(evid, Seq("vec_id"), "left")
+      .withColumn("cos_ok",
+        when(col("__gn") > 1, coalesce(col("__ev"), lit(0)))
+          .otherwise(lit(1)))
+      .withColumn("keeper_ok",
+        (col("is_dup") === (col("vec_id") =!= col("canonical")).cast("int")
+          && col("__gself") === 1
+          && keeperPick === col("canonical")).cast("int"))
+      .select(outCols.map(col) ++
+        Seq(col("cos_ok"), col("keeper_ok")): _*)
+  }
+
+  /** Add `pair_ok` to a top-pairs result (`blockCol`, id_a, id_b,
+    * cos_sim): each emitted pair re-verified against the raw input
+    * embeddings — recomputed `round(dot, 4)` equal to the emitted
+    * cos_sim (the exact expression the ranking used, re-evaluated from
+    * inputs), both ids carrying the emitted block label, and the
+    * canonical id_a < id_b orientation. A pair whose ids can't be
+    * found in the input reads 0 (the NULL-never-passes discipline).
+    * Completeness (is this the true top-k of the bounded candidate
+    * set) is SimilaritySpec's recall contract — re-deriving it would
+    * re-run the operator, which verifies nothing.
+    */
+  def withPairCosOk(pairs: DataFrame, emb: DataFrame,
+                    blockCol: String): DataFrame = {
+    graft.functions.DotProductF.register(pairs.sparkSession)
+    val outCols = pairs.columns.toSeq
+    val ea = emb.select(col("vec_id").as("id_a"),
+      col("embedding").as("__ea"), col(blockCol).as("__la"))
+    val eb = emb.select(col("vec_id").as("id_b"),
+      col("embedding").as("__eb"), col(blockCol).as("__lb"))
+    pairs.join(ea, Seq("id_a"), "left").join(eb, Seq("id_b"), "left")
+      .withColumn("pair_ok", coalesce(
+        (col("id_a") < col("id_b") &&
+          col("__la") === col(blockCol) && col("__lb") === col(blockCol) &&
+          round(call_function("graft_dot_f", col("__ea"), col("__eb")), 4)
+            === col("cos_sim")).cast("int"), lit(0)))
+      .select(outCols.map(col) :+ col("pair_ok"): _*)
+  }
+
+  /** Add `pair_ok` + `complete_ok` to an (aCol, bCol) pair set against
+    * an independently recomputed `expected` set: `pair_ok` per row —
+    * the emitted pair is in `expected` (a corrupted store emitting a
+    * bogus candidate flips exactly its row); `complete_ok` — zero
+    * expected pairs are missing from the output (a store that LOST a
+    * row can't flip a row that isn't there, so the missing-count
+    * verdict broadcasts onto every row as a single O(1)-row
+    * cross-join — the scale-safe BNLJ shape). Both sides distinct on
+    * (aCol, bCol).
+    */
+  def withPairSetOk(pairs: DataFrame, expected: DataFrame,
+                    aCol: String, bCol: String): DataFrame = {
+    val outCols = pairs.columns.toSeq
+    val exp = expected.select(col(aCol), col(bCol)).distinct()
+    val flagged = pairs
+      .join(exp.withColumn("__in", lit(1)), Seq(aCol, bCol), "left")
+      .withColumn("pair_ok", coalesce(col("__in"), lit(0)))
+    val miss = exp.join(pairs.select(col(aCol), col(bCol)),
+        Seq(aCol, bCol), "left_anti")
+      .agg(count(lit(1)).as("__miss"))
+    flagged.crossJoin(broadcast(miss))
+      .withColumn("complete_ok", (col("__miss") === 0).cast("int"))
+      .select(outCols.map(col) ++
+        Seq(col("pair_ok"), col("complete_ok")): _*)
   }
 }

@@ -715,10 +715,29 @@ object StreamOps {
                            onWatch: graft.ops.IvfIndex.MaintainWatch => Unit =
                              _ => ())
 
+  /** Canonical monitor key for a store/view dir (r19 verdict — the
+    * monitor maps used to key on the caller's raw string, so two
+    * spellings of ONE directory — trailing slash, `./`-relative, a `.`
+    * segment — got DISTINCT monitors and silently voided the
+    * single-writer serialization both lock docs promise). Scheme-less
+    * paths resolve to an absolute normalized local form (the `local[n]`
+    * deployment this library tests under); scheme'd URIs normalize
+    * through `Path`/`URI` (duplicate and trailing slashes, `.`
+    * segments). Symlink aliasing stays out of scope — it needs a
+    * filesystem round-trip per lock and no caller spells one.
+    */
+  private[graft] def monitorKey(path: String): String = {
+    val u = new org.apache.hadoop.fs.Path(path).toUri
+    if (u.getScheme == null)
+      java.nio.file.Paths.get(u.getPath).toAbsolutePath.normalize.toString
+    else u.normalize.toString
+  }
+
   private val servingMonitors =
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private def servingLock[T](path: String)(body: => T): T =
-    servingMonitors.getOrElseUpdate(path, new Object).synchronized(body)
+    servingMonitors.getOrElseUpdate(monitorKey(path), new Object)
+      .synchronized(body)
 
   /** One serving-maintenance cycle for a corpus-flow micro-batch: the
     * composition [[graft.ops.IvfIndex.maintainCycle]] packages, under
@@ -745,10 +764,22 @@ object StreamOps {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def centroidsExist = fs.exists(
       new org.apache.hadoop.fs.Path(sv.path + "/centroids"))
-    val clean = appends
+    // validity gate = VectorFlow.commit's, ALL THREE legs — null,
+    // zero-norm, AND the store's frozen dimension (r19 ADVICE: the
+    // unified replay path passes the full text-kept set, which can
+    // carry a dim-mismatched embedding the vec store rejected; without
+    // the dim leg a crash-replay appended it to the serving index the
+    // store never held, breaking served==store and mixing dims). The
+    // sidecar lives at the flow dir's root — storePath's parent by the
+    // layout contract (<flowDir>/vectors) every caller here follows.
+    val frozenD = graft.ops.VectorFlow.frozenDim(spark,
+      new org.apache.hadoop.fs.Path(storePath).getParent.toString)
+    val preClean = appends
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull &&
         graft.ops.Similarity.l2Norm(col("embedding")) > 0d)
+    val clean = frozenD.fold(preClean)(d =>
+      preClean.filter(size(col("embedding")) === d))
     if (!centroidsExist) {
       // first maintained batch: bootstrap from the kept-vector store —
       // the flow's commit ran before this, so the store already holds
@@ -777,6 +808,10 @@ object StreamOps {
         else clean.join(
           spark.read.parquet(sv.path + "/assignments").select("vec_id"),
           Seq("vec_id"), "left_anti")
+      // `source` is maintainCycle's BY-NAME param, referenced only in
+      // its retrain branch — `ok` cycles never evaluate this read, so
+      // no store listing/schema inference happens on the hot cadence
+      // (r19 verdict #3; ServingLazySourceSpec pins it)
       val watch = graft.ops.IvfIndex.maintainCycle(spark, sv.path, toAppend,
         removals.map(_.select(col("vec_id").cast("long").as("vec_id"))),
         sv.maxCellRows, batchId = id,
@@ -1483,13 +1518,15 @@ object StreamOps {
     * monitor IS the serialization domain; a deployment spreading
     * writers across drivers would need an external lease on the view
     * dir — out of contract, documented here so nobody assumes
-    * otherwise. Keyed by the caller's `rootsPath` string verbatim
-    * (every caller passes the one configured path; no normalization).
+    * otherwise. Keyed by the canonical [[monitorKey]] of `rootsPath`
+    * (r19 verdict: the raw string let `dir` and `dir/` coexist as two
+    * monitors).
     */
   private val rootsMonitors =
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private def rootsLock[T](rootsPath: String)(body: => T): T =
-    rootsMonitors.getOrElseUpdate(rootsPath, new Object).synchronized(body)
+    rootsMonitors.getOrElseUpdate(monitorKey(rootsPath), new Object)
+      .synchronized(body)
 
   /** Maintain the roots view THROUGH a late-correction pass
     * ([[maintainRoots]]' stated scope gap, closed): a correction batch

@@ -10,6 +10,22 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Declared self-verdict manifest for the no-oracle keys (r19 verdict,
+# "What's wrong" #1): the generic any-*_ok sweep below is vacuous for a
+# key that silently DROPS a verdict column in a refactor — these columns
+# are REQUIRED per key, and an absent one fails loudly. Every no-oracle
+# key must appear here (r20: all 8 carry in-query integer verdicts).
+REQUIRED_OK = {
+    "q_bpe_merges": ["merge_ok"],
+    "q_embed_dedup_incremental": ["pair_ok", "complete_ok"],
+    "q_embed_neardup_bounded": ["pair_ok"],
+    "q_semantic_dedup": ["cos_ok", "keeper_ok"],
+    "q_semantic_dedup_bounded": ["cos_ok", "keeper_ok"],
+    "q_vector_curation": ["dup_cos_ok", "store_ok"],
+    "q_unified_curation": ["dup_cos_ok", "store_ok", "pack_ok"],
+    "q_unified_late": ["dup_cos_ok", "store_ok", "pack_ok"],
+}
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -76,7 +92,17 @@ def main(sf_dir, out_dir):
             got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
         except Exception as e:
             failures.append((name, f"NO-ORACLE KEY READ: {e}")); continue
-        ok_cols = [c for c in got.columns if c.endswith("_ok")]
+        required = REQUIRED_OK.get(name, [])
+        missing = [c for c in required if c not in got.columns]
+        if name not in REQUIRED_OK:
+            failures.append((name, "NO-ORACLE KEY NOT IN REQUIRED_OK "
+                             "MANIFEST (tools/check.py) — declare its "
+                             "verdict columns")); continue
+        if missing:
+            failures.append((name, f"SELF-VERDICT COLUMNS MISSING: {missing}"))
+            continue
+        ok_cols = sorted(set(required) |
+                         {c for c in got.columns if c.endswith("_ok")})
         bad = [f"{c}: {int((got[c] != 1).sum() + got[c].isna().sum())} rows != 1"
                for c in ok_cols
                if got[c].isna().any() or (got[c] != 1).any()]
