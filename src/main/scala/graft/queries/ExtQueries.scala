@@ -541,16 +541,22 @@ object ExtQueries {
       val history = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
       val arrivals = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
       val dir = CoreQueries.pidScopedDir("graft_emb_band_index", d)
-      val home = Similarity.embBandTable(history, "vec_id", "embedding")
+      // one dim probe shared by every band/probe table below — each
+      // would otherwise run its own head job to size the hyperplanes
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val home = Similarity.embBandTable(history, "vec_id", "embedding",
+        dim = dim)
       Dedup.bandIndexAppendPrecomputed(dir.toString, home)
-      val direct = Similarity.embBandTable(emb, "vec_id", "embedding")
-        .join(Similarity.embProbeTable(arrivals, "vec_id", "embedding")
+      val direct = Similarity.embBandTable(emb, "vec_id", "embedding",
+          dim = dim)
+        .join(Similarity.embProbeTable(arrivals, "vec_id", "embedding",
+            dim = dim)
           .select(col("doc_id").as("doc_n"), col("band").as("band_n")),
           col("band") === col("band_n") && col("doc_id") =!= col("doc_n"))
         .select(least(col("doc_id"), col("doc_n")).as("doc_a"),
           greatest(col("doc_id"), col("doc_n")).as("doc_b"))
       Verdicts.withPairSetOk(
-        Similarity.embIndexProbe(dir.toString, arrivals),
+        Similarity.embIndexProbe(dir.toString, arrivals, dim = dim),
         direct, "doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
     }),

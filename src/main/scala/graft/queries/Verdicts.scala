@@ -169,8 +169,16 @@ private[graft] object Verdicts {
                            minCos: Double,
                            centroids: Option[DataFrame]): DataFrame = {
     val outCols = result.columns.toSeq
-    val withE = result.join(
-      emb.select(col("vec_id"), col("embedding")), Seq("vec_id"), "left")
+    // checkpoint the operator's output ONCE: the verdict fans out into
+    // four branches (group stats, evidence probe side, evidence build
+    // side, the final row set), and without the pin each branch would
+    // re-execute the full semantic-dedup lineage — k-means build, CC,
+    // keeper join — per reference (the signedBatch/hotRows rationale,
+    // applied to the verdict)
+    val withE = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(result.join(
+        emb.select(col("vec_id"), col("embedding")), Seq("vec_id"),
+        "left").localCheckpoint())
     val enriched = centroids match {
       case Some(c) => withE
         .join(broadcast(c.select(col("cell").cast("long").as("__ccell"),
@@ -252,11 +260,18 @@ private[graft] object Verdicts {
   def withPairSetOk(pairs: DataFrame, expected: DataFrame,
                     aCol: String, bCol: String): DataFrame = {
     val outCols = pairs.columns.toSeq
-    val exp = expected.select(col(aCol), col(bCol)).distinct()
-    val flagged = pairs
+    // both sides are referenced twice (membership flag + missing
+    // count) — pin them so neither the probe pipeline nor the direct
+    // recompute runs double (the ckptBands rationale)
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.Bridge
+        .dropCheckpointConstraints(df.localCheckpoint())
+    val pinned = ckpt(pairs)
+    val exp = ckpt(expected.select(col(aCol), col(bCol)).distinct())
+    val flagged = pinned
       .join(exp.withColumn("__in", lit(1)), Seq(aCol, bCol), "left")
       .withColumn("pair_ok", coalesce(col("__in"), lit(0)))
-    val miss = exp.join(pairs.select(col(aCol), col(bCol)),
+    val miss = exp.join(pinned.select(col(aCol), col(bCol)),
         Seq(aCol, bCol), "left_anti")
       .agg(count(lit(1)).as("__miss"))
     flagged.crossJoin(broadcast(miss))

@@ -811,7 +811,7 @@ object StreamOps {
       // `source` is maintainCycle's BY-NAME param, referenced only in
       // its retrain branch — `ok` cycles never evaluate this read, so
       // no store listing/schema inference happens on the hot cadence
-      // (r19 verdict #3; ServingLazySourceSpec pins it)
+      // (r19 verdict #3; IvfMaintainGuardsSpec pins it)
       val watch = graft.ops.IvfIndex.maintainCycle(spark, sv.path, toAppend,
         removals.map(_.select(col("vec_id").cast("long").as("vec_id"))),
         sv.maxCellRows, batchId = id,

@@ -161,4 +161,175 @@ class FlowVerdictsSpec extends SparkTestBase {
     assert(got(110L) === 0, "the leaked dropped row must flip store_ok")
     assert(got.count(_._2 == 0) === 2, s"only the tampered rows flip: $got")
   }
+
+  // ---- r20 (the r19 verdict's #1): the four formerly-rows-only keys'
+  // verdict expressions, each with planted regressions ----
+
+  private def rot8(a: Double): Seq[Float] = {
+    val v = Array.fill(8)(0f)
+    v(0) = math.cos(a).toFloat; v(1) = math.sin(a).toFloat; v.toSeq
+  }
+  private def embOf(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  test("withSemanticVerdicts (min-id): honest rows read all-1; a forged evidence-less dup, a wrong keeper, a missing self-row, and an is_dup lie each flip") {
+    import spark.implicits._
+    // ids 1, 2 a true near-dup pair (cos ~1); id 3 far from both
+    val emb = embOf(Seq(1L -> rot8(0.0), 2L -> rot8(0.002),
+      3L -> rot8(1.5)))
+    def verdictsOf(rows: Seq[(Long, Long, Long, Int)]) =
+      Verdicts.withSemanticVerdicts(
+          rows.toDF("vec_id", "cell", "canonical", "is_dup"),
+          emb, minCos = 0.99, centroids = None)
+        .select("vec_id", "cos_ok", "keeper_ok").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val honest = verdictsOf(Seq((1L, 0L, 1L, 0), (2L, 0L, 1L, 1),
+      (3L, 0L, 3L, 0)))
+    assert(honest.values.forall(_ == ((1, 1))), s"honest: $honest")
+    // PLANTED forged dup: 3 claimed into 1's group with no >=minCos
+    // neighbor anywhere in its cell — cos_ok flips on exactly row 3
+    val forged = verdictsOf(Seq((1L, 0L, 1L, 0), (2L, 0L, 1L, 1),
+      (3L, 0L, 1L, 1)))
+    assert(forged(3L)._1 === 0 && forged(1L)._1 === 1 &&
+      forged(2L)._1 === 1, s"forged: $forged")
+    // PLANTED wrong keeper under KeepMinId: the group canonicalized to
+    // 2, not its min id 1 — keeper_ok flips for the whole group
+    val wrongKeeper = verdictsOf(Seq((1L, 0L, 2L, 1), (2L, 0L, 2L, 0),
+      (3L, 0L, 3L, 0)))
+    assert(wrongKeeper(1L)._2 === 0 && wrongKeeper(2L)._2 === 0 &&
+      wrongKeeper(3L)._2 === 1, s"wrongKeeper: $wrongKeeper")
+    // PLANTED missing self-row: 2 maps to canonical 1 but 1's own row
+    // was dropped from the output — the keeper can't be verified
+    // present, keeper_ok flips
+    val noSelf = verdictsOf(Seq((2L, 0L, 1L, 1), (3L, 0L, 3L, 0)))
+    assert(noSelf(2L)._2 === 0, s"noSelf: $noSelf")
+    // PLANTED is_dup lie: 2 in 1's group flagged is_dup=0
+    val lie = verdictsOf(Seq((1L, 0L, 1L, 0), (2L, 0L, 1L, 0),
+      (3L, 0L, 3L, 0)))
+    assert(lie(2L)._2 === 0, s"lie: $lie")
+  }
+
+  test("withSemanticVerdicts (far-from-centroid): the keeper must be the group's centroid-cosine argmin; picking the near one flips") {
+    import spark.implicits._
+    // centroid along angle 0; 21 is FARTHER from it than 20 — the
+    // SemDeDup rule keeps 21. The pair itself is close (cos(0.298))
+    val emb = embOf(Seq(20L -> rot8(0.002), 21L -> rot8(0.3)))
+    val cent = Seq((0L, rot8(0.0))).toDF("cell", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<float>"))
+    def verdictsOf(rows: Seq[(Long, Long, Long, Int)]) =
+      Verdicts.withSemanticVerdicts(
+          rows.toDF("vec_id", "cell", "canonical", "is_dup"),
+          emb, minCos = 0.9, centroids = Some(cent))
+        .select("vec_id", "cos_ok", "keeper_ok").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val honest = verdictsOf(Seq((20L, 0L, 21L, 1), (21L, 0L, 21L, 0)))
+    assert(honest.values.forall(_ == ((1, 1))), s"honest: $honest")
+    // PLANTED: keeping the near-centroid member (min id would pick it
+    // too — exactly the regression a silently-swapped keeper rule makes)
+    val near = verdictsOf(Seq((20L, 0L, 20L, 0), (21L, 0L, 20L, 1)))
+    assert(near(20L)._2 === 0 && near(21L)._2 === 0, s"near: $near")
+  }
+
+  test("withPairCosOk: an honest pair reads 1; a doctored cos_sim, a cross-block pair, a reversed orientation, and an unknown id each read 0") {
+    import spark.implicits._
+    val emb = embOf(Seq(1L -> rot8(0.0), 2L -> rot8(0.002),
+      3L -> rot8(1.5)))
+      .withColumn("label", when(col("vec_id") === 3L, "B").otherwise("A"))
+    val trueSim = BigDecimal(math.cos(0.002))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def okOf(rows: Seq[(String, Long, Long, Double)]) =
+      Verdicts.withPairCosOk(
+          rows.toDF("label", "id_a", "id_b", "cos_sim"), emb, "label")
+        .select("id_a", "pair_ok").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(okOf(Seq(("A", 1L, 2L, trueSim)))(1L) === 1)
+    // PLANTED: a cos_sim the raw embeddings don't reproduce
+    assert(okOf(Seq(("A", 1L, 2L, 0.5)))(1L) === 0)
+    // PLANTED: a pair leaked across blocks (3 is labeled B)
+    assert(okOf(Seq(("A", 1L, 3L,
+      BigDecimal(math.cos(1.5)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))(1L) === 0)
+    // PLANTED: reversed orientation
+    assert(okOf(Seq(("A", 2L, 1L, trueSim)))(2L) === 0)
+    // PLANTED: an id not in the input — 0, never a silent pass
+    assert(okOf(Seq(("A", 1L, 99L, trueSim)))(1L) === 0)
+  }
+
+  test("withPairSetOk: a bogus emitted pair flips its own row; a missing expected pair flips complete_ok on every row") {
+    import spark.implicits._
+    val expected = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    def run(rows: Seq[(Long, Long)]) =
+      Verdicts.withPairSetOk(rows.toDF("doc_a", "doc_b"), expected,
+          "doc_a", "doc_b")
+        .select("doc_a", "pair_ok", "complete_ok").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val exact = run(Seq((1L, 2L), (3L, 4L)))
+    assert(exact.forall(t => t._2 == 1 && t._3 == 1), s"exact: ${exact.toSeq}")
+    // PLANTED bogus pair (a corrupted store emitting a candidate the
+    // direct recompute never generates)
+    val bogus = run(Seq((1L, 2L), (5L, 6L), (3L, 4L)))
+    assert(bogus.find(_._1 == 5L).get._2 === 0)
+    assert(bogus.filter(_._1 != 5L).forall(_._2 == 1))
+    assert(bogus.forall(_._3 == 1), "nothing expected is missing here")
+    // PLANTED lost pair: (3,4) vanished — no row of its own to flip,
+    // so the completeness scalar flips EVERY row
+    val lost = run(Seq((1L, 2L)))
+    assert(lost.forall(t => t._2 == 1 && t._3 == 0), s"lost: ${lost.toSeq}")
+  }
+
+  test("withPackOk extraKeys: a doc corrected in BOTH passes keeps its no-pack row vacuously 1 while the packed row's planted gap still flips (r19 ADVICE)") {
+    import spark.implicits._
+    def rows(textOffsetOfDoc1: Long) = Seq(
+      // doc 1, embedding pass: NO pack fields — must stay vacuous 1
+      (1L, "embedding", Option.empty[Long], Option.empty[Long],
+        Option.empty[Long]),
+      // doc 1, text pass: packed
+      (1L, "text", Option(5L), Option(0L), Option(textOffsetOfDoc1)),
+      (2L, "text", Option(7L), Option(0L), Option(5L)))
+      .toDF("doc_id", "pass", "n_tok", "seq_id", "seq_offset")
+    def okOf(df: org.apache.spark.sql.DataFrame) =
+      Verdicts.withPackOk(df, "doc_id", 16L, extraKeys = Seq("pass"))
+        .select("doc_id", "pass", "pack_ok").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getInt(2)).toMap
+    val honest = okOf(rows(0L))
+    assert(honest.values.forall(_ == 1), s"honest: $honest")
+    // PLANTED gap on doc 1's TEXT row: with the (doc_id, pass) join the
+    // flip lands on exactly that row; the embedding-pass row stays 1
+    // (the r19 defect: joined on doc_id alone, it inherited the flip)
+    val gap = okOf(rows(1L))
+    assert(gap((1L, "text")) === 0, s"gap: $gap")
+    assert(gap((1L, "embedding")) === 1,
+      "the no-pack pass row must stay vacuously 1")
+  }
+
+  test("argmaxPairAfter: reproduces the recount trainer's pick per rank; a swapped merge order fails the verdict") {
+    import spark.implicits._
+    // "a b" dominates (4 pairs), then after its merge "a+b c" dominates
+    val docs = Seq(
+      (1L, "a b c x a b c y"),
+      (2L, "a b c z a b q")).toDF("doc_id", "text")
+    val (merges, _) = graft.ops.TextOps.trainPhraseMergesRecount(
+      docs, "doc_id", "text", nMerges = 2)
+    assert(merges.size === 2)
+    // the verdict the key computes: rank r's merge == the full-corpus
+    // argmax under the preceding prefix, count >= 2
+    merges.indices.foreach { i =>
+      val got = graft.ops.TextOps.argmaxPairAfter(docs, "doc_id", "text",
+        merges.take(i))
+      assert(got.exists { case (a, b, n) =>
+        n >= 2L && (a, b) == merges(i) },
+        s"rank ${i + 1}: expected ${merges(i)}, argmax said $got")
+    }
+    // PLANTED: the merge list in the WRONG order (rank 2 first) — the
+    // rank-1 verdict must fail
+    val swapped = merges.reverse
+    val got = graft.ops.TextOps.argmaxPairAfter(docs, "doc_id", "text",
+      Nil)
+    assert(!got.exists { case (a, b, n) =>
+      n >= 2L && (a, b) == swapped.head },
+      "a swapped merge table must not verify as the argmax")
+  }
 }
