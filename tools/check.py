@@ -110,6 +110,13 @@ def main(sf_dir, out_dir):
             failures.append((name, "SELF-VERDICT " + "; ".join(bad)[:380]))
         else:
             passes.append((name, len(got)))
+    # a no-oracle key whose output dir is MISSING entirely would
+    # otherwise vanish from the gate (oracle keys get "NO SPARK OUTPUT";
+    # the dir-driven loop above can't see an absent dir)
+    seen = {n for n, _ in passes} | {n for n, _ in failures}
+    for name in sorted(REQUIRED_OK):
+        if name not in seen:
+            failures.append((name, "NO-ORACLE KEY: NO OUTPUT DIR"))
     for n, r in passes:
         print(f"PASS {n} ({r} rows)")
     for n, msg in failures:
