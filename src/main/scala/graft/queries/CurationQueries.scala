@@ -551,12 +551,25 @@ object CurationQueries {
         "doc_id", "__meta")
       val vecs = Verdicts.storedFlag(s, dir.toString + "/vec/vectors",
         "vec_id", "__vec").withColumnRenamed("vec_id", "doc_id")
+      // the dropped row's own embedding, BOTH loser classes (r20 fuzz
+      // find, embdup pack seed 2104): a semdup_late can be a STORE
+      // EVICTION (witness = the fixture's pre-correction snapshot — the
+      // eviction removed it from the live store) or the ARRIVING doc
+      // itself losing first-wins to an equal-or-lower-prio stored
+      // vector (witness = the late feed's own input, never stored at
+      // all — the snapshot alone read NULL → dup_cos_ok 0 on a correct
+      // drop). coalesce(store snapshot, arrival input): a doc in both
+      // is attach-excluded from dup statuses, so the order is moot.
       val fixVecs = s.read.parquet(s"$fix/store/vec/vectors")
-        .select(col("vec_id").as("doc_id"), col("embedding").as("__e"))
+        .select(col("vec_id").as("doc_id"), col("embedding").as("__efix"))
+      val arrVecs = emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("__earr"))
       val verdicted = out
         .join(meta, Seq("doc_id"), "left")
         .join(vecs, Seq("doc_id"), "left")
         .join(fixVecs, Seq("doc_id"), "left")
+        .join(arrVecs, Seq("doc_id"), "left")
+        .withColumn("__e", coalesce(col("__efix"), col("__earr")))
         .join(emb.select(col("vec_id").as("matched_id"),
           col("embedding").as("__m")), Seq("matched_id"), "left")
         .withColumn("dup_cos_ok", when(col("pass") === "embedding",
