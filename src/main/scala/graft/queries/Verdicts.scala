@@ -157,7 +157,13 @@ private[graft] object Verdicts {
     *    a checked row reads 0, never a silent pass. The evidence join
     *    is the same cell equi-join shape as the query itself
     *    (quadratic only within a cell, probe side = grouped rows
-    *    only), so the verdict scales exactly as far as the operator.
+    *    only), so the verdict scales exactly as far as the operator —
+    *    and it follows cellPairsExact's expression discipline to the
+    *    letter: unit-normalize ONCE per row, codegen `graft_dot_f` per
+    *    pair (the per-pair `cosine()` HOF re-aggregated three
+    *    64-element folds per candidate and read 600 s at sf1 on the
+    *    10×-dup soak corpus; the codegen form is the operator's own
+    *    cost class).
     *  - `keeper_ok`: the keeper rule re-resolved per group from the
     *    emitted rows — with `centroids` (KeepFarFromCentroid) the
     *    argmin of (cosine-to-centroid, vec_id); without (KeepMinId)
@@ -175,10 +181,13 @@ private[graft] object Verdicts {
     // re-execute the full semantic-dedup lineage — k-means build, CC,
     // keeper join — per reference (the signedBatch/hotRows rationale,
     // applied to the verdict)
+    graft.functions.DotProductF.register(result.sparkSession)
     val withE = org.apache.spark.sql.graftbridge.Bridge
-      .dropCheckpointConstraints(result.join(
-        emb.select(col("vec_id"), col("embedding")), Seq("vec_id"),
-        "left").localCheckpoint())
+      .dropCheckpointConstraints(
+        graft.ops.Similarity.withUnitNorm(result.join(
+            emb.select(col("vec_id"), col("embedding")), Seq("vec_id"),
+            "left"), "embedding", "__ne")
+          .localCheckpoint())
     val enriched = centroids match {
       case Some(c) => withE
         .join(broadcast(c.select(col("cell").cast("long").as("__ccell"),
@@ -197,12 +206,12 @@ private[graft] object Verdicts {
     val joined = enriched.join(gstats, col("canonical") === col("__g"),
       "left")
     val nbrs = withE.select(col("cell"), col("vec_id").as("__nid"),
-      col("embedding").as("__nemb"))
+      col("__ne").as("__nemb"))
     val evid = joined.filter(col("__gn") > 1)
-      .select(col("cell"), col("vec_id"), col("embedding"))
+      .select(col("cell"), col("vec_id"), col("__ne"))
       .join(nbrs, Seq("cell"))
       .filter(col("__nid") =!= col("vec_id") &&
-        graft.ops.Similarity.cosine(col("embedding"), col("__nemb"))
+        call_function("graft_dot_f", col("__ne"), col("__nemb"))
           >= minCos)
       .select("vec_id").distinct().withColumn("__ev", lit(1))
     val keeperPick =
