@@ -423,8 +423,18 @@ object ExtQueries {
       // train-sample sizing count on a corpus bounded by construction
       val ids = Tables.documents(s, d).filter(col("doc_id") < 1024).select("doc_id")
       val assets = graft.ops.Multimodal.syntheticImageAssets(ids, "doc_id")
-      val feats = graft.ops.Multimodal.extractFeatures(assets, real = true)
-        .select(col("asset_id").as("vec_id"), col("embedding"))
+      // pin the decoded features ONCE (r20 opt, guide §1.2/§4.2): the
+      // PNG encode+decode mapPartitions is opaque and sat in the lineage
+      // of the k-means init, the Lloyd round, AND the final assignment —
+      // three full image passes per invocation. One localCheckpoint makes
+      // every downstream consumer read 16-dim float rows instead of
+      // re-encoding 1024 PNGs (same values — the generator and decoder
+      // are deterministic; the driver's oracle compare is unchanged).
+      val feats = org.apache.spark.sql.graftbridge.Bridge
+        .dropCheckpointConstraints(
+          graft.ops.Multimodal.extractFeatures(assets, real = true)
+            .select(col("asset_id").as("vec_id"), col("embedding"))
+            .localCheckpoint())
       val model = graft.ops.IvfIndex.build(feats, nlist = 8, iters = 1,
         maxTrainRows = Long.MaxValue)
       graft.ops.IvfIndex.searchTopK(model, probeId = 0L, k = 10, nprobe = 8)
