@@ -694,9 +694,7 @@ object CurationFlow {
     val tmp = new org.apache.hadoop.fs.Path(dir, "_cursor.tmp")
     val fs = fin.getFileSystem(conf)
     fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-    val out = fs.create(tmp, true)
-    try out.write(s"$batchId,$start,$end".getBytes("UTF-8"))
-    finally out.close()
+    FsUtil.writeBytes(fs, tmp, s"$batchId,$start,$end".getBytes("UTF-8"))
     if (fs.exists(fin) && !fs.delete(fin, false))
       throw new java.io.IOException(s"ledger delete failed: $fin")
     if (!fs.rename(tmp, fin))

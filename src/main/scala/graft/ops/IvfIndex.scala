@@ -746,9 +746,7 @@ object IvfIndex {
     val fin = new org.apache.hadoop.fs.Path(path, ledgerName(lane))
     val tmp = new org.apache.hadoop.fs.Path(path, ledgerName(lane) + ".tmp")
     val fs = fin.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(id.toString.getBytes("UTF-8"))
-    finally out.close()
+    FsUtil.writeBytes(fs, tmp, id.toString.getBytes("UTF-8"))
     if (fs.exists(fin) && !fs.delete(fin, false))
       throw new java.io.IOException(s"maintain ledger delete failed: $fin")
     if (!fs.rename(tmp, fin))
@@ -769,9 +767,10 @@ object IvfIndex {
       .getOrElse(Array.empty)
       .filterNot(_.getPath.getName.endsWith(".tmp"))
       .foreach { st =>
-        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-          new org.apache.hadoop.fs.Path(tmp, st.getPath.getName), false,
-          conf)
+        // FsUtil.copyTree: local-scheme copies skip the per-file
+        // permission fork FileUtil.copy pays (r20 opt, ~20-50 ms/file)
+        FsUtil.copyTree(fs, st.getPath,
+          new org.apache.hadoop.fs.Path(tmp, st.getPath.getName), conf)
       }
   }
 
@@ -968,10 +967,8 @@ object IvfIndex {
     val mfTmp = new org.apache.hadoop.fs.Path(path,
       "_graft_maintain.json.tmp")
     def writeSidecar(b: Double, streak: Long): Unit = {
-      val out = fs.create(mfTmp, true)
-      try out.write(
+      FsUtil.writeBytes(fs, mfTmp,
         s"""{"baselineCos":$b,"driftStreak":$streak}""".getBytes("UTF-8"))
-      finally out.close()
       // rename refuses an existing destination on local-FS semantics;
       // the delete→rename window is healed by the tmp promotion below
       if (fs.exists(mf)) fs.delete(mf, false)
@@ -1257,8 +1254,8 @@ object IvfIndex {
     // sustained drift poisons the signal the retrain verdict needs)
     val mfile = new org.apache.hadoop.fs.Path(path, "_graft_maintain.json")
     if (fs.exists(mfile))
-      org.apache.hadoop.fs.FileUtil.copy(fs, mfile, fs,
-        new org.apache.hadoop.fs.Path(tmp, "_graft_maintain.json"), false,
+      FsUtil.copyTree(fs, mfile,
+        new org.apache.hadoop.fs.Path(tmp, "_graft_maintain.json"),
         spark.sparkContext.hadoopConfiguration)
     def mv(a: String, b: String): Unit =
       if (!fs.rename(new org.apache.hadoop.fs.Path(a),

@@ -17,9 +17,8 @@ private[graft] object LayoutSidecar {
 
   /** Stamp `buckets` into a freshly-written directory (overwrites). */
   def stamp(fs: FileSystem, path: String, buckets: Int): Unit = {
-    val out = fs.create(file(path), true)
-    try out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
-    finally out.close()
+    FsUtil.writeBytes(fs, file(path),
+      s"""{"buckets":$buckets}""".getBytes("UTF-8"))
   }
 
   /** Read the stamped bucket count, if the sidecar exists. */

@@ -870,8 +870,7 @@ object VectorFlow {
         // path; a torn TMP is invisible — the next decide re-stamps
         val tmp = new org.apache.hadoop.fs.Path(dir,
           "_graft_vecflow.json.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(mine.getBytes("UTF-8")) finally out.close()
+        FsUtil.writeBytes(fs, tmp, mine.getBytes("UTF-8"))
         if (!fs.rename(tmp, f))
           throw new java.io.IOException(
             s"params sidecar rename failed: $tmp -> $f")

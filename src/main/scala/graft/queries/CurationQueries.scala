@@ -503,9 +503,12 @@ object CurationQueries {
       val dir = CoreQueries.pidScopedDir("graft_unified_late_work", d)
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(fix).getFileSystem(conf)
-      if (!org.apache.hadoop.fs.FileUtil.copy(fs,
-          new org.apache.hadoop.fs.Path(s"$fix/store"), fs,
-          new org.apache.hadoop.fs.Path(dir.toString), false, conf))
+      // r20 opt: FsUtil.copyTree — FileUtil.copy of this 137-file store
+      // forked a permission shell per file on LocalFileSystem (2.3–6.7 s
+      // measured, tools/LateCopyProbe) and was a third of the key's wall
+      if (!graft.ops.FsUtil.copyTree(fs,
+          new org.apache.hadoop.fs.Path(s"$fix/store"),
+          new org.apache.hadoop.fs.Path(dir.toString), conf))
         throw new java.io.IOException(
           s"unified-late fixture copy failed: $fix/store -> $dir")
       // the late feeds, each at the docs' original keep order (the

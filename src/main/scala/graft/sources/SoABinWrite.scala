@@ -125,8 +125,7 @@ private[sources] class SoABinDataWriter(dir: String, fields: Seq[String],
       }
       val fin = new Path(dir, f"MLSOut$curStep%06d.bin").toString
       val tmp = new Path(dir, s".tmp-$taskId-${UUID.randomUUID()}-$curStep.bin").toString
-      val out = fs.create(new Path(tmp), true)
-      try out.write(buf.array()) finally out.close()
+      graft.ops.FsUtil.writeBytes(fs, new Path(tmp), buf.array())
       written += (tmp -> fin)
       ux.clear(); uy.clear(); uz.clear(); fl.clear()
     }
