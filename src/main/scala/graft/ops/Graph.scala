@@ -255,8 +255,16 @@ object Graph {
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 3,
                          scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // r20 opt (guide §2.4): hash-partition the edge table by src ONCE
+    // before its pin — localCheckpoint preserves outputPartitioning, so
+    // every round's contribution join on src reuses it instead of
+    // re-exchanging the (largest) edge side per iteration. One setup
+    // shuffle buys iters× fewer edge shuffles; pure longs, order-
+    // independent integer sums — output bit-identical (GraphSpec pins
+    // partitioning-independence).
     val e = edges.selectExpr("cast(src as long) as src",
-      "cast(dst as long) as dst").na.drop().distinct().localCheckpoint()
+      "cast(dst as long) as dst").na.drop().distinct()
+      .repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node_id"))
       .unionByName(e.select(col("dst").as("node_id")))
       .distinct().localCheckpoint()
