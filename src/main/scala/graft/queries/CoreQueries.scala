@@ -180,9 +180,18 @@ object CoreQueries {
     // (GenerateColumnar.py:279-283 elements-sharing-a-node).
     "q_self_join_pairs" -> ((s, d) => {
       // distinct BEFORE the self-join: shrinks both join inputs and the
-      // pair blow-up (same final set — output pairs are distinct anyway)
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // pair blow-up (same final set — output pairs are distinct anyway).
+      // r20 opt (guide §2.4): repartition by the JOIN key first — hash
+      // partitioning on l_orderkey satisfies the (orderkey, partkey)
+      // dedup's clustering too, so ONE exchange serves both; the pin
+      // stops the old plan's per-join-side re-computation of the
+      // distinct (it ran twice, once per BHJ input) and the self-join
+      // reads co-partitioned materialized blocks with no new exchange.
+      val li = org.apache.spark.sql.graftbridge.Bridge
+        .dropCheckpointConstraints(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .repartition(col("l_orderkey")).dropDuplicates()
+          .localCheckpoint())
       val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
       a.join(b, Seq("l_orderkey"))
@@ -902,14 +911,23 @@ object CoreQueries {
     // three-way join — identical count, a shape DuckDB can afford at
     // gate scale.
     "q_triangle_count" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .filter(pmod(col("l_partkey"), lit(5)) === 0)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // r20 opt: same one-exchange dedup + co-partitioned self-join as
+      // q_self_join_pairs, and the edge set is PINNED — triangleCount
+      // references edges three ways, and the unpinned lineage re-derived
+      // the scan+dedup+join per reference (74 static Exchanges before).
+      val li = org.apache.spark.sql.graftbridge.Bridge
+        .dropCheckpointConstraints(Tables.lineitem(s, d)
+          .filter(pmod(col("l_partkey"), lit(5)) === 0)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .repartition(col("l_orderkey")).dropDuplicates()
+          .localCheckpoint())
       val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
-      val edges = a.join(b, Seq("l_orderkey"))
-        .filter(col("src") < col("dst"))
-        .select(col("src"), col("dst")).distinct()
+      val edges = org.apache.spark.sql.graftbridge.Bridge
+        .dropCheckpointConstraints(a.join(b, Seq("l_orderkey"))
+          .filter(col("src") < col("dst"))
+          .select(col("src"), col("dst")).distinct()
+          .localCheckpoint())
       graft.ops.Graph.triangleCount(edges)
     }),
 

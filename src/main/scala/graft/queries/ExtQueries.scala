@@ -260,6 +260,10 @@ object ExtQueries {
     // q_scd2_compact) — merge ≡ recompute IS the contract
     // (PropertySpec pins it on random splits).
     "q_scd2_merge" -> ((s, d) => {
+      // r20 opt note: a localCheckpoint pin of this slice was MEASURED
+      // SLOWER (1.11 -> 1.36 s steady) — the five parallel columnar
+      // re-scans are cheaper than a serial materialization; pins pay
+      // only for CPU-heavy re-derivation (shingles/tokenize/decode)
       val ev = Tables.events(s, d).select(col("user_id"), col("ts_ms"),
         col("event_id"), col("event_type"))
       val isLate = pmod(col("user_id"), lit(7)) === 3 &&
@@ -696,10 +700,18 @@ object ExtQueries {
       val docs = Tables.documents(s, d)
       val history = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
       val arrivals = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      // r20 opt: pin the arrivals' band table — the bounded-candidates
+      // expression references it twice (member union + touched-band
+      // probe), and unpinned it re-ran the minhash+shingle Generate
+      // chain per reference (the ckptBands discipline the index-backed
+      // ingest route already applies; 12 Generate nodes -> one pass)
+      val newBands = org.apache.spark.sql.graftbridge.Bridge
+        .dropCheckpointConstraints(
+          Dedup.lshBandTable(arrivals.repartition(col("doc_id")), "doc_id",
+            "text").localCheckpoint())
       Dedup.lshIncrementalCandidatesBounded(
           Dedup.lshBandTable(history.repartition(col("doc_id")), "doc_id", "text"),
-          Dedup.lshBandTable(arrivals.repartition(col("doc_id")), "doc_id", "text"),
-          maxBucket = 2)
+          newBands, maxBucket = 2)
         .overflow.orderBy("band")
     }),
 

@@ -153,9 +153,15 @@ object SurfaceQueries {
     // The ranking stays integer-exact (a float idf would rank identically
     // but risks cross-engine ulp flips near ties — the q_qualify lesson).
     "q_term_df" -> ((s, d) => {
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // r20 opt: pin the term-frequency table — the document-frequency
+      // aggregate and the per-doc top-term window both read it, and
+      // unpinned the explode+count ran per branch
+      val tf = org.apache.spark.sql.graftbridge.Bridge
+        .dropCheckpointConstraints(Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint())
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(desc("tf"), col("term"))
       tf.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
