@@ -10,6 +10,7 @@ object Dev {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", graft.ops.FsUtil.localFsImpl)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.pipeline._

@@ -20,6 +20,7 @@ object PlanCheck {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", graft.ops.FsUtil.localFsImpl)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>

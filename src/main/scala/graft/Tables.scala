@@ -13,8 +13,36 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** SCHEMA-only memo for the base-table reads (r21, VERDICT r20 "Next
+    * round" #6): `spark.read.parquet(path)` re-infers the schema —
+    * driver-side file listing + a footer read, ~10–30 ms — on every
+    * call, ~260 times per bench run (~2–3 s catalog-wide). The memo
+    * caches the INFERRED SCHEMA per (session, path, dir mtime) and
+    * replays it through `spark.read.schema(...)`; the DATA is read from
+    * parquet on every invocation exactly as before (plans identical —
+    * the golden pins them), so the "every invocation computes from the
+    * parquet inputs" contract holds. A rewritten/appended table dir
+    * changes its mtime and re-infers; a filesystem that can't answer
+    * getFileStatus falls back to plain inference.
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long), org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val key =
+      try {
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        (String.valueOf(System.identityHashCode(spark)), path,
+          fs.getFileStatus(hp).getModificationTime)
+      } catch { case _: java.io.IOException => null }
+    if (key == null) spark.read.parquet(path)
+    else spark.read
+      .schema(schemaMemo.computeIfAbsent(key,
+        _ => spark.read.parquet(path).schema))
+      .parquet(path)
+  }
 
   /** Epoch micros of an NTZ timestamp (or date) column, extracted from the
     * stored WALL-CLOCK components (date / hour / minute / fractional

@@ -257,54 +257,61 @@ object CurationFlow {
     val bandsDir = dir + "/bands"
     val all = batch.select(col("doc_id"), col("text"), col("n_chars"))
 
-    // stages 1-2: stateless gates, ONE checkpoint (r15 diet — was two):
-    // the shape survivors annotated with the repetition verdict. Reason
-    // rows and survivors both read this single pinned frame; tk is the
-    // verdict's input and DEAD after it — dropped before the checkpoint
-    // (review find), so only (ids, text, n_chars, n_tok, rep_ok) pins.
-    label("gates-ckpt")
-    val flags = org.apache.spark.sql.graftbridge.Bridge
-      .dropCheckpointConstraints(
-        repetitionVerdict(shapeGate(all)).drop("tk").localCheckpoint())
-    val gated = flags.filter(col("rep_ok")).drop("rep_ok")
-
-    // stages 3-4 — exact vs history AND exact within batch — in ONE
-    // pinned frame (r17 diet: the r15 shape checkpointed the history
-    // drop set, the batch drop set, and the survivors as three blocking
-    // sync points, ~12 Spark jobs per wave; FlowProfile attributes the
-    // decide wall to exactly this fixed per-job overhead). Each gated
-    // doc annotates with its digest verdicts: `hist_matched` = the min
-    // stored keeper (exact_history), `keep_id` = the batch election's
-    // winner among history-SURVIVORS sharing its digest. The election
-    // window runs over ALL gated docs because a digest group is
-    // hist-matched all-or-nothing (same digest ⇒ same stored match), so
-    // min(when(hist null)) elects among exactly the docs the old
-    // post-anti-join groupBy saw — verdicts byte-identical, and
-    // exHist / exBatchDrop / afterEx become FILTERS of the one pin.
-    val digests = gated.select(col("doc_id"), md5(col("text")).as("band"))
+    // stages 1-4 — the stateless gates AND exact dedup (vs history AND
+    // within batch) — in ONE pinned frame (r21 diet, VERDICT r20 "Next
+    // round" #1: the r17 shape still paid TWO serial checkpoints here,
+    // serializing the batch's text twice). The history probe keys on
+    // PRE-GATE digests — md5 only, so the probe's touched-bucket
+    // collect and broadcast never re-run the gate tokenization the old
+    // pinned-flags inputs provided; extra hist rows for gate-failed
+    // docs are inert (the pin's filters keep the gate order: a
+    // rep-failed doc drops as `repetition` whatever hist_matched says,
+    // a shape-failed doc is not in the pin at all). The batch election
+    // window elects among rep-surviving history-survivors only —
+    // verdicts byte-identical to the two-checkpoint chain.
+    label("gates-exact-ckpt")
+    val digests = all.select(col("doc_id"), md5(col("text")).as("band"))
     val histM = Dedup.bandIndexPrunedStored(digestDir, digests, buckets)
       .join(broadcast(digests.withColumnRenamed("doc_id", "bid")),
         Seq("band"))
       .groupBy(col("bid").as("doc_id"))
       .agg(min(col("doc_id")).as("hist_matched"))
     val wdg = org.apache.spark.sql.expressions.Window.partitionBy("dg")
-    label("exact-ckpt")
     val exact = org.apache.spark.sql.graftbridge.Bridge
-      .dropCheckpointConstraints(gated
+      .dropCheckpointConstraints(
+        repetitionVerdict(shapeGate(all)).drop("tk")
         .withColumn("dg", md5(col("text")))
         .join(broadcast(histM), Seq("doc_id"), "left")
         .withColumn("keep_id",
-          min(when(col("hist_matched").isNull, col("doc_id"))).over(wdg))
+          min(when(col("rep_ok") && col("hist_matched").isNull,
+            col("doc_id"))).over(wdg))
         .drop("dg")
         .localCheckpoint())
-    val exHist = exact.filter(col("hist_matched").isNotNull)
+    val exHist = exact.filter(col("rep_ok") &&
+        col("hist_matched").isNotNull)
       .select(col("doc_id"), col("hist_matched").as("matched_id"))
-    val exBatchDrop = exact.filter(col("hist_matched").isNull &&
-        col("doc_id") =!= col("keep_id"))
+    val exBatchDrop = exact.filter(col("rep_ok") &&
+        col("hist_matched").isNull && col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), col("keep_id").as("matched_id"))
-    val afterEx = exact.filter(col("hist_matched").isNull &&
-        col("doc_id") === col("keep_id"))
+    val afterEx = exact.filter(col("rep_ok") &&
+        col("hist_matched").isNull && col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"))
+
+    // the contamination scan forks HERE (guide §2.6, VERDICT r20 #1:
+    // overlap independent actions inside decide waves): its only
+    // inputs are the pinned exact survivors and the caller's bench
+    // shingles, so its shingle pass fills the cores the tiny
+    // probe/flag/edge shuffles below leave idle instead of running
+    // serially inside the tail checkpoint. Read-only — a failure on
+    // the main chain leaves no orphaned writer, the stray future just
+    // finishes its scan.
+    val hitsF = scala.concurrent.Future {
+      sc.setJobDescription("decide:hits-ckpt")
+      try org.apache.spark.sql.graftbridge.Bridge.dropCheckpointConstraints(
+        contaminationHits(afterEx, bench)
+          .withColumn("contam", lit(true)).localCheckpoint())
+      finally sc.setJobDescription(null)
+    }(scala.concurrent.ExecutionContext.global)
 
     // stage 5: near-dup band candidates vs stored ∪ batch (the
     // incremental-dedup probe; bounded star route under a finite cap).
@@ -407,13 +414,14 @@ object CurationFlow {
     // pinned filter. The extra (non-keeper) hit rows are inert — the
     // tail only consults `contam` on keeper rows — so decisions are
     // identical; the trade is shingling the near-dup losers too, a few
-    // percent of a healthy batch.
-    val hits = contaminationHits(afterEx, bench)
+    // percent of a healthy batch. Since r21 the scan ran CONCURRENTLY
+    // with the probe chain (the hitsF fork above) — join its pin here.
+    val hits = scala.concurrent.Await.result(hitsF,
+      scala.concurrent.duration.Duration.Inf)
     label("tail-ckpt")
     val tail = org.apache.spark.sql.graftbridge.Bridge
       .dropCheckpointConstraints(withKeep
-        .join(broadcast(hits.withColumn("contam", lit(true))),
-          Seq("doc_id"), "left")
+        .join(broadcast(hits), Seq("doc_id"), "left")
         .select(col("doc_id"), col("text"), col("n_chars"), col("n_tok"),
           col("keep_id"), coalesce(col("contam"), lit(false)).as("contam"))
         .localCheckpoint())
@@ -436,9 +444,9 @@ object CurationFlow {
     def reasonM(ids: DataFrame, r: String): DataFrame =
       ids.select(col("doc_id"), lit(r).as("status"),
         col("matched_id").cast("long").as("matched_id"))
-    val drops = reason(all.join(flags, Seq("doc_id"), "left_anti"),
+    val drops = reason(all.join(exact, Seq("doc_id"), "left_anti"),
         "shape")
-      .unionByName(reason(flags.filter(!col("rep_ok")), "repetition"))
+      .unionByName(reason(exact.filter(!col("rep_ok")), "repetition"))
       .unionByName(reasonM(exHist, "exact_history"))
       .unionByName(reasonM(exBatchDrop, "exact_batch"))
       .unionByName(reasonM(histDrop, "neardup_history"))
@@ -467,20 +475,20 @@ object CurationFlow {
     // sequential pair was a fixed ~1 s of every batch wall). Failures
     // surface only after BOTH sides finished, so a caller's retry never
     // races an orphaned writer (the r16 ADVICE rule).
-    awaitBoth(
-      () => Dedup.bandIndexAppendPrecomputed(dir + "/digest",
-        kept.select(col("doc_id"), md5(col("text")).as("band")), buckets),
+    awaitLabeled(
+      ("commit:digest", () => Dedup.bandIndexAppendPrecomputed(dir + "/digest",
+        kept.select(col("doc_id"), md5(col("text")).as("band")), buckets)),
       // a decide-supplied pinned band table skips the second minhash
       // derivation; the no-bands form (the streaming REPLAY path, which
       // reconstructs kept from the recorded decisions) re-derives
-      () => keptBands match {
+      ("commit:bands", () => keptBands match {
         case Some(b) =>
           Dedup.bandIndexAppendPrecomputed(dir + "/bands",
             b.select(col("doc_id"), col("band")), buckets)
         case None =>
           Dedup.bandIndexAppend(dir + "/bands", kept, "doc_id", "text",
             buckets = buckets)
-      })
+      }))
   }
 
   /** Run independent store mutations concurrently; rethrow the FIRST
@@ -490,12 +498,26 @@ object CurationFlow {
     * the flow commits ([[commit]], [[graft.ops.VectorFlow.commit]],
     * [[graft.ops.UnifiedFlow.commit]]).
     */
-  private[ops] def awaitBoth(sides: (() => Unit)*): Unit = {
+  private[ops] def awaitBoth(sides: (() => Unit)*): Unit =
+    awaitLabeled(sides.map(s => ("", s)): _*)
+
+  /** [[awaitBoth]] with a job-description label per side — the pool
+    * threads do NOT inherit the caller's description (thread-locals
+    * attach at thread creation), so unlabeled store mutations show up
+    * as "?" in the per-job profiles (r21 observability; no behavior
+    * change).
+    */
+  private[ops] def awaitLabeled(sides: (String, () => Unit)*): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val done = sides.map(s => Future(s()))
-      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    val sc = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext)
+    val done = sides.map { case (lbl, s) => Future {
+      if (lbl.nonEmpty) sc.foreach(_.setJobDescription(lbl))
+      try s() finally if (lbl.nonEmpty) sc.foreach(_.setJobDescription(null))
+    }}.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     done.foreach(_.get)
   }
 

@@ -20,6 +20,19 @@ import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
   */
 object FsUtil {
 
+  /** Value for `spark.hadoop.fs.file.impl` in the session builders
+    * (Bench/Verify/Dev/PlanCheck, the test base, the profiling tools):
+    * [[NioLocalFileSystem]] — the `file`-scheme filesystem whose
+    * `setPermission` is java.nio instead of a forked `chmod` shell
+    * (~8 ms per created file with libhadoop absent; see the class
+    * doc). `SPARK_GRAFT_STOCK_LOCALFS=1` restores the stock class for
+    * A/B measurement.
+    */
+  def localFsImpl: String =
+    if (sys.env.get("SPARK_GRAFT_STOCK_LOCALFS").contains("1"))
+      "org.apache.hadoop.fs.LocalFileSystem"
+    else classOf[NioLocalFileSystem].getName
+
   /** Copy the directory tree (or single file) at `src` to the
     * NONEXISTENT path `dst` — the `FileUtil.copy` case where the
     * destination is absent, so `dst` itself becomes the clone of

@@ -592,20 +592,26 @@ object UnifiedFlow {
     // failures surfaced only after every side finished (awaitBoth's
     // single-writer rationale); the keeper-meta mutation runs strictly
     // AFTER its phase's barrier (the store-LAST replay proof above).
-    val anyEvict = !evictText.isEmpty
+    // pin the text-eviction rows once (r21): the emptiness probe and
+    // both band removals each re-ran the meta semi-join otherwise
+    val evictTextP = ckpt(evictText)
+    val anyEvict = !evictTextP.isEmpty
     val evictVecs = VectorFlow.vectorStoreFetch(spark,
       dir + "/vec/vectors",
       evictVecIds.select(col("doc_id").as("vec_id")), vec.buckets)
-    CurationFlow.awaitBoth(
-      () => if (anyEvict) Dedup.bandIndexRemove(dir + "/digest",
-        evictText.select(col("doc_id"), col("dg").as("band")),
-        buckets),
-      () => if (anyEvict) Dedup.bandIndexRemove(dir + "/bands",
-        evictText.select(col("doc_id"),
-          explode(col("bands")).as("band")), buckets),
-      () => VectorFlow.evictStored(dir + "/vec", evictVecs, vec))
+    CurationFlow.awaitLabeled(
+      ("ltcommit:evict-digest", () => if (anyEvict) Dedup.bandIndexRemove(
+        dir + "/digest",
+        evictTextP.select(col("doc_id"), col("dg").as("band")),
+        buckets)),
+      ("ltcommit:evict-bands", () => if (anyEvict) Dedup.bandIndexRemove(
+        dir + "/bands",
+        evictTextP.select(col("doc_id"),
+          explode(col("bands")).as("band")), buckets)),
+      ("ltcommit:evict-vecs",
+        () => VectorFlow.evictStored(dir + "/vec", evictVecs, vec)))
     if (anyEvict) CurationFlow.textMetaRemove(spark,
-      dir + "/textmeta", evictText.select("doc_id"), buckets)
+      dir + "/textmeta", evictTextP.select("doc_id"), buckets)
     val bands = attachBands.getOrElse(
       ckpt(Dedup.lshBandTable(attach, "doc_id", "text")))
     CurationFlow.commit(dir,
@@ -659,17 +665,17 @@ object UnifiedFlow {
     // replay the batch concurrently with the orphaned sibling writer.
     // The modal commits are themselves internally concurrent (r17), so
     // all five disjoint-dir appends run side by side.
-    CurationFlow.awaitBoth(
-      () => CurationFlow.commit(dir, staged.kept, buckets,
-        Some(staged.keptBands)),
-      () => VectorFlow.commit(dir + "/vec", staged.keptVecs, vec,
-        Some(staged.keptVecBands), prio),
+    CurationFlow.awaitLabeled(
+      ("ucommit:text", () => CurationFlow.commit(dir, staged.kept, buckets,
+        Some(staged.keptBands))),
+      ("ucommit:vec", () => VectorFlow.commit(dir + "/vec", staged.keptVecs, vec,
+        Some(staged.keptVecBands), prio)),
       // the keeper-meta store (r17): one row per text-kept doc with its
       // keep order, length, and eviction handles — the late-text pass's
       // stored side. Idempotent like the band appends (duplicate meta
       // rows change no election: the fetch dedupes through the
       // election aggregates).
-      () => CurationFlow.textMetaAppend(dir + "/textmeta",
+      ("ucommit:meta", () => CurationFlow.textMetaAppend(dir + "/textmeta",
         staged.kept
           .withColumn("dg", md5(col("text")))
           .join(staged.keptBands.groupBy("doc_id")
@@ -677,7 +683,7 @@ object UnifiedFlow {
             Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_chars"), lit(prio).as("prio"),
             col("dg"), col("bands")),
-        buckets))
+        buckets)))
   }
 
   /** The streaming REPLAY path's re-commit ([[graft.streaming.StreamOps]]
@@ -716,12 +722,13 @@ object UnifiedFlow {
       CurationFlow.textMetaFetch(spark, dir + "/textmeta",
         keptText.select("doc_id"), buckets).select("doc_id"),
       Seq("doc_id"), "left_anti")
-    CurationFlow.awaitBoth(
-      () => CurationFlow.commit(dir, keptText, buckets, Some(bands)),
-      () => VectorFlow.commit(dir + "/vec",
+    CurationFlow.awaitLabeled(
+      ("ucommit:text", () => CurationFlow.commit(dir, keptText, buckets,
+        Some(bands))),
+      ("ucommit:vec", () => VectorFlow.commit(dir + "/vec",
         kept.select(col("doc_id").as("vec_id"), col("embedding")), vec,
-        prio = prio),
-      () => CurationFlow.textMetaAppend(dir + "/textmeta",
+        prio = prio)),
+      ("ucommit:meta", () => CurationFlow.textMetaAppend(dir + "/textmeta",
         metaNew
           .withColumn("dg", md5(col("text")))
           .join(bands.groupBy("doc_id")
@@ -729,6 +736,6 @@ object UnifiedFlow {
             Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_chars"), lit(prio).as("prio"),
             col("dg"), col("bands")),
-        buckets))
+        buckets)))
   }
 }

@@ -438,20 +438,21 @@ object VectorFlow {
     // swap, and replay never depends on their relative order — run them
     // CONCURRENTLY, surfacing failures only after all three finished
     // (r17 diet; CurationFlow.awaitBoth's single-writer rationale)
-    CurationFlow.awaitBoth(
-      () => Dedup.bandIndexAppendPrecomputed(dir + "/digest",
+    CurationFlow.awaitLabeled(
+      ("vcommit:digest", () => Dedup.bandIndexAppendPrecomputed(dir + "/digest",
         clean.select(col("vec_id").as("doc_id"), digestOf(spark).as("band")),
-        params.buckets),
+        params.buckets)),
       // a decide-supplied pinned home-band table skips the second
       // hyperplane-signature derivation; the no-bands form (the streaming
       // REPLAY path) re-derives
-      () => Dedup.bandIndexAppendPrecomputed(dir + "/bands",
+      ("vcommit:bands", () => Dedup.bandIndexAppendPrecomputed(dir + "/bands",
         keptBands.map(_.select(col("doc_id"), col("band")))
           .getOrElse(Similarity.embBandTable(clean, "vec_id", "embedding",
             params.bits, params.seed,
             dAuth.getOrElse(params.dim), params.families)),
-        params.buckets),
-      () => vectorStoreAppend(dir + "/vectors", clean, params.buckets, prio))
+        params.buckets)),
+      ("vcommit:vectors",
+        () => vectorStoreAppend(dir + "/vectors", clean, params.buckets, prio)))
   }
 
   /** [[lateDecide]]'s return: the correction rows plus the three
@@ -794,16 +795,26 @@ object VectorFlow {
     val spark = evict.sparkSession
     val dAuth = freezeParams(spark, dir, params, inferred = None,
       stamp = false)
-    if (!evict.isEmpty) {
-      Dedup.bandIndexRemove(dir + "/digest",
-        evict.select(col("vec_id").as("doc_id"),
-          digestOf(spark).as("band")), params.buckets)
-      Dedup.bandIndexRemove(dir + "/bands",
-        Similarity.embBandTable(evict, "vec_id", "embedding",
-          params.bits, params.seed, dAuth.getOrElse(params.dim),
-          params.families), params.buckets)
+    // pin the eviction rows ONCE (r21): unpinned, the emptiness probe,
+    // both band removals (touched-bucket collect + rewrite each), and
+    // the vector removal re-evaluated the caller's pruned store fetch
+    // ~7 times per pass
+    val ev = ckpt(evict)
+    if (!ev.isEmpty) {
+      // digest and band removals touch DISJOINT dirs, each its own
+      // staged swap — run them concurrently (guide §2.6, r21); the
+      // vector store stays strictly LAST (the fetch-first replay
+      // contract above)
+      CurationFlow.awaitLabeled(
+        ("vevict:digest", () => Dedup.bandIndexRemove(dir + "/digest",
+          ev.select(col("vec_id").as("doc_id"),
+            digestOf(spark).as("band")), params.buckets)),
+        ("vevict:bands", () => Dedup.bandIndexRemove(dir + "/bands",
+          Similarity.embBandTable(ev, "vec_id", "embedding",
+            params.bits, params.seed, dAuth.getOrElse(params.dim),
+            params.families), params.buckets)))
       vectorStoreRemove(spark, dir + "/vectors",
-        evict.select("vec_id"), params.buckets)
+        ev.select("vec_id"), params.buckets)
     }
   }
 

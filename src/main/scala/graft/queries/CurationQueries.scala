@@ -326,7 +326,11 @@ object CurationQueries {
       val emb = Tables.embeddings(s, d).select(col("vec_id"),
         col("embedding"))
       val dir = CoreQueries.pidScopedDir("graft_unified_cur", d)
-      val bench = graft.ops.CurationFlow.benchShingles(docs)
+      // r21: pinned once — both waves' decide tails read it (see
+      // SharedBuilds.runTextBuild)
+      val bench = org.apache.spark.sql.graftbridge.Bridge
+        .dropCheckpointConstraints(
+          graft.ops.CurationFlow.benchShingles(docs).localCheckpoint())
       val base = docs.join(emb.withColumnRenamed("vec_id", "doc_id"),
         Seq("doc_id"), "left")
         .select(col("doc_id"), col("text"), col("n_chars"), col("embedding"))

@@ -43,7 +43,12 @@ object SharedBuilds {
   private def runTextBuild(s: SparkSession, d: String): String = {
     val docs = Tables.documents(s, d)
     val dir = CoreQueries.pidScopedDir("graft_shared_twowave", d)
-    val bench = graft.ops.CurationFlow.benchShingles(docs)
+    // r21: pin the eval-set shingles once per build — each wave's
+    // decide tail previously re-derived them (a corpus-slice scan +
+    // distinct shuffle per wave, byte-identical rows)
+    val bench = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(
+        graft.ops.CurationFlow.benchShingles(docs).localCheckpoint())
     val w1 = graft.ops.CurationFlow.ingest(dir.toString,
       docs.filter(pmod(col("doc_id"), lit(2)) === 0), bench, cursor = 0L)
     val w2 = graft.ops.CurationFlow.ingest(dir.toString,

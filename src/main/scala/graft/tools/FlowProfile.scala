@@ -17,7 +17,9 @@ object FlowProfile {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", graft.ops.FsUtil.localFsImpl)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()

@@ -13,7 +13,9 @@ object JobLatencyProbe {
     val n = args.headOption.map(_.toInt).getOrElse(60)
     val spark = SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", graft.ops.FsUtil.localFsImpl)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
 

@@ -12,6 +12,7 @@ trait SparkTestBase extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", graft.ops.FsUtil.localFsImpl)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

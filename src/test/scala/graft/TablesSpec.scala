@@ -98,4 +98,24 @@ class TablesSpec extends SparkTestBase {
       assert(eval() === underDefault, "epochMs depends on the session timezone")
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
+
+  test("table() schema memo: identical reads, data stays live, mtime invalidates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tables_memo").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val first = Tables.table(spark, dir, "t")
+    val second = Tables.table(spark, dir, "t")
+    assert(second.schema === first.schema)
+    assert(second.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // the memo caches the SCHEMA only — a rewrite of the table dir (new
+    // mtime) must re-infer, and the DATA of every read is the live files
+    Thread.sleep(20) // dir-mtime resolution guard
+    Seq((3L, "c", 9L)).toDF("id", "v", "extra")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val third = Tables.table(spark, dir, "t")
+    assert(third.schema.fieldNames.contains("extra"),
+      "schema memo failed to invalidate on a rewritten table dir")
+    assert(third.select("id").collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
 }
