@@ -388,7 +388,7 @@ object CurationFlow {
     val memb =
       if (edges.isEmpty) afterNdHist.withColumn("grp", col("doc_id"))
       else {
-        val labels = Graph.connectedComponents(
+        val labels = Graph.batchComponents(
           edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
         afterNdHist
           .join(labels.withColumnRenamed("node_id", "doc_id"),

@@ -153,6 +153,31 @@ object Graph {
     CCResult(labels, converged, iter)
   }
 
+  /** Components of a BATCH-BOUNDED, self-loop-free edge set — the
+    * flows' batch-internal dedup graphs (r21 job diet). The generic
+    * [[connectedComponents]] pays an orientation checkpoint and a
+    * self-looper pass that a batch caller's pinned, loop-free pair
+    * table never needs; this path is one count + one collect + the
+    * driver union-find, labels identical (min node id per component).
+    * Falls back to the generic op past `maxEdges` (the same 2M
+    * local-finish bound — the distributed contraction still guards an
+    * adversarial batch) or on non-integral ids. Duplicates and either
+    * orientation are fine; self-loops are the CALLER's contract (the
+    * flows' pair tables exclude them by construction).
+    */
+  private[ops] def batchComponents(edges: DataFrame,
+                                   maxEdges: Long = 2000000L): DataFrame = {
+    val dstType = edges.schema("dst").dataType
+    val integral = {
+      import org.apache.spark.sql.types._
+      dstType == LongType || dstType == IntegerType ||
+        dstType == ShortType || dstType == ByteType
+    }
+    if (!integral || edges.count() > maxEdges) connectedComponents(edges)
+    else localUnionFind(
+      edges.select(col("src").as("node_id")).limit(0), edges, dstType)
+  }
+
   /** Bounded driver-side finish: union-find with path halving over the
     * (threshold-gated, so memory-bounded) contracted edge set, labels =
     * min node id per component to match the distributed fixed point.
@@ -173,7 +198,15 @@ object Graph {
       }
       x
     }
-    val edgeRows = ee.select(col("src").cast("long"), col("dst").cast("long")).collect()
+    // ONE collect serves edges AND the self-loop-only vertex tail (r21
+    // job diet): a self-loop row (v, v) is a union-find no-op that
+    // still registers v in the vertex universe — exactly what the
+    // former second collect did, one driver job earlier.
+    val edgeRows = ee.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .unionAll(selfLoopers.select(col("node_id").cast("long").as("a"),
+        (col("node_id") * lit(1L)).cast("long").as("b")))
+      .collect()
     edgeRows.foreach { r =>
       val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
       if (a != b) { if (a < b) parent.update(b, a) else parent.update(a, b) }
@@ -184,8 +217,6 @@ object Graph {
     def addVert(v: Long): Unit =
       if (!seen.getOrElse(v, false)) { seen.update(v, true); verts += v }
     edgeRows.foreach { r => addVert(r.getLong(0)); addVert(r.getLong(1)) }
-    selfLoopers.select(col("node_id").cast("long")).collect()
-      .foreach(r => addVert(r.getLong(0)))
     // component label = min node id per root (unions attach the larger
     // root, but ids reached via path halving aren't ordered — normalize)
     val minOf = new scala.collection.mutable.LongMap[Long]()

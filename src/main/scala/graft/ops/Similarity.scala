@@ -321,7 +321,7 @@ object Similarity {
     * Batch-bounded by the ingest contract; constraints dropped like
     * every checkpoint here.
     */
-  private[ops] def signedBatch(arrivals: DataFrame, idCol: String,
+  private[graft] def signedBatch(arrivals: DataFrame, idCol: String,
                                embCol: String, bits: Int, seed: Long,
                                dim: Int, families: Int): (DataFrame, DataFrame) = {
     require(families >= 1, s"families must be >= 1, got $families")
@@ -418,10 +418,21 @@ object Similarity {
   def embIndexProbe(path: String, arrivals: DataFrame,
                     idCol: String = "vec_id", embCol: String = "embedding",
                     bits: Int = 8, seed: Long = 42L, dim: Int = -1,
-                    buckets: Int = 16, families: Int = 1): DataFrame = {
-    val probes =
-      embProbeTable(arrivals, idCol, embCol, bits, seed, dim, families)
-    val home = embBandTable(arrivals, idCol, embCol, bits, seed, dim, families)
+                    buckets: Int = 16, families: Int = 1): DataFrame =
+    embIndexProbePrecomputed(path,
+      embBandTable(arrivals, idCol, embCol, bits, seed, dim, families),
+      embProbeTable(arrivals, idCol, embCol, bits, seed, dim, families),
+      buckets)
+
+  /** [[embIndexProbe]] from PRECOMPUTED (doc_id, band) home/probe
+    * tables (r21): a caller that already derived — and pinned — the
+    * arrivals' signatures (the hyperplane dots are the dominant CPU of
+    * the incremental-embedding keys) probes without re-running them;
+    * candidate contract identical.
+    */
+  def embIndexProbePrecomputed(path: String, home: DataFrame,
+                               probes: DataFrame,
+                               buckets: Int = 16): DataFrame = {
     val stored = Dedup.bandIndexPrunedStored(path, probes, buckets)
     stored.unionByName(home)
       .join(broadcast(probes.select(col("doc_id").as("doc_n"),

@@ -441,8 +441,8 @@ object UnifiedFlow {
     val memb =
       if (edgesRem.isEmpty) surv.withColumn("grp", col("doc_id"))
       else {
-        val labels = Graph.connectedComponents(
-          edgesRem.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val labels = Graph.batchComponents(ckpt(
+          edgesRem.select(col("doc_a").as("src"), col("doc_b").as("dst"))))
         surv.join(labels.withColumnRenamed("node_id", "doc_id"),
             Seq("doc_id"), "left")
           .withColumn("grp", coalesce(col("component"), col("doc_id")))

@@ -343,8 +343,8 @@ object VectorFlow {
     val memb =
       if (edgesRem.isEmpty) afterNdHist.withColumn("grp", col("vec_id"))
       else {
-        val labels = Graph.connectedComponents(
-          edgesRem.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val labels = Graph.batchComponents(ckpt(
+          edgesRem.select(col("doc_a").as("src"), col("doc_b").as("dst"))))
         afterNdHist
           .join(labels.withColumnRenamed("node_id", "vec_id"),
             Seq("vec_id"), "left")
@@ -705,8 +705,8 @@ object VectorFlow {
         val memb =
           if (edgesRem.isEmpty) surv.withColumn("grp", col("vec_id"))
           else {
-            val labels = Graph.connectedComponents(
-              edgesRem.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+            val labels = Graph.batchComponents(ckpt(
+              edgesRem.select(col("doc_a").as("src"), col("doc_b").as("dst"))))
             surv.join(labels.withColumnRenamed("node_id", "vec_id"),
                 Seq("vec_id"), "left")
               .withColumn("grp", coalesce(col("component"), col("vec_id")))

@@ -558,19 +558,32 @@ object ExtQueries {
       // one dim probe shared by every band/probe table below — each
       // would otherwise run its own head job to size the hyperplanes
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
-      val home = Similarity.embBandTable(history, "vec_id", "embedding",
-        dim = dim)
+      // r21 (VERDICT r20 "Next round" #3): sign each side ONCE. The
+      // hyperplane dots are this key's dominant CPU and previously ran
+      // 2x over history (index append + the direct recompute) and 3-4x
+      // over arrivals (probe route's home+flip tables + the direct
+      // recompute's probe table). `home` pins history's signatures,
+      // signedBatch pins the arrivals' — and the DIRECT pair set is
+      // still derived store-FREE from those signatures (the verdict
+      // guards the store round-trip: pair_ok pins emitted ⊆ direct,
+      // complete_ok direct ⊆ emitted — the signature math itself is
+      // deterministic from the raw embeddings on both routes).
+      val home = org.apache.spark.sql.graftbridge.Bridge
+        .dropCheckpointConstraints(Similarity.embBandTable(history,
+          "vec_id", "embedding", dim = dim).localCheckpoint())
+      val (arrHome, arrProbes) = Similarity.signedBatch(arrivals,
+        "vec_id", "embedding", bits = 8, seed = 42L, dim = dim,
+        families = 1)
       Dedup.bandIndexAppendPrecomputed(dir.toString, home)
-      val direct = Similarity.embBandTable(emb, "vec_id", "embedding",
-          dim = dim)
-        .join(Similarity.embProbeTable(arrivals, "vec_id", "embedding",
-            dim = dim)
+      val direct = home.unionByName(arrHome)
+        .join(arrProbes
           .select(col("doc_id").as("doc_n"), col("band").as("band_n")),
           col("band") === col("band_n") && col("doc_id") =!= col("doc_n"))
         .select(least(col("doc_id"), col("doc_n")).as("doc_a"),
           greatest(col("doc_id"), col("doc_n")).as("doc_b"))
       Verdicts.withPairSetOk(
-        Similarity.embIndexProbe(dir.toString, arrivals, dim = dim),
+        Similarity.embIndexProbePrecomputed(dir.toString, arrHome,
+          arrProbes),
         direct, "doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
     }),
