@@ -153,9 +153,16 @@ object Dedup {
                              lenCol: Column, numBands: Int = 2,
                              rowsPerBand: Int = 2, shingleN: Int = 3)
       : DataFrame = {
-    val pairs =
-      lshCandidatePairs(docs, idCol, textCol, numBands, rowsPerBand, shingleN)
-    val labels = Graph.connectedComponents(
+    // r21: PIN the candidate pairs before CC — the generic op's
+    // self-looper pass re-ran the whole minhash + band self-join chain
+    // a second time (pairs are a<b by construction, so it always came
+    // back empty); the batch CC path then counts + collects from the
+    // pinned blocks.
+    val pairs = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(
+        lshCandidatePairs(docs, idCol, textCol, numBands, rowsPerBand,
+          shingleN).localCheckpoint())
+    val labels = Graph.batchComponents(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val memb = docs.select(col(idCol).as("doc_id"), lenCol.as("len"))
       .join(labels.withColumnRenamed("node_id", "doc_id"), Seq("doc_id"),

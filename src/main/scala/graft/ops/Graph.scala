@@ -165,7 +165,7 @@ object Graph {
     * orientation are fine; self-loops are the CALLER's contract (the
     * flows' pair tables exclude them by construction).
     */
-  private[ops] def batchComponents(edges: DataFrame,
+  private[graft] def batchComponents(edges: DataFrame,
                                    maxEdges: Long = 2000000L): DataFrame = {
     val dstType = edges.schema("dst").dataType
     val integral = {

@@ -499,8 +499,14 @@ object Similarity {
     */
   private def dedupFromPairs(asg: DataFrame, centroids: DataFrame,
                              pairs: DataFrame, keeper: KeepRule): DataFrame = {
-    val labels = Graph.connectedComponents(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    // r21: pin the verified pair table before CC — the generic op's
+    // self-looper pass re-ran the cell-join + cosine chain a second
+    // time (pairs are a<b by construction); batch CC counts + collects
+    // from the pinned blocks.
+    val pinned = org.apache.spark.sql.graftbridge.Bridge
+      .dropCheckpointConstraints(pairs.localCheckpoint())
+    val labels = Graph.batchComponents(
+      pinned.select(col("id_a").as("src"), col("id_b").as("dst")))
     val grouped = asg
       .join(labels.withColumnRenamed("node_id", "vec_id"), Seq("vec_id"),
         "left")

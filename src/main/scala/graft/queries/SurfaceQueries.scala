@@ -100,8 +100,12 @@ object SurfaceQueries {
     // DuckDB recursive-CTE transitive closure over the same pairs.
     "q_dup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = graft.ops.Dedup.lshCandidatePairs(docs, "doc_id", "text")
-      val labels = graft.ops.Graph.connectedComponents(
+      // r21: pinned pairs + batch CC (see Dedup.dupClustersKeepLongest —
+      // the generic op's self-looper pass cost a second minhash chain)
+      val pairs = org.apache.spark.sql.graftbridge.Bridge
+        .dropCheckpointConstraints(graft.ops.Dedup
+          .lshCandidatePairs(docs, "doc_id", "text").localCheckpoint())
+      val labels = graft.ops.Graph.batchComponents(
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       docs.select(col("doc_id"))
         .join(labels.withColumnRenamed("node_id", "doc_id"), Seq("doc_id"), "left")
